@@ -1,0 +1,181 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.10).
+
+Not in the reference (its lambdas are black boxes; SURVEY.md §2.6 "no
+scalar function library"); these are the training-data-pipeline extensions
+the engine is expected to provide as first-class operators.
+
+Every function here is a pure Column expression factory — JVM-side,
+whole-stage-codegen'd, zero Python in the row path. At 100 TB these run at
+scan speed with full predicate pushdown upstream.
+
+DSL surface (registered ops):
+
+    ["tokenize", rel, {"col": "text", "as": "tokens"}]
+    ["token-count", rel, {...}]
+    ["lang-id", rel, {...}]
+    ["quality-score", rel, {...}]
+    ["fingerprint", rel, {...}]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..eval import Ctx, defop
+from ..model import Rel
+
+# ---------------------------------------------------------------------------
+# column-expression factories (usable directly or via the DSL ops)
+
+#: A BPE-ish word/piece splitter: letter runs, digit runs, or single
+#: non-space punctuation — approximates subword pre-tokenization.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword-ratio language
+#: heuristic. Deliberately small and deterministic (same lists in the
+#: DuckDB oracles).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "ich"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "que", "de", "un", "una", "es", "por", "con"],
+}
+
+
+def words(col: Column) -> Column:
+    """Lowercased word array (\\W+ split, empties removed)."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda w: w != "")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(col, r"\s+"), lambda w: w != ""))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count via the pre-tokenization regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of words that are stopwords for ``lang``."""
+    ws = words(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def lang_scores(col: Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_ratio(col, lang)) for lang in STOPWORDS]
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-ratio language heuristic: argmax over STOPWORDS languages,
+    'und' (undetermined) when no stopwords hit at all. Deterministic
+    tie-break: language order en, de, fr, es (strictly-greater compare)."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality score in [0, 1]: mean of
+    * length score     — min(1, n_chars / 1000)
+    * word-length sanity — 1 if mean word length in [3, 12] else 0
+    * punctuation sanity — 1 - min(1, punct_chars / (chars/10 + 1))
+    * stopword signal  — min(1, 4 * max-lang stopword ratio)
+    """
+    n_chars = F.length(col)
+    length_score = F.least(F.lit(1.0), n_chars / F.lit(1000.0))
+    ws = words(col)
+    mean_wlen = F.when(
+        F.size(ws) > 0,
+        F.aggregate(ws, F.lit(0).cast("double"), lambda a, w: a + F.length(w)) / F.size(ws),
+    ).otherwise(F.lit(0.0))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    punct_score = F.lit(1.0) - F.least(F.lit(1.0), punct / (n_chars / F.lit(10.0) + F.lit(1.0)))
+    sw_best = None
+    for _, score in lang_scores(col):
+        sw_best = score if sw_best is None else F.greatest(sw_best, score)
+    sw_score = F.least(F.lit(1.0), F.lit(4.0) * sw_best)
+    return (length_score + wlen_score + punct_score + sw_score) / F.lit(4.0)
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized word
+    sequence (lowercase, punctuation-stripped, single-spaced) — robust to
+    whitespace/punctuation-only edits. JVM hash, no Python."""
+    normalized = F.array_join(words(col), " ")
+    return F.xxhash64(normalized)
+
+
+def rolling_hash(col: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the normalized text's characters:
+    h = sum(c_i * base^i) mod m, computed with F.aggregate — O(n) JVM fold,
+    cross-engine reproducible (same formula in the DuckDB oracle)."""
+    normalized = F.array_join(words(col), " ")
+    chars = F.split(normalized, "")
+    init = F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p"))
+    folded = F.aggregate(
+        chars,
+        init,
+        lambda acc, ch: F.struct(
+            ((acc["h"] + F.ascii(ch) * acc["p"]) % mod).alias("h"),
+            ((acc["p"] * base) % mod).alias("p"),
+        ),
+    )
+    return folded["h"]
+
+
+# ---------------------------------------------------------------------------
+# DSL ops
+
+def _col_opts(rest, default_col="text"):
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    return opts.get("col", default_col), opts
+
+
+@defop("tokenize")
+def op_tokenize(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    col, opts = _col_opts(rest)
+    return rel.with_df(rel.df.withColumn(opts.get("as", "tokens"), words(F.col(col))))
+
+
+@defop("token-count")
+def op_token_count(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Adds whitespace + BPE-ish token counts."""
+    col, opts = _col_opts(rest)
+    df = rel.df.withColumn(opts.get("ws_as", "n_tokens_ws"), token_count_ws(F.col(col)))
+    df = df.withColumn(opts.get("bpe_as", "n_tokens_bpe"), token_count_bpe(F.col(col)))
+    return rel.with_df(df)
+
+
+@defop("lang-id")
+def op_lang_id(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    col, opts = _col_opts(rest)
+    return rel.with_df(rel.df.withColumn(opts.get("as", "lang_pred"), lang_id(F.col(col))))
+
+
+@defop("quality-score")
+def op_quality_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    col, opts = _col_opts(rest)
+    return rel.with_df(rel.df.withColumn(opts.get("as", "quality"), quality_score(F.col(col))))
+
+
+@defop("fingerprint")
+def op_fingerprint(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Adds both the xxhash64 fingerprint and the portable rolling hash."""
+    col, opts = _col_opts(rest)
+    df = rel.df.withColumn(opts.get("as", "fingerprint"), fingerprint64(F.col(col)))
+    df = df.withColumn(opts.get("rolling_as", "rolling_fp"), rolling_hash(F.col(col)))
+    return rel.with_df(df)

@@ -1,0 +1,248 @@
+"""Grouping, aggregation, and windows (SURVEY.md §2.4-2.5).
+
+Reference: :group-by /root/reference/src/cddr/ksml/eval.clj:148-150,
+:group-by-key eval.clj:152-154, :aggregate eval.clj:157-159,
+:count eval.clj:160-162, :reduce eval.clj:163-165; windows: TimeWindows /
+JoinWindows imported eval.clj:32, [:time-window 60000]
+examples/ksml/examples/anomaly_detection.clj:36, session stores
+eval.clj:220,224 with the Merger lambda eval.clj:275-278.
+
+Spark mapping: hash aggregation with map-side partial aggregation — the
+direct analog of Kafka Streams' per-partition incremental aggregation +
+changelog. Expression-based reducers/aggregators stay entirely in codegen;
+opaque Python fold functions fall back to applyInPandas (documented slow
+path). Windowed grouping adds F.window / F.session_window grouping columns
+— identical code batch and streaming.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ArityError, TypeDispatchError
+from ..eval import Ctx, defop
+from ..exprs import Aggregator, Initializer, Merger, Reducer, to_col
+from ..model import GroupedRel, KTableRel, Rel, WindowSpec
+from .stateless import Named, key_result
+
+
+def _ms_to_interval(ms) -> str:
+    if isinstance(ms, str):
+        return ms  # already an interval string
+    if ms % 1000 == 0:
+        return f"{ms // 1000} seconds"
+    return f"{ms} milliseconds"
+
+
+# ---------------------------------------------------------------------------
+# windows
+
+@defop("time-window")
+def op_time_window(ctx: Ctx, size, advance=None, grace=None) -> WindowSpec:
+    """[:time-window ms advance-ms?] — tumbling, or hopping when an advance
+    is given (TimeWindows / advanceBy, eval.clj:32;
+    anomaly_detection.clj:36)."""
+    if advance is None:
+        return WindowSpec("tumbling", _ms_to_interval(size), grace=grace)
+    return WindowSpec("hopping", _ms_to_interval(size), slide=_ms_to_interval(advance), grace=grace)
+
+
+@defop("session-window")
+def op_session_window(ctx: Ctx, gap, grace=None) -> WindowSpec:
+    """[:session-window gap-ms] — session windows (session stores
+    eval.clj:220,224; eval_test.clj:145-146)."""
+    return WindowSpec("session", _ms_to_interval(gap), grace=grace)
+
+
+@defop("join-window")
+def op_join_window(ctx: Ctx, reach, grace=None) -> WindowSpec:
+    """[:join-window ms] — max event-time distance for stream-stream joins
+    (JoinWindows, eval_test.clj:40)."""
+    return WindowSpec("join", _ms_to_interval(reach), grace=grace)
+
+
+@defop("duration")
+def op_duration(ctx: Ctx, iso: str) -> str:
+    """[:duration "PT1H"] (eval.clj:85-86) -> Spark interval string."""
+    import re
+
+    m = re.fullmatch(r"P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:([\d.]+)S)?)?", iso.upper())
+    if not m:
+        raise ArityError(f"bad ISO-8601 duration: {iso!r}")
+    d, h, mi, s = (float(g) if g else 0 for g in m.groups())
+    total = int(d * 86400 + h * 3600 + mi * 60 + s)
+    return f"{total} seconds"
+
+
+@defop("windowed-by")
+def op_windowed_by(ctx: Ctx, grouped: GroupedRel, window: WindowSpec) -> GroupedRel:
+    """[:windowed-by grouped window] — attach a window to a grouping
+    (KGroupedStream.windowedBy; surface implied by TimeWindows import
+    eval.clj:32)."""
+    if not isinstance(window, WindowSpec):
+        raise TypeDispatchError("windowed-by needs a window spec")
+    return GroupedRel(grouped.df, grouped.key_cols, grouped.time_col, window, grouped.source_is_table)
+
+
+# ---------------------------------------------------------------------------
+# grouping
+
+@defop("group-by")
+def op_group_by(ctx: Ctx, rel: Rel, km, *rest) -> GroupedRel:
+    """[:group-by s [:key-value-mapper f]] — re-key and group
+    (eval.clj:148-150; stream eval_test.clj:404-407, table 314-320,
+    wordcount README.md:63-64). The re-key is a projection; the shuffle
+    belongs to the downstream aggregation (map-side partial agg first)."""
+    keys = key_result(rel, km)
+    df = rel.df
+    for n, c in keys.items():
+        df = df.withColumn(n, c)
+    return GroupedRel(
+        df,
+        tuple(keys),
+        rel.time_col,
+        source_is_table=type(rel).__name__ == "KTableRel",
+    )
+
+
+@defop("group-by-key")
+def op_group_by_key(ctx: Ctx, rel: Rel, *rest) -> GroupedRel:
+    """[:group-by-key s] — group by the existing key, no re-key
+    (eval.clj:152-154; anomaly_detection.clj:35)."""
+    if not rel.key_cols:
+        raise ArityError(":group-by-key requires the stream to have a key")
+    win = next((r for r in rest if isinstance(r, WindowSpec)), None)
+    return GroupedRel(
+        rel.df,
+        rel.key_cols,
+        rel.time_col,
+        window=win,
+        source_is_table=type(rel).__name__ == "KTableRel",
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+
+def _finish(grouped: GroupedRel, agged: DataFrame) -> KTableRel:
+    """Post-process a windowed aggregate: flatten the window struct into
+    window_start / window_end columns."""
+    key_cols = list(grouped.key_cols)
+    if grouped.window is not None:
+        wname = "session_window" if grouped.window.kind == "session" else "window"
+        agged = agged.select(
+            F.col(f"{wname}.start").alias("window_start"),
+            F.col(f"{wname}.end").alias("window_end"),
+            *[c for c in agged.columns if c != wname],
+        )
+        key_cols = ["window_start", *key_cols]
+    return KTableRel(agged, key_cols=tuple(key_cols), time_col=None)
+
+
+def _grab_window(grouped: GroupedRel, rest) -> GroupedRel:
+    win = next((r for r in rest if isinstance(r, WindowSpec)), None)
+    if win is not None:
+        grouped = GroupedRel(grouped.df, grouped.key_cols, grouped.time_col, win, grouped.source_is_table)
+    return grouped
+
+
+@defop("count")
+def op_count(ctx: Ctx, grouped: GroupedRel, *rest) -> KTableRel:
+    """[:count grouped window?] — count per key (eval.clj:160-162;
+    README.md:65; windowed anomaly_detection.clj:36)."""
+    grouped = _grab_window(grouped, rest)
+    agged = grouped.df.groupBy(*grouped.grouping_cols()).agg(F.count(F.lit(1)).alias("count"))
+    return _finish(grouped, agged)
+
+
+def _agg_exprs(spec, default_name: str = "value") -> list[Column]:
+    """Normalize an expression-form aggregation spec into aliased agg
+    Columns: a SQL string -> [expr AS value], a dict -> one aliased expr
+    per entry."""
+    if isinstance(spec, dict):
+        return [to_col(v).alias(k) for k, v in spec.items()]
+    return [to_col(spec).alias(default_name)]
+
+
+@defop("reduce")
+def op_reduce(ctx: Ctx, grouped: GroupedRel, reducer: Reducer, *rest) -> KTableRel:
+    """[:reduce grouped [:reducer f]] — per-key fold, same accumulator type
+    (eval.clj:163-165, lambda eval.clj:280-283).
+
+    * SQL/dict reducer ("sum(value)" / {"qty": "sum(qty)"}): built-in hash
+      agg, fully vectorized — THE way to express folds that are sums,
+      mins, maxes, etc.
+    * opaque Python (acc, v) -> acc: applyInPandas fold over each group in
+      event-time order — the true record-at-a-time semantics, Arrow-batched.
+    """
+    grouped = _grab_window(grouped, rest)
+    if reducer.is_sql() or isinstance(reducer.fn, dict):
+        agged = grouped.df.groupBy(*grouped.grouping_cols()).agg(*_agg_exprs(reducer.fn))
+        return _finish(grouped, agged)
+    return _fold_apply(grouped, init=None, step=reducer.fn)
+
+
+@defop("aggregate")
+def op_aggregate(ctx: Ctx, grouped: GroupedRel, *rest) -> KTableRel:
+    """[:aggregate grouped [:initializer f] [:aggregator g] merger?]
+    (eval.clj:157-159; lambdas eval.clj:265-278). Output type may differ
+    from input. Expression form: the aggregator carries SQL aggregate
+    expression(s) and the initializer is ignored (built-in aggs carry their
+    own identity). Opaque form: (k, v, acc) -> acc fold via applyInPandas;
+    the session-window Merger is subsumed by session_window's own merging
+    for expression aggs."""
+    grouped = _grab_window(grouped, rest)
+    init = next((r for r in rest if isinstance(r, Initializer)), None)
+    agg = next((r for r in rest if isinstance(r, Aggregator)), None)
+    if agg is None:
+        raise ArityError(":aggregate needs an [:aggregator g]")
+    if agg.is_sql() or isinstance(agg.fn, dict):
+        agged = grouped.df.groupBy(*grouped.grouping_cols()).agg(*_agg_exprs(agg.fn))
+        return _finish(grouped, agged)
+    if init is None:
+        raise ArityError("opaque :aggregate needs an [:initializer f]")
+    return _fold_apply(grouped, init=init.fn, step=lambda acc, row: agg.fn(None, row, acc))
+
+
+def _fold_apply(grouped: GroupedRel, init, step) -> KTableRel:
+    """Opaque per-key fold via applyInPandas (Arrow-batched groups), rows
+    visited in event-time order — record-at-a-time parity for black-box
+    reducers. Output schema: key columns + a double/string `value`.
+
+    Scale note: one shuffle on the key (same as hash agg) but no partial
+    aggregation — documented slow path; use expression reducers in
+    production plans.
+    """
+    import pandas as pd
+
+    if grouped.window is not None:
+        raise TypeDispatchError("opaque fold + window: use expression aggregators for windowed aggs")
+    key_cols = list(grouped.key_cols)
+    time_col = grouped.time_col
+    df = grouped.df
+    value_cols = [c for c in df.columns if c not in key_cols]
+    out_schema = ", ".join(
+        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols] + ["`value` double"]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if time_col:
+            pdf = pdf.sort_values(time_col, kind="stable")
+        acc = init() if callable(init) else init
+        first = True
+        for row in pdf[value_cols].itertuples(index=False):
+            v = row[0] if len(value_cols) == 1 else row
+            if acc is None and first and init is None:
+                acc = v  # Kafka Streams reduce: first value seeds the fold
+            else:
+                acc = step(acc, v)
+            first = False
+        out = {k: [pdf[k].iloc[0]] for k in key_cols}
+        out["value"] = [float(acc) if acc is not None else None]
+        return pd.DataFrame(out)
+
+    agged = df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(fold, out_schema)
+    return KTableRel(agged, key_cols=tuple(key_cols), time_col=None)

@@ -1,0 +1,175 @@
+"""Joins (SURVEY.md §2.3).
+
+Reference: :join /root/reference/src/cddr/ksml/eval.clj:133-135,
+:left-join eval.clj:137-139, :outer-join eval.clj:141-143, applied
+polymorphically to table⋈table (eval_test.clj:322-355), stream⋈stream
+windowed (eval_test.clj:433-444, [:join-window 1000] eval_test.clj:40),
+stream⋈table (eval_test.clj:446-450), and stream⋈global-table via
+key-extractor (eval_test.clj:428-431,452-455).
+
+All reference joins are EQUI-joins on the record key (Kafka Streams
+co-partitioning). Spark picks broadcast / shuffled-hash / sort-merge
+automatically, AQE re-picks at runtime:
+
+* table⋈table, stream⋈table — plain keyed join.
+* stream⋈global-table — key-extractor equality against a broadcast side.
+* stream⋈stream + join-window — keyed join AND an event-time band
+  |l.ts − r.ts| ≤ reach. In streaming this is exactly Spark's
+  interval join (state pruned by watermark); in batch Catalyst plans the
+  equi-key part as the join key and the band as a post-filter — no
+  cross product.
+
+The :value-joiner (eval.clj:255-258) runs as a post-join projection.
+Dsl extensions beyond the reference (free on Spark): "left_semi",
+"left_anti" join kinds.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ArityError, TypeDispatchError
+from ..eval import Ctx, defop
+from ..exprs import KeyValueMapper, ValueJoiner, named_cols, to_col
+from ..model import GlobalKTableRel, GroupedRel, KStreamRel, KTableRel, Rel, WindowSpec
+from .stateless import Named
+
+
+def _disambiguate(left: Rel, right: Rel) -> tuple[DataFrame, DataFrame, dict, dict]:
+    """Rename collision columns (except join keys when identical) with
+    l_/r_ prefixes so the joined schema is unambiguous."""
+    lcols, rcols = set(left.df.columns), set(right.df.columns)
+    shared = (lcols & rcols) - set()
+    lmap = {c: c for c in left.df.columns}
+    rmap = {c: c for c in right.df.columns}
+    rdf = right.df
+    ldf = left.df
+    for c in shared:
+        rmap[c] = f"r_{c}"
+        rdf = rdf.withColumnRenamed(c, f"r_{c}")
+    return ldf, rdf, lmap, rmap
+
+
+def _key_condition(left: Rel, right: Rel, ldf: DataFrame, rdf: DataFrame, rmap: dict) -> Column:
+    lk, rk = left.key_cols, right.key_cols
+    if not lk or not rk:
+        raise ArityError("join requires key columns on both sides")
+    if len(lk) != len(rk):
+        raise ArityError(f"key arity mismatch: {lk} vs {rk}")
+    cond = None
+    for a, b in zip(lk, rk):
+        c = ldf[a] == rdf[rmap[b]]
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def _apply_joiner(
+    joined: DataFrame, left: Rel, right: Rel, rmap: dict, vj: Optional[ValueJoiner], how: str
+) -> DataFrame:
+    if vj is None:
+        return joined
+    if vj.is_sql():
+        out = named_cols(vj.fn, "value")
+    else:
+        lvals = [c for c in left.value_col_names()]
+        rvals = [rmap[c] for c in right.value_col_names()]
+        lv = F.col(lvals[0]) if len(lvals) == 1 else F.struct(*[F.col(c) for c in lvals])
+        rv = F.col(rvals[0]) if len(rvals) == 1 else F.struct(*[F.col(c) for c in rvals])
+        out = named_cols(vj.fn(lv, rv), "value")
+    keys = [F.col(c) for c in left.key_cols] if how != "right" else [F.col(rmap[c]) for c in right.key_cols]
+    keep = keys + [c.alias(n) for n, c in out.items()]
+    if left.time_col and left.time_col in joined.columns:
+        keep.append(F.col(left.time_col))
+    return joined.select(*keep)
+
+
+def _do_join(ctx: Ctx, left: Rel, right: Rel, how: str, rest) -> Rel:
+    vj = next((r for r in rest if isinstance(r, ValueJoiner)), None)
+    window = next((r for r in rest if isinstance(r, WindowSpec)), None)
+    kx = next((r for r in rest if isinstance(r, KeyValueMapper)), None)
+
+    ldf, rdf, lmap, rmap = _disambiguate(left, right)
+
+    if isinstance(right, GlobalKTableRel):
+        # stream⋈global-table: key-extractor on the stream side, broadcast
+        # right (eval_test.clj:428-431). No shuffle of the stream at all.
+        if kx is not None:
+            kexpr = (
+                F.expr(kx.fn)
+                if kx.is_sql()
+                else to_col(kx.fn(left.key_expr(), left.value_expr()))
+            )
+        else:
+            kexpr = left.key_expr()
+        rk = right.key_cols
+        cond = kexpr == rdf[rmap[rk[0]]]
+        joined = ldf.join(F.broadcast(rdf), cond, "inner" if how == "inner" else "left")
+    else:
+        cond = _key_condition(left, right, ldf, rdf, rmap)
+        stream_stream = isinstance(left, KStreamRel) and isinstance(right, KStreamRel)
+        if stream_stream and window is not None:
+            # interval join: key equality + event-time band
+            lt, rt = left.time_col, rmap.get(right.time_col)
+            if not lt or not rt:
+                raise TypeDispatchError("windowed stream-stream join needs time columns")
+            reach = window.size
+            band = (F.col(rt) >= F.col(lt) - F.expr(f"INTERVAL {reach}")) & (
+                F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {reach}")
+            )
+            cond = cond & band
+        joined = ldf.join(rdf, cond, how)
+
+    out_cls = KTableRel if isinstance(left, KTableRel) and isinstance(right, KTableRel) else KStreamRel
+    joined = _apply_joiner(joined, left, right, rmap, vj, how)
+    return out_cls(joined, key_cols=left.key_cols, time_col=left.time_col if (left.time_col and left.time_col in joined.columns) else None)
+
+
+@defop("join")
+def op_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
+    """[:join l r [:value-joiner f] opts...] — inner join on key
+    (eval.clj:133-135)."""
+    return _do_join(ctx, left, right, "inner", rest)
+
+
+@defop("left-join")
+def op_left_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
+    """[:left-join l r [:value-joiner f]] — left outer (eval.clj:137-139)."""
+    return _do_join(ctx, left, right, "left", rest)
+
+
+@defop("outer-join")
+def op_outer_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
+    """[:outer-join l r [:value-joiner f]] — full outer (eval.clj:141-143)."""
+    return _do_join(ctx, left, right, "full_outer", rest)
+
+
+@defop("semi-join")
+def op_semi_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
+    """DSL extension (SURVEY.md §2.3: 'semi/anti come free'): EXISTS join."""
+    return _do_join(ctx, left, right, "left_semi", rest)
+
+
+@defop("anti-join")
+def op_anti_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
+    """DSL extension: NOT EXISTS join."""
+    return _do_join(ctx, left, right, "left_anti", rest)
+
+
+@defop("join-global")
+def op_join_global(ctx: Ctx, left: Rel, gtable: Rel, *rest) -> Rel:
+    """[:join-global s gt [:key-value-mapper kx] [:value-joiner vj]]
+    (eval_test.clj:428-431) — non-co-partitioned broadcast lookup join."""
+    if not isinstance(gtable, GlobalKTableRel):
+        raise TypeDispatchError(":join-global requires a [:global-table ...] right side")
+    return _do_join(ctx, left, gtable, "inner", rest)
+
+
+@defop("left-join-global")
+def op_left_join_global(ctx: Ctx, left: Rel, gtable: Rel, *rest) -> Rel:
+    """[:left-join-global s gt kx vj] (eval_test.clj:452-455)."""
+    if not isinstance(gtable, GlobalKTableRel):
+        raise TypeDispatchError(":left-join-global requires a [:global-table ...] right side")
+    return _do_join(ctx, left, gtable, "left", rest)

@@ -1,0 +1,123 @@
+"""Relational DSL extensions (SURVEY.md §2.6 note + §2.10).
+
+The reference has no SQL frontend or scalar-function library — lambdas use
+whatever the host language provides (eval.clj:239-339). Our engine exposes
+Spark's full built-in catalog through expression strings, which strictly
+supersedes that surface. These ops make the DSL usable for wide relational
+tables (the driver's TPC-H-ish star schema) without leaving the
+data-as-query model:
+
+    ["select", rel, {"out": "expr", ...}]        projection
+    ["where",  rel, "sql-bool"]                  filter sugar
+    ["agg",    grouped_or_rel, {"out": "agg-expr", ...}]
+    ["order-by", rel, "a", "-b"]                 sort ("-" = desc)
+    ["limit",  rel, n]
+    ["distinct", rel, cols?]
+    ["sql", "select ..."]                        full SQL escape hatch
+    ["with-column", rel, name, "expr"]
+
+Everything is a thin veneer over DataFrame builders — fully
+Catalyst-optimizable, zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import functions as F
+
+from ..errors import ArityError
+from ..eval import Ctx, defop
+from ..exprs import to_col
+from ..model import GroupedRel, KStreamRel, KTableRel, Rel
+
+
+def _as_rel(x) -> Rel:
+    if isinstance(x, Rel):
+        return x
+    raise ArityError(f"expected a stream/table, got {type(x).__name__}")
+
+
+@defop("select")
+def op_select(ctx: Ctx, rel: Rel, cols: Union[dict, list]) -> Rel:
+    """Projection. dict {name: expr} or list of column names/exprs."""
+    rel = _as_rel(rel)
+    if isinstance(cols, dict):
+        exprs = [to_col(v).alias(k) for k, v in cols.items()]
+        names = list(cols)
+    else:
+        exprs = [to_col(c) for c in cols]
+        names = [c for c in cols if isinstance(c, str)]
+    df = rel.df.select(*exprs)
+    keys = tuple(k for k in rel.key_cols if k in df.columns)
+    t = rel.time_col if rel.time_col in df.columns else None
+    return rel.with_df(df, key_cols=keys, time_col=t)
+
+
+@defop("where")
+def op_where(ctx: Ctx, rel: Rel, cond) -> Rel:
+    """Filter sugar: SQL boolean expression over the rel's columns."""
+    rel = _as_rel(rel)
+    return rel.with_df(rel.df.filter(to_col(cond)))
+
+
+@defop("with-column")
+def op_with_column(ctx: Ctx, rel: Rel, name: str, expr) -> Rel:
+    rel = _as_rel(rel)
+    return rel.with_df(rel.df.withColumn(name, to_col(expr)))
+
+
+@defop("agg")
+def op_agg(ctx: Ctx, g, aggs: dict) -> KTableRel:
+    """Aggregate a GroupedRel (or whole Rel = global agg) with named SQL
+    aggregate expressions. Hash agg with map-side partials."""
+    exprs = [to_col(v).alias(k) for k, v in aggs.items()]
+    if isinstance(g, GroupedRel):
+        gcols = g.grouping_cols()
+        agged = g.df.groupBy(*gcols).agg(*exprs)
+        from .grouping import _finish
+
+        return _finish(g, agged)
+    rel = _as_rel(g)
+    return KTableRel(rel.df.agg(*exprs), key_cols=())
+
+
+@defop("order-by")
+def op_order_by(ctx: Ctx, rel: Rel, *cols) -> Rel:
+    """Total sort — a range shuffle; at 100 TB use only as the final
+    presentation step after aggregation has shrunk the data."""
+    rel = _as_rel(rel)
+    exprs = []
+    for c in cols:
+        if isinstance(c, str) and c.startswith("-"):
+            exprs.append(F.col(c[1:]).desc())
+        else:
+            exprs.append(to_col(c))
+    return rel.with_df(rel.df.orderBy(*exprs))
+
+
+@defop("limit")
+def op_limit(ctx: Ctx, rel: Rel, n: int) -> Rel:
+    return _as_rel(rel).with_df(rel.df.limit(int(n)))
+
+
+@defop("distinct")
+def op_distinct(ctx: Ctx, rel: Rel, cols=None) -> Rel:
+    """Exact distinct — hash shuffle on all (or given) columns."""
+    rel = _as_rel(rel)
+    df = rel.df.dropDuplicates(list(cols)) if cols else rel.df.distinct()
+    return rel.with_df(df)
+
+
+@defop("sql")
+def op_sql(ctx: Ctx, query: str, **_) -> KStreamRel:
+    """Full Spark SQL escape hatch over registered temp views."""
+    return KStreamRel(ctx.spark.sql(query))
+
+
+@defop("as-view")
+def op_as_view(ctx: Ctx, rel: Rel, name: str) -> Rel:
+    """Register the rel as a temp view (for ["sql", ...] composition)."""
+    rel = _as_rel(rel)
+    rel.df.createOrReplaceTempView(name)
+    return rel

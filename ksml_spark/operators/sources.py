@@ -1,0 +1,165 @@
+"""Source operators: :stream, :table, :global-table, :topics, :strs.
+
+Reference: builder ops at /root/reference/src/cddr/ksml/eval.clj:71-73
+(stream/table/global-table), :topics eval.clj:82-83, :strs eval.clj:79-80;
+forms exercised at eval_test.clj:84-141 (streams), 161-240 (tables),
+242-269 (global tables).
+
+Spark-first mapping (SURVEY.md §2.1): a source operand may be
+
+* a DataFrame (batch or streaming) — used as-is;
+* an existing Rel — re-wrapped (e.g. table-ify a stream);
+* ``["parquet"|"csv"|"json", path]`` — batch file scan (Catalyst pushes
+  filters/prunes columns into the scan);
+* ``["table-ref", name]`` — ``spark.table`` (catalog / temp view);
+* ``["kafka", {options}]`` — Kafka scan (batch ``spark.read`` or streaming
+  ``spark.readStream`` with ``stream=True``);
+* ``["topics", ...]`` / a topic string / regex — sugar for the Kafka form.
+
+Trailing option dict (the analog of :consumed/:materialized config,
+eval.clj:176-180,169-173): ``{"key": col(s), "time": col, "order": cols,
+"tombstone": sql_bool, "stream": bool}``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ArityError
+from ..eval import Ctx, defop
+from ..exprs import Serde
+from ..model import GlobalKTableRel, KStreamRel, KTableRel, Rel, dedup_latest
+from .consumed import Consumed, apply_consumed
+
+
+def _as_tuple(x) -> tuple[str, ...]:
+    if x is None:
+        return ()
+    if isinstance(x, str):
+        return (x,)
+    return tuple(x)
+
+
+def _load_source(ctx: Ctx, src: Any, opts: dict) -> DataFrame:
+    """Resolve a source operand to a DataFrame."""
+    if isinstance(src, DataFrame):
+        return src
+    if isinstance(src, Rel):
+        return src.df
+    if isinstance(src, (list, tuple)) and src and isinstance(src[0], str):
+        kind = src[0].lstrip(":").lower()
+        if kind in ("parquet", "csv", "json"):
+            if kind == "parquet" and not opts.get("stream"):
+                from ..sources.files import read_parquet
+
+                return read_parquet(ctx.spark, src[1])
+            reader = ctx.spark.readStream if opts.get("stream") else ctx.spark.read
+            if kind == "csv":
+                return reader.option("header", "true").option("inferSchema", "true").csv(src[1])
+            return getattr(reader, kind)(src[1])
+        if kind == "table-ref":
+            return ctx.spark.table(src[1])
+        if kind == "kafka":
+            from ..sources.kafka import kafka_source
+
+            return kafka_source(ctx.spark, src[1] if len(src) > 1 else {}, opts)
+    if isinstance(src, str):
+        # a topic name / pattern -> Kafka source
+        from ..sources.kafka import kafka_source
+
+        return kafka_source(ctx.spark, {"subscribe": src}, opts)
+    if isinstance(src, list) and all(isinstance(t, str) for t in src):
+        from ..sources.kafka import kafka_source
+
+        return kafka_source(ctx.spark, {"subscribe": ",".join(src)}, opts)
+    raise ArityError(f"cannot resolve source operand: {src!r}")
+
+
+def _split_opts(args) -> tuple[list, dict]:
+    """Split trailing config operands (dicts / Consumed) from positionals."""
+    pos, opts = [], {}
+    for a in args:
+        if isinstance(a, Consumed):
+            opts.update(a.options)
+        elif isinstance(a, dict):
+            opts.update(a)
+        else:
+            pos.append(a)
+    return pos, opts
+
+
+@defop("stream")
+def op_stream(ctx: Ctx, src, *rest) -> KStreamRel:
+    """[:stream src consumed?] -> KStream (eval.clj:71)."""
+    pos, opts = _split_opts(rest)
+    df = _load_source(ctx, src, opts)
+    df = apply_consumed(df, opts)
+    return KStreamRel(
+        df,
+        key_cols=_as_tuple(opts.get("key") or ("key" if "key" in df.columns else None)),
+        time_col=opts.get("time") or ("event_time" if "event_time" in df.columns else None),
+    )
+
+
+@defop("table")
+def op_table(ctx: Ctx, src, *rest) -> KTableRel:
+    """[:table src consumed? materialized?] -> KTable (eval.clj:72).
+
+    Builds the latest-per-key changelog view (SURVEY.md §4 item 1): newest
+    record per key by (time, order-tiebreak) descending, tombstones (rows
+    matching the ``tombstone`` predicate, default: single value column IS
+    NULL) dropped. One hash shuffle on the key; at 100 TB this is the same
+    cost as any keyed aggregation and AQE handles skew.
+    """
+    pos, opts = _split_opts(rest)
+    df = _load_source(ctx, src, opts)
+    df = apply_consumed(df, opts)
+    key_cols = _as_tuple(opts.get("key") or ("key" if "key" in df.columns else None))
+    time_col = opts.get("time") or ("event_time" if "event_time" in df.columns else None)
+    if not key_cols:
+        raise ArityError(":table requires key columns (opts {'key': ...})")
+
+    order_cols = _as_tuple(opts.get("order") or (time_col,) if time_col else ())
+    tomb = opts.get("tombstone")
+    tomb_col = F.expr(tomb) if isinstance(tomb, str) else tomb
+    if tomb_col is None:
+        skip = set(key_cols) | ({time_col} if time_col else set())
+        vals = [c for c in df.columns if c not in skip]
+        if len(vals) == 1:
+            tomb_col = F.col(vals[0]).isNull()
+
+    if order_cols:
+        view = dedup_latest(df, key_cols, order_cols, tomb_col)
+    else:
+        # no ordering info: arbitrary representative per key
+        view = df.dropDuplicates(list(key_cols))
+        if tomb_col is not None:
+            view = view.filter(~tomb_col)
+    return KTableRel(view, key_cols=key_cols, time_col=time_col)
+
+
+@defop("global-table")
+def op_global_table(ctx: Ctx, src, *rest) -> GlobalKTableRel:
+    """[:global-table src ...] -> broadcast lookup table (eval.clj:73).
+
+    The replicated-to-every-instance semantics map to a broadcast hint:
+    joins against this Rel ship the whole (small) table to every executor
+    instead of shuffling the big side.
+    """
+    t = op_table(ctx, src, *rest)
+    return GlobalKTableRel(F.broadcast(t.df), key_cols=t.key_cols, time_col=t.time_col)
+
+
+@defop("topics")
+def op_topics(ctx: Ctx, *names) -> list[str]:
+    """[:topics "a" "b"] -> topic list (eval.clj:82-83)."""
+    return list(names)
+
+
+@defop("strs")
+def op_strs(ctx: Ctx, *names) -> list[str]:
+    """[:strs "a" "b" "c"] -> String[] literal (eval.clj:79-80)."""
+    return list(names)

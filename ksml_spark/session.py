@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-aware defaults.
+
+Single place for the engine's Spark configuration posture:
+
+* **AQE on** — runtime re-planning (partition coalescing, skew-join
+  splitting, dynamic broadcast) is the first line of defense at 100 TB.
+* **UTC session timezone** — deterministic timestamp semantics across
+  engines (the DuckDB oracle compares naive/UTC timestamps).
+* **Arrow on** — pandas UDF / toPandas paths are Arrow-batched.
+* shuffle.partitions defaults to 32 locally; on a real cluster set it
+  ~2-3x total executor cores or rely on AQE coalescing from a higher
+  initial value.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # generous broadcast threshold: all dims in the star schema are small
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+    # This container's virtualized CPU makes HotSpot C2 compilation
+    # pathologically slow (~60s one-time stall on the first regex/explode
+    # query shape). C1-only JIT compiles instantly and is within a few
+    # percent at these scales; on a real cluster, drop this override.
+    "spark.driver.extraJavaOptions": "-XX:TieredStopAtLevel=1",
+    "spark.executor.extraJavaOptions": "-XX:TieredStopAtLevel=1",
+}
+
+
+def get_spark(
+    app_name: str = "ksml-spark",
+    master: Optional[str] = None,
+    conf: Optional[dict] = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    b = SparkSession.builder.appName(app_name).master(master)
+    merged = dict(DEFAULT_CONF)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,60 @@
+"""Batch file sources for the driver's testdata tables.
+
+``events.parquet`` stores its timestamp as parquet TIMESTAMP(NANOS), which
+Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We read nano
+columns as longs (legacy conf, runtime-settable) and rebuild proper
+timestamps with floor-division to microseconds — bit-identical to DuckDB's
+own ns->us truncation, so oracle comparisons stay exact.
+
+Detection is metadata-only (pyarrow reads just the footer; no data pass).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nano_timestamp_cols(path: str) -> tuple[str, ...]:
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
+    except Exception:
+        return ()
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with transparent TIMESTAMP(NANOS) handling."""
+    nanos = _nano_timestamp_cols(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

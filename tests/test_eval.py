@@ -1,0 +1,98 @@
+"""Evaluator core tests — mirrors the reference's constructive style
+(/root/reference/test/cddr/ksml/eval_test.clj): every DSL form evaluates
+to a valid plan; unknown ops throw; v-> threads correctly
+(core_test.clj:1-10)."""
+
+import pytest
+
+from ksml_spark import (
+    KStreamRel,
+    KTableRel,
+    UnknownOperatorError,
+    ksml,
+    pipe,
+    vthread,
+)
+from ksml_spark.exprs import Predicate, ValueMapper
+
+
+def test_vthread_threads_first_arg():
+    # (v-> a [:x 1] [:y 2]) => [:y [:x a 1] 2]  (core.clj:43-53)
+    assert vthread("a", ["x", 1], ["y", 2]) == ["y", ["x", "a", 1], 2]
+
+
+def test_self_evaluating_passthrough(spark):
+    assert ksml(42, spark=spark) == 42
+    assert ksml("plain string", spark=spark) == "plain string"
+    assert ksml({"a": 1}, spark=spark) == {"a": 1}
+    assert ksml(None, spark=spark) is None
+
+
+def test_unknown_operator_raises(spark):
+    # eval.clj:395: unknown expressions throw
+    with pytest.raises(UnknownOperatorError):
+        ksml([":definitely-not-an-op", 1], spark=spark)
+
+
+def test_plain_string_list_is_data(spark):
+    # a non-keyword-headed list of strings is data, not an application
+    assert ksml(["a", "b"], spark=spark) == ["a", "b"]
+
+
+def test_lambda_forms_wrap_without_evaluating(spark):
+    sentinel = lambda k, v: (_ for _ in ()).throw(RuntimeError("must not run"))
+    p = ksml(["predicate", sentinel], spark=spark)
+    assert isinstance(p, Predicate)
+    assert p.fn is sentinel  # wrapped, not called (eval.clj:386-389)
+
+
+def test_lambda_py_modifier(spark):
+    vm = ksml(["value-mapper", len, "py", "int"], spark=spark)
+    assert isinstance(vm, ValueMapper)
+    assert vm.opaque and vm.returns == "int"
+
+
+def test_strs_and_topics(spark):
+    assert ksml(["strs", "a", "b", "c"], spark=spark) == ["a", "b", "c"]
+    assert ksml(["topics", "t1", "t2"], spark=spark) == ["t1", "t2"]
+
+
+def test_stream_from_dataframe(spark, tables):
+    s = ksml(["stream", tables["events"], {"key": "user_id", "time": "ts"}], spark=spark)
+    assert isinstance(s, KStreamRel)
+    assert s.key_cols == ("user_id",)
+    assert s.time_col == "ts"
+
+
+def test_operator_aliases_normalize(spark, tables):
+    # ':group-by', 'group_by', 'group-by' all hit the same rule
+    for head in (":group-by", "group_by", "group-by"):
+        g = ksml(
+            [head, ["stream", tables["events"], {"key": "user_id"}],
+             ["key-value-mapper", {"k": "event_type"}]],
+            spark=spark,
+        )
+        assert g.key_cols == ("k",)
+
+
+def test_wordcount_end_to_end(spark, tables):
+    """The reference's flagship example (README.md:59-68):
+    stream -> flat-map-values(split) -> group-by -> count."""
+    counts = pipe(
+        ["stream", tables["documents"], {"key": "doc_id"}],
+        ["flat-map-values", ["value-mapper", "split(lower(text), '[^a-z0-9]+')"], {"as": "word"}],
+        ["where", "word <> ''"],
+        ["group-by", ["key-value-mapper", {"word": "word"}]],
+        ["count"],
+        spark=spark,
+    )
+    assert isinstance(counts, KTableRel)
+    rows = {r["word"]: r["count"] for r in counts.df.collect()}
+    # oracle: recompute in python
+    import re
+    from collections import Counter
+
+    expected = Counter()
+    for r in tables["documents"].select("text").collect():
+        expected.update(w for w in re.split(r"[^a-z0-9]+", r["text"].lower()) if w)
+    assert rows == dict(expected)
