@@ -223,7 +223,7 @@ def _fold_apply(grouped: GroupedRel, init, step) -> KTableRel:
     key_cols = list(grouped.key_cols)
     time_col = grouped.time_col
     df = grouped.df
-    value_cols = [c for c in df.columns if c not in key_cols]
+    value_cols = [c for c in df.columns if c not in key_cols and c != time_col]
     out_schema = ", ".join(
         [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols] + ["`value` double"]
     )

@@ -69,15 +69,22 @@ def _key_condition(left: Rel, right: Rel, ldf: DataFrame, rdf: DataFrame, rmap: 
 def _apply_joiner(
     joined: DataFrame, left: Rel, right: Rel, rmap: dict, vj: Optional[ValueJoiner], how: str
 ) -> DataFrame:
-    if vj is None:
+    if vj is None or vj.fn is None:
         return joined
     if vj.is_sql():
         out = named_cols(vj.fn, "value")
     else:
-        lvals = [c for c in left.value_col_names()]
-        rvals = [rmap[c] for c in right.value_col_names()]
-        lv = F.col(lvals[0]) if len(lvals) == 1 else F.struct(*[F.col(c) for c in lvals])
-        rv = F.col(rvals[0]) if len(rvals) == 1 else F.struct(*[F.col(c) for c in rvals])
+        lvals = list(left.value_col_names())
+        rvals = list(right.value_col_names())
+        lv = F.col(lvals[0]) if len(lvals) == 1 else F.struct(*[F.col(c).alias(c) for c in lvals])
+        # struct fields keep the ORIGINAL right-side names so the
+        # value-joiner sees the reference's record model, not the
+        # disambiguation prefixes
+        rv = (
+            F.col(rmap[rvals[0]])
+            if len(rvals) == 1
+            else F.struct(*[F.col(rmap[c]).alias(c) for c in rvals])
+        )
         out = named_cols(vj.fn(lv, rv), "value")
     keys = [F.col(c) for c in left.key_cols] if how != "right" else [F.col(rmap[c]) for c in right.key_cols]
     keep = keys + [c.alias(n) for n, c in out.items()]

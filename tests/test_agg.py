@@ -1,0 +1,173 @@
+"""Grouping/aggregation/window tests (SURVEY.md §2.4-2.5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksml_spark import KTableRel, ksml, pipe
+
+
+def events_stream(tables):
+    return ["stream", tables["events"], {"key": "user_id", "time": "ts"}]
+
+
+def test_group_by_key_count(spark, tables):
+    out = pipe(events_stream(tables), ["group-by-key"], ["count"], spark=spark)
+    assert isinstance(out, KTableRel)
+    got = {r["user_id"]: r["count"] for r in out.df.collect()}
+    want = {
+        r["user_id"]: r["count"]
+        for r in tables["events"].groupBy("user_id").count().collect()
+    }
+    assert got == want
+
+
+def test_group_by_rekey_count(spark, tables):
+    out = pipe(
+        events_stream(tables),
+        ["group-by", ["key-value-mapper", {"etype": "event_type"}]],
+        ["count"],
+        spark=spark,
+    )
+    got = {r["etype"]: r["count"] for r in out.df.collect()}
+    want = {r["event_type"]: r["count"] for r in tables["events"].groupBy("event_type").count().collect()}
+    assert got == want
+
+
+def test_reduce_sql_expr(spark, tables):
+    out = pipe(
+        events_stream(tables),
+        ["group-by-key"],
+        ["reduce", ["reducer", {"total": "sum(value)"}]],
+        spark=spark,
+    )
+    got = {r["user_id"]: round(r["total"], 6) for r in out.df.collect()}
+    want = {
+        r["user_id"]: round(r["s"], 6)
+        for r in tables["events"].groupBy("user_id").agg(F.sum("value").alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_reduce_opaque_fold_matches_builtin(spark, tables):
+    small = tables["events"].select("user_id", "ts", "value").limit(200)
+    out = pipe(
+        ["stream", small, {"key": "user_id", "time": "ts"}],
+        ["group-by-key"],
+        ["reduce", ["reducer", lambda acc, v: (acc or 0.0) + (v or 0.0)]],
+        spark=spark,
+    )
+    got = {r["user_id"]: round(r["value"], 6) for r in out.df.collect()}
+    want = {
+        r["user_id"]: round(r["s"], 6)
+        for r in small.groupBy("user_id").agg(F.sum("value").alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_aggregate_expression_form(spark, tables):
+    out = pipe(
+        events_stream(tables),
+        ["group-by", ["key-value-mapper", {"etype": "event_type"}]],
+        ["aggregate",
+         ["initializer", 0],
+         ["aggregator", {"n": "count(1)", "avg_value": "avg(value)"}]],
+        spark=spark,
+    )
+    rows = {r["etype"]: (r["n"], round(r["avg_value"], 6)) for r in out.df.collect()}
+    want = {
+        r["event_type"]: (r["n"], round(r["a"], 6))
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.avg("value").alias("a"))
+        .collect()
+    }
+    assert rows == want
+
+
+def test_aggregate_opaque_fold(spark, tables):
+    small = tables["events"].select("user_id", "ts", "value").limit(100)
+    out = pipe(
+        ["stream", small, {"key": "user_id", "time": "ts"}],
+        ["group-by-key"],
+        ["aggregate",
+         ["initializer", lambda: 0.0],
+         ["aggregator", lambda k, v, acc: acc + 1.0]],
+        spark=spark,
+    )
+    got = {r["user_id"]: r["value"] for r in out.df.collect()}
+    want = {r["user_id"]: float(r["count"]) for r in small.groupBy("user_id").count().collect()}
+    assert got == want
+
+
+def test_windowed_count_tumbling(spark, tables):
+    out = pipe(
+        events_stream(tables),
+        ["group-by-key"],
+        ["count", ["time-window", 60_000]],
+        spark=spark,
+    )
+    assert {"window_start", "window_end", "user_id", "count"} <= set(out.df.columns)
+    # total across windows == total rows with non-null ts
+    total = out.df.agg(F.sum("count")).first()[0]
+    assert total == tables["events"].filter(F.col("ts").isNotNull()).count()
+    # spot-check one bucket against a direct computation
+    direct = (
+        tables["events"]
+        .groupBy(F.window("ts", "60 seconds").alias("w"), "user_id")
+        .count()
+        .select(F.col("w.start").alias("window_start"), "user_id", "count")
+    )
+    got = {(r["window_start"], r["user_id"]): r["count"] for r in out.df.collect()}
+    want = {(r["window_start"], r["user_id"]): r["count"] for r in direct.collect()}
+    assert got == want
+
+
+def test_windowed_count_hopping(spark, tables):
+    out = pipe(
+        events_stream(tables),
+        ["group-by-key"],
+        ["count", ["time-window", 300_000, 60_000]],
+        spark=spark,
+    )
+    # every event lands in size/slide = 5 windows
+    total = out.df.agg(F.sum("count")).first()[0]
+    assert total == 5 * tables["events"].filter(F.col("ts").isNotNull()).count()
+
+
+def test_windowed_count_session(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", base),
+        ("u1", base + dt.timedelta(seconds=10)),   # same session (gap 30s)
+        ("u1", base + dt.timedelta(seconds=100)),  # new session
+        ("u2", base),
+    ]
+    df = SparkDF = None
+    spark_df = spark.createDataFrame(rows, "key string, event_time timestamp")
+    out = pipe(
+        ["stream", spark_df, {"key": "key", "time": "event_time"}],
+        ["group-by-key"],
+        ["count", ["session-window", 30_000]],
+        spark=spark,
+    )
+    rows_out = {(r["key"], r["count"]) for r in out.df.collect()}
+    assert rows_out == {("u1", 2), ("u1", 1), ("u2", 1)}
+
+
+def test_duration_parsing(spark):
+    assert ksml(["duration", "PT1H"], spark=spark) == "3600 seconds"
+    assert ksml(["duration", "PT24H"], spark=spark) == "86400 seconds"
+    assert ksml(["duration", "P1DT30S"], spark=spark) == "86430 seconds"
+
+
+def test_windowed_by_form(spark, tables):
+    out = pipe(
+        events_stream(tables),
+        ["group-by-key"],
+        ["windowed-by", ["time-window", 60_000]],
+        ["count"],
+        spark=spark,
+    )
+    assert "window_start" in out.df.columns

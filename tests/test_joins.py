@@ -1,0 +1,102 @@
+"""Join tests (SURVEY.md §2.3, FIXTURES.md F3): table-table,
+stream-table, stream-global-table (broadcast), stream-stream windowed,
+semi/anti extensions."""
+
+from pyspark.sql import functions as F
+
+from ksml_spark import GlobalKTableRel, KStreamRel, KTableRel, ksml
+
+
+def rels(spark, left_right):
+    left, right = left_right
+    ls = ksml(["stream", left, {"key": "key", "time": "event_time"}], spark=spark)
+    rs = ksml(["stream", right, {"key": "key", "time": "event_time"}], spark=spark)
+    lt = ksml(["table", left, {"key": "key", "time": "event_time"}], spark=spark)
+    rt = ksml(["table", right, {"key": "key", "time": "event_time"}], spark=spark)
+    return ls, rs, lt, rt
+
+
+def test_table_table_inner_join(spark, left_right):
+    _, _, lt, rt = rels(spark, left_right)
+    out = ksml(["join", lt, rt, ["value-joiner", lambda l, r: {"l_id": l["id"], "r_id": r["id"]}]], spark=spark)
+    assert isinstance(out, KTableRel)
+    rows = {r["key"]: (r["l_id"], r["r_id"]) for r in out.df.collect()}
+    assert rows == {"k1": (1, 1), "k2": (2, 2)}
+
+
+def test_table_table_left_join(spark, left_right):
+    _, _, lt, rt = rels(spark, left_right)
+    out = ksml(["left-join", lt, rt, ["value-joiner", lambda l, r: {"l_id": l["id"], "r_id": r["id"]}]], spark=spark)
+    rows = {r["key"]: (r["l_id"], r["r_id"]) for r in out.df.collect()}
+    assert rows == {"k1": (1, 1), "k2": (2, 2), "k3": (3, None), "k4": (4, None)}
+
+
+def test_table_table_outer_join(spark, left_right):
+    _, _, lt, rt = rels(spark, left_right)
+    out = ksml(["outer-join", lt, rt], spark=spark)
+    # full outer: k1..k5
+    keys = {r["key"] or r["r_key"] for r in out.df.collect()}
+    assert keys == {"k1", "k2", "k3", "k4", "k5"}
+
+
+def test_stream_table_join(spark, left_right):
+    ls, _, _, rt = rels(spark, left_right)
+    out = ksml(["join", ls, rt, ["value-joiner", lambda l, r: {"lp": l["payload"], "rp": r["payload"]}]], spark=spark)
+    assert isinstance(out, KStreamRel)
+    rows = {r["key"]: (r["lp"], r["rp"]) for r in out.df.collect()}
+    assert rows == {"k1": ("l-one", "r-one"), "k2": ("l-two", "r-two")}
+
+
+def test_stream_stream_windowed_join(spark, left_right):
+    ls, rs, _, _ = rels(spark, left_right)
+    out = ksml(
+        ["join", ls, rs, ["join-window", 1000],
+         ["value-joiner", lambda l, r: {"l_id": l["id"], "r_id": r["id"]}]],
+        spark=spark,
+    )
+    rows = {(r["key"], r["l_id"], r["r_id"]) for r in out.df.collect()}
+    # k1 within 0.5s -> joins; k2 2.5s apart -> dropped by the 1s window
+    assert rows == {("k1", 1, 1)}
+
+
+def test_stream_stream_windowed_left_join(spark, left_right):
+    ls, rs, _, _ = rels(spark, left_right)
+    out = ksml(
+        ["left-join", ls, rs, ["join-window", 1000],
+         ["value-joiner", lambda l, r: {"l_id": l["id"], "r_id": r["id"]}]],
+        spark=spark,
+    )
+    rows = {(r["key"], r["l_id"], r["r_id"]) for r in out.df.collect()}
+    assert rows == {("k1", 1, 1), ("k2", 2, None), ("k3", 3, None), ("k4", 4, None)}
+
+
+def test_join_global_with_key_extractor(spark, tables):
+    g = ksml(["global-table", tables["nation"], {"key": "n_nationkey"}], spark=spark)
+    s = ksml(["stream", tables["supplier"], {"key": "s_suppkey"}], spark=spark)
+    out = ksml(
+        ["join-global", s, g,
+         ["key-value-mapper", "s_nationkey"],
+         ["value-joiner", lambda l, r: {"s_name": l["s_name"], "n_name": r["n_name"]}]],
+        spark=spark,
+    )
+    assert out.df.count() == tables["supplier"].count()
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_left_join_global_unmatched_nulls(spark, spark_session=None):
+    left = spark.createDataFrame([("a", 1), ("zz", 2)], "key string, id long")
+    dim = spark.createDataFrame([("a", "Alpha")], "key string, name string")
+    g = ksml(["global-table", dim, {"key": "key", "order": ["key"]}], spark=spark)
+    s = ksml(["stream", left, {"key": "key"}], spark=spark)
+    out = ksml(["left-join-global", s, g, ["value-joiner", None]], spark=spark)
+    rows = {r["key"]: r["name"] for r in out.df.select("key", F.col("r_name").alias("name") if "r_name" in out.df.columns else "name").collect()}
+    assert rows == {"a": "Alpha", "zz": None}
+
+
+def test_semi_and_anti_join_extensions(spark, left_right):
+    _, _, lt, rt = rels(spark, left_right)
+    semi = ksml(["semi-join", lt, rt], spark=spark)
+    anti = ksml(["anti-join", lt, rt], spark=spark)
+    assert {r["key"] for r in semi.df.collect()} == {"k1", "k2"}
+    assert {r["key"] for r in anti.df.collect()} == {"k3", "k4"}
