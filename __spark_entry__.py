@@ -1,38 +1,927 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query below is built through the ksml_spark DSL (data-as-query
+vectors -> DataFrame plans; see SURVEY.md §3) and paired with an ANSI-SQL
+DuckDB oracle. Cross-engine hash-stability rules used throughout:
+
+* money/metric sums go through exact DECIMAL casts, then CAST(... AS
+  DOUBLE) — double summation order is engine-dependent, decimal is not;
+* timestamps are emitted as epoch-second BIGINTs (display-timezone-free);
+* dot products use sequential element order on both engines (zip_with +
+  aggregate vs list_dot_product) so cosine similarities agree bit-for-bit;
+* every computed column is aliased identically in the Spark plan and the
+  oracle SQL.
+
+Ops with no reasonable SQL expression (simhash: JVM xxhash64) are declared
+without an oracle -> the driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ksml_spark import ksml, pipe
+from ksml_spark.operators.dedup import N_BANDS, N_HASHES, ROWS_PER_BAND, SHINGLE_K
+
+
+def _t(sf_dir: str, name: str) -> list:
+    return ["parquet", f"{sf_dir}/{name}.parquet"]
+
+
+# ---------------------------------------------------------------------------
+# shared oracle fragments
+
+def _minhash_cte(with_long: bool = False) -> str:
+    """DuckDB CTEs replicating ksml_spark.operators.dedup.band_cols."""
+    mh = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{j}#' || x))) AS mh_{j}"
+        for j in range(N_HASHES)
+    )
+    bands = ", ".join(
+        "md5(" + "||".join(f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band_{b}"
+        for b in range(N_BANDS)
+    )
+    sql = f"""
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(t) < {SHINGLE_K} THEN [text]
+       ELSE [array_to_string(t[i:i+{SHINGLE_K - 1}], ' ')
+             for i in generate_series(1, len(t)-{SHINGLE_K - 1})] END AS s FROM toks),
+mh AS (SELECT doc_id, {mh} FROM sh),
+bands AS (SELECT doc_id, {bands} FROM mh)"""
+    if with_long:
+        longs = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, band_{b} AS bucket FROM bands"
+            for b in range(N_BANDS)
+        )
+        sql += f",\nlong AS ({longs})"
+    return sql
+
+
+_LANGS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "ich"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "que", "de", "un", "una", "es", "por", "con"],
+}
+
+_WORDS_DUCK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _lang_ratio_duck(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in _LANGS[lang]) + "]"
+    return (
+        f"CASE WHEN len(w) > 0 THEN "
+        f"len(list_filter(w, x -> list_contains({lst}, x)))::DOUBLE / len(w) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _lang_id_oracle() -> str:
+    ratios = ", ".join(f"{_lang_ratio_duck(l)} AS s_{l}" for l in _LANGS)
+    first = next(iter(_LANGS))
+    m = "greatest(" + ", ".join(f"s_{l}" for l in _LANGS) + ")"
+    cases = " ".join(f"WHEN s_{l} = {m} THEN '{l}'" for l in _LANGS)
+    return f"""
+WITH w0 AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+sc AS (SELECT doc_id, {ratios} FROM w0)
+SELECT doc_id, CASE WHEN {m} <= 0.0 THEN 'und' {cases} END AS lang_pred FROM sc"""
+
+
+# ---------------------------------------------------------------------------
+# the query suite: name -> (builder(spark, sf_dir) -> DataFrame, oracle SQL)
+
+def _q_q1(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
+        ["where", "l_shipdate <= timestamp'2000-09-02 00:00:00'"],
+        ["group-by", ["key-value-mapper", {"l_returnflag": "l_returnflag", "l_linestatus": "l_linestatus"}]],
+        ["agg", {
+            "sum_qty": "cast(sum(cast(l_quantity as decimal(18,2))) as double)",
+            "sum_base_price": "cast(sum(cast(l_extendedprice as decimal(18,2))) as double)",
+            "sum_disc_price": "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double)",
+            "sum_charge": "cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(18,6))) as double)",
+            "avg_qty": "cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(1)",
+            "count_order": "count(1)",
+        }],
+        spark=spark,
+    ).df
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS avg_qty,
+  COUNT(1) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def _q_wordcount(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["flat-map-values",
+         ["value-mapper", "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"],
+         {"as": "word"}],
+        ["group-by", ["key-value-mapper", {"word": "word"}]],
+        ["count"],
+        spark=spark,
+    ).df
+
+
+_WORDCOUNT_ORACLE = f"""
+SELECT word, COUNT(*) AS count FROM (
+  SELECT unnest({_WORDS_DUCK}) AS word FROM documents
+) GROUP BY word"""
+
+
+def _q_filter(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
+        ["filter", ["predicate", "l_quantity >= 49 and l_discount > 0.05"]],
+        ["select", {"l_orderkey": "l_orderkey", "l_linenumber": "l_linenumber",
+                    "l_quantity": "l_quantity", "l_discount": "l_discount"}],
+        spark=spark,
+    ).df
+
+
+_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem WHERE l_quantity >= 49 AND l_discount > 0.05"""
+
+
+def _q_filter_not(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
+        ["filter-not", ["predicate", "l_returnflag = 'R'"]],
+        ["group-by", ["key-value-mapper", {"l_returnflag": "l_returnflag"}]],
+        ["agg", {"n": "count(1)"}],
+        spark=spark,
+    ).df
+
+
+_FILTER_NOT_ORACLE = """
+SELECT l_returnflag, COUNT(1) AS n FROM lineitem
+WHERE NOT (l_returnflag = 'R') GROUP BY l_returnflag"""
+
+
+def _q_map_values(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
+        ["map-values", ["value-mapper",
+                        {"net_price": "cast(cast(l_extendedprice * (1 - l_discount) as decimal(18,6)) as double)"}]],
+        spark=spark,
+    ).df
+
+
+_MAP_VALUES_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS net_price
+FROM lineitem"""
+
+
+def _q_select_key(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+        ["select-key", ["key-value-mapper", {"key": "event_type"}]],
+        ["group-by-key"],
+        ["count"],
+        spark=spark,
+    ).df
+
+
+_SELECT_KEY_ORACLE = """
+SELECT event_type AS key, COUNT(*) AS count FROM events GROUP BY event_type"""
+
+
+def _q_flat_map(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
+        ["flat-map", ["key-value-mapper",
+                      "array(named_struct('key', l_returnflag, 'value', l_quantity), "
+                      "named_struct('key', l_linestatus, 'value', l_quantity))"]],
+        ["group-by-key"],
+        ["reduce", ["reducer", {"total_qty": "cast(sum(cast(value as decimal(18,2))) as double)"}]],
+        spark=spark,
+    ).df
+
+
+_FLAT_MAP_ORACLE = """
+SELECT key, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_qty FROM (
+  SELECT l_returnflag AS key, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_linestatus AS key, l_quantity AS value FROM lineitem
+) GROUP BY key"""
+
+
+def _q_branch(spark, sf):
+    b = ksml(
+        ["branch", ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
+         ["predicate", "o_orderstatus = 'F'"],
+         ["predicate", "o_totalprice > 100000"]],
+        spark=spark,
+    )
+    return pipe(
+        b[1],
+        ["group-by", ["key-value-mapper", {"o_orderpriority": "o_orderpriority"}]],
+        ["agg", {"n": "count(1)",
+                 "revenue": "cast(sum(cast(o_totalprice as decimal(18,2))) as double)"}],
+        spark=spark,
+    ).df
+
+
+_BRANCH_ORACLE = """
+SELECT o_orderpriority, COUNT(1) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders WHERE o_totalprice > 100000 AND NOT (o_orderstatus = 'F')
+GROUP BY o_orderpriority"""
+
+
+def _q_merge(spark, sf):
+    clicks = ksml(["where", ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+                   "event_type = 'click'"], spark=spark)
+    errors = ksml(["where", ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+                   "event_type = 'error'"], spark=spark)
+    return pipe(
+        ["merge", clicks, errors],
+        ["group-by", ["key-value-mapper", {"event_type": "event_type"}]],
+        ["agg", {"n": "count(1)"}],
+        spark=spark,
+    ).df
+
+
+_MERGE_ORACLE = """
+SELECT event_type, COUNT(1) AS n FROM events
+WHERE event_type IN ('click', 'error') GROUP BY event_type"""
+
+
+def _q_table_latest(spark, sf):
+    return pipe(
+        ["table", _t(sf, "events"),
+         {"key": "user_id", "time": "ts", "order": ["ts", "event_id"]}],
+        ["select", {"user_id": "user_id", "event_id": "event_id",
+                    "event_type": "event_type", "value": "value"}],
+        spark=spark,
+    ).df
+
+
+_TABLE_LATEST_ORACLE = """
+SELECT user_id, event_id, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"""
+
+
+def _q_table_ops(spark, sf):
+    return pipe(
+        ["table", _t(sf, "events"),
+         {"key": "user_id", "time": "ts", "order": ["ts", "event_id"]}],
+        ["filter", ["predicate", "value > 50"]],
+        ["map-values", ["value-mapper", {"val_bucket": "cast(floor(value / 10) as bigint)"}]],
+        ["to-stream"],
+        ["select", {"user_id": "user_id", "val_bucket": "val_bucket"}],
+        spark=spark,
+    ).df
+
+
+_TABLE_OPS_ORACLE = """
+SELECT user_id, CAST(floor(value / 10) AS BIGINT) AS val_bucket FROM (
+  SELECT user_id, value FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+) WHERE value > 50"""
+
+
+def _q_table_regroup(spark, sf):
+    return pipe(
+        ["table", _t(sf, "events"),
+         {"key": "user_id", "time": "ts", "order": ["ts", "event_id"]}],
+        ["group-by", ["key-value-mapper", {"event_type": "event_type"}]],
+        ["agg", {"n_users": "count(1)",
+                 "total_value": "cast(sum(cast(value as decimal(18,2))) as double)"}],
+        spark=spark,
+    ).df
+
+
+_TABLE_REGROUP_ORACLE = """
+SELECT event_type, COUNT(1) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM (
+  SELECT event_type, value FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+) GROUP BY event_type"""
+
+
+def _q_reduce(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+        ["group-by-key"],
+        ["reduce", ["reducer", {"total": "cast(sum(cast(value as decimal(18,2))) as double)"}]],
+        spark=spark,
+    ).df
+
+
+_REDUCE_ORACLE = """
+SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY user_id"""
+
+
+def _q_aggregate(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
+        ["group-by", ["key-value-mapper", {"o_orderstatus": "o_orderstatus"}]],
+        ["aggregate", ["aggregator", {
+            "n": "count(1)",
+            "max_price": "max(o_totalprice)",
+            "min_date_s": "cast(unix_timestamp(min(o_orderdate)) as bigint)",
+        }]],
+        spark=spark,
+    ).df
+
+
+_AGGREGATE_ORACLE = """
+SELECT o_orderstatus, COUNT(1) AS n, MAX(o_totalprice) AS max_price,
+       CAST(epoch(MIN(o_orderdate)) AS BIGINT) AS min_date_s
+FROM orders GROUP BY o_orderstatus"""
+
+
+def _q_windowed_count(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "event_type", "time": "ts"}],
+        ["group-by-key"],
+        ["windowed-by", ["time-window", 3600000]],
+        ["count"],
+        ["select", {"window_start_s": "cast(unix_timestamp(window_start) as bigint)",
+                    "event_type": "event_type", "n": "`count`"}],
+        spark=spark,
+    ).df
+
+
+_WINDOWED_COUNT_ORACLE = """
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2"""
+
+
+def _q_hopping_count(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "event_type", "time": "ts"}],
+        ["group-by-key"],
+        ["windowed-by", ["time-window", 7200000, 3600000]],
+        ["count"],
+        ["select", {"window_start_s": "cast(unix_timestamp(window_start) as bigint)",
+                    "event_type": "event_type", "n": "`count`"}],
+        spark=spark,
+    ).df
+
+
+_HOPPING_COUNT_ORACLE = """
+SELECT ws AS window_start_s, event_type, COUNT(*) AS n FROM (
+  SELECT unnest([((epoch_us(ts) // 3600000000) - 1) * 3600,
+                 (epoch_us(ts) // 3600000000) * 3600]) AS ws, event_type
+  FROM events
+) GROUP BY ws, event_type"""
+
+
+def _q_session_count(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+        ["group-by-key"],
+        ["windowed-by", ["session-window", 1800000]],
+        ["count"],
+        ["group-by", ["key-value-mapper", {"user_id": "user_id"}]],
+        ["agg", {"n_sessions": "count(1)", "max_session_events": "max(`count`)"}],
+        spark=spark,
+    ).df
+
+
+_SESSION_COUNT_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), per AS (
+  SELECT user_id, sid, COUNT(*) AS c FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, COUNT(1) AS n_sessions, MAX(c) AS max_session_events
+FROM per GROUP BY user_id"""
+
+
+def _q_join_stream_table(spark, sf):
+    return pipe(
+        ["join",
+         ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
+         ["table", _t(sf, "customer"), {"key": "c_custkey", "unique": True}],
+         ["value-joiner",
+          lambda l, r: {"segment": r["c_mktsegment"], "price": l["o_totalprice"]}]],
+        ["group-by", ["key-value-mapper", {"segment": "segment"}]],
+        ["agg", {"n_orders": "count(1)",
+                 "revenue": "cast(sum(cast(price as decimal(18,2))) as double)"}],
+        spark=spark,
+    ).df
+
+
+_JOIN_STREAM_TABLE_ORACLE = """
+SELECT c_mktsegment AS segment, COUNT(1) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
+
+
+def _q_left_join(spark, sf):
+    per_cust = pipe(
+        ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
+        ["group-by-key"],
+        ["agg", {"n": "count(1)"}],
+        spark=spark,
+    )
+    return pipe(
+        ["left-join",
+         ["table", _t(sf, "customer"), {"key": "c_custkey", "unique": True}],
+         per_cust],
+        ["select", {"c_custkey": "c_custkey", "n_orders": "coalesce(n, 0)"}],
+        spark=spark,
+    ).df
+
+
+_LEFT_JOIN_ORACLE = """
+SELECT c_custkey, coalesce(n, 0) AS n_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, COUNT(1) AS n FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey"""
+
+
+def _q_outer_join(spark, sf):
+    cust = pipe(["stream", _t(sf, "customer"), {"key": "c_nationkey"}],
+                ["group-by-key"], ["agg", {"nc": "count(1)"}], spark=spark)
+    supp = pipe(["stream", _t(sf, "supplier"), {"key": "s_nationkey"}],
+                ["group-by-key"], ["agg", {"ns": "count(1)"}], spark=spark)
+    return pipe(
+        ["outer-join", cust, supp],
+        ["select", {"nationkey": "coalesce(c_nationkey, s_nationkey)",
+                    "n_cust": "coalesce(nc, 0)", "n_supp": "coalesce(ns, 0)"}],
+        spark=spark,
+    ).df
+
+
+_OUTER_JOIN_ORACLE = """
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(nc, 0) AS n_cust, coalesce(ns, 0) AS n_supp
+FROM (SELECT c_nationkey, COUNT(1) AS nc FROM customer GROUP BY c_nationkey) a
+FULL OUTER JOIN (SELECT s_nationkey, COUNT(1) AS ns FROM supplier GROUP BY s_nationkey) b
+ON c_nationkey = s_nationkey"""
+
+
+def _q_join_global(spark, sf):
+    joined = ksml(
+        ["join-global",
+         ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
+         ["global-table", _t(sf, "nation"), {"key": "n_nationkey", "unique": True}],
+         ["key-value-mapper", "o_custkey % 25"]],
+        spark=spark,
+    )
+    return pipe(
+        joined,
+        ["group-by", ["key-value-mapper", {"n_name": "n_name"}]],
+        ["agg", {"n": "count(1)"}],
+        spark=spark,
+    ).df
+
+
+_JOIN_GLOBAL_ORACLE = """
+SELECT n_name, COUNT(1) AS n FROM orders
+JOIN nation ON o_custkey % 25 = n_nationkey GROUP BY n_name"""
+
+
+def _q_semi_join(spark, sf):
+    return pipe(
+        ["semi-join",
+         ["stream", _t(sf, "customer"), {"key": "c_custkey"}],
+         ["stream", _t(sf, "orders"), {"key": "o_custkey"}]],
+        ["select", {"c_custkey": "c_custkey", "c_name": "c_name"}],
+        spark=spark,
+    ).df
+
+
+_SEMI_JOIN_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+
+def _q_anti_join(spark, sf):
+    big = ksml(["where", ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
+                "o_totalprice > 400000"], spark=spark)
+    return pipe(
+        ["anti-join",
+         ["stream", _t(sf, "customer"), {"key": "c_custkey"}],
+         big],
+        ["select", {"c_custkey": "c_custkey", "c_name": "c_name"}],
+        spark=spark,
+    ).df
+
+
+_ANTI_JOIN_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)"""
+
+
+def _q_interval_join(spark, sf):
+    clicks = ksml(["where", ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+                   "event_type = 'click'"], spark=spark)
+    errors = ksml(["where", ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+                   "event_type = 'error'"], spark=spark)
+    return pipe(
+        ["join", clicks, errors, ["join-window", 3600000]],
+        ["select", {"user_id": "user_id", "click_id": "event_id", "error_id": "r_event_id"}],
+        spark=spark,
+    ).df
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS error_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'error'
+  AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts + INTERVAL 1 HOUR"""
+
+
+def _q_dedup_first(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+        ["dedup", {"by": ["user_id", "event_type"], "order": ["ts", "event_id"], "keep": "first"}],
+        ["select", {"user_id": "user_id", "event_type": "event_type", "event_id": "event_id"}],
+        spark=spark,
+    ).df
+
+
+_DEDUP_FIRST_ORACLE = """
+SELECT user_id, event_type, event_id FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1"""
+
+
+def _q_distinct(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
+        ["select", {"l_returnflag": "l_returnflag", "l_linestatus": "l_linestatus"}],
+        ["distinct"],
+        spark=spark,
+    ).df
+
+
+_DISTINCT_ORACLE = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def _q_topn(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "orders"), {"key": "o_orderkey"}],
+        ["select", {"o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"}],
+        ["order-by", "-o_totalprice", "o_orderkey"],
+        ["limit", 100],
+        spark=spark,
+    ).df
+
+
+_TOPN_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
+
+def _q_sql(spark, sf):
+    for name in ("orders", "customer", "nation"):
+        ksml(["as-view", ["stream", _t(sf, name)], name], spark=spark)
+    return ksml(
+        ["sql", """
+SELECT n_name, COUNT(1) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""],
+        spark=spark,
+    ).df
+
+
+_SQL_ORACLE = """
+SELECT n_name, COUNT(1) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
+def _q_json_props(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+        ["group-by", ["key-value-mapper",
+                      {"k_mod": "cast(get_json_object(props, '$.k') as bigint) % 10"}]],
+        ["agg", {"n": "count(1)",
+                 "sum_value": "cast(sum(cast(value as decimal(18,2))) as double)"}],
+        spark=spark,
+    ).df
+
+
+_JSON_PROPS_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(1) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1"""
+
+
+# --- extensions: text analysis --------------------------------------------
+
+def _q_token_counts(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["token-count", {"col": "text"}],
+        ["select", {"doc_id": "doc_id", "n_tokens_ws": "n_tokens_ws",
+                    "n_tokens_bpe": "n_tokens_bpe"}],
+        spark=spark,
+    ).df
+
+
+_TOKEN_COUNTS_ORACLE = r"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens_ws,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+FROM documents"""
+
+
+def _q_lang_id(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["lang-id", {"col": "text"}],
+        ["select", {"doc_id": "doc_id", "lang_pred": "lang_pred"}],
+        spark=spark,
+    ).df
+
+
+def _q_quality(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["quality-score", {"col": "text"}],
+        ["select", {"doc_id": "doc_id", "quality": "round(quality, 6)"}],
+        spark=spark,
+    ).df
+
+
+def _quality_oracle() -> str:
+    ratios = ", ".join(f"{_lang_ratio_duck(l)} AS s_{l}" for l in _LANGS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in _LANGS) + ")"
+    return f"""
+WITH w0 AS (SELECT doc_id, text, {_WORDS_DUCK} AS w FROM documents),
+sc AS (SELECT doc_id, text, w, {ratios} FROM w0),
+parts AS (SELECT doc_id,
+  least(1.0, length(text) / 1000.0) AS length_score,
+  CASE WHEN len(w) > 0 THEN list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+       ELSE 0.0 END AS mean_wlen,
+  length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+  length(text) AS n_chars,
+  least(1.0, 4.0 * {best}) AS sw_score
+FROM sc)
+SELECT doc_id, round((length_score
+  + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 12 THEN 1.0 ELSE 0.0 END)
+  + (1.0 - least(1.0, punct / (n_chars / 10.0 + 1.0)))
+  + sw_score) / 4.0, 6) AS quality
+FROM parts"""
+
+
+def _q_fingerprint(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["fingerprint", {"col": "text"}],
+        ["select", {"doc_id": "doc_id", "rolling_fp": "rolling_fp"}],
+        spark=spark,
+    ).df
+
+
+_FINGERPRINT_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+    array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> ''), ' ') AS s
+  FROM documents
+)
+SELECT doc_id,
+  list_reduce(
+    list_prepend([0::BIGINT, 1::BIGINT],
+      list_transform(string_split_regex(s, ''), c -> [ord(c)::BIGINT, 0::BIGINT])),
+    (acc, x) -> [(acc[1] + x[1] * acc[2]) % 1000000007, (acc[2] * 31) % 1000000007]
+  )[1] AS rolling_fp
+FROM norm"""
+
+
+# --- extensions: dedup / similarity ---------------------------------------
+
+def _q_minhash_sig(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["minhash", {"col": "text"}],
+        ["select", {"doc_id": "doc_id", "band_0": "band_0", "band_1": "band_1",
+                    "band_2": "band_2", "band_3": "band_3"}],
+        spark=spark,
+    ).df
+
+
+_MINHASH_SIG_ORACLE = _minhash_cte() + "\nSELECT doc_id, band_0, band_1, band_2, band_3 FROM bands"
+
+
+def _q_lsh_candidates(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["lsh-candidates", {"col": "text", "id": "doc_id"}],
+        spark=spark,
+    ).df
+
+
+_LSH_CANDIDATES_ORACLE = _minhash_cte(with_long=True) + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM long a JOIN long b
+ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+
+def _q_jaccard_pairs(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["jaccard-pairs", {"col": "text", "id": "doc_id", "block": "lang", "threshold": 0.5}],
+        spark=spark,
+    ).df
+
+
+_JACCARD_PAIRS_ORACLE = """
+WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(len(list_intersect(a.t, b.t))::DOUBLE
+        / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.t, b.t))::DOUBLE
+      / len(list_distinct(list_concat(a.t, b.t))) >= 0.5"""
+
+
+def _q_simhash(spark, sf):
+    # no oracle: xxhash64 is JVM-only; unit-tested against a Python reference
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["simhash", {"col": "text"}],
+        ["select", {"doc_id": "doc_id", "simhash": "simhash"}],
+        spark=spark,
+    ).df
+
+
+def _q_ann_topk(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["ann-topk", {"id": "vec_id", "vec": "embedding", "k": 3,
+                      "queries": "vec_id % 50 = 0"}],
+        spark=spark,
+    ).df
+
+
+_ANN_TOPK_ORACLE = """
+WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM p WHERE vec_id % 50 = 0),
+sims AS (
+  SELECT q.q_id, p.vec_id AS n_id,
+         list_dot_product(q.qv, p.v) / (q.qn * p.n) AS sim
+  FROM q, p WHERE p.vec_id != q.q_id
+)
+SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM (
+  SELECT q_id, n_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+  FROM sims
+) WHERE rank <= 3"""
+
+
+def _q_ann_lsh(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["ann-lsh-topk", {"id": "vec_id", "vec": "embedding", "k": 3,
+                          "queries": "vec_id % 50 = 0", "sign_dims": 8}],
+        spark=spark,
+    ).df
+
+
+_ANN_LSH_ORACLE = """
+WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n,
+           array_to_string(list_transform(embedding[1:8],
+                           x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, n AS qn, bucket FROM p WHERE vec_id % 50 = 0),
+sims AS (
+  SELECT q.q_id, p.vec_id AS n_id,
+         list_dot_product(q.qv, p.v) / (q.qn * p.n) AS sim
+  FROM q JOIN p USING (bucket) WHERE p.vec_id != q.q_id
+)
+SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM (
+  SELECT q_id, n_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+  FROM sims
+) WHERE rank <= 3"""
+
+
+def _q_neardup_emb(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["neardup-pairs", {"id": "vec_id", "vec": "embedding",
+                           "block": "label", "threshold": 0.4}],
+        spark=spark,
+    ).df
+
+
+_NEARDUP_EMB_ORACLE = """
+WITH p AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS sim
+FROM p a JOIN p b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
+
+
+def _q_multimodal(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["binarize", {"col": "text", "as": "payload"}],
+        ["decode-features", {"col": "payload", "id": "doc_id"}],
+        spark=spark,
+    ).df
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_w,
+  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_h
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
+    # reference surface (SURVEY.md §2.1-2.5)
+    "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
+    "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
+    "filter_highqty": (_q_filter, _FILTER_ORACLE),
+    "filter_not_returns": (_q_filter_not, _FILTER_NOT_ORACLE),
+    "map_values_net": (_q_map_values, _MAP_VALUES_ORACLE),
+    "select_key_count": (_q_select_key, _SELECT_KEY_ORACLE),
+    "flat_map_pairs": (_q_flat_map, _FLAT_MAP_ORACLE),
+    "branch_orders": (_q_branch, _BRANCH_ORACLE),
+    "merge_event_types": (_q_merge, _MERGE_ORACLE),
+    "table_latest_event": (_q_table_latest, _TABLE_LATEST_ORACLE),
+    "table_filter_mapvalues": (_q_table_ops, _TABLE_OPS_ORACLE),
+    "table_regroup": (_q_table_regroup, _TABLE_REGROUP_ORACLE),
+    "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
+    "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
+    "windowed_count": (_q_windowed_count, _WINDOWED_COUNT_ORACLE),
+    "hopping_count": (_q_hopping_count, _HOPPING_COUNT_ORACLE),
+    "session_count": (_q_session_count, _SESSION_COUNT_ORACLE),
+    # joins (SURVEY.md §2.3)
+    "join_stream_table": (_q_join_stream_table, _JOIN_STREAM_TABLE_ORACLE),
+    "left_join_counts": (_q_left_join, _LEFT_JOIN_ORACLE),
+    "outer_join_nations": (_q_outer_join, _OUTER_JOIN_ORACLE),
+    "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
+    "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
+    "anti_join_customers": (_q_anti_join, _ANTI_JOIN_ORACLE),
+    "interval_join_click_error": (_q_interval_join, _INTERVAL_JOIN_ORACLE),
+    # relational extensions + serde
+    "dedup_first_event": (_q_dedup_first, _DEDUP_FIRST_ORACLE),
+    "distinct_flags": (_q_distinct, _DISTINCT_ORACLE),
+    "topn_orders": (_q_topn, _TOPN_ORACLE),
+    "sql_revenue_by_nation": (_q_sql, _SQL_ORACLE),
+    "json_props_agg": (_q_json_props, _JSON_PROPS_ORACLE),
+    # training-data extensions (SURVEY.md §2.10)
+    "token_counts": (_q_token_counts, _TOKEN_COUNTS_ORACLE),
+    "lang_id": (_q_lang_id, _lang_id_oracle()),
+    "quality_scores": (_q_quality, _quality_oracle()),
+    "doc_fingerprint": (_q_fingerprint, _FINGERPRINT_ORACLE),
+    "minhash_signatures": (_q_minhash_sig, _MINHASH_SIG_ORACLE),
+    "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
+    "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
+    "simhash_docs": (_q_simhash, None),
+    "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
+    "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
+    "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
+    "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    return _q_q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _QUERIES.items() if sql is not None}

@@ -4,11 +4,15 @@ table (the analog of the merged syntax tables at
 
 from . import (  # noqa: F401
     consumed,
+    dedup,
     grouping,
     joins,
+    multimodal,
     relational,
+    similarity,
     sinks,
     sources,
     stateless,
     stores,
 )
+from ..functions import text  # noqa: F401  (tokenize / lang-id / quality ops)

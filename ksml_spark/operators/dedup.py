@@ -1,0 +1,259 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.10).
+
+Not in the reference (cddr/ksml has no dedup surface; its closest analog is
+KTable latest-per-key, /root/reference/src/cddr/ksml/eval.clj:72). These are
+the first-class extension operators a 100 TB corpus pipeline needs:
+
+    ["dedup", rel, {"by": cols, "order": cols, "keep": "first"|"last"}]
+        exact dedup; deterministic representative when "order" given.
+    ["minhash", rel, {"col": "text", "id": "doc_id"}]
+        adds MinHash band-bucket columns (band_0..band_{B-1}).
+    ["lsh-candidates", rel, {"col": "text", "id": "doc_id"}]
+        near-dup candidate pairs: docs sharing >=1 MinHash band bucket.
+    ["jaccard-pairs", rel, {"col","id","block","threshold"}]
+        exact token-set Jaccard >= threshold within blocking groups.
+    ["simhash", rel, {"col": "text", "as": "simhash"}]
+        64-bit SimHash column (xxhash64 token hashes, bit voting).
+
+Scale posture: MinHash signatures are per-row narrow expressions (one scan,
+whole-stage codegen, no Python); the LSH self-join shuffles on (band,
+bucket) — the standard shingle→minhash→band→bucket-join plan whose shuffle
+volume is O(rows·bands), independent of pair count. Exact Jaccard is only
+ever run INSIDE blocks (blocking key join), never all-pairs.
+
+All hash primitives are engine-portable (md5 over strings) so results are
+bit-reproducible against the DuckDB oracle; SimHash uses xxhash64 (JVM-only,
+covered by unit tests instead of the SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ArityError
+from ..eval import Ctx, defop
+from ..model import KStreamRel, Rel
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_K = 3
+
+
+def _opts(rest) -> dict:
+    o = {}
+    for r in rest:
+        if isinstance(r, dict):
+            o.update(r)
+    return o
+
+
+@defop("dedup")
+def op_dedup(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Exact deduplication. With "order": keep the first (or last) row per
+    "by"-group under that ordering — deterministic, oracle-comparable
+    (one hash shuffle + within-partition sort, same cost as any keyed agg).
+    Without "order": dropDuplicates (arbitrary representative, cheapest)."""
+    opts = _opts(rest)
+    by = opts.get("by") or list(rel.key_cols)
+    if not by:
+        raise ArityError("dedup needs {'by': cols} or a keyed stream")
+    if isinstance(by, str):
+        by = [by]
+    order = opts.get("order")
+    if not order:
+        return rel.with_df(rel.df.dropDuplicates(list(by)))
+    if isinstance(order, str):
+        order = [order]
+    from pyspark.sql import Window
+
+    desc = opts.get("keep", "first") == "last"
+    ocols = [F.col(c).desc() if desc else F.col(c).asc() for c in order]
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*ocols)
+    df = (
+        rel.df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return rel.with_df(df)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (portable md5 construction)
+
+def tokens_col(col: Column) -> Column:
+    """Single-space tokenization (matches DuckDB string_split)."""
+    return F.split(col, " ")
+
+
+def shingles_col(col: Column, k: int = SHINGLE_K) -> Column:
+    """k-word shingles; short docs fall back to the whole text as one
+    shingle."""
+    t = tokens_col(col)
+    gen = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+    return F.when(F.size(t) < k, F.array(col)).otherwise(gen)
+
+
+def band_signatures(df: DataFrame, idc: str, textc: str) -> DataFrame:
+    """(id, band_0..band_{B-1}) MinHash band buckets.
+
+    Plan shape chosen for codegen: explode shingles -> 16 md5 hash columns
+    (whole-stage codegen; Spark's higher-order transform/aggregate exprs
+    are interpreted and ~10x slower here) -> hash-aggregate min() per id
+    with map-side partial aggregation. Shuffle volume is rows x 16 hex
+    strings — independent of shingle count. mh_j = min md5('j#'+shingle)
+    is the engine-portable hash family shared with the DuckDB oracle."""
+    sh = df.select(F.col(idc), F.explode(shingles_col(F.col(textc))).alias("__s"))
+    hashed = sh.select(
+        F.col(idc),
+        *[
+            F.md5(F.concat(F.lit(f"{j}#"), F.col("__s"))).alias(f"__h{j}")
+            for j in range(N_HASHES)
+        ],
+    )
+    mins = hashed.groupBy(idc).agg(
+        *[F.min(f"__h{j}").alias(f"__mh{j}") for j in range(N_HASHES)]
+    )
+    return mins.select(
+        F.col(idc),
+        *[
+            F.md5(
+                F.concat(*[F.col(f"__mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+            ).alias(f"band_{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+
+
+@defop("minhash")
+def op_minhash(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Adds MinHash band-bucket columns (join back on the id column)."""
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    sigs = band_signatures(rel.df, idc, opts.get("col", "text"))
+    return rel.with_df(rel.df.join(sigs, idc, "inner"))
+
+
+@defop("lsh-candidates")
+def op_lsh_candidates(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Near-duplicate candidate pairs: ids sharing at least one band bucket.
+
+    Plan shape: scan → narrow signature exprs → explode to (band, bucket)
+    rows → self-equi-join on (band, bucket) → distinct pairs. The shuffle
+    key is the bucket, so cost scales with rows·bands, not candidate-pair
+    count; skewed buckets are split by AQE."""
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    sigs = band_signatures(rel.df, idc, opts.get("col", "text"))
+    long = sigs.select(
+        F.col(idc),
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    )
+    a, b = long.alias("a"), long.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{idc}") < F.col(f"b.{idc}")),
+            "inner",
+        )
+        .select(F.col(f"a.{idc}").alias("doc_a"), F.col(f"b.{idc}").alias("doc_b"))
+        .distinct()
+    )
+    return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
+
+
+@defop("jaccard-pairs")
+def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Exact token-set Jaccard similarity pairs within blocking groups:
+
+        ["jaccard-pairs", rel, {"col": "text", "id": "doc_id",
+                                "block": "lang", "threshold": 0.5}]
+
+    The block key bounds the quadratic comparison (equi-join shuffle on the
+    block key); never run unblocked at scale — use lsh-candidates to
+    generate blocks instead."""
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    block = opts.get("block")
+    thr = float(opts.get("threshold", 0.5))
+    col = opts.get("col", "text")
+    toks = rel.df.select(
+        F.col(idc),
+        *([F.col(block)] if block else []),
+        F.array_distinct(tokens_col(F.col(col))).alias("__t"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    cond = F.col(f"a.{idc}") < F.col(f"b.{idc}")
+    if block:
+        cond = (F.col(f"a.{block}") == F.col(f"b.{block}")) & cond
+    jac = F.size(F.array_intersect(F.col("a.__t"), F.col("b.__t"))) / F.size(
+        F.array_union(F.col("a.__t"), F.col("b.__t"))
+    )
+    pairs = (
+        a.join(b, cond, "inner")
+        .select(
+            F.col(f"a.{idc}").alias("doc_a"),
+            F.col(f"b.{idc}").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= thr)
+    )
+    return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash_col(col: Column, bits: int = 64) -> Column:
+    """SimHash over whitespace tokens: per-token xxhash64, per-bit vote
+    (+1/-1), sign of each vote -> bit. One per-row fold, no shuffle, no
+    Python. JVM-hash based (unit-tested rather than oracle-compared).
+
+    Bit positions are Python-side constants (shiftright needs an int), and
+    the bit->value recombination uses a constant powers array so the vote
+    fold appears exactly once in the plan."""
+    t = tokens_col(col)
+    votes = F.aggregate(
+        t,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(tok), j).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for j in range(bits)
+                ]
+            ),
+            lambda a, v: a + v.cast("long"),
+        ),
+    )
+    # powers[j] = 1 << j as a signed long (bit 63 is the sign bit)
+    powers = F.array(
+        *[
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+            for j in range(bits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+
+
+@defop("simhash")
+def op_simhash(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    opts = _opts(rest)
+    col = F.col(opts.get("col", "text"))
+    return rel.with_df(rel.df.withColumn(opts.get("as", "simhash"), simhash_col(col)))

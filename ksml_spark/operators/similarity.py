@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+Not in the reference (cddr/ksml wraps the Kafka Streams DSL only); these
+are the vector-search extension operators:
+
+    ["ann-topk", rel, {"id": "vec_id", "vec": "embedding", "k": 3,
+                       "queries": "vec_id % 50 = 0"}]
+        brute-force cosine top-k: every query row against every candidate.
+    ["ann-lsh-topk", rel, {... , "sign_dims": 8}]
+        LSH-bucketed approximate variant: candidates restricted to the
+        query's sign-hash bucket (random-hyperplane LSH with axis-aligned
+        planes = the signs of the first d dimensions).
+    ["neardup-pairs", rel, {"id", "vec", "block": "label", "threshold"}]
+        embedding-cosine near-duplicate pairs within blocking groups.
+
+Scale posture: the brute-force path broadcasts the (small) query side and
+streams candidates through it — no shuffle of the big side, O(Q·N) work
+spread across partitions; it is the exact baseline. The LSH path shuffles
+both sides on the bucket key (cost O(N), like any keyed join) and is the
+100 TB path: each query scans only its bucket. Dot products are computed
+with zip_with + aggregate — sequential element order, bit-reproducible
+against the DuckDB oracle (list_dot_product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..eval import Ctx, defop
+from ..model import KStreamRel, Rel
+
+
+def _opts(rest) -> dict:
+    o = {}
+    for r in rest:
+        if isinstance(r, dict):
+            o.update(r)
+    return o
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (matches DuckDB list_dot_product
+    bit-for-bit on identical inputs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def sign_bucket_col(vec: Column, dims: int) -> Column:
+    """Axis-aligned random-hyperplane LSH: the sign pattern of the first
+    ``dims`` coordinates, as a '0'/'1' string."""
+    return F.concat_ws(
+        "",
+        F.transform(F.slice(vec, 1, dims), lambda x: F.when(x > 0, "1").otherwise("0")),
+    )
+
+
+def _prepared(rel: Rel, idc: str, vecc: str) -> DataFrame:
+    """Project to (id, double-vector, norm) — norms computed once per row."""
+    v = F.col(vecc).cast("array<double>")
+    return rel.df.select(F.col(idc), v.alias("__v"), norm_col(v).alias("__n"))
+
+
+def _topk(pairs: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round(F.col("__sim"), 6).alias("sim"))
+    )
+
+
+@defop("ann-topk")
+def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Exact brute-force cosine top-k. Query side is filtered + broadcast;
+    the candidate scan is never shuffled."""
+    opts = _opts(rest)
+    idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
+    k = int(opts.get("k", 3))
+    prepared = _prepared(rel, idc, vecc)
+    q = prepared.filter(F.expr(opts["queries"])).select(
+        F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
+    )
+    c = prepared.select(
+        F.col(idc).alias("n_id"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("__sim", dot_col(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
+    )
+    return KStreamRel(_topk(pairs, k), key_cols=("q_id", "rank"))
+
+
+@defop("ann-lsh-topk")
+def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Approximate cosine top-k: candidates restricted to the query's
+    sign-hash bucket. Equi-join shuffle on the bucket key — the scale path
+    (each query touches ~N/2^dims candidates, not N)."""
+    opts = _opts(rest)
+    idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
+    k = int(opts.get("k", 3))
+    dims = int(opts.get("sign_dims", 8))
+    v = F.col(vecc).cast("array<double>")
+    prepared = rel.df.select(
+        F.col(idc),
+        v.alias("__v"),
+        norm_col(v).alias("__n"),
+        sign_bucket_col(F.col(vecc), dims).alias("__bucket"),
+    )
+    q = prepared.filter(F.expr(opts["queries"])).select(
+        F.col(idc).alias("q_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+        "__bucket",
+    )
+    c = prepared.select(
+        F.col(idc).alias("n_id"),
+        F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"),
+        "__bucket",
+    )
+    pairs = (
+        c.join(F.broadcast(q), "__bucket", "inner")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("__sim", dot_col(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
+    )
+    return KStreamRel(_topk(pairs, k), key_cols=("q_id", "rank"))
+
+
+@defop("neardup-pairs")
+def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b) with similarity
+    >= threshold, compared only within blocking groups (equi-join on the
+    block key). Unblocked all-pairs is refused at scale by design — pass
+    block=None only for small relations."""
+    opts = _opts(rest)
+    idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
+    thr = float(opts.get("threshold", 0.9))
+    block = opts.get("block")
+    v = F.col(vecc).cast("array<double>")
+    prepared = rel.df.select(
+        F.col(idc),
+        *([F.col(block)] if block else []),
+        v.alias("__v"),
+        norm_col(v).alias("__n"),
+    )
+    a, b = prepared.alias("a"), prepared.alias("b")
+    cond = F.col(f"a.{idc}") < F.col(f"b.{idc}")
+    if block:
+        cond = (F.col(f"a.{block}") == F.col(f"b.{block}")) & cond
+    sim = dot_col(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
+    pairs = (
+        a.join(b, cond, "inner")
+        .select(
+            F.col(f"a.{idc}").alias("id_a"),
+            F.col(f"b.{idc}").alias("id_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= thr)
+    )
+    return KStreamRel(pairs, key_cols=("id_a", "id_b"))

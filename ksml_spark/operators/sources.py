@@ -131,6 +131,12 @@ def op_table(ctx: Ctx, src, *rest) -> KTableRel:
         if len(vals) == 1:
             tomb_col = F.col(vals[0]).isNull()
 
+    if opts.get("unique"):
+        # caller declares the source is already one-row-per-key (a snapshot,
+        # e.g. a dimension table): skip the dedup shuffle entirely
+        view = df if tomb_col is None else df.filter(~tomb_col)
+        return KTableRel(view, key_cols=key_cols, time_col=time_col)
+
     if order_cols:
         view = dedup_latest(df, key_cols, order_cols, tomb_col)
     else:
