@@ -747,19 +747,22 @@ ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
 def _q_jaccard_pairs(spark, sf):
     return pipe(
         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
-        ["jaccard-pairs", {"col": "text", "id": "doc_id", "block": "lang", "threshold": 0.5}],
+        ["jaccard-pairs", {"col": "text", "id": "doc_id",
+                           "block": ["lang", "n_chars div 100"], "threshold": 0.5}],
         spark=spark,
     ).df
 
 
 _JACCARD_PAIRS_ORACLE = """
-WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  round(len(list_intersect(a.t, b.t))::DOUBLE
-        / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
-FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.t, b.t))::DOUBLE
-      / len(list_distinct(list_concat(a.t, b.t))) >= 0.5"""
+WITH d AS (SELECT doc_id, lang, n_chars // 100 AS nb,
+           list_distinct(string_split(text, ' ')) AS t FROM documents),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.t, b.t)) AS c, len(a.t) + len(b.t) AS n
+  FROM d a JOIN d b ON a.lang = b.lang AND a.nb = b.nb AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(c::DOUBLE / (n - c), 6) AS jaccard
+FROM pairs WHERE c::DOUBLE / (n - c) >= 0.5"""
 
 
 def _q_simhash(spark, sf):
@@ -775,7 +778,7 @@ def _q_simhash(spark, sf):
 def _q_ann_topk(spark, sf):
     return pipe(
         ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
-        ["ann-topk", {"id": "vec_id", "vec": "embedding", "k": 3,
+        ["ann-topk", {"id": "vec_id", "vec": "embedding", "k": 3, "dim": 64,
                       "queries": "vec_id % 50 = 0"}],
         spark=spark,
     ).df
@@ -801,7 +804,7 @@ SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM (
 def _q_ann_lsh(spark, sf):
     return pipe(
         ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
-        ["ann-lsh-topk", {"id": "vec_id", "vec": "embedding", "k": 3,
+        ["ann-lsh-topk", {"id": "vec_id", "vec": "embedding", "k": 3, "dim": 64,
                           "queries": "vec_id % 50 = 0", "sign_dims": 8}],
         spark=spark,
     ).df
@@ -829,7 +832,7 @@ SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM (
 def _q_neardup_emb(spark, sf):
     return pipe(
         ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
-        ["neardup-pairs", {"id": "vec_id", "vec": "embedding",
+        ["neardup-pairs", {"id": "vec_id", "vec": "embedding", "dim": 64,
                            "block": "label", "threshold": 0.4}],
         spark=spark,
     ).df

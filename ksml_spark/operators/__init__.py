@@ -12,7 +12,9 @@ from . import (  # noqa: F401
     similarity,
     sinks,
     sources,
+    stateful,
     stateless,
     stores,
 )
 from ..functions import text  # noqa: F401  (tokenize / lang-id / quality ops)
+from ..streaming import runtime  # noqa: F401  (with-watermark, latest_by)

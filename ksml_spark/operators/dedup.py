@@ -185,18 +185,20 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     block = opts.get("block")
     thr = float(opts.get("threshold", 0.5))
     col = opts.get("col", "text")
+    blocks = [block] if isinstance(block, str) else list(block or [])
     toks = rel.df.select(
         F.col(idc),
-        *([F.col(block)] if block else []),
+        *[F.expr(b).alias(f"__b{i}") for i, b in enumerate(blocks)],
         F.array_distinct(tokens_col(F.col(col))).alias("__t"),
     )
+    toks = toks.withColumn("__n", F.size(F.col("__t")))
     a, b = toks.alias("a"), toks.alias("b")
     cond = F.col(f"a.{idc}") < F.col(f"b.{idc}")
-    if block:
-        cond = (F.col(f"a.{block}") == F.col(f"b.{block}")) & cond
-    jac = F.size(F.array_intersect(F.col("a.__t"), F.col("b.__t"))) / F.size(
-        F.array_union(F.col("a.__t"), F.col("b.__t"))
-    )
+    for i in range(len(blocks)):
+        cond = (F.col(f"a.__b{i}") == F.col(f"b.__b{i}")) & cond
+    # |A∪B| = |A| + |B| − |A∩B|: one set operation per pair instead of two
+    common = F.size(F.array_intersect(F.col("a.__t"), F.col("b.__t")))
+    jac = common / (F.col("a.__n") + F.col("b.__n") - common)
     pairs = (
         a.join(b, cond, "inner")
         .select(
@@ -212,48 +214,44 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
 # ---------------------------------------------------------------------------
 # SimHash
 
-def simhash_col(col: Column, bits: int = 64) -> Column:
-    """SimHash over whitespace tokens: per-token xxhash64, per-bit vote
-    (+1/-1), sign of each vote -> bit. One per-row fold, no shuffle, no
-    Python. JVM-hash based (unit-tested rather than oracle-compared).
+def simhash_signatures(df: DataFrame, idc: str, textc: str, bits: int = 64) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash per document: per-token xxhash64,
+    per-bit +1/-1 vote, sign of each vote -> bit.
 
-    Bit positions are Python-side constants (shiftright needs an int), and
-    the bit->value recombination uses a constant powers array so the vote
-    fold appears exactly once in the plan."""
-    t = tokens_col(col)
-    votes = F.aggregate(
-        t,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, tok: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(tok), j).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1),
-                    ).otherwise(F.lit(-1))
-                    for j in range(bits)
-                ]
-            ),
-            lambda a, v: a + v.cast("long"),
-        ),
-    )
-    # powers[j] = 1 << j as a signed long (bit 63 is the sign bit)
-    powers = F.array(
+    Plan shape: explode tokens -> 64 vote expressions -> hash-aggregate
+    sum() per id -> bit recombination. Everything whole-stage-codegen'd
+    (a higher-order fold would be interpreted and ~10x slower); the
+    shuffle carries id + 64 longs with map-side partial sums. JVM-hash
+    based (unit-tested rather than oracle-compared)."""
+    toks = df.select(F.col(idc), F.explode(tokens_col(F.col(textc))).alias("__tok"))
+    h = F.xxhash64(F.col("__tok"))
+    votes = toks.select(
+        F.col(idc),
         *[
-            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"__v{j}")
             for j in range(bits)
-        ]
+        ],
     )
-    return F.aggregate(
-        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda a, x: a.bitwiseOR(x),
+    summed = votes.groupBy(idc).agg(
+        *[F.sum(f"__v{j}").alias(f"__s{j}") for j in range(bits)]
     )
+    # bit j contributes 1 << j (bit 63 is the sign bit of a signed long)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        power = F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+        acc = acc + F.when(F.col(f"__s{j}") > 0, power).otherwise(F.lit(0).cast("long"))
+    return summed.select(F.col(idc), acc.alias("simhash"))
 
 
 @defop("simhash")
 def op_simhash(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Adds a 64-bit "simhash" column (join back on the id column)."""
     opts = _opts(rest)
-    col = F.col(opts.get("col", "text"))
-    return rel.with_df(rel.df.withColumn(opts.get("as", "simhash"), simhash_col(col)))
+    idc = opts.get("id", "doc_id")
+    out = opts.get("as", "simhash")
+    sigs = simhash_signatures(rel.df, idc, opts.get("col", "text"))
+    if out != "simhash":
+        sigs = sigs.withColumnRenamed("simhash", out)
+    return rel.with_df(rel.df.join(sigs, idc, "inner"))

@@ -146,6 +146,22 @@ def _grab_window(grouped: GroupedRel, rest) -> GroupedRel:
     win = next((r for r in rest if isinstance(r, WindowSpec)), None)
     if win is not None:
         grouped = GroupedRel(grouped.df, grouped.key_cols, grouped.time_col, win, grouped.source_is_table)
+    # :withRetention / window grace -> event-time watermark (streaming):
+    # bounds window state and admits late rows up to the delay (SURVEY §2.5)
+    from .stores import Materialized
+
+    mat = next((r for r in rest if isinstance(r, Materialized)), None)
+    grace = (grouped.window.grace if grouped.window else None) or (
+        mat.retention if mat is not None else None
+    )
+    if grace and grouped.df.isStreaming and grouped.time_col:
+        grouped = GroupedRel(
+            grouped.df.withWatermark(grouped.time_col, grace),
+            grouped.key_cols,
+            grouped.time_col,
+            grouped.window,
+            grouped.source_is_table,
+        )
     return grouped
 
 

@@ -123,6 +123,13 @@ def _do_join(ctx: Ctx, left: Rel, right: Rel, how: str, rest) -> Rel:
             if not lt or not rt:
                 raise TypeDispatchError("windowed stream-stream join needs time columns")
             reach = window.size
+            if ldf.isStreaming and rdf.isStreaming:
+                # watermarks bound the join state on both sides (Spark's
+                # stream-stream interval join requirement); grace defaults
+                # to the join reach
+                delay = window.grace or reach
+                ldf = ldf.withWatermark(lt, delay)
+                rdf = rdf.withWatermark(rt, delay)
             band = (F.col(rt) >= F.col(lt) - F.expr(f"INTERVAL {reach}")) & (
                 F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {reach}")
             )

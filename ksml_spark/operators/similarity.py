@@ -24,6 +24,8 @@ against the DuckDB oracle (list_dot_product).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,16 +41,26 @@ def _opts(rest) -> dict:
     return o
 
 
-def dot_col(a: Column, b: Column) -> Column:
+def dot_col(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     """Sequential-order dot product (matches DuckDB list_dot_product
-    bit-for-bit on identical inputs)."""
+    bit-for-bit on identical inputs).
+
+    With a known ``dim`` the sum is unrolled into a left-associated
+    element_at chain — whole-stage-codegen'd and ~10x faster than the
+    higher-order aggregate (which Spark evaluates interpreted), with the
+    identical sequential float addition order."""
+    if dim:
+        acc = F.element_at(a, 1) * F.element_at(b, 1)
+        for i in range(2, dim + 1):
+            acc = acc + F.element_at(a, i) * F.element_at(b, i)
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm_col(a: Column) -> Column:
-    return F.sqrt(dot_col(a, a))
+def norm_col(a: Column, dim: Optional[int] = None) -> Column:
+    return F.sqrt(dot_col(a, a, dim))
 
 
 def sign_bucket_col(vec: Column, dims: int) -> Column:
@@ -60,10 +72,10 @@ def sign_bucket_col(vec: Column, dims: int) -> Column:
     )
 
 
-def _prepared(rel: Rel, idc: str, vecc: str) -> DataFrame:
+def _prepared(rel: Rel, idc: str, vecc: str, dim: Optional[int] = None) -> DataFrame:
     """Project to (id, double-vector, norm) — norms computed once per row."""
     v = F.col(vecc).cast("array<double>")
-    return rel.df.select(F.col(idc), v.alias("__v"), norm_col(v).alias("__n"))
+    return rel.df.select(F.col(idc), v.alias("__v"), norm_col(v, dim).alias("__n"))
 
 
 def _topk(pairs: DataFrame, k: int) -> DataFrame:
@@ -84,7 +96,8 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     k = int(opts.get("k", 3))
-    prepared = _prepared(rel, idc, vecc)
+    dim = opts.get("dim")
+    prepared = _prepared(rel, idc, vecc, dim)
     q = prepared.filter(F.expr(opts["queries"])).select(
         F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
     )
@@ -94,7 +107,7 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     pairs = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("__sim", dot_col(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
+        .withColumn("__sim", dot_col(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")))
     )
     return KStreamRel(_topk(pairs, k), key_cols=("q_id", "rank"))
 
@@ -108,11 +121,12 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     k = int(opts.get("k", 3))
     dims = int(opts.get("sign_dims", 8))
+    dim = opts.get("dim")
     v = F.col(vecc).cast("array<double>")
     prepared = rel.df.select(
         F.col(idc),
         v.alias("__v"),
-        norm_col(v).alias("__n"),
+        norm_col(v, dim).alias("__n"),
         sign_bucket_col(F.col(vecc), dims).alias("__bucket"),
     )
     q = prepared.filter(F.expr(opts["queries"])).select(
@@ -130,7 +144,7 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     pairs = (
         c.join(F.broadcast(q), "__bucket", "inner")
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("__sim", dot_col(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
+        .withColumn("__sim", dot_col(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")))
     )
     return KStreamRel(_topk(pairs, k), key_cols=("q_id", "rank"))
 
@@ -145,18 +159,19 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     thr = float(opts.get("threshold", 0.9))
     block = opts.get("block")
+    dim = opts.get("dim")
     v = F.col(vecc).cast("array<double>")
     prepared = rel.df.select(
         F.col(idc),
         *([F.col(block)] if block else []),
         v.alias("__v"),
-        norm_col(v).alias("__n"),
+        norm_col(v, dim).alias("__n"),
     )
     a, b = prepared.alias("a"), prepared.alias("b")
     cond = F.col(f"a.{idc}") < F.col(f"b.{idc}")
     if block:
         cond = (F.col(f"a.{block}") == F.col(f"b.{block}")) & cond
-    sim = dot_col(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
+    sim = dot_col(F.col("a.__v"), F.col("b.__v"), dim) / (F.col("a.__n") * F.col("b.__n"))
     pairs = (
         a.join(b, cond, "inner")
         .select(

@@ -74,6 +74,11 @@ def op_to(ctx: Ctx, rel: Rel, *rest) -> SinkResult:
             w = w.queryName(opts.get("name", rel.name or "ksml_sink"))
         if "checkpoint" in opts:
             w = w.option("checkpointLocation", opts["checkpoint"])
+        trig = opts.get("trigger")
+        if trig == "available_now":
+            w = w.trigger(availableNow=True)
+        elif trig:
+            w = w.trigger(processingTime=trig)
         q = w.outputMode(opts.get("output_mode", "append")).start(
             **({"path": opts["path"]} if "path" in opts else {})
         )

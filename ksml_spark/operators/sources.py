@@ -137,6 +137,16 @@ def op_table(ctx: Ctx, src, *rest) -> KTableRel:
         view = df if tomb_col is None else df.filter(~tomb_col)
         return KTableRel(view, key_cols=key_cols, time_col=time_col)
 
+    if df.isStreaming:
+        # streaming KTable: update-mode latest-per-key aggregation (the
+        # changelog view); watermark first if configured so state is pruned
+        from ..streaming.runtime import latest_by
+
+        if opts.get("retention") and time_col:
+            df = df.withWatermark(time_col, opts["retention"])
+        view = latest_by(df, key_cols, order_cols or list(key_cols), tomb_col)
+        return KTableRel(view, key_cols=key_cols, time_col=time_col)
+
     if order_cols:
         view = dedup_latest(df, key_cols, order_cols, tomb_col)
     else:

@@ -1,0 +1,124 @@
+"""Stateful processor escape hatch (SURVEY.md §2.6, M7).
+
+Reference: :processor-supplier /root/reference/src/cddr/ksml/eval.clj:310-323
+(raw per-record processor with init hook + state store access; commented
+use :process! eval_test.clj:421-425) and :transformer-supplier
+eval.clj:325-338 (1-in -> 1-out with return value; eval_test.clj:277).
+
+Spark mapping: a keyed, Arrow-batched stateful function —
+
+    ["process", s, fn, {"schema": <output DDL>,
+                        "state": <state DDL, streaming only>,
+                        "mode": "update"|"append",
+                        "timeout": "NoTimeout"|"ProcessingTimeTimeout"|...}]
+
+with ONE user-function contract for both modes (the unified-API analog of
+the reference's Processor):
+
+    fn(key: tuple, pdfs: Iterator[pandas.DataFrame], state) -> Iterator[pandas.DataFrame]
+
+* streaming: compiled to ``applyInPandasWithState`` — ``state`` is Spark's
+  GroupState (get/update/remove/timeout), backed by the state store and
+  checkpointed, exactly the reference's per-key state store semantics.
+* batch: compiled to ``applyInPandas`` with an in-memory ``BatchGroupState``
+  per key — the whole group arrives as one batch, state starts empty.
+
+Scale posture: one shuffle on the grouping key (same as any keyed agg);
+state is per-key and partition-local. This is the documented slow path —
+per SURVEY.md §7, express logic as Column expressions when possible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Optional
+
+from pyspark.sql import functions as F
+
+from ..errors import ArityError
+from ..eval import Ctx, defop
+from ..exprs import Lambda
+from ..model import KStreamRel, Rel
+
+
+class BatchGroupState:
+    """Batch stand-in for pyspark GroupState: per-key scratch state that
+    lives for the duration of one applyInPandas group."""
+
+    def __init__(self) -> None:
+        self._value: Optional[tuple] = None
+
+    @property
+    def exists(self) -> bool:
+        return self._value is not None
+
+    def get(self) -> tuple:
+        if self._value is None:
+            raise ValueError("state does not exist")
+        return self._value
+
+    def getOption(self) -> Optional[tuple]:
+        return self._value
+
+    def update(self, value) -> None:
+        self._value = tuple(value)
+
+    def remove(self) -> None:
+        self._value = None
+
+    @property
+    def hasTimedOut(self) -> bool:
+        return False
+
+    def setTimeoutDuration(self, *_args) -> None:  # no timers in batch
+        pass
+
+    def setTimeoutTimestamp(self, *_args) -> None:
+        pass
+
+
+@defop("process", "transform")
+def op_process(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """[:process!/:transform s fn {opts}] — keyed stateful processor."""
+    fn = None
+    opts: dict = {}
+    for r in rest:
+        if isinstance(r, Lambda):
+            fn = r.fn
+        elif callable(r) and not isinstance(r, dict):
+            fn = r
+        elif isinstance(r, dict):
+            opts.update(r)
+    if fn is None:
+        raise ArityError("process needs a (key, batches, state) function")
+    schema = opts.get("schema")
+    if not schema:
+        raise ArityError("process needs {'schema': <output DDL>}")
+    key_cols = list(opts.get("key") or rel.key_cols)
+    if not key_cols:
+        raise ArityError("process requires key columns")
+
+    if rel.df.isStreaming:
+        state_schema = opts.get("state")
+        if not state_schema:
+            raise ArityError("streaming process needs {'state': <DDL>}")
+        out = rel.df.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+            fn,
+            outputStructType=schema,
+            stateStructType=state_schema,
+            outputMode=opts.get("mode", "update"),
+            timeoutConf=opts.get("timeout", "NoTimeout"),
+        )
+        return KStreamRel(out, key_cols=tuple(key_cols))
+
+    def batch_fn(key, pdf):
+        import pandas as pd
+
+        chunks = list(fn(key, iter([pdf]), BatchGroupState()))
+        if not chunks:
+            import pandas as pd
+
+            return pd.DataFrame({})
+        return pd.concat(chunks, ignore_index=True)
+
+    out = rel.df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(batch_fn, schema)
+    return KStreamRel(out, key_cols=tuple(key_cols))

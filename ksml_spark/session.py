@@ -35,8 +35,12 @@ DEFAULT_CONF = {
     # pathologically slow (~60s one-time stall on the first regex/explode
     # query shape). C1-only JIT compiles instantly and is within a few
     # percent at these scales; on a real cluster, drop this override.
-    "spark.driver.extraJavaOptions": "-XX:TieredStopAtLevel=1",
-    "spark.executor.extraJavaOptions": "-XX:TieredStopAtLevel=1",
+    # The large ReservedCodeCacheSize matters with C1-only: every
+    # whole-stage-codegen class stays compiled; at the 48 MB default the
+    # cache fills after ~30 generated plans and the JIT silently disables,
+    # leaving everything interpreted (~10x slowdown).
+    "spark.driver.extraJavaOptions": "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m",
+    "spark.executor.extraJavaOptions": "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m",
 }
 
 

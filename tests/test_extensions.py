@@ -1,0 +1,256 @@
+"""Training-data extension operators (SURVEY.md §2.10): dedup, MinHash/LSH,
+SimHash, Jaccard, similarity search, text analysis, multimodal plumbing.
+Python-reference implementations are the oracle for JVM-hash-based ops
+(simhash); everything else is checked against straightforward recomputation
+on collected pandas data."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksml_spark import ksml, pipe
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_stream(tables):
+    return ["stream", tables["documents"], {"key": "doc_id"}]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+def test_dedup_deterministic_first(spark, tables):
+    out = pipe(
+        ["stream", tables["events"], {"key": "user_id", "time": "ts"}],
+        ["dedup", {"by": ["user_id", "event_type"], "order": ["ts", "event_id"]}],
+        spark=spark,
+    ).df
+    pdf = tables["events"].select("user_id", "event_type", "ts", "event_id").toPandas()
+    expected = (
+        pdf.sort_values(["ts", "event_id"]).groupby(["user_id", "event_type"]).first()
+    )
+    got = {(r["user_id"], r["event_type"]): r["event_id"] for r in out.collect()}
+    for (u, t), row in expected.iterrows():
+        assert got[(u, t)] == row["event_id"]
+
+
+def test_dedup_keep_last(spark, tables):
+    out = pipe(
+        ["stream", tables["events"], {"key": "user_id", "time": "ts"}],
+        ["dedup", {"by": ["user_id"], "order": ["ts", "event_id"], "keep": "last"}],
+        spark=spark,
+    ).df
+    latest = pipe(
+        ["table", tables["events"], {"key": "user_id", "time": "ts", "order": ["ts", "event_id"]}],
+        spark=spark,
+    ).df
+    assert {tuple(r) for r in out.select("user_id", "event_id").collect()} == {
+        tuple(r) for r in latest.select("user_id", "event_id").collect()
+    }
+
+
+# ---------------------------------------------------------------------------
+# minhash / lsh
+
+def py_minhash_bands(text: str, n_hashes=16, bands=4, k=3):
+    toks = text.split(" ")
+    shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)] or [text]
+    mh = [
+        min(hashlib.md5(f"{j}#{s}".encode()).hexdigest() for s in shingles)
+        for j in range(n_hashes)
+    ]
+    r = n_hashes // bands
+    return [
+        hashlib.md5("".join(mh[b * r : (b + 1) * r]).encode()).hexdigest()
+        for b in range(bands)
+    ]
+
+
+def test_minhash_matches_python_reference(spark, tables):
+    out = pipe(
+        docs_stream(tables),
+        ["minhash", {"col": "text"}],
+        ["select", {"doc_id": "doc_id", "band_0": "band_0", "band_1": "band_1",
+                    "band_2": "band_2", "band_3": "band_3"}],
+        spark=spark,
+    ).df
+    texts = {r["doc_id"]: r["text"] for r in tables["documents"].collect()}
+    for r in out.limit(20).collect():
+        assert [r[f"band_{b}"] for b in range(4)] == py_minhash_bands(texts[r["doc_id"]])
+
+
+def test_lsh_candidates_contains_exact_duplicates(spark, tables):
+    # token-set-identical docs must share all bands -> guaranteed candidates
+    out = pipe(docs_stream(tables), ["lsh-candidates", {}], spark=spark).df
+    pairs = {tuple(r) for r in out.collect()}
+    assert all(a < b for a, b in pairs)
+    texts = {r["doc_id"]: r["text"] for r in tables["documents"].collect()}
+    exact_dupes = [
+        (a, b)
+        for a in texts
+        for b in texts
+        if a < b and texts[a] == texts[b]
+    ]
+    for p in exact_dupes:
+        assert p in pairs
+
+
+def test_jaccard_pairs_values(spark, tables):
+    out = pipe(
+        docs_stream(tables),
+        ["jaccard-pairs", {"col": "text", "id": "doc_id", "block": ["lang"],
+                           "threshold": 0.9}],
+        spark=spark,
+    ).df
+    texts = {r["doc_id"]: (r["lang"], set(r["text"].split(" ")))
+             for r in tables["documents"].collect()}
+    for r in out.collect():
+        la, ta = texts[r["doc_a"]]
+        lb, tb = texts[r["doc_b"]]
+        assert la == lb
+        jac = len(ta & tb) / len(ta | tb)
+        assert abs(jac - r["jaccard"]) < 1e-6 and jac >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+def py_simhash(text: str, spark_hash) -> int:
+    votes = [0] * 64
+    for tok in text.split(" "):
+        h = spark_hash[tok]
+        for j in range(64):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    v = 0
+    for j in range(64):
+        if votes[j] > 0:
+            v |= 1 << j
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash_matches_python_reference(spark, tables):
+    out = pipe(
+        docs_stream(tables),
+        ["simhash", {"col": "text"}],
+        ["select", {"doc_id": "doc_id", "simhash": "simhash"}],
+        spark=spark,
+    ).df
+    sample = {r["doc_id"]: r["simhash"] for r in out.limit(10).collect()}
+    texts = {r["doc_id"]: r["text"] for r in tables["documents"].collect()}
+    toks = sorted({t for d in sample for t in texts[d].split(" ")})
+    hdf = spark.createDataFrame([(t,) for t in toks], "tok string")
+    spark_hash = {
+        r["tok"]: r["h"]
+        for r in hdf.select("tok", F.xxhash64("tok").alias("h")).collect()
+    }
+    # interpret python result as signed 64-bit
+    for d, sh in sample.items():
+        expected = py_simhash(texts[d], spark_hash)
+        assert sh == expected, f"doc {d}"
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def test_ann_topk_matches_numpy(spark, tables):
+    import numpy as np
+
+    out = pipe(
+        ["stream", tables["embeddings"], {"key": "vec_id"}],
+        ["ann-topk", {"id": "vec_id", "vec": "embedding", "k": 3, "dim": 64,
+                      "queries": "vec_id % 50 = 0"}],
+        spark=spark,
+    ).df
+    pdf = tables["embeddings"].select("vec_id", "embedding").toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["n_id"], r["sim"]))
+    assert len(got) == len([v for v in vecs if v % 50 == 0])
+    for q, rows in got.items():
+        qs = sorted(rows)
+        sims = {
+            n: float(np.dot(vecs[q], vecs[n]) / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[n])))
+            for n in vecs
+            if n != q
+        }
+        expected = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert [n for _, n, _ in qs] == [n for n, _ in expected]
+        for (_, _, s), (_, es) in zip(qs, expected):
+            assert abs(s - es) < 1e-4
+
+
+def test_ann_lsh_restricts_to_bucket(spark, tables):
+    out = pipe(
+        ["stream", tables["embeddings"], {"key": "vec_id"}],
+        ["ann-lsh-topk", {"id": "vec_id", "vec": "embedding", "k": 3, "dim": 64,
+                          "queries": "vec_id % 50 = 0", "sign_dims": 8}],
+        spark=spark,
+    ).df
+    pdf = tables["embeddings"].select("vec_id", "embedding").toPandas()
+    bucket = {
+        r.vec_id: "".join("1" if x > 0 else "0" for x in r.embedding[:8])
+        for r in pdf.itertuples()
+    }
+    for r in out.collect():
+        assert bucket[r["q_id"]] == bucket[r["n_id"]]
+        assert r["n_id"] != r["q_id"]
+
+
+def test_neardup_pairs_symmetric_threshold(spark, tables):
+    out = pipe(
+        ["stream", tables["embeddings"], {"key": "vec_id"}],
+        ["neardup-pairs", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                           "block": "label", "threshold": 0.3}],
+        spark=spark,
+    ).df
+    rows = out.collect()
+    assert all(r["id_a"] < r["id_b"] and r["sim"] >= 0.3 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# text + multimodal
+
+def test_text_ops_stack(spark, tables):
+    out = pipe(
+        docs_stream(tables),
+        ["tokenize", {"col": "text"}],
+        ["token-count", {"col": "text"}],
+        ["lang-id", {"col": "text"}],
+        ["quality-score", {"col": "text"}],
+        ["fingerprint", {"col": "text"}],
+        spark=spark,
+    ).df
+    r = out.filter("doc_id = 0").collect()[0]
+    text = tables["documents"].filter("doc_id = 0").collect()[0]["text"]
+    ws = [w for w in text.split(" ") if w]
+    assert r["n_tokens_ws"] == len(ws)
+    assert r["tokens"][:3] == [w for w in text.lower().split(" ") if w][:3]
+    assert 0.0 <= r["quality"] <= 1.0
+    assert isinstance(r["fingerprint"], int) and isinstance(r["rolling_fp"], int)
+    # rolling hash python reference
+    norm = " ".join(w for w in text.lower().split(" ") if w)
+    h, p = 0, 1
+    for ch in norm:
+        h = (h + ord(ch) * p) % 1_000_000_007
+        p = (p * 31) % 1_000_000_007
+    assert r["rolling_fp"] == h
+
+
+def test_multimodal_decode_stub(spark, tables):
+    out = pipe(
+        docs_stream(tables),
+        ["binarize", {"col": "text", "as": "payload"}],
+        ["decode-features", {"col": "payload", "id": "doc_id"}],
+        spark=spark,
+    ).df
+    r = out.filter("doc_id = 1").collect()[0]
+    text = tables["documents"].filter("doc_id = 1").collect()[0]["text"]
+    b = text.encode()
+    assert r["n_bytes"] == len(b)
+    assert r["header_hex"] == b[:4].hex()
+    assert r["fake_w"] == len(b) % 640 and r["fake_h"] == (len(b) * 7) % 480

@@ -1,0 +1,158 @@
+"""Streaming parity tests (SURVEY.md §2.5, M5-M7): the same DSL forms run
+on streaming DataFrames — windowed aggregation with watermark, streaming
+KTable (latest-per-key update mode), stream-stream interval join, and the
+stateful processor escape hatch. Batch output is the oracle: availableNow
+processes all data, so final streaming state must equal the batch answer.
+
+Reference evidence: windows anomaly_detection.clj:36, retention
+eval_test.clj:157-158, join-window eval_test.clj:40, :process!
+eval_test.clj:421-425.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ksml_spark import ksml, pipe
+from ksml_spark.streaming.runtime import file_stream_source, run_to_memory
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    """events (sf0.001) rewritten as normal-µs parquet for the file stream
+    source (the raw testdata is TIMESTAMP(NANOS))."""
+    from ksml_spark.sources.files import load_table
+
+    p = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(p)
+    return p
+
+
+def events_stream(spark, path):
+    df = file_stream_source(spark, path)
+    return ["stream", df, {"key": "user_id", "time": "ts"}]
+
+
+def test_windowed_count_streaming_matches_batch(spark, events_path, tables):
+    out = pipe(
+        events_stream(spark, events_path),
+        ["group-by", ["key-value-mapper", {"event_type": "event_type"}]],
+        ["windowed-by", ["time-window", 3600000, None, "30 minutes"]],
+        ["count"],
+        spark=spark,
+    )
+    assert out.df.isStreaming
+    got = run_to_memory(out, "win_counts", output_mode="update")
+    # final update per (window, key) = last emit; availableNow on one file
+    # is a single microbatch, so rows are already final
+    batch = (
+        tables["events"]
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            F.col("count").alias("count"),
+        )
+    )
+    g = {(r["window_start"], r["event_type"]): r["count"] for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): r["count"] for r in batch.collect()}
+    assert g == b
+
+
+def test_streaming_table_latest_matches_batch(spark, events_path, tables):
+    out = pipe(
+        ["table", ["stream", file_stream_source(spark, events_path)],
+         {"key": "user_id", "time": "ts", "order": ["ts", "event_id"]}],
+        ["select", {"user_id": "user_id", "event_id": "event_id"}],
+        spark=spark,
+    )
+    assert out.df.isStreaming
+    got = run_to_memory(out, "latest_tbl", output_mode="update")
+    batch = pipe(
+        ["table", tables["events"],
+         {"key": "user_id", "time": "ts", "order": ["ts", "event_id"]}],
+        ["select", {"user_id": "user_id", "event_id": "event_id"}],
+        spark=spark,
+    ).df
+    g = {r["user_id"]: r["event_id"] for r in got.collect()}
+    b = {r["user_id"]: r["event_id"] for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_stream_interval_join(spark, events_path, tables):
+    def sides(src_form):
+        clicks = ksml(["where", src_form, "event_type = 'click'"], spark=spark)
+        errors = ksml(["where", src_form, "event_type = 'error'"], spark=spark)
+        return clicks, errors
+
+    sc, se = sides(events_stream(spark, events_path))
+    out = pipe(
+        ["join", sc, se, ["join-window", 3600000]],
+        ["select", {"user_id": "user_id", "click_id": "event_id", "error_id": "r_event_id"}],
+        spark=spark,
+    )
+    assert out.df.isStreaming
+    got = run_to_memory(out, "sj", output_mode="append")
+
+    bc, be = sides(["stream", tables["events"], {"key": "user_id", "time": "ts"}])
+    batch = pipe(
+        ["join", bc, be, ["join-window", 3600000]],
+        ["select", {"user_id": "user_id", "click_id": "event_id", "error_id": "r_event_id"}],
+        spark=spark,
+    ).df
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(b) > 0
+
+
+def test_process_batch_and_streaming_agree(spark, events_path, tables):
+    # defined inline so cloudpickle ships it by value (module-level test
+    # functions are pickled by reference, which Python workers can't import)
+    def running_total(key, batches, state):
+        """Unified stateful fn: running sum of `value` per key (the
+        reference's Processor with a per-key KV store, eval.clj:310-323)."""
+        import pandas as pd
+
+        total = state.get()[0] if state.exists else 0.0
+        n = 0
+        for pdf in batches:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "total": [round(total, 2)], "n": [n]})
+
+    form = lambda src: [  # noqa: E731
+        "process", src, running_total,
+        {"schema": "user_id long, total double, n long", "state": "total double"},
+    ]
+    batch = ksml(
+        form(["stream", tables["events"], {"key": "user_id", "time": "ts"}]),
+        spark=spark,
+    ).df
+    stream = ksml(form(events_stream(spark, events_path)), spark=spark)
+    assert stream.df.isStreaming
+    got = run_to_memory(stream, "proc", output_mode="update")
+    g = {r["user_id"]: r["total"] for r in got.collect()}
+    b = {r["user_id"]: r["total"] for r in batch.collect()}
+    assert g == b and len(b) > 0
+
+
+def test_to_memory_sink_and_watermark_op(spark, events_path):
+    out = pipe(
+        events_stream(spark, events_path),
+        ["with-watermark", "1 hour"],
+        ["group-by", ["key-value-mapper", {"event_type": "event_type"}]],
+        ["count"],
+        spark=spark,
+    )
+    sink = ksml(
+        ["to", out, {"format": "memory", "name": "wm_counts",
+                     "output_mode": "update", "trigger": "available_now"}],
+        spark=spark,
+    )
+    sink.query.awaitTermination(60)
+    sink.query.stop()
+    assert spark.table("wm_counts").count() > 0
