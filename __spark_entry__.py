@@ -35,13 +35,19 @@ def _t(sf_dir: str, name: str) -> list:
 # shared oracle fragments
 
 def _minhash_cte(with_long: bool = False) -> str:
-    """DuckDB CTEs replicating ksml_spark.operators.dedup.band_cols."""
+    """DuckDB CTEs replicating ksml_spark.operators.dedup.band_signatures."""
+    from ksml_spark.operators.dedup import minhash_slice
+
     mh = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{j}#' || x))) AS mh_{j}"
+        "list_min(list_transform(s, x -> ('0x' || substr(md5('{m}#' || x), {p}, 8))::BIGINT)) AS mh_{j}".format(
+            m=minhash_slice(j)[0], p=minhash_slice(j)[1], j=j
+        )
         for j in range(N_HASHES)
     )
     bands = ", ".join(
-        "md5(" + "||".join(f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band_{b}"
+        "md5("
+        + "||".join(f"mh_{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND))
+        + f") AS band_{b}"
         for b in range(N_BANDS)
     )
     sql = f"""

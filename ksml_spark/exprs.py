@@ -130,6 +130,16 @@ class Partitioner(Lambda):
     """(topic, k, v, n) -> partition. Reference: eval.clj:285-288."""
 
 
+class ProcessorSupplier(Lambda):
+    """Stateful per-key processor fn (key, batches, state) -> batches.
+    Reference: eval.clj:310-323 (init hook + state store context)."""
+
+
+class TransformerSupplier(Lambda):
+    """1-in -> n-out stateful transform, same contract as
+    ProcessorSupplier. Reference: eval.clj:325-338."""
+
+
 class Serializer(Lambda):
     """value -> bytes. Reference: eval.clj:290-297."""
 
@@ -205,6 +215,8 @@ LAMBDA_CLASSES: dict[str, type] = {
     "reducer": Reducer,
     "merger": Merger,
     "partitioner": Partitioner,
+    "processor-supplier": ProcessorSupplier,
+    "transformer-supplier": TransformerSupplier,
     "serializer": Serializer,
     "deserializer": Deserializer,
 }

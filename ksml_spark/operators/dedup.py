@@ -39,6 +39,15 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 SHINGLE_K = 3
+# each md5 yields four independent 32-bit (8-hex-char) hash values, so 16
+# MinHash functions cost 4 md5 calls per shingle, not 16
+PIECES_PER_MD5 = 4
+N_MD5 = N_HASHES // PIECES_PER_MD5
+
+
+def minhash_slice(j: int) -> tuple[int, int]:
+    """Hash j -> (salt index, 1-based hex start) into md5(f'{salt}#'+s)."""
+    return j // PIECES_PER_MD5, (j % PIECES_PER_MD5) * 8 + 1
 
 
 def _opts(rest) -> dict:
@@ -101,28 +110,48 @@ def shingles_col(col: Column, k: int = SHINGLE_K) -> Column:
 def band_signatures(df: DataFrame, idc: str, textc: str) -> DataFrame:
     """(id, band_0..band_{B-1}) MinHash band buckets.
 
-    Plan shape chosen for codegen: explode shingles -> 16 md5 hash columns
-    (whole-stage codegen; Spark's higher-order transform/aggregate exprs
-    are interpreted and ~10x slower here) -> hash-aggregate min() per id
-    with map-side partial aggregation. Shuffle volume is rows x 16 hex
-    strings — independent of shingle count. mh_j = min md5('j#'+shingle)
+    Plan shape chosen for codegen: explode shingles -> 4 salted md5 columns
+    sliced into 16 32-bit hex pieces (whole-stage codegen; Spark's
+    higher-order transform/aggregate exprs are interpreted and ~10x slower
+    here) -> hash-aggregate min() per id with map-side partial aggregation.
+    Shuffle volume is rows x 16 short hex strings — independent of shingle
+    count. mh_j = min over shingles of substr(md5('m#'+shingle), p*8+1, 8)
     is the engine-portable hash family shared with the DuckDB oracle."""
     sh = df.select(F.col(idc), F.explode(shingles_col(F.col(textc))).alias("__s"))
     hashed = sh.select(
         F.col(idc),
         *[
-            F.md5(F.concat(F.lit(f"{j}#"), F.col("__s"))).alias(f"__h{j}")
+            F.md5(F.concat(F.lit(f"{m}#"), F.col("__s"))).alias(f"__m{m}")
+            for m in range(N_MD5)
+        ],
+    )
+    # hash values as BIGINTs: min(long) hash-aggregates in codegen (min over
+    # strings would fall back to SortAggregate — string agg buffers are not
+    # hash-mutable) and the shuffle rows shrink to 16 longs
+    pieces = hashed.select(
+        F.col(idc),
+        *[
+            F.conv(
+                F.substring(F.col(f"__m{minhash_slice(j)[0]}"), minhash_slice(j)[1], 8), 16, 10
+            )
+            .cast("long")
+            .alias(f"__p{j}")
             for j in range(N_HASHES)
         ],
     )
-    mins = hashed.groupBy(idc).agg(
-        *[F.min(f"__h{j}").alias(f"__mh{j}") for j in range(N_HASHES)]
+    mins = pieces.groupBy(idc).agg(
+        *[F.min(f"__p{j}").alias(f"__mh{j}") for j in range(N_HASHES)]
     )
     return mins.select(
         F.col(idc),
         *[
             F.md5(
-                F.concat(*[F.col(f"__mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+                F.concat(
+                    *[
+                        F.col(f"__mh{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ]
+                )
             ).alias(f"band_{b}")
             for b in range(N_BANDS)
         ],
@@ -149,6 +178,11 @@ def op_lsh_candidates(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     sigs = band_signatures(rel.df, idc, opts.get("col", "text"))
+    if not sigs.isStreaming:
+        # the self-join reads the signature relation twice; cache it so the
+        # shingle/md5 work runs once (at cluster scale: persist to disk or
+        # materialize to a table instead)
+        sigs = sigs.persist()
     long = sigs.select(
         F.col(idc),
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias(

@@ -148,7 +148,11 @@ def op_table(ctx: Ctx, src, *rest) -> KTableRel:
         return KTableRel(view, key_cols=key_cols, time_col=time_col)
 
     if order_cols:
-        view = dedup_latest(df, key_cols, order_cols, tomb_col)
+        # max_by over the order tuple: one hash agg with map-side partials
+        # (no per-partition sort), identical result to window/row_number
+        from ..streaming.runtime import latest_by
+
+        view = latest_by(df, key_cols, order_cols, tomb_col)
     else:
         # no ordering info: arbitrary representative per key
         view = df.dropDuplicates(list(key_cols))

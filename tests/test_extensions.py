@@ -59,13 +59,17 @@ def test_dedup_keep_last(spark, tables):
 def py_minhash_bands(text: str, n_hashes=16, bands=4, k=3):
     toks = text.split(" ")
     shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)] or [text]
+    digests = [
+        [hashlib.md5(f"{m}#{s}".encode()).hexdigest() for s in shingles]
+        for m in range(n_hashes // 4)
+    ]
     mh = [
-        min(hashlib.md5(f"{j}#{s}".encode()).hexdigest() for s in shingles)
+        min(int(d[(j % 4) * 8 : (j % 4) * 8 + 8], 16) for d in digests[j // 4])
         for j in range(n_hashes)
     ]
     r = n_hashes // bands
     return [
-        hashlib.md5("".join(mh[b * r : (b + 1) * r]).encode()).hexdigest()
+        hashlib.md5("".join(str(x) for x in mh[b * r : (b + 1) * r]).encode()).hexdigest()
         for b in range(bands)
     ]
 

@@ -1,0 +1,118 @@
+"""Physical-plan shape tests — the 100 TB posture, asserted (SURVEY.md §4).
+
+Correctness tests prove the operators compute the right answer; these
+prove Catalyst is allowed to execute them the way a 1000-executor cluster
+needs: filters reach the parquet scan, projections prune the read schema,
+dimension joins broadcast, aggregations have map-side partials, the KTable
+view needs no sort, and time-band joins never degenerate into cross
+products."""
+
+from __future__ import annotations
+
+import pytest
+
+from ksml_spark import ksml, pipe
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def li(sf=SF):
+    return ["stream", ["parquet", f"{sf}/lineitem.parquet"],
+            {"key": ["l_orderkey", "l_linenumber"]}]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    out = pipe(li(), ["where", "l_quantity >= 49"],
+               ["select", {"l_orderkey": "l_orderkey"}], spark=spark)
+    p = plan(out.df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,49" in p
+
+
+def test_column_pruning_in_read_schema(spark):
+    out = pipe(li(), ["select", {"l_orderkey": "l_orderkey", "l_quantity": "l_quantity"}],
+               spark=spark)
+    p = plan(out.df)
+    # the scan must read exactly the 2 projected columns, not all 11
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_global_table_join_broadcasts(spark):
+    out = ksml(
+        ["join-global",
+         ["stream", ["parquet", f"{SF}/orders.parquet"], {"key": "o_custkey"}],
+         ["global-table", ["parquet", f"{SF}/nation.parquet"],
+          {"key": "n_nationkey", "unique": True}],
+         ["key-value-mapper", "o_custkey % 25"]],
+        spark=spark,
+    )
+    p = plan(out.df)
+    assert "BroadcastHashJoin" in p
+    # the big (orders) side must not shuffle for this join
+    assert "Exchange hashpartitioning(o_custkey" not in p
+
+
+def test_aggregation_has_map_side_partials(spark):
+    out = pipe(li(), ["group-by", ["key-value-mapper", {"l_returnflag": "l_returnflag"}]],
+               ["agg", {"n": "count(1)"}], spark=spark)
+    p = plan(out.df, "simple")
+    # partial + final hash aggregate around one exchange
+    assert p.count("HashAggregate") >= 2
+    assert "partial_count" in p
+
+
+def test_ktable_latest_needs_no_sort(spark):
+    out = ksml(
+        ["table", ["parquet", f"{SF}/events.parquet"],
+         {"key": "user_id", "time": "ts", "order": ["ts", "event_id"]}],
+        spark=spark,
+    )
+    p = plan(out.df, "simple")
+    # max_by aggregates with MAP-SIDE PARTIALS: the shuffle carries one row
+    # per (key, partition), never the raw table — the property that matters
+    # at 100 TB. (A window/row_number plan would shuffle every raw row.)
+    assert "partial_max_by" in p
+    assert "Window" not in p
+
+
+def test_interval_join_is_not_cross_product(spark):
+    ev = ["stream", ["parquet", f"{SF}/events.parquet"], {"key": "user_id", "time": "ts"}]
+    clicks = ksml(["where", ev, "event_type = 'click'"], spark=spark)
+    errors = ksml(["where", ev, "event_type = 'error'"], spark=spark)
+    out = ksml(["join", clicks, errors, ["join-window", 3600000]], spark=spark)
+    p = plan(out.df, "simple")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_repartitioned_hashes_on_key(spark):
+    out = pipe(li(), ["repartitioned", 8], spark=spark)
+    p = plan(out.df, "simple")
+    assert "hashpartitioning(l_orderkey" in p
+
+
+def test_ann_topk_broadcasts_queries_not_candidates(spark):
+    out = pipe(
+        ["stream", ["parquet", f"{SF}/embeddings.parquet"], {"key": "vec_id"}],
+        ["ann-topk", {"id": "vec_id", "vec": "embedding", "k": 3, "dim": 64,
+                      "queries": "vec_id % 50 = 0"}],
+        spark=spark,
+    )
+    p = plan(out.df, "simple")
+    assert "BroadcastExchange" in p
+
+
+def test_lsh_candidates_reuses_signature_exchange(spark):
+    out = pipe(
+        ["stream", ["parquet", f"{SF}/documents.parquet"], {"key": "doc_id"}],
+        ["lsh-candidates", {"col": "text", "id": "doc_id"}],
+        spark=spark,
+    )
+    p = plan(out.df, "simple")
+    # the self-join's two signature subtrees must share one cached
+    # computation, not recompute the shingle/md5 pipeline per side
+    assert p.count("InMemoryTableScan") >= 2
+    out.df.sparkSession.catalog.clearCache()
