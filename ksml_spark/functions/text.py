@@ -135,6 +135,68 @@ def rolling_hash(col: Column, base: int = 31, mod: int = 1_000_000_007) -> Colum
 
 
 # ---------------------------------------------------------------------------
+# codegen-friendly word-signal aggregation
+#
+# The Column factories above fold over word arrays with higher-order
+# functions, which Spark evaluates interpreted (no codegen). For per-table
+# analysis the ops below instead explode words once and hash-aggregate the
+# signals (word count, total word length, per-language stopword hits) —
+# whole-stage codegen end to end, one narrow shuffle of tiny rows.
+
+def word_signals(df, idc: str, textc: str):
+    """(id, __nw, __swl, __hits_<lang>...) aggregated word signals."""
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    ex = (
+        df.select(F.col(idc), F.explode(F.split(F.lower(F.col(textc)), r"[^a-z0-9]+")).alias("__w"))
+        .filter(F.col("__w") != "")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("__nw"),
+        F.sum(F.length("__w")).alias("__swl"),
+    ]
+    for lang, words_ in STOPWORDS.items():
+        aggs.append(F.count_if(F.col("__w").isin(words_)).alias(f"__hits_{lang}"))
+    return ex.groupBy(idc).agg(*aggs)
+
+
+def _signal_ratio(lang: str) -> Column:
+    return F.when(
+        F.coalesce(F.col("__nw"), F.lit(0)) > 0,
+        F.col(f"__hits_{lang}").cast("double") / F.col("__nw"),
+    ).otherwise(F.lit(0.0))
+
+
+def _signal_lang() -> Column:
+    best_lang, best_score = F.lit("und"), F.lit(0.0)
+    for lang in STOPWORDS:
+        score = _signal_ratio(lang)
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def _signal_quality(textc: str) -> Column:
+    col = F.col(textc)
+    n_chars = F.length(col)
+    length_score = F.least(F.lit(1.0), n_chars / F.lit(1000.0))
+    mean_wlen = F.when(
+        F.coalesce(F.col("__nw"), F.lit(0)) > 0,
+        F.col("__swl").cast("double") / F.col("__nw"),
+    ).otherwise(F.lit(0.0))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    punct_score = F.lit(1.0) - F.least(F.lit(1.0), punct / (n_chars / F.lit(10.0) + F.lit(1.0)))
+    sw_best = None
+    for lang in STOPWORDS:
+        r = _signal_ratio(lang)
+        sw_best = r if sw_best is None else F.greatest(sw_best, r)
+    sw_score = F.least(F.lit(1.0), F.lit(4.0) * sw_best)
+    return (length_score + wlen_score + punct_score + sw_score) / F.lit(4.0)
+
+
+# ---------------------------------------------------------------------------
 # DSL ops
 
 def _col_opts(rest, default_col="text"):
@@ -160,16 +222,24 @@ def op_token_count(ctx: Ctx, rel: Rel, *rest) -> Rel:
     return rel.with_df(df)
 
 
+def _with_signals(rel: Rel, col: str, opts: dict, out_name: str, out_col: Column) -> Rel:
+    idc = opts.get("id") or (rel.key_cols[0] if rel.key_cols else "doc_id")
+    sigs = word_signals(rel.df, idc, col)
+    joined = rel.df.join(sigs, idc, "left").withColumn(out_name, out_col)
+    drop = [c for c in joined.columns if c.startswith("__")]
+    return rel.with_df(joined.drop(*drop))
+
+
 @defop("lang-id")
 def op_lang_id(ctx: Ctx, rel: Rel, *rest) -> Rel:
     col, opts = _col_opts(rest)
-    return rel.with_df(rel.df.withColumn(opts.get("as", "lang_pred"), lang_id(F.col(col))))
+    return _with_signals(rel, col, opts, opts.get("as", "lang_pred"), _signal_lang())
 
 
 @defop("quality-score")
 def op_quality_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
     col, opts = _col_opts(rest)
-    return rel.with_df(rel.df.withColumn(opts.get("as", "quality"), quality_score(F.col(col))))
+    return _with_signals(rel, col, opts, opts.get("as", "quality"), _signal_quality(col))
 
 
 @defop("fingerprint")

@@ -76,7 +76,7 @@ class BatchGroupState:
         pass
 
 
-@defop("process", "transform")
+@defop("process", "transform", "processor", "transformer")
 def op_process(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """[:process!/:transform s fn {opts}] — keyed stateful processor."""
     fn = None

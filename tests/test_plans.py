@@ -12,13 +12,13 @@ from __future__ import annotations
 import pytest
 
 from ksml_spark import ksml, pipe
+from ksml_spark.plans import explain_str
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan(df, mode: str = "formatted") -> str:
-    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    return df._jdf.queryExecution().explainString(jmode)
+    return explain_str(df, mode)
 
 
 def li(sf=SF):
