@@ -620,6 +620,42 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
 
 
+def _q_q3(spark, sf):
+    """TPC-H Q3-style: 3-way join + filter + agg + top-N, fully composed
+    in the DSL (customer segment revenue by order)."""
+    cust = ksml(["where",
+                 ["table", _t(sf, "customer"), {"key": "c_custkey", "unique": True}],
+                 "c_mktsegment = 'BUILDING'"], spark=spark)
+    orders = ksml(["where",
+                   ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
+                   "o_orderdate < timestamp'1998-03-15 00:00:00'"], spark=spark)
+    lineitem = ksml(["where",
+                     ["stream", _t(sf, "lineitem"), {"key": "l_orderkey"}],
+                     "l_shipdate > timestamp'1998-03-15 00:00:00'"], spark=spark)
+    co = ksml(["join", orders, cust], spark=spark)
+    co = ksml(["select-key", co, ["key-value-mapper", {"o_orderkey": "o_orderkey"}]], spark=spark)
+    return pipe(
+        ["join", lineitem, co],
+        ["group-by", ["key-value-mapper", {"l_orderkey": "l_orderkey"}]],
+        ["agg", {"revenue": "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double)"}],
+        ["order-by", "-revenue", "l_orderkey"],
+        ["limit", 10],
+        spark=spark,
+    ).df
+
+
+_Q3_ORACLE = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+
 def _q_json_props(spark, sf):
     return pipe(
         ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
@@ -761,7 +797,8 @@ def _q_jaccard_pairs(spark, sf):
 
 _JACCARD_PAIRS_ORACLE = """
 WITH d AS (SELECT doc_id, lang, n_chars // 100 AS nb,
-           list_distinct(string_split(text, ' ')) AS t FROM documents),
+           list_distinct(list_transform(string_split(text, ' '),
+             x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS t FROM documents),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.t, b.t)) AS c, len(a.t) + len(b.t) AS n
@@ -877,6 +914,7 @@ FROM documents"""
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     # reference surface (SURVEY.md §2.1-2.5)
     "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
+    "q3_segment_revenue": (_q_q3, _Q3_ORACLE),
     "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
     "filter_highqty": (_q_filter, _FILTER_ORACLE),
     "filter_not_returns": (_q_filter_not, _FILTER_NOT_ORACLE),

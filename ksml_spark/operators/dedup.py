@@ -213,17 +213,28 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
 
     The block key bounds the quadratic comparison (equi-join shuffle on the
     block key); never run unblocked at scale — use lsh-candidates to
-    generate blocks instead."""
+    generate blocks instead. (array_intersect is a CodegenFallback
+    expression — ~20us/pair interpreted — which is another reason the
+    exact-Jaccard path is the verifier, not the discovery mechanism.)"""
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     block = opts.get("block")
     thr = float(opts.get("threshold", 0.5))
     col = opts.get("col", "text")
     blocks = [block] if isinstance(block, str) else list(block or [])
+    # tokens are hashed to 32-bit ints (engine-portable md5 slice) BEFORE
+    # the pairwise set intersection: per-pair hashset work on longs is far
+    # cheaper than on strings, and the hash runs once per doc, not per pair
+    tok_ids = F.array_distinct(
+        F.transform(
+            tokens_col(F.col(col)),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
+        )
+    )
     toks = rel.df.select(
         F.col(idc),
         *[F.expr(b).alias(f"__b{i}") for i, b in enumerate(blocks)],
-        F.array_distinct(tokens_col(F.col(col))).alias("__t"),
+        tok_ids.alias("__t"),
     )
     toks = toks.withColumn("__n", F.size(F.col("__t")))
     a, b = toks.alias("a"), toks.alias("b")
