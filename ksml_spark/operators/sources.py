@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..exprs import Serde
-from ..model import GlobalKTableRel, KStreamRel, KTableRel, Rel, dedup_latest
+from ..model import GlobalKTableRel, KStreamRel, KTableRel, Rel
 from .consumed import Consumed, apply_consumed
 
 
