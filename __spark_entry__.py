@@ -557,6 +557,75 @@ WHERE a.event_type = 'click' AND b.event_type = 'error'
   AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts + INTERVAL 1 HOUR"""
 
 
+def _q_asof_join(spark, sf):
+    clicks = ksml(["where", ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+                   "event_type = 'click'"], spark=spark)
+    errors = ksml(["where", ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+                   "event_type = 'error'"], spark=spark)
+    return pipe(
+        ["asof-join", clicks, errors, {"order": ["event_id"]}],
+        ["select", {"user_id": "user_id", "click_id": "event_id",
+                    "prior_error_id": "r_event_id"}],
+        spark=spark,
+    ).df
+
+
+_ASOF_JOIN_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts, 1 AS side, event_id, NULL::BIGINT AS r_event_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, event_id FROM events WHERE event_type = 'error'
+), w AS (
+  SELECT user_id, side, event_id,
+    last_value(r_event_id IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, side ASC, r_event_id ASC NULLS FIRST
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_error_id
+  FROM u
+)
+SELECT user_id, event_id AS click_id, prior_error_id FROM w WHERE side = 1"""
+
+
+def _q_rollup(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
+        ["rollup", ["l_returnflag", "l_linestatus"],
+         {"n": "count(1)",
+          "revenue": "cast(sum(cast(l_extendedprice as decimal(18,2))) as double)"}],
+        spark=spark,
+    ).df
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
+def _q_exact_distinct_users(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "event_type"}],
+        ["group-by-key"],
+        ["agg", {"n_users": "count(distinct user_id)"}],
+        spark=spark,
+    ).df
+
+
+_EXACT_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"""
+
+
+def _q_approx_distinct_users(spark, sf):
+    # HLL++ sketch — approximate by design, no SQL oracle (rows-only check);
+    # the exact twin above is the hash-verified baseline
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "event_type"}],
+        ["approx-distinct", "user_id", {"by": ["event_type"], "rsd": 0.02,
+                                        "as": "n_users_approx"}],
+        spark=spark,
+    ).df
+
+
 def _q_dedup_first(spark, sf):
     return pipe(
         ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
@@ -939,7 +1008,11 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
     "anti_join_customers": (_q_anti_join, _ANTI_JOIN_ORACLE),
     "interval_join_click_error": (_q_interval_join, _INTERVAL_JOIN_ORACLE),
+    "asof_join_click_error": (_q_asof_join, _ASOF_JOIN_ORACLE),
     # relational extensions + serde
+    "rollup_revenue": (_q_rollup, _ROLLUP_ORACLE),
+    "exact_distinct_users": (_q_exact_distinct_users, _EXACT_DISTINCT_ORACLE),
+    "approx_distinct_users": (_q_approx_distinct_users, None),
     "dedup_first_event": (_q_dedup_first, _DEDUP_FIRST_ORACLE),
     "distinct_flags": (_q_distinct, _DISTINCT_ORACLE),
     "topn_orders": (_q_topn, _TOPN_ORACLE),

@@ -72,6 +72,10 @@ def op_dedup(ctx: Ctx, rel: Rel, *rest) -> Rel:
         by = [by]
     order = opts.get("order")
     if not order:
+        if rel.df.isStreaming and opts.get("within_watermark"):
+            # streaming: bound dedup state by the event-time watermark
+            # (dropDuplicatesWithinWatermark; set with-watermark upstream)
+            return rel.with_df(rel.df.dropDuplicatesWithinWatermark(list(by)))
         return rel.with_df(rel.df.dropDuplicates(list(by)))
     if isinstance(order, str):
         order = [order]

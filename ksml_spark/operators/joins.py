@@ -172,6 +172,80 @@ def op_anti_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
     return _do_join(ctx, left, right, "left_anti", rest)
 
 
+@defop("asof-join")
+def op_asof_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
+    """["asof-join", l, r, {"order": right-tiebreak-cols}] — for each left
+    record, the most recent right record with r.time <= l.time on the same
+    key (left-join semantics: right columns null when no prior record).
+
+    Not in the reference (its nearest analog is the stream⋈KTable lookup,
+    SURVEY.md §2.3 note); this is the temporal-join extension a telemetry /
+    training-data pipeline needs.
+
+    Spark-first plan: tag both sides, union, then per-key ordered window
+    with last(ignorenulls) over (time, side, tiebreak) — ONE shuffle +
+    sort on the key, linear in rows. The naive formulation (band join +
+    max_by per left row) explodes on key cardinality; this never does.
+    Right rows sort before left rows at equal timestamps, so the match is
+    inclusive (r.time <= l.time)."""
+    from pyspark.sql import Window
+
+    opts: dict = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    lk, rk = left.key_cols, right.key_cols
+    lt, rt = left.time_col, right.time_col
+    if not (lk and rk and lt and rt):
+        raise TypeDispatchError("asof-join needs keys and time columns on both sides")
+
+    lcols = left.df.columns
+    rvals = [c for c in right.df.columns if c not in rk and c != rt]
+    rmap = {c: (f"r_{c}" if c in lcols else c) for c in rvals}
+    rdf = right.df
+    for a, b in zip(rk, lk):
+        if a != b:
+            rdf = rdf.withColumnRenamed(a, b)
+    if rt != lt:
+        rdf = rdf.withColumnRenamed(rt, lt)
+    for c, n in rmap.items():
+        if c != n:
+            rdf = rdf.withColumnRenamed(c, n)
+    out_rvals = list(rmap.values())
+    lvals = [c for c in lcols if c not in lk and c != lt]
+
+    rschema = {f.name: f.dataType for f in rdf.schema.fields}
+    lschema = {f.name: f.dataType for f in left.df.schema.fields}
+    l_tagged = left.df.select(
+        *lk, F.col(lt), F.lit(1).alias("__side"), *lvals,
+        *[F.lit(None).cast(rschema[n]).alias(n) for n in out_rvals],
+    )
+    r_tagged = rdf.select(
+        *lk, F.col(lt), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(lschema[c]).alias(c) for c in lvals],
+        *out_rvals,
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    tiebreaks = opts.get("order") or []
+    if isinstance(tiebreaks, str):
+        tiebreaks = [tiebreaks]
+    order = [F.col(lt).asc(), F.col("__side").asc()] + [
+        F.col(rmap.get(c, c)).asc_nulls_first() for c in tiebreaks
+    ]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in lk])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *lk, F.col(lt), F.col("__side"), *lvals,
+        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_rvals],
+    )
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    return KStreamRel(out, key_cols=lk, time_col=lt)
+
+
 @defop("join-global")
 def op_join_global(ctx: Ctx, left: Rel, gtable: Rel, *rest) -> Rel:
     """[:join-global s gt [:key-value-mapper kx] [:value-joiner vj]]

@@ -109,6 +109,41 @@ def op_distinct(ctx: Ctx, rel: Rel, cols=None) -> Rel:
     return rel.with_df(df)
 
 
+@defop("rollup")
+def op_rollup(ctx: Ctx, rel: Rel, cols, aggs: dict) -> KTableRel:
+    """Hierarchical subtotals (DSL extension; the reference has no grouping
+    sets, SURVEY.md §2.4 note — Spark gives them built-in). Same hash-agg
+    + partial-aggregation shape as a plain group-by, one pass."""
+    rel = _as_rel(rel)
+    exprs = [to_col(v).alias(k) for k, v in aggs.items()]
+    return KTableRel(rel.df.rollup(*cols).agg(*exprs), key_cols=tuple(cols))
+
+
+@defop("cube")
+def op_cube(ctx: Ctx, rel: Rel, cols, aggs: dict) -> KTableRel:
+    """All grouping-set combinations (DSL extension, see rollup)."""
+    rel = _as_rel(rel)
+    exprs = [to_col(v).alias(k) for k, v in aggs.items()]
+    return KTableRel(rel.df.cube(*cols).agg(*exprs), key_cols=tuple(cols))
+
+
+@defop("approx-distinct")
+def op_approx_distinct(ctx: Ctx, rel: Rel, col: str, *rest) -> KTableRel:
+    """HyperLogLog++ distinct-count sketch per group (DSL extension):
+    ["approx-distinct", rel_or_grouped, col, {"by": cols, "rsd": 0.05}].
+    Constant memory per group at any cardinality — the sketch path for
+    100 TB distinct counts (exact distinct shuffles every value)."""
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    rsd = float(opts.get("rsd", 0.05))
+    by = opts.get("by") or list(rel.key_cols)
+    expr = F.approx_count_distinct(F.col(col), rsd).alias(opts.get("as", "approx_distinct"))
+    df = rel.df.groupBy(*by).agg(expr) if by else rel.df.agg(expr)
+    return KTableRel(df, key_cols=tuple(by or ()))
+
+
 @defop("sql")
 def op_sql(ctx: Ctx, query: str, **_) -> KStreamRel:
     """Full Spark SQL escape hatch over registered temp views."""

@@ -171,3 +171,40 @@ def test_windowed_by_form(spark, tables):
         spark=spark,
     )
     assert "window_start" in out.df.columns
+
+
+def test_rollup_includes_subtotals(spark, tables):
+    from ksml_spark import pipe
+
+    out = pipe(
+        ["stream", tables["lineitem"], {"key": ["l_orderkey", "l_linenumber"]}],
+        ["rollup", ["l_returnflag", "l_linestatus"], {"n": "count(1)"}],
+        spark=spark,
+    ).df
+    rows = {(r["l_returnflag"], r["l_linestatus"]): r["n"] for r in out.collect()}
+    total = tables["lineitem"].count()
+    assert rows[(None, None)] == total
+    # per-flag subtotal equals the sum of its (flag, status) cells
+    flags = {k[0] for k in rows if k[0] is not None and k[1] is not None}
+    for f in flags:
+        assert rows[(f, None)] == sum(v for (a, b), v in rows.items()
+                                      if a == f and b is not None)
+
+
+def test_approx_distinct_near_exact(spark, tables):
+    from ksml_spark import pipe
+
+    approx = pipe(
+        ["stream", tables["events"], {"key": "event_type"}],
+        ["approx-distinct", "user_id", {"by": ["event_type"], "rsd": 0.02}],
+        spark=spark,
+    ).df
+    exact = (tables["events"].groupBy("event_type")
+             .agg({"user_id": "count"}))  # upper bound sanity only
+    got = {r["event_type"]: r["approx_distinct"] for r in approx.collect()}
+    from pyspark.sql import functions as F
+    ex = {r["event_type"]: r["n"] for r in
+          tables["events"].groupBy("event_type")
+          .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for k, v in ex.items():
+        assert abs(got[k] - v) <= max(2, 0.1 * v)

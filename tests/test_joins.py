@@ -100,3 +100,28 @@ def test_semi_and_anti_join_extensions(spark, left_right):
     anti = ksml(["anti-join", lt, rt], spark=spark)
     assert {r["key"] for r in semi.df.collect()} == {"k1", "k2"}
     assert {r["key"] for r in anti.df.collect()} == {"k3", "k4"}
+
+
+def test_asof_join_matches_naive(spark, tables):
+    """As-of join vs a per-row naive computation on collected data."""
+    from ksml_spark import ksml, pipe
+
+    clicks = ksml(["where", ["stream", tables["events"], {"key": "user_id", "time": "ts"}],
+                   "event_type = 'click'"], spark=spark)
+    errors = ksml(["where", ["stream", tables["events"], {"key": "user_id", "time": "ts"}],
+                   "event_type = 'error'"], spark=spark)
+    out = ksml(["asof-join", clicks, errors, {"order": ["event_id"]}], spark=spark)
+    got = {r["event_id"]: r["r_event_id"]
+           for r in out.df.select("event_id", "r_event_id").collect()}
+
+    pdf = tables["events"].select("user_id", "ts", "event_type", "event_id").toPandas()
+    clicks_p = pdf[pdf.event_type == "click"]
+    errors_p = pdf[pdf.event_type == "error"]
+    assert len(got) == len(clicks_p)
+    for row in clicks_p.itertuples():
+        prior = errors_p[(errors_p.user_id == row.user_id) & (errors_p.ts <= row.ts)]
+        expected = None
+        if len(prior):
+            m = prior[prior.ts == prior.ts.max()]
+            expected = int(m.event_id.max())  # tiebreak: greatest id at equal ts
+        assert got[row.event_id] == expected, f"click {row.event_id}"

@@ -156,3 +156,18 @@ def test_to_memory_sink_and_watermark_op(spark, events_path):
     sink.query.awaitTermination(60)
     sink.query.stop()
     assert spark.table("wm_counts").count() > 0
+
+
+def test_streaming_dedup_within_watermark(spark, events_path):
+    out = pipe(
+        events_stream(spark, events_path),
+        ["with-watermark", "1 hour"],
+        ["dedup", {"by": ["user_id", "event_type"], "within_watermark": True}],
+        spark=spark,
+    )
+    assert out.df.isStreaming
+    got = run_to_memory(out, "dedup_wm", output_mode="append")
+    # one representative per (user, type) within the watermark horizon;
+    # a single availableNow batch -> at most one row per pair
+    n_pairs = got.select("user_id", "event_type").distinct().count()
+    assert got.count() == n_pairs > 0
