@@ -941,6 +941,49 @@ SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM (
 ) WHERE rank <= 3"""
 
 
+def _q_ann_ivf(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["ann-ivf-topk", {"id": "vec_id", "vec": "embedding", "k": 3, "dim": 64,
+                          "queries": "vec_id % 50 = 0",
+                          "centroids": "vec_id % 17 = 3", "nprobe": 2}],
+        spark=spark,
+    ).df
+
+
+_ANN_IVF_ORACLE = """
+WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM p WHERE vec_id % 17 = 3),
+assign AS (
+  SELECT vec_id, v, n, cid AS cluster FROM (
+    SELECT p.vec_id, p.v, p.n, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY list_dot_product(p.v, c.cv) / (p.n * c.cn) DESC, c.cid) AS rn
+    FROM p, c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT q_id, qv, qn, cid AS cluster FROM (
+    SELECT p.vec_id AS q_id, p.v AS qv, p.n AS qn, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY list_dot_product(p.v, c.cv) / (p.n * c.cn) DESC, c.cid) AS rn
+    FROM p, c WHERE p.vec_id % 50 = 0
+  ) WHERE rn <= 2
+),
+sims AS (
+  SELECT q.q_id, a.vec_id AS n_id,
+         list_dot_product(q.qv, a.v) / (q.qn * a.n) AS sim
+  FROM qprobe q JOIN assign a USING (cluster) WHERE a.vec_id != q.q_id
+)
+SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM (
+  SELECT q_id, n_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+  FROM sims
+) WHERE rank <= 3"""
+
+
 def _q_neardup_emb(spark, sf):
     return pipe(
         ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
@@ -1029,6 +1072,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "simhash_docs": (_q_simhash, None),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
     "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
+    "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),
     "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
 }

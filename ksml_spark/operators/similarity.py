@@ -149,6 +149,71 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     return KStreamRel(_topk(pairs, k), key_cols=("q_id", "rank"))
 
 
+@defop("ann-ivf-topk")
+def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """IVF-style approximate cosine top-k:
+
+        ["ann-ivf-topk", rel, {"id", "vec", "k", "dim", "queries",
+                               "centroids": <filter expr>, "nprobe": 2}]
+
+    1. centroids = deterministically sampled rows (the ``centroids``
+       filter; a k-means refinement drops in without changing the plan);
+    2. every vector is assigned to its nearest centroid — broadcast join
+       against the (tiny) centroid set, argmax by (sim, centroid id);
+    3. each query probes its ``nprobe`` nearest clusters and ranks only
+       those candidates.
+
+    Scale shape: assignment is a broadcast nested-to-hash join + hash
+    aggregation (no shuffle of the big side beyond the cluster-keyed
+    candidate join); each query touches ~nprobe/K of the data. This is the
+    100 TB inverted-file layout — on a real deployment the assignment
+    output is written bucketed by cluster id so probes prune partitions."""
+    from pyspark.sql import Window
+
+    opts = _opts(rest)
+    idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
+    k = int(opts.get("k", 3))
+    dim = opts.get("dim")
+    nprobe = int(opts.get("nprobe", 2))
+    prepared = _prepared(rel, idc, vecc, dim)
+
+    cents = prepared.filter(F.expr(opts["centroids"])).select(
+        F.col(idc).alias("__cid"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    )
+    csim = dot_col(F.col("__v"), F.col("__cv"), dim) / (F.col("__n") * F.col("__cn"))
+
+    # nearest centroid per vector: argmax by (sim, then smallest cid)
+    scored = prepared.crossJoin(F.broadcast(cents)).withColumn("__csim", csim)
+    assign = scored.groupBy(idc).agg(
+        F.first("__v").alias("__v"),  # constant within the group
+        F.first("__n").alias("__n"),
+        F.max_by(F.col("__cid"), F.struct(F.col("__csim"), -F.col("__cid"))).alias("__cluster"),
+    )
+
+    # queries probe their nprobe nearest clusters
+    qw = Window.partitionBy("q_id").orderBy(F.col("__csim").desc(), F.col("__cid").asc())
+    qprobe = (
+        prepared.filter(F.expr(opts["queries"]))
+        .select(F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__csim", dot_col(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")))
+        .withColumn("__pr", F.row_number().over(qw))
+        .filter(F.col("__pr") <= nprobe)
+        .select("q_id", "__qv", "__qn", F.col("__cid").alias("__cluster"))
+    )
+
+    cand = assign.select(
+        F.col(idc).alias("n_id"), F.col("__v").alias("__cv2"),
+        F.col("__n").alias("__cn2"), "__cluster",
+    )
+    pairs = (
+        cand.join(F.broadcast(qprobe), "__cluster", "inner")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("__sim", dot_col(F.col("__qv"), F.col("__cv2"), dim) / (F.col("__qn") * F.col("__cn2")))
+    )
+    return KStreamRel(_topk(pairs, k), key_cols=("q_id", "rank"))
+
+
 @defop("neardup-pairs")
 def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) with similarity
