@@ -333,6 +333,23 @@ SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM events GROUP BY user_id"""
 
 
+def _q_agg_salted(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+        ["group-by-key"],
+        ["agg-salted", {"n": "count(1)", "total": "sum(cast(value as decimal(18,2)))"},
+         {"salt": 8}],
+        ["select", {"user_id": "user_id", "n": "n", "total": "cast(total as double)"}],
+        spark=spark,
+    ).df
+
+
+_AGG_SALTED_ORACLE = """
+SELECT user_id, COUNT(1) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY user_id"""
+
+
 def _q_aggregate(spark, sf):
     return pipe(
         ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
@@ -388,6 +405,32 @@ SELECT ws AS window_start_s, event_type, COUNT(*) AS n FROM (
                  (epoch_us(ts) // 3600000000) * 3600]) AS ws, event_type
   FROM events
 ) GROUP BY ws, event_type"""
+
+
+def _q_anomaly(spark, sf):
+    """The reference's end-to-end example, on the events table
+    (/root/reference/examples/ksml/examples/anomaly_detection.clj:29-43):
+    re-key to the user, windowed count per minute-bucket (scaled to 1 h for
+    this data), filter counts above a threshold, back to a stream."""
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "event_id", "time": "ts"}],
+        ["map", ["key-value-mapper", {"key": {"user_id": "user_id"},
+                                      "value": {"event_type": "event_type"}}]],
+        ["group-by-key"],
+        ["windowed-by", ["time-window", 3600000]],
+        ["count"],
+        ["filter", ["predicate", "`count` >= 3"]],
+        ["to-stream"],
+        ["select", {"window_start_s": "cast(unix_timestamp(window_start) as bigint)",
+                    "user_id": "user_id", "n": "`count`"}],
+        spark=spark,
+    ).df
+
+
+_ANOMALY_ORACLE = """
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+       user_id, COUNT(*) AS n
+FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 3"""
 
 
 def _q_session_count(spark, sf):
@@ -1040,9 +1083,11 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "table_regroup": (_q_table_regroup, _TABLE_REGROUP_ORACLE),
     "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
     "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
+    "agg_salted_user_totals": (_q_agg_salted, _AGG_SALTED_ORACLE),
     "windowed_count": (_q_windowed_count, _WINDOWED_COUNT_ORACLE),
     "hopping_count": (_q_hopping_count, _HOPPING_COUNT_ORACLE),
     "session_count": (_q_session_count, _SESSION_COUNT_ORACLE),
+    "anomaly_detection": (_q_anomaly, _ANOMALY_ORACLE),
     # joins (SURVEY.md §2.3)
     "join_stream_table": (_q_join_stream_table, _JOIN_STREAM_TABLE_ORACLE),
     "left_join_counts": (_q_left_join, _LEFT_JOIN_ORACLE),

@@ -223,6 +223,43 @@ def op_aggregate(ctx: Ctx, grouped: GroupedRel, *rest) -> KTableRel:
     return _fold_apply(grouped, init=init.fn, step=lambda acc, row: agg.fn(None, row, acc))
 
 
+@defop("agg-salted")
+def op_agg_salted(ctx: Ctx, grouped: GroupedRel, aggs: dict, *rest) -> KTableRel:
+    """["agg-salted", grouped, {name: "sum(x)"|"count(1)"|...}, {"salt": n}]
+    — two-phase aggregation for SKEWED keys: phase 1 aggregates by
+    (key, random salt in [0, n)) so one hot key spreads over n reducers;
+    phase 2 re-aggregates the partials by key.
+
+    Only algebraic aggregates decompose this way: count->sum of partial
+    counts, sum->sum, min->min, max->max. AQE handles skewed JOINS
+    automatically; skewed AGGREGATION keys are what this op is for. (With
+    Spark's own partial aggregation this matters when upstream rows for
+    one key are too many for a single final-stage reducer.)"""
+    import re
+
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    n = int(opts.get("salt", 16))
+    partials, finals = [], []
+    for name, expr in aggs.items():
+        m = re.fullmatch(r"\s*(count|sum|min|max)\s*\((.*)\)\s*", expr, re.IGNORECASE)
+        if not m:
+            raise TypeDispatchError(
+                f"agg-salted supports count/sum/min/max only, got {expr!r}"
+            )
+        fn = m.group(1).lower()
+        partials.append(F.expr(f"{fn}({m.group(2)})").alias(f"__p_{name}"))
+        refn = "sum" if fn in ("count", "sum") else fn
+        finals.append(F.expr(f"{refn}(__p_{name})").alias(name))
+    keys = [F.col(c) for c in grouped.key_cols]
+    salted = grouped.df.withColumn("__salt", (F.rand(seed=42) * n).cast("int"))
+    phase1 = salted.groupBy(*keys, F.col("__salt")).agg(*partials)
+    agged = phase1.groupBy(*[F.col(c) for c in grouped.key_cols]).agg(*finals)
+    return KTableRel(agged, key_cols=tuple(grouped.key_cols), time_col=None)
+
+
 def _fold_apply(grouped: GroupedRel, init, step) -> KTableRel:
     """Opaque per-key fold via applyInPandas (Arrow-batched groups), rows
     visited in event-time order — record-at-a-time parity for black-box

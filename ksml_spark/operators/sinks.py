@@ -97,6 +97,29 @@ def op_to(ctx: Ctx, rel: Rel, *rest) -> SinkResult:
     return SinkResult(rel, path)
 
 
+@defop("foreach-batch")
+def op_foreach_batch(ctx: Ctx, rel: Rel, fn, *rest) -> SinkResult:
+    """[:foreach-batch s fn {opts}] — per-microbatch sink: fn(batch_df,
+    batch_id). The idiomatic Structured Streaming escape hatch for sinks
+    Spark lacks (upserts, multi-table writes). Batch rels invoke fn once
+    with batch_id=0 — same contract both modes."""
+    if isinstance(fn, ForeachAction):
+        fn = fn.fn
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    if rel.df.isStreaming:
+        w = rel.df.writeStream.foreachBatch(fn)
+        if "checkpoint" in opts:
+            w = w.option("checkpointLocation", opts["checkpoint"])
+        if opts.get("trigger") == "available_now":
+            w = w.trigger(availableNow=True)
+        return SinkResult(rel, "foreachBatch", w.start())
+    fn(rel.df, 0)
+    return SinkResult(rel, "foreachBatch")
+
+
 @defop("print")
 def op_print(ctx: Ctx, rel: Rel, *rest) -> SinkResult:
     """[:print! s] — debug sink (eval_test.clj:500-504). Streaming:

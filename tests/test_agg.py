@@ -208,3 +208,21 @@ def test_approx_distinct_near_exact(spark, tables):
           .agg(F.countDistinct("user_id").alias("n")).collect()}
     for k, v in ex.items():
         assert abs(got[k] - v) <= max(2, 0.1 * v)
+
+
+def test_agg_salted_matches_plain(spark, tables):
+    from ksml_spark import pipe
+
+    salted = pipe(
+        ["stream", tables["events"], {"key": "user_id", "time": "ts"}],
+        ["group-by-key"],
+        ["agg-salted", {"n": "count(1)", "mx": "max(value)"}, {"salt": 8}],
+        spark=spark,
+    ).df
+    plain = pipe(
+        ["stream", tables["events"], {"key": "user_id", "time": "ts"}],
+        ["group-by-key"],
+        ["agg", {"n": "count(1)", "mx": "max(value)"}],
+        spark=spark,
+    ).df
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}

@@ -171,3 +171,59 @@ def test_streaming_dedup_within_watermark(spark, events_path):
     # a single availableNow batch -> at most one row per pair
     n_pairs = got.select("user_id", "event_type").distinct().count()
     assert got.count() == n_pairs > 0
+
+
+def test_checkpoint_recovery(spark, tables, tmp_path):
+    """State survives a query restart: run half the data with a checkpoint,
+    stop, add the rest, restart the same plan — final counts must equal
+    the full-data batch counts (changelog replay parity, eval.clj:207)."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    events = tables["events"]
+    events.filter("event_id % 2 = 0").write.parquet(src)
+
+    got = {}
+
+    def run():
+        def capture(df, batch_id):
+            for r in df.collect():
+                got[r["event_type"]] = r["count"]
+
+        s = pipe(
+            ["stream", file_stream_source(spark, src), {"key": "user_id", "time": "ts"}],
+            ["group-by", ["key-value-mapper", {"event_type": "event_type"}]],
+            ["count"],
+            spark=spark,
+        )
+        q = (
+            s.df.writeStream.foreachBatch(capture)
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got.clear()
+    events.filter("event_id % 2 = 1").write.mode("append").parquet(src)
+    run()
+    full = {r["event_type"]: r["count"]
+            for r in events.groupBy("event_type").count().collect()}
+    # every type updated in the second run must reflect BOTH halves
+    assert got and all(got[t] == full[t] for t in got)
+
+
+def test_foreach_batch_sink(spark, events_path):
+    seen = []
+
+    def collect_batch(df, batch_id):
+        df.createOrReplaceTempView("fb_batch")
+        seen.append((batch_id, df.sparkSession.table("fb_batch").count()))
+
+    out = pipe(
+        events_stream(spark, events_path),
+        ["where", "event_type = 'click'"],
+        spark=spark,
+    )
+    sink = ksml(["foreach-batch", out, collect_batch, {"trigger": "available_now"}],
+                spark=spark)
+    sink.query.awaitTermination(60)
+    assert sum(n for _, n in seen) == 210  # clicks at sf0.001
