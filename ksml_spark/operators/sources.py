@@ -122,7 +122,7 @@ def op_table(ctx: Ctx, src, *rest) -> KTableRel:
     if not key_cols:
         raise ArityError(":table requires key columns (opts {'key': ...})")
 
-    order_cols = _as_tuple(opts.get("order") or (time_col,) if time_col else ())
+    order_cols = _as_tuple(opts.get("order") or ((time_col,) if time_col else ()))
     tomb = opts.get("tombstone")
     tomb_col = F.expr(tomb) if isinstance(tomb, str) else tomb
     if tomb_col is None:

@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis): DSL algebra laws and operator
+semantics on randomized inputs, checked against pandas reference
+computations. Complements the fixed-fixture suites."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from ksml_spark import ksml, pipe, vthread
+
+# -- pure algebra: no Spark needed ------------------------------------------
+
+forms = st.recursive(
+    st.one_of(st.integers(), st.text(max_size=5)),
+    lambda children: st.lists(children, min_size=1, max_size=3),
+    max_leaves=8,
+)
+
+
+@given(first=forms, steps=st.lists(st.lists(st.text(min_size=1, max_size=4), min_size=1, max_size=3), max_size=4))
+def test_vthread_inserts_at_position_one(first, steps):
+    out = vthread(first, *steps)
+    # unrolling from the outside in recovers every step and the seed
+    for step in reversed(steps):
+        assert out[0] == step[0] and out[2:] == list(step[1:])
+        out = out[1]
+    assert out == first
+
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),            # key
+        st.integers(min_value=0, max_value=1000),         # seq (unique-ified below)
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=rows)
+def test_table_latest_matches_pandas(spark, data):
+    # unique (key, seq) pairs; seq plays the event-time/order role
+    seen, uniq = set(), []
+    for k, s, v in data:
+        if (k, s) not in seen:
+            seen.add((k, s))
+            uniq.append((k, s, v))
+    df = spark.createDataFrame(uniq, "key int, seq int, value double")
+    out = ksml(["table", df, {"key": "key", "order": ["seq"], "tombstone": "false"}],
+               spark=spark)
+    got = {r["key"]: (r["seq"], r["value"]) for r in out.df.collect()}
+    pdf = pd.DataFrame(uniq, columns=["key", "seq", "value"])
+    exp = pdf.sort_values("seq").groupby("key").last()
+    assert len(got) == len(exp)
+    for k, row in exp.iterrows():
+        assert got[k] == (row["seq"], row["value"])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=rows, thr=st.floats(min_value=-50, max_value=50, allow_nan=False))
+def test_branch_partitions_exactly(spark, data, thr):
+    df = spark.createDataFrame(data, "key int, seq int, value double")
+    b = ksml(
+        ["branch", ["stream", df, {"key": "key"}],
+         ["predicate", f"value > {thr}"],
+         ["predicate", "key % 2 = 0"]],
+        spark=spark,
+    )
+    n0, n1 = b[0].df.count(), b[1].df.count()
+    # first-match-wins: branches are disjoint, union <= total
+    both = b[0].df.intersect(b[1].df).count()
+    assert both == 0
+    expected0 = df.filter(f"value > {thr}").count()
+    expected1 = df.filter(f"not (value > {thr}) and key % 2 = 0").count()
+    assert (n0, n1) == (expected0, expected1)
