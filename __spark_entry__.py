@@ -629,6 +629,28 @@ WITH u AS (
 SELECT user_id, event_id AS click_id, prior_error_id FROM w WHERE side = 1"""
 
 
+def _q_window_rank(spark, sf):
+    """Top-2 orders per customer by price (analytic window op)."""
+    return pipe(
+        ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
+        ["over", {"rnk": "row_number()"},
+         {"partition": ["o_custkey"], "order": ["-o_totalprice", "o_orderkey"]}],
+        ["where", "rnk <= 2"],
+        ["select", {"o_custkey": "o_custkey", "rnk": "rnk",
+                    "o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"}],
+        spark=spark,
+    ).df
+
+
+_WINDOW_RANK_ORACLE = """
+SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 2"""
+
+
 def _q_rollup(spark, sf):
     return pipe(
         ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
@@ -1099,6 +1121,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "asof_join_click_error": (_q_asof_join, _ASOF_JOIN_ORACLE),
     # relational extensions + serde
     "rollup_revenue": (_q_rollup, _ROLLUP_ORACLE),
+    "window_rank_orders": (_q_window_rank, _WINDOW_RANK_ORACLE),
     "exact_distinct_users": (_q_exact_distinct_users, _EXACT_DISTINCT_ORACLE),
     "approx_distinct_users": (_q_approx_distinct_users, None),
     "dedup_first_event": (_q_dedup_first, _DEDUP_FIRST_ORACLE),

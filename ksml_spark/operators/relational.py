@@ -109,6 +109,44 @@ def op_distinct(ctx: Ctx, rel: Rel, cols=None) -> Rel:
     return rel.with_df(df)
 
 
+@defop("over")
+def op_over(ctx: Ctx, rel: Rel, cols: dict, *rest) -> Rel:
+    """Analytic window columns (DSL extension; the reference has no
+    analytic-function surface):
+
+        ["over", rel, {"rnk": "row_number()", "prev": "lag(value, 1)"},
+                 {"partition": ["k"], "order": ["ts", "-value"]}]
+
+    One shuffle on the partition keys + per-partition sort — at scale,
+    partition on high-cardinality keys (a global order-by without
+    "partition" is a single-reducer antipattern and is refused)."""
+    from pyspark.sql import Window
+
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    part = opts.get("partition")
+    if not part:
+        raise ArityError("over requires {'partition': cols} (no global windows)")
+    if isinstance(part, str):
+        part = [part]
+    order = opts.get("order") or []
+    if isinstance(order, str):
+        order = [order]
+    oexprs = [
+        F.col(c[1:]).desc() if isinstance(c, str) and c.startswith("-") else to_col(c)
+        for c in order
+    ]
+    w = Window.partitionBy(*[F.expr(p) for p in part])
+    if oexprs:
+        w = w.orderBy(*oexprs)
+    df = rel.df
+    for name, expr in cols.items():
+        df = df.withColumn(name, to_col(expr).over(w))
+    return rel.with_df(df)
+
+
 @defop("rollup")
 def op_rollup(ctx: Ctx, rel: Rel, cols, aggs: dict) -> KTableRel:
     """Hierarchical subtotals (DSL extension; the reference has no grouping

@@ -227,3 +227,85 @@ def test_foreach_batch_sink(spark, events_path):
                 spark=spark)
     sink.query.awaitTermination(60)
     assert sum(n for _, n in seen) == 210  # clicks at sf0.001
+
+
+def test_streaming_global_table_join(spark, events_path, tables):
+    """stream ⋈ global-table = stream-static broadcast join, streaming."""
+    gt = ksml(["global-table", tables["nation"], {"key": "n_nationkey", "unique": True}],
+              spark=spark)
+    out = pipe(
+        ["join-global",
+         ksml(events_stream(spark, events_path), spark=spark),
+         gt,
+         ["key-value-mapper", "cast(user_id % 25 as int)"]],
+        ["select", {"event_id": "event_id", "n_name": "n_name"}],
+        spark=spark,
+    )
+    assert out.df.isStreaming
+    got = run_to_memory(out, "gjoin", output_mode="append")
+    batch = pipe(
+        ["join-global",
+         ksml(["stream", tables["events"], {"key": "user_id", "time": "ts"}], spark=spark),
+         gt,
+         ["key-value-mapper", "cast(user_id % 25 as int)"]],
+        ["select", {"event_id": "event_id", "n_name": "n_name"}],
+        spark=spark,
+    ).df
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_stream_left_interval_join(spark, events_path, tables):
+    def sides(src_form):
+        c = ksml(["where", src_form, "event_type = 'click'"], spark=spark)
+        e = ksml(["where", src_form, "event_type = 'error'"], spark=spark)
+        return c, e
+
+    sc, se = sides(events_stream(spark, events_path))
+    out = pipe(
+        ["left-join", sc, se, ["join-window", 3600000]],
+        ["select", {"click_id": "event_id", "error_id": "r_event_id"}],
+        spark=spark,
+    )
+    assert out.df.isStreaming
+    got = run_to_memory(out, "slj", output_mode="append")
+    bc, be = sides(["stream", tables["events"], {"key": "user_id", "time": "ts"}])
+    batch = pipe(
+        ["left-join", bc, be, ["join-window", 3600000]],
+        ["select", {"click_id": "event_id", "error_id": "r_event_id"}],
+        spark=spark,
+    ).df
+    g = {(r["click_id"], r["error_id"]) for r in got.collect()}
+    b = {(r["click_id"], r["error_id"]) for r in batch.collect()}
+    # matched pairs agree exactly; unmatched (null) clicks may be withheld
+    # in streaming when they are still inside the final watermark horizon
+    assert {p for p in g if p[1] is not None} == {p for p in b if p[1] is not None}
+    assert {p for p in g if p[1] is None} <= {p for p in b if p[1] is None}
+    assert any(e is None for _, e in g)
+
+
+def test_windowed_append_emits_only_closed_windows(spark, events_path, tables):
+    """append mode = emit-on-window-close (the KS suppression analog,
+    SURVEY.md §2.5): only windows fully below the final watermark emit."""
+    out = pipe(
+        events_stream(spark, events_path),
+        ["group-by", ["key-value-mapper", {"event_type": "event_type"}]],
+        ["windowed-by", ["time-window", 3600000, None, "30 minutes"]],
+        ["count"],
+        spark=spark,
+    )
+    got = run_to_memory(out, "win_append", output_mode="append")
+    full = (
+        tables["events"].groupBy(F.window("ts", "1 hour"), "event_type").count()
+    )
+    max_ts = tables["events"].agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    watermark = max_ts - dt.timedelta(minutes=30)
+    g = {(r["window_start"], r["event_type"]): r["count"] for r in got.collect()}
+    closed = {
+        (r["window"]["start"], r["event_type"]): r["count"]
+        for r in full.collect()
+        if r["window"]["end"] <= watermark
+    }
+    # every closed window emitted with the exact batch count; open ones held back
+    assert g == closed and len(closed) > 0
