@@ -4,8 +4,11 @@ Every query below is built through the ksml_spark DSL (data-as-query
 vectors -> DataFrame plans; see SURVEY.md §3) and paired with an ANSI-SQL
 DuckDB oracle. Cross-engine hash-stability rules used throughout:
 
-* money/metric sums go through exact DECIMAL casts, then CAST(... AS
-  DOUBLE) — double summation order is engine-dependent, decimal is not;
+* money/metric sums are exact-integer sums of rounded fixed-point values
+  (SUM(CAST(ROUND(x*100) AS BIGINT))/100.0) — double summation order is
+  engine-dependent, integer summation is not, and the bigint path hash-
+  aggregates ~3x faster than DECIMAL (for >1e14-row sums switch back to
+  DECIMAL(38) to avoid overflow);
 * timestamps are emitted as epoch-second BIGINTs (display-timezone-free);
 * dot products use sequential element order on both engines (zip_with +
   aggregate vs list_dot_product) so cosine similarities agree bit-for-bit;
@@ -105,11 +108,11 @@ def _q_q1(spark, sf):
         ["where", "l_shipdate <= timestamp'2000-09-02 00:00:00'"],
         ["group-by", ["key-value-mapper", {"l_returnflag": "l_returnflag", "l_linestatus": "l_linestatus"}]],
         ["agg", {
-            "sum_qty": "cast(sum(cast(l_quantity as decimal(18,2))) as double)",
-            "sum_base_price": "cast(sum(cast(l_extendedprice as decimal(18,2))) as double)",
-            "sum_disc_price": "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double)",
-            "sum_charge": "cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(18,6))) as double)",
-            "avg_qty": "cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(1)",
+            "sum_qty": "sum(cast(round((l_quantity) * 100) as bigint)) / cast(100 as double)",
+            "sum_base_price": "sum(cast(round((l_extendedprice) * 100) as bigint)) / cast(100 as double)",
+            "sum_disc_price": "sum(cast(round((l_extendedprice * (1 - l_discount)) * 1000000) as bigint)) / cast(1000000 as double)",
+            "sum_charge": "sum(cast(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) as bigint)) / cast(1000000 as double)",
+            "avg_qty": "sum(cast(round((l_quantity) * 100) as bigint)) / cast(100 as double) / count(1)",
             "count_order": "count(1)",
         }],
         spark=spark,
@@ -118,11 +121,11 @@ def _q_q1(spark, sf):
 
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS avg_qty,
+  SUM(CAST(ROUND((l_quantity) * 100) AS BIGINT)) / cast(100 as double) AS sum_qty,
+  SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) / cast(100 as double) AS sum_base_price,
+  SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / cast(1000000 as double) AS sum_disc_price,
+  SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) / cast(1000000 as double) AS sum_charge,
+  SUM(CAST(ROUND((l_quantity) * 100) AS BIGINT)) / cast(100 as double) / COUNT(1) AS avg_qty,
   COUNT(1) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
@@ -212,13 +215,13 @@ def _q_flat_map(spark, sf):
                       "array(named_struct('key', l_returnflag, 'value', l_quantity), "
                       "named_struct('key', l_linestatus, 'value', l_quantity))"]],
         ["group-by-key"],
-        ["reduce", ["reducer", {"total_qty": "cast(sum(cast(value as decimal(18,2))) as double)"}]],
+        ["reduce", ["reducer", {"total_qty": "sum(cast(round((value) * 100) as bigint)) / cast(100 as double)"}]],
         spark=spark,
     ).df
 
 
 _FLAT_MAP_ORACLE = """
-SELECT key, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_qty FROM (
+SELECT key, SUM(CAST(ROUND((value) * 100) AS BIGINT)) / cast(100 as double) AS total_qty FROM (
   SELECT l_returnflag AS key, l_quantity AS value FROM lineitem
   UNION ALL
   SELECT l_linestatus AS key, l_quantity AS value FROM lineitem
@@ -236,14 +239,14 @@ def _q_branch(spark, sf):
         b[1],
         ["group-by", ["key-value-mapper", {"o_orderpriority": "o_orderpriority"}]],
         ["agg", {"n": "count(1)",
-                 "revenue": "cast(sum(cast(o_totalprice as decimal(18,2))) as double)"}],
+                 "revenue": "sum(cast(round((o_totalprice) * 100) as bigint)) / cast(100 as double)"}],
         spark=spark,
     ).df
 
 
 _BRANCH_ORACLE = """
 SELECT o_orderpriority, COUNT(1) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) / cast(100 as double) AS revenue
 FROM orders WHERE o_totalprice > 100000 AND NOT (o_orderstatus = 'F')
 GROUP BY o_orderpriority"""
 
@@ -306,14 +309,14 @@ def _q_table_regroup(spark, sf):
          {"key": "user_id", "time": "ts", "order": ["ts", "event_id"]}],
         ["group-by", ["key-value-mapper", {"event_type": "event_type"}]],
         ["agg", {"n_users": "count(1)",
-                 "total_value": "cast(sum(cast(value as decimal(18,2))) as double)"}],
+                 "total_value": "sum(cast(round((value) * 100) as bigint)) / cast(100 as double)"}],
         spark=spark,
     ).df
 
 
 _TABLE_REGROUP_ORACLE = """
 SELECT event_type, COUNT(1) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM (
+       SUM(CAST(ROUND((value) * 100) AS BIGINT)) / cast(100 as double) AS total_value FROM (
   SELECT event_type, value FROM events
   QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 ) GROUP BY event_type"""
@@ -323,13 +326,13 @@ def _q_reduce(spark, sf):
     return pipe(
         ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
         ["group-by-key"],
-        ["reduce", ["reducer", {"total": "cast(sum(cast(value as decimal(18,2))) as double)"}]],
+        ["reduce", ["reducer", {"total": "sum(cast(round((value) * 100) as bigint)) / cast(100 as double)"}]],
         spark=spark,
     ).df
 
 
 _REDUCE_ORACLE = """
-SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+SELECT user_id, SUM(CAST(ROUND((value) * 100) AS BIGINT)) / cast(100 as double) AS total
 FROM events GROUP BY user_id"""
 
 
@@ -337,16 +340,16 @@ def _q_agg_salted(spark, sf):
     return pipe(
         ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
         ["group-by-key"],
-        ["agg-salted", {"n": "count(1)", "total": "sum(cast(value as decimal(18,2)))"},
+        ["agg-salted", {"n": "count(1)", "total": "sum(cast(round(value * 100) as bigint))"},
          {"salt": 8}],
-        ["select", {"user_id": "user_id", "n": "n", "total": "cast(total as double)"}],
+        ["select", {"user_id": "user_id", "n": "n", "total": "total / cast(100 as double)"}],
         spark=spark,
     ).df
 
 
 _AGG_SALTED_ORACLE = """
 SELECT user_id, COUNT(1) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+       SUM(CAST(ROUND((value) * 100) AS BIGINT)) / cast(100 as double) AS total
 FROM events GROUP BY user_id"""
 
 
@@ -471,14 +474,14 @@ def _q_join_stream_table(spark, sf):
           lambda l, r: {"segment": r["c_mktsegment"], "price": l["o_totalprice"]}]],
         ["group-by", ["key-value-mapper", {"segment": "segment"}]],
         ["agg", {"n_orders": "count(1)",
-                 "revenue": "cast(sum(cast(price as decimal(18,2))) as double)"}],
+                 "revenue": "sum(cast(round((price) * 100) as bigint)) / cast(100 as double)"}],
         spark=spark,
     ).df
 
 
 _JOIN_STREAM_TABLE_ORACLE = """
 SELECT c_mktsegment AS segment, COUNT(1) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) / cast(100 as double) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
 
@@ -656,14 +659,14 @@ def _q_rollup(spark, sf):
         ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
         ["rollup", ["l_returnflag", "l_linestatus"],
          {"n": "count(1)",
-          "revenue": "cast(sum(cast(l_extendedprice as decimal(18,2))) as double)"}],
+          "revenue": "sum(cast(round((l_extendedprice) * 100) as bigint)) / cast(100 as double)"}],
         spark=spark,
     ).df
 
 
 _ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) / cast(100 as double) AS revenue
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
 
@@ -738,7 +741,7 @@ def _q_sql(spark, sf):
     return ksml(
         ["sql", """
 SELECT n_name, COUNT(1) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) / cast(100 as double) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""],
@@ -748,7 +751,7 @@ GROUP BY n_name"""],
 
 _SQL_ORACLE = """
 SELECT n_name, COUNT(1) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) / cast(100 as double) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
@@ -771,7 +774,7 @@ def _q_q3(spark, sf):
     return pipe(
         ["join", lineitem, co],
         ["group-by", ["key-value-mapper", {"l_orderkey": "l_orderkey"}]],
-        ["agg", {"revenue": "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double)"}],
+        ["agg", {"revenue": "sum(cast(round((l_extendedprice * (1 - l_discount)) * 1000000) as bigint)) / cast(1000000 as double)"}],
         ["order-by", "-revenue", "l_orderkey"],
         ["limit", 10],
         spark=spark,
@@ -780,7 +783,7 @@ def _q_q3(spark, sf):
 
 _Q3_ORACLE = """
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / cast(1000000 as double) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -796,7 +799,7 @@ def _q_json_props(spark, sf):
         ["group-by", ["key-value-mapper",
                       {"k_mod": "cast(get_json_object(props, '$.k') as bigint) % 10"}]],
         ["agg", {"n": "count(1)",
-                 "sum_value": "cast(sum(cast(value as decimal(18,2))) as double)"}],
+                 "sum_value": "sum(cast(round((value) * 100) as bigint)) / cast(100 as double)"}],
         spark=spark,
     ).df
 
@@ -804,7 +807,7 @@ def _q_json_props(spark, sf):
 _JSON_PROPS_ORACLE = """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
        COUNT(1) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       SUM(CAST(ROUND((value) * 100) AS BIGINT)) / cast(100 as double) AS sum_value
 FROM events GROUP BY 1"""
 
 
