@@ -1014,7 +1014,7 @@ def _q_ann_ivf(spark, sf):
         ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
         ["ann-ivf-topk", {"id": "vec_id", "vec": "embedding", "k": 3, "dim": 64,
                           "queries": "vec_id % 50 = 0",
-                          "centroids": "vec_id % 17 = 3", "nprobe": 2}],
+                          "centroids": "vec_id % 127 = 3", "nprobe": 2}],
         spark=spark,
     ).df
 
@@ -1023,7 +1023,7 @@ _ANN_IVF_ORACLE = """
 WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
            FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM p WHERE vec_id % 17 = 3),
+c AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM p WHERE vec_id % 127 = 3),
 assign AS (
   SELECT vec_id, v, n, cid AS cluster FROM (
     SELECT p.vec_id, p.v, p.n, c.cid,

@@ -143,13 +143,17 @@ def apply_consumed(df: DataFrame, opts: dict) -> DataFrame:
             df = df.withColumn("event_time", F.coalesce(ts, fallback))
         elif ext.policy == "skip":
             df = df.withColumn("event_time", ts).filter(F.col("event_time").isNotNull())
-        else:  # fail: surface invalid rows as nulls is silent — raise at eval
-            df = df.withColumn("event_time", ts)
-            # FailOnInvalidTimestamp: enforced lazily; a null here means an
-            # invalid source timestamp. Use assert_true so the job fails at
-            # execution time, matching Kafka Streams' runtime exception.
+        else:  # fail: FailOnInvalidTimestamp -> runtime error on invalid rows.
+            # The check must live INSIDE the event_time expression (a
+            # separate assert column would be pruned by Catalyst); coalesce
+            # short-circuits, so raise_error only fires on invalid rows.
             df = df.withColumn(
-                "__ts_check",
-                F.assert_true(F.col("event_time").isNotNull(), F.lit("invalid timestamp")),
-            ).drop("__ts_check")
+                "event_time",
+                F.coalesce(
+                    ts,
+                    F.raise_error(F.lit("invalid timestamp (FailOnInvalidTimestamp)")).cast(
+                        "timestamp"
+                    ),
+                ),
+            )
     return df

@@ -265,7 +265,7 @@ def test_ann_ivf_structure_and_recall(spark, tables):
         ["stream", tables["embeddings"], {"key": "vec_id"}],
         ["ann-ivf-topk", {"id": "vec_id", "vec": "embedding", "k": 3, "dim": 64,
                           "queries": "vec_id % 50 = 0",
-                          "centroids": "vec_id % 17 = 3", "nprobe": 2}],
+                          "centroids": "vec_id % 127 = 3", "nprobe": 2}],
         spark=spark,
     ).df
     exact = pipe(
