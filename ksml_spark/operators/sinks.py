@@ -68,6 +68,23 @@ def op_to(ctx: Ctx, rel: Rel, *rest) -> SinkResult:
         return kafka_sink(_encode_kafka(rel, kserde, vserde), topic or opts.get("topic"), opts, rel)
 
     df = rel.df
+    if not df.isStreaming and ("table" in opts or "bucket_by" in opts):
+        # catalog table sink, optionally BUCKETED: pre-shuffling by the
+        # join/agg key at write time so every later co-keyed join or
+        # aggregation on the bucket columns runs with NO exchange — the
+        # 100 TB layout for repeatedly-joined fact tables
+        name = opts.get("table") or opts.get("name") or rel.name
+        if not name:
+            raise ArityError("table sink needs {'table': name}")
+        writer = df.write.mode(opts.get("mode", "overwrite")).format(fmt)
+        bucket = opts.get("bucket_by")
+        if bucket:
+            cols = [bucket] if isinstance(bucket, str) else list(bucket)
+            writer = writer.bucketBy(int(opts.get("buckets", 8)), *cols)
+            sort = opts.get("sort_by") or cols
+            writer = writer.sortBy(*([sort] if isinstance(sort, str) else list(sort)))
+        writer.saveAsTable(name)
+        return SinkResult(rel, name)
     if df.isStreaming:
         w = df.writeStream.format(fmt)
         if fmt == "memory":

@@ -10,6 +10,7 @@ products."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ksml_spark import ksml, pipe
 from ksml_spark.plans import explain_str
@@ -116,3 +117,49 @@ def test_lsh_candidates_reuses_signature_exchange(spark):
     # computation, not recompute the shingle/md5 pipeline per side
     assert p.count("InMemoryTableScan") >= 2
     out.df.sparkSession.catalog.clearCache()
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Bucket both sides by the join key at write time -> the join plan has
+    NO exchange: the data is already co-located (SURVEY.md §2.1 scale
+    note; the bucketing analog of Kafka Streams co-partitioned topics)."""
+    import shutil
+
+    for t in ("b_orders", "b_cust"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    orders = ksml(["stream", ["parquet", f"{SF}/orders.parquet"], {"key": "o_custkey"}],
+                  spark=spark)
+    cust = ksml(["stream", ["parquet", f"{SF}/customer.parquet"], {"key": "c_custkey"}],
+                spark=spark)
+    ksml(["to", orders, {"table": "b_orders", "bucket_by": ["o_custkey"], "buckets": 8}],
+         spark=spark)
+    ksml(["to", cust, {"table": "b_cust", "bucket_by": ["c_custkey"], "buckets": 8}],
+         spark=spark)
+    # disable broadcast so the planner must pick a co-partitioned join
+    # (at real scale neither side would be broadcastable)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ksml(
+            ["join",
+             ["stream", ["table-ref", "b_orders"], {"key": "o_custkey"}],
+             ["stream", ["table-ref", "b_cust"], {"key": "c_custkey"}]],
+            spark=spark,
+        )
+        p = plan(joined.df, "simple")
+        assert "Exchange" not in p, p
+        n = joined.df.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    expected = (
+        ksml(["stream", ["parquet", f"{SF}/orders.parquet"], {}], spark=spark).df
+        .join(
+            ksml(["stream", ["parquet", f"{SF}/customer.parquet"], {}], spark=spark).df,
+            F.expr("o_custkey = c_custkey"),
+        )
+        .count()
+    )
+    assert n == expected
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
