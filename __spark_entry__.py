@@ -30,6 +30,28 @@ from ksml_spark import ksml, pipe
 from ksml_spark.operators.dedup import N_BANDS, N_HASHES, ROWS_PER_BAND, SHINGLE_K
 
 
+_TUNED = set()
+
+
+def _tune(spark: SparkSession) -> SparkSession:
+    """Runtime-settable engine conf for driver-owned sessions (JVM flags
+    like the code-cache size can only help our own get_spark sessions)."""
+    if id(spark) not in _TUNED:
+        for k, v in {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.shuffle.partitions": "32",
+            "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        }.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # conf locked down: proceed with session defaults
+        _TUNED.add(id(spark))
+    return spark
+
+
 def _t(sf_dir: str, name: str) -> list:
     return ["parquet", f"{sf_dir}/{name}.parquet"]
 
@@ -1151,11 +1173,14 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
-    return _q_q1(spark, "/root/testdata/sf0.001")
+    return _q_q1(_tune(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _QUERIES.items()}
+    def tuned(fn):
+        return lambda spark, sf_dir: fn(_tune(spark), sf_dir)
+
+    return {name: tuned(fn) for name, (fn, _) in _QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
