@@ -17,9 +17,11 @@ Scale posture: the brute-force path broadcasts the (small) query side and
 streams candidates through it — no shuffle of the big side, O(Q·N) work
 spread across partitions; it is the exact baseline. The LSH path shuffles
 both sides on the bucket key (cost O(N), like any keyed join) and is the
-100 TB path: each query scans only its bucket. Dot products are computed
-with zip_with + aggregate — sequential element order, bit-reproducible
-against the DuckDB oracle (list_dot_product).
+100 TB path: each query scans only its bucket; the IVF path adds
+centroid-cluster probing on top. Dot products keep sequential element
+order (unrolled element_at chains when the dimension is known, zip_with +
+aggregate otherwise) — bit-reproducible against the DuckDB oracle
+(list_dot_product).
 """
 
 from __future__ import annotations
