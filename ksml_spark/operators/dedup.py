@@ -215,20 +215,26 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         ["jaccard-pairs", rel, {"col": "text", "id": "doc_id",
                                 "block": "lang", "threshold": 0.5}]
 
-    The block key bounds the quadratic comparison (equi-join shuffle on the
-    block key); never run unblocked at scale — use lsh-candidates to
-    generate blocks instead. (array_intersect is a CodegenFallback
-    expression — ~20us/pair interpreted — which is another reason the
-    exact-Jaccard path is the verifier, not the discovery mechanism.)"""
+    Inverted-index plan (threshold > 0): explode distinct token hashes,
+    self-equi-join on (block, token), count matches per candidate pair.
+    Work is proportional to the number of SHARED tokens — pairs with no
+    overlap are never materialized — and every step is a codegen'd hash
+    join / hash aggregation (the naive per-pair ``array_intersect`` is a
+    CodegenFallback expression, ~20us/pair interpreted). The block key
+    still bounds the candidate space; at 100 TB a hyper-frequent token is
+    a skewed join key — AQE skew-join splitting handles it, and
+    prefix-filtering (index only each doc's rarest tokens) is the
+    standard refinement if needed. threshold <= 0 falls back to the
+    blocked cross join (zero-overlap pairs must then be emitted)."""
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     block = opts.get("block")
     thr = float(opts.get("threshold", 0.5))
     col = opts.get("col", "text")
     blocks = [block] if isinstance(block, str) else list(block or [])
-    # tokens are hashed to 32-bit ints (engine-portable md5 slice) BEFORE
-    # the pairwise set intersection: per-pair hashset work on longs is far
-    # cheaper than on strings, and the hash runs once per doc, not per pair
+    # tokens are hashed to 32-bit ints (engine-portable md5 slice) up
+    # front: join/agg work on longs is far cheaper than on strings, and
+    # the hash runs once per doc occurrence, not per pair
     tok_ids = F.array_distinct(
         F.transform(
             tokens_col(F.col(col)),
@@ -241,20 +247,59 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         tok_ids.alias("__t"),
     )
     toks = toks.withColumn("__n", F.size(F.col("__t")))
-    a, b = toks.alias("a"), toks.alias("b")
-    cond = F.col(f"a.{idc}") < F.col(f"b.{idc}")
+
+    if thr <= 0:  # exact all-pairs within block, incl. zero-overlap pairs
+        a, b = toks.alias("a"), toks.alias("b")
+        cond = F.col(f"a.{idc}") < F.col(f"b.{idc}")
+        for i in range(len(blocks)):
+            cond = (F.col(f"a.__b{i}") == F.col(f"b.__b{i}")) & cond
+        common = F.size(F.array_intersect(F.col("a.__t"), F.col("b.__t")))
+        jac = common / (F.col("a.__n") + F.col("b.__n") - common)
+        pairs = (
+            a.join(b, cond, "inner")
+            .select(
+                F.col(f"a.{idc}").alias("doc_a"),
+                F.col(f"b.{idc}").alias("doc_b"),
+                F.round(jac, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= thr)
+        )
+        return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
+
+    ex = toks.select(
+        F.col(idc),
+        *[f"__b{i}" for i in range(len(blocks))],
+        F.col("__n"),
+        F.explode(F.col("__t")).alias("__tok"),
+    )
+    # explicit repartition on the join keys: the exploded index is small
+    # relative to the pair rows the join EMITS, so AQE (sized on map
+    # output) would coalesce to ~1 partition and run the quadratic pair
+    # generation single-threaded; a user-specified partition count is
+    # respected by AQE, and both self-join sides reuse the one exchange
+    nparts = int(ex.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ex = ex.repartition(
+        nparts, *[f"__b{i}" for i in range(len(blocks))], "__tok"
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.__tok") == F.col("b.__tok")) & (F.col(f"a.{idc}") < F.col(f"b.{idc}"))
     for i in range(len(blocks)):
         cond = (F.col(f"a.__b{i}") == F.col(f"b.__b{i}")) & cond
-    # |A∪B| = |A| + |B| − |A∩B|: one set operation per pair instead of two
-    common = F.size(F.array_intersect(F.col("a.__t"), F.col("b.__t")))
-    jac = common / (F.col("a.__n") + F.col("b.__n") - common)
+    # one row per shared token per pair -> count = |A ∩ B|; sizes ride
+    # along as grouping keys so no extra join is needed for |A|, |B|
+    matched = a.join(b, cond, "inner").select(
+        F.col(f"a.{idc}").alias("doc_a"),
+        F.col(f"b.{idc}").alias("doc_b"),
+        F.col("a.__n").alias("__na"),
+        F.col("b.__n").alias("__nb"),
+    )
+    counted = matched.groupBy("doc_a", "doc_b", "__na", "__nb").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # |A∪B| = |A| + |B| − |A∩B|
+    jac = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
     pairs = (
-        a.join(b, cond, "inner")
-        .select(
-            F.col(f"a.{idc}").alias("doc_a"),
-            F.col(f"b.{idc}").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+        counted.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= thr)
     )
     return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
