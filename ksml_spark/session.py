@@ -30,7 +30,12 @@ DEFAULT_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+    # local[32] runs driver + all executor threads in ONE heap: broadcasts,
+    # shuffle buffers, and codegen classes for a 50-query suite accumulate,
+    # and an 8g heap measurably GC-thrashes mid-suite (the same queries run
+    # ~2x slower late in a session than in isolation; 24g removes it).
+    # On a real cluster executors have their own heaps — size accordingly.
+    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
     # This container's virtualized CPU makes HotSpot C2 compilation
     # pathologically slow (~60s one-time stall on the first regex/explode
     # query shape). C1-only JIT compiles instantly and is within a few
