@@ -118,8 +118,14 @@ def fingerprint64(col: Column) -> Column:
 
 def rolling_hash(col: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash over the normalized text's characters:
-    h = sum(c_i * base^i) mod m, computed with F.aggregate — O(n) JVM fold,
-    cross-engine reproducible (same formula in the DuckDB oracle)."""
+    h = sum(c_i * base^i) mod m, computed with F.aggregate — O(n) JVM
+    fold, cross-engine reproducible (same formula in the DuckDB oracle).
+
+    The fold is interpreted (HOFs get no codegen) but is per-row work, so
+    it parallelizes perfectly across partitions — the fingerprint op
+    spreads single-split scans for exactly this reason. An explode +
+    codegen-agg + join-back rewrite was measured SLOWER (extra shuffles
+    outweigh the interpreter overhead)."""
     normalized = F.array_join(words(col), " ")
     chars = F.split(normalized, "")
     init = F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p"))
@@ -144,9 +150,12 @@ def rolling_hash(col: Column, base: int = 31, mod: int = 1_000_000_007) -> Colum
 # whole-stage codegen end to end, one narrow shuffle of tiny rows.
 
 def word_signals(df, idc: str, textc: str):
-    """(id, __nw, __swl, __hits_<lang>...) aggregated word signals."""
-    from pyspark.sql import DataFrame  # noqa: F401
+    """(id, __nw, __swl, __hits_<lang>...) aggregated word signals.
 
+    Deliberately NOT spread(): the downstream ops join these signals back
+    to the input relation, and an extra exchange on the shared scan
+    measurably regressed every signal query (lang_id 0.8s -> 29s: the
+    repartition defeats scan reuse between the signal and join sides)."""
     ex = (
         df.select(F.col(idc), F.explode(F.split(F.lower(F.col(textc)), r"[^a-z0-9]+")).alias("__w"))
         .filter(F.col("__w") != "")
@@ -244,8 +253,16 @@ def op_quality_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
 
 @defop("fingerprint")
 def op_fingerprint(ctx: Ctx, rel: Rel, *rest) -> Rel:
-    """Adds both the xxhash64 fingerprint and the portable rolling hash."""
+    """Adds both the xxhash64 fingerprint and the portable rolling hash.
+
+    The rolling hash is an interpreted per-row fold (see
+    :func:`rolling_hash`), so a single-split source is spread across the
+    cluster first — per-row work scales with partitions, and on an
+    already-parallel scan the spread is a no-op."""
+    from ..operators.util import spread
+
     col, opts = _col_opts(rest)
-    df = rel.df.withColumn(opts.get("as", "fingerprint"), fingerprint64(F.col(col)))
+    df = spread(rel.df)
+    df = df.withColumn(opts.get("as", "fingerprint"), fingerprint64(F.col(col)))
     df = df.withColumn(opts.get("rolling_as", "rolling_fp"), rolling_hash(F.col(col)))
     return rel.with_df(df)

@@ -84,30 +84,7 @@ def _prepared(rel: Rel, idc: str, vecc: str, dim: Optional[int] = None) -> DataF
     return rel.df.select(F.col(idc), v.alias("__v"), norm_col(v, dim).alias("__n"))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition the broadcast-join STREAMED side when the
-    source has fewer partitions than the configured shuffle parallelism.
-
-    A small parquet file scans as one split, so the quadratic pair
-    generation of a broadcast join would run in a single task while 31
-    cores idle; spreading 1 split's rows is a trivial shuffle. At scale
-    the condition never fires (a 100 TB scan already has thousands of
-    files) so no extra exchange is added to the real plan.
-
-    The check counts source FILES (df.inputFiles() — a logical-plan walk,
-    ~10ms) rather than scan partitions: df.rdd.getNumPartitions() would
-    finalize the physical plan and, under AQE, run a real job (~1.3s)
-    just to ask the question."""
-    if df.isStreaming:  # micro-batch parallelism is the source's concern
-        return df
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    try:
-        nfiles = len(df.inputFiles())
-    except Exception:
-        return df
-    if 0 < nfiles < nparts:
-        return df.repartition(nparts)
-    return df
+from .util import spread as _spread  # noqa: E402  (shared plan helper)
 
 
 def _topk(pairs: DataFrame, k: int) -> DataFrame:
