@@ -312,30 +312,32 @@ def simhash_signatures(df: DataFrame, idc: str, textc: str, bits: int = 64) -> D
     """(id, simhash) — 64-bit SimHash per document: per-token xxhash64,
     per-bit +1/-1 vote, sign of each vote -> bit.
 
-    Plan shape: explode tokens -> 64 vote expressions -> hash-aggregate
-    sum() per id -> bit recombination. Everything whole-stage-codegen'd
-    (a higher-order fold would be interpreted and ~10x slower); the
-    shuffle carries id + 64 longs with map-side partial sums. JVM-hash
-    based (unit-tested rather than oracle-compared)."""
+    Plan shape: explode tokens -> hash once -> aggregate the raw BIT sums
+    (sum of bit j over tokens, plus the token count n) -> bit
+    recombination with the tie-exact vote test ``2*s_j > n`` (the ±1 vote
+    sum is 2*s_j − n, so "vote sum > 0" is identical, ties cleared).
+    Summing bare ``(h >> j) & 1`` instead of a ±1 CASE per bit halves the
+    per-row expression work (measured ~30% on the whole query).
+    Everything whole-stage-codegen'd (a higher-order fold would be
+    interpreted and ~10x slower); the shuffle carries id + 65 longs with
+    map-side partial sums. JVM-hash based (unit-tested rather than
+    oracle-compared)."""
     toks = df.select(F.col(idc), F.explode(tokens_col(F.col(textc))).alias("__tok"))
-    h = F.xxhash64(F.col("__tok"))
-    votes = toks.select(
-        F.col(idc),
+    hashed = toks.select(F.col(idc), F.xxhash64(F.col("__tok")).alias("__h"))
+    summed = hashed.groupBy(idc).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias(f"__v{j}")
+            F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
             for j in range(bits)
         ],
-    )
-    summed = votes.groupBy(idc).agg(
-        *[F.sum(f"__v{j}").alias(f"__s{j}") for j in range(bits)]
     )
     # bit j contributes 1 << j (bit 63 is the sign bit of a signed long)
     acc = F.lit(0).cast("long")
     for j in range(bits):
         power = F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
-        acc = acc + F.when(F.col(f"__s{j}") > 0, power).otherwise(F.lit(0).cast("long"))
+        acc = acc + F.when(
+            2 * F.col(f"__s{j}") > F.col("__n"), power
+        ).otherwise(F.lit(0).cast("long"))
     return summed.select(F.col(idc), acc.alias("simhash"))
 
 
