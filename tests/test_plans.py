@@ -119,6 +119,47 @@ def test_lsh_candidates_reuses_signature_exchange(spark):
     out.df.sparkSession.catalog.clearCache()
 
 
+def test_jaccard_pairs_is_codegen_inverted_index(spark):
+    """threshold > 0 must use the exploded inverted-index plan: no
+    interpreted per-pair array_intersect, pair generation parallelized by
+    an explicit repartition on the (block, token) join keys."""
+    out = pipe(
+        ["stream", ["parquet", f"{SF}/documents.parquet"], {"key": "doc_id"}],
+        ["jaccard-pairs", {"col": "text", "id": "doc_id",
+                           "block": ["lang"], "threshold": 0.5}],
+        spark=spark,
+    )
+    p = plan(out.df, "simple")
+    assert "array_intersect" not in p
+    assert "Generate explode" in p
+    # user-specified repartition on the join keys (AQE respects the count)
+    assert "REPARTITION_BY_NUM" in p or "hashpartitioning(__b0" in p
+    # intersection size via hash aggregation with map-side partials
+    assert "partial_count" in p
+
+
+def test_jaccard_pairs_zero_threshold_keeps_all_pairs_path(spark):
+    out = pipe(
+        ["stream", ["parquet", f"{SF}/documents.parquet"], {"key": "doc_id"}],
+        ["jaccard-pairs", {"col": "text", "id": "doc_id",
+                           "block": ["lang"], "threshold": 0.0}],
+        spark=spark,
+    )
+    # zero-overlap pairs must be emitted, which the inverted index cannot do
+    assert "array_intersect" in plan(out.df, "simple")
+
+
+def test_fingerprint_spreads_single_split_scan(spark):
+    out = pipe(
+        ["stream", ["parquet", f"{SF}/documents.parquet"], {"key": "doc_id"}],
+        ["fingerprint", {"col": "text"}],
+        spark=spark,
+    )
+    # the interpreted rolling-hash fold must not be pinned to the one scan
+    # split: a round-robin exchange precedes it for a single-file source
+    assert "roundrobin" in plan(out.df, "simple").lower()
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     """Bucket both sides by the join key at write time -> the join plan has
     NO exchange: the data is already co-located (SURVEY.md §2.1 scale
