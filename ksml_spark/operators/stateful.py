@@ -122,3 +122,84 @@ def op_process(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
 
     out = rel.df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(batch_fn, schema)
     return KStreamRel(out, key_cols=tuple(key_cols))
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@defop("transform-with-state")
+def op_transform_with_state(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Spark-4-native stateful processor — the closest analog of the
+    reference's Processor interface (init hook, per-key state stores,
+    punctuation):
+
+        ["transform-with-state", s, processor, {"schema": <output DDL>,
+                                                "mode": "update"|"append",
+                                                "time": "none"|"processingTime"|"eventTime"}]
+
+    ``processor`` is a ``pyspark.sql.streaming.StatefulProcessor``
+    (instance or zero-arg factory): ``init(handle)`` ≈ Processor#init
+    with typed state handles (value/list/map state, TTL),
+    ``handleInputRows(key, rows, timerValues)`` ≈ Processor#process, and
+    registered timers ≈ punctuate() — the piece ``applyInPandasWithState``
+    (the ``process`` op) cannot express. Runs on batch AND streaming
+    input with identical semantics (batch groups get transient state).
+
+    Requires the RocksDB state store provider; it is set on the session
+    if the conf is still on the HDFS default (runtime-settable, applies
+    at query start). Batch input additionally needs the driver's
+    StateStoreCoordinator RPC endpoint, which Spark only creates lazily
+    for streaming queries — this op forces its creation (else batch runs
+    die with RpcEndpointNotFoundException). Execution (not plan
+    construction) needs ``google.protobuf`` in the Python env — the
+    worker's state-server protocol uses it; environments without it can
+    still build/inspect plans and should use the ``process`` op
+    (applyInPandasWithState) to run. Scale posture: one shuffle on the
+    grouping key; state is per-key, partition-local, RocksDB-backed with
+    changelog checkpointing — the Kafka Streams state-store model,
+    verbatim."""
+    proc = None
+    opts: dict = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+        elif r is not None:
+            proc = r
+    schema = opts.get("schema")
+    if proc is None or schema is None:
+        raise ArityError(
+            "transform-with-state needs a StatefulProcessor and {'schema': <DDL>}"
+        )
+    from pyspark.sql.streaming import StatefulProcessor
+
+    if not isinstance(proc, StatefulProcessor) and callable(proc):
+        proc = proc()
+    if not isinstance(proc, StatefulProcessor):
+        raise ArityError(
+            "transform-with-state processor must be a StatefulProcessor "
+            "(instance or zero-arg factory)"
+        )
+    key_cols = list(opts.get("key") or rel.key_cols)
+    if not key_cols:
+        raise ArityError("transform-with-state requires key columns")
+
+    conf = ctx.spark.conf
+    if "RocksDB" not in conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    ):
+        conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+    if not rel.df.isStreaming:
+        try:  # force-create the lazily-registered coordinator endpoint
+            ctx.spark._jsparkSession.streams().stateStoreCoordinator()
+        except Exception:
+            pass  # older/newer internals: let Spark surface its own error
+
+    out = rel.df.groupBy(*[F.col(c) for c in key_cols]).transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=schema,
+        outputMode=opts.get("mode", "update"),
+        timeMode=opts.get("time", "none"),
+    )
+    return KStreamRel(out, key_cols=tuple(key_cols))

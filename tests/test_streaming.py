@@ -140,6 +140,54 @@ def test_process_batch_and_streaming_agree(spark, events_path, tables):
     assert g == b and len(b) > 0
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def test_transform_with_state_builds_plan(spark, tables):
+    """Spark-4 StatefulProcessor op: plan construction must work even
+    where execution can't (worker protocol needs google.protobuf)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle):
+            self.count = handle.getValueState("count", "n bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    out = ksml(
+        ["transform-with-state",
+         ["stream", tables["events"], {"key": "user_id"}],
+         RunningCount(), {"schema": "user_id long, n bigint"}],
+        spark=spark,
+    )
+    assert out.df.schema.simpleString() == "struct<user_id:bigint,n:bigint>"
+    # the RocksDB provider requirement was applied to the session
+    assert "RocksDB" in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    if _has_protobuf():  # pragma: no cover - container lacks protobuf
+        counts = {r["user_id"]: r["n"] for r in out.df.collect()}
+        expected = {
+            r["user_id"]: r["n"]
+            for r in tables["events"].groupBy("user_id").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert counts == expected
+
+
 def test_to_memory_sink_and_watermark_op(spark, events_path):
     out = pipe(
         events_stream(spark, events_path),
