@@ -187,9 +187,10 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     k = int(opts.get("k", 3))
     dim = opts.get("dim")
     nprobe = int(opts.get("nprobe", 2))
-    # no _spread: the plan is already multi-stage (assignment groupBy +
-    # probe + cluster-keyed candidate join) — its shuffles provide the
-    # parallelism, and a fronting exchange only adds latency (measured)
+    # spread ONLY the assignment branch below — spreading `prepared`
+    # itself puts an exchange in front of every branch (centroids, query
+    # probe) and measured slower; round-robin exchanges are not reused
+    # across branches
     prepared = _prepared(rel, idc, vecc, dim)
 
     cents = prepared.filter(F.expr(opts["centroids"])).select(
@@ -197,8 +198,10 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     )
     csim = dot_col(F.col("__v"), F.col("__cv"), dim) / (F.col("__n") * F.col("__cn"))
 
-    # nearest centroid per vector: argmax by (sim, then smallest cid)
-    scored = prepared.crossJoin(F.broadcast(cents)).withColumn("__csim", csim)
+    # nearest centroid per vector: argmax by (sim, then smallest cid);
+    # the K-way fan-out against broadcast centroids is the heavy branch,
+    # so a single-split source is spread across cores first
+    scored = _spread(prepared).crossJoin(F.broadcast(cents)).withColumn("__csim", csim)
     assign = scored.groupBy(idc).agg(
         F.first("__v").alias("__v"),  # constant within the group
         F.first("__n").alias("__n"),
