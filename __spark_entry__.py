@@ -967,6 +967,37 @@ SELECT doc_a, doc_b, round(c::DOUBLE / (n - c), 6) AS jaccard
 FROM pairs WHERE c::DOUBLE / (n - c) >= 0.5"""
 
 
+def _q_dup_clusters(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["jaccard-pairs", {"col": "text", "id": "doc_id",
+                           "block": ["lang", "n_chars div 100"], "threshold": 0.5}],
+        ["dup-clusters", {"a": "doc_a", "b": "doc_b", "as": "doc_id"}],
+        spark=spark,
+    ).df
+
+
+_DUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars // 100 AS nb,
+           list_distinct(list_transform(string_split(text, ' '),
+             x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS t FROM documents),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.t, b.t)) AS c, len(a.t) + len(b.t) AS n
+  FROM d a JOIN d b ON a.lang = b.lang AND a.nb = b.nb AND a.doc_id < b.doc_id
+),
+pairs AS (SELECT doc_a, doc_b FROM p WHERE c::DOUBLE / (n - c) >= 0.5),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node"""
+
+
 def _q_simhash(spark, sf):
     # no oracle: xxhash64 is JVM-only; unit-tested against a Python reference
     return pipe(
@@ -1162,6 +1193,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "minhash_signatures": (_q_minhash_sig, _MINHASH_SIG_ORACLE),
     "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
     "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
+    "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),
     "simhash_docs": (_q_simhash, None),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
     "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),

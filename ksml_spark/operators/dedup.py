@@ -14,6 +14,10 @@ the first-class extension operators a 100 TB corpus pipeline needs:
         exact token-set Jaccard >= threshold within blocking groups.
     ["simhash", rel, {"col": "text", "as": "simhash"}]
         64-bit SimHash column (xxhash64 token hashes, bit voting).
+    ["dup-clusters", pairs_rel, {"a": "doc_a", "b": "doc_b"}]
+        connected components over a near-dup pair relation: (id, cluster)
+        with cluster = min member id — the step that turns LSH/Jaccard
+        PAIRS into dedup groups with a canonical representative.
 
 Scale posture: MinHash signatures are per-row narrow expressions (one scan,
 whole-stage codegen, no Python); the LSH self-join shuffles on (band,
@@ -303,6 +307,112 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         .filter(F.col("jaccard") >= thr)
     )
     return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
+
+
+@defop("dup-clusters")
+def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Connected components over a pair relation by min-label propagation:
+
+        ["dup-clusters", pairs, {"a": "doc_a", "b": "doc_b",
+                                 "as": "doc_id", "max_iter": 15}]
+
+    Returns (id, cluster) for every id that appears in a pair; cluster is
+    the smallest member id of the component (the canonical
+    representative). Compose after lsh-candidates / jaccard-pairs /
+    neardup-pairs to turn near-dup PAIRS into dedup GROUPS; ids with no
+    pair are their own representative (left-join this result and
+    coalesce).
+
+    Pregel-style batch iteration: each round every node takes the min of
+    its own label and its neighbors' labels (one codegen hash join + one
+    hash aggregation per round), stopping at a fixpoint or max_iter.
+    Rounds converge in O(component diameter) — near-dup components are
+    dense and shallow in practice. The driver only coordinates (one
+    changed-row COUNT per round). Each round's labels are
+    ``localCheckpoint``ed: iterative self-referencing DataFrames grow
+    their LOGICAL plan every round otherwise (persist caches data but
+    not the analysis/planning cost, which compounds until rounds take
+    minutes); checkpointing truncates lineage so every round plans the
+    same small tree. Batch-only by design: streaming connected
+    components needs incremental union-find state, out of scope (run per
+    micro-batch via foreach-batch if needed)."""
+    opts = _opts(rest)
+    a = opts.get("a", "doc_a")
+    b = opts.get("b", "doc_b")
+    out_id = opts.get("as", "doc_id")
+    max_iter = int(opts.get("max_iter", 15))
+    if rel.df.isStreaming:
+        raise ArityError("dup-clusters is batch-only (see docstring)")
+
+    # checkpoint the pair relation BEFORE the symmetric union: both union
+    # branches would otherwise re-run the (expensive) upstream pair
+    # generation once each
+    pairs = rel.df.select(
+        F.col(a).alias("__src"), F.col(b).alias("__dst")
+    ).localCheckpoint()
+    edges = (
+        pairs.union(pairs.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("__src").alias("__node"))
+        .distinct()
+        .withColumn("__label", F.col("__node"))
+        .localCheckpoint()
+    )
+    def jump(df):
+        # pointer jumping: label <- label(label). Labels only ever
+        # decrease toward the component min, so the self-join compresses
+        # paths and convergence needs far fewer rounds than plain
+        # neighbor-min (a second jump per round measured no better —
+        # per-round plan size outweighs the round savings)
+        return (
+            df.alias("x")
+            .join(
+                df.select(
+                    F.col("__node").alias("__lnode"),
+                    F.col("__label").alias("__llabel"),
+                ),
+                F.col("x.__label") == F.col("__lnode"),
+                "left",
+            )
+            .select(
+                F.col("x.__node").alias("__node"),
+                F.least(
+                    F.col("x.__label"),
+                    F.coalesce(F.col("__llabel"), F.col("x.__label")),
+                ).alias("__label"),
+                *([F.col("x.__prev").alias("__prev")] if "__prev" in df.columns else []),
+            )
+        )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["__dst"] == labels["__node"])
+            .groupBy("__src")
+            .agg(F.min("__label").alias("__nbr"))
+        )
+        stepped = labels.join(
+            nbr_min, labels["__node"] == nbr_min["__src"], "left"
+        ).select(
+            F.col("__node"),
+            F.least(
+                F.col("__label"), F.coalesce(F.col("__nbr"), F.col("__label"))
+            ).alias("__label"),
+            F.col("__label").alias("__prev"),  # pre-round label, for the
+            # convergence check below — a filter on the checkpointed
+            # result instead of an extra join against the old labels
+        )
+        new_labels = jump(stepped).localCheckpoint()
+        changed = new_labels.filter(F.col("__label") != F.col("__prev")).count()
+        labels = new_labels.drop("__prev")
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("__node").alias(out_id), F.col("__label").alias("cluster")
+    )
+    return KStreamRel(out, key_cols=(out_id,))
 
 
 # ---------------------------------------------------------------------------

@@ -120,6 +120,33 @@ def test_jaccard_pairs_values(spark, tables):
         assert abs(jac - r["jaccard"]) < 1e-6 and jac >= 0.9
 
 
+def test_dup_clusters_connected_components(spark):
+    # chain 1-2-3, pair 10-11, triangle 20-21-22 (+redundant edge)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    out = ksml(
+        ["dup-clusters", ["stream", pairs, {}], {"a": "doc_a", "b": "doc_b"}],
+        spark=spark,
+    ).df
+    got = {r["doc_id"]: r["cluster"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    # a 12-hop path exercises multiple propagation rounds + early stop
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    out = ksml(
+        ["dup-clusters", ["stream", pairs, {}], {"a": "doc_a", "b": "doc_b"}],
+        spark=spark,
+    ).df
+    got = {r["doc_id"]: r["cluster"] for r in out.collect()}
+    assert got == {i: 0 for i in range(13)}
+
+
 # ---------------------------------------------------------------------------
 # simhash
 
