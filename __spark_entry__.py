@@ -967,6 +967,47 @@ SELECT doc_a, doc_b, round(c::DOUBLE / (n - c), 6) AS jaccard
 FROM pairs WHERE c::DOUBLE / (n - c) >= 0.5"""
 
 
+def _q_hash_split(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["hash-split", {"id": "doc_id", "salt": "v1",
+                        "fractions": {"train": 0.9, "val": 0.05, "test": 0.05}}],
+        ["select", {"doc_id": "doc_id", "split": "split"}],
+        spark=spark,
+    ).df
+
+
+# integer cutoffs: floor(0.9 * 2^32), floor(0.95 * 2^32) — identical
+# constants in the Spark op, so assignment is bit-exact across engines
+_HASH_SPLIT_ORACLE = """
+SELECT doc_id,
+  CASE WHEN b < 3865470566 THEN 'train'
+       WHEN b < 4080218931 THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id,
+      ('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT AS b
+      FROM documents)"""
+
+
+def _q_cap_per_group(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["cap-per-group", {"by": ["lang"], "order": ["-n_chars", "doc_id"],
+                           "n": 10}],
+        ["select", {"doc_id": "doc_id", "lang": "lang", "n_chars": "n_chars"}],
+        spark=spark,
+    ).df
+
+
+_CAP_PER_GROUP_ORACLE = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10"""
+
+
 def _q_dup_clusters(spark, sf):
     return pipe(
         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
@@ -1194,6 +1235,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
     "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
     "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),
+    "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
+    "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
     "simhash_docs": (_q_simhash, None),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
     "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),

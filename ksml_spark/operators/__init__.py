@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     joins,
     multimodal,
     relational,
+    sampling,
     similarity,
     sinks,
     sources,

@@ -1,0 +1,105 @@
+"""Dataset-splitting / sampling operators for training-data pipelines
+(SURVEY.md §2.10 extensions; no analog in the reference — cddr/ksml wraps
+the Kafka Streams DSL, which has no sampling surface).
+
+    ["hash-split", rel, {"id": "doc_id",
+                         "fractions": {"train": 0.9, "val": 0.05, "test": 0.05},
+                         "salt": "v1", "as": "split"}]
+        deterministic, engine-portable split assignment: a document lands
+        in the same split on every run, every engine, any partitioning —
+        the property random() sampling can't give a reproducible pipeline.
+
+    ["cap-per-group", rel, {"by": ["lang"], "order": ["-quality", "doc_id"],
+                            "n": 100}]
+        keep at most n rows per group under a deterministic total order
+        ("-col" = descending, as in order-by) — the "at most K documents
+        per domain" downsampling step.
+
+Scale posture: hash-split is a pure per-row expression (no shuffle, no
+state, works identically on streams); cap-per-group is one hash-partition
+shuffle on the group key + a streaming-friendly rank (the window carries
+no frame, so it is a single pass per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..errors import ArityError
+from ..eval import Ctx, defop
+from ..model import Rel
+
+
+def _opts(rest) -> dict:
+    o = {}
+    for r in rest:
+        if isinstance(r, dict):
+            o.update(r)
+    return o
+
+
+@defop("hash-split")
+def op_hash_split(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Adds a split-label column from an md5 hash of (id, salt).
+
+    The 32-bit hash prefix is compared against INTEGER cutoffs
+    (floor(cumulative fraction * 2^32)) — no floating point anywhere, so
+    the assignment is bit-identical across engines (the DuckDB oracle
+    uses the same md5 prefix and the same integer cutoffs). Changing
+    ``salt`` re-draws the whole assignment; fractions are normalized to
+    sum to 1."""
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    out = opts.get("as", "split")
+    salt = str(opts.get("salt", ""))
+    fractions = opts.get("fractions") or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not isinstance(fractions, dict) or not fractions:
+        raise ArityError("hash-split needs {'fractions': {name: weight, ...}}")
+    total = float(sum(fractions.values()))
+    if total <= 0:
+        raise ArityError("hash-split fractions must sum to > 0")
+
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(idc).cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    acc = 0.0
+    expr = None
+    names = list(fractions.items())
+    for name, w in names[:-1]:
+        acc += float(w) / total
+        cut = int(acc * (1 << 32))  # integer cutoff: no float compare
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = names[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return rel.with_df(rel.df.withColumn(out, expr))
+
+
+@defop("cap-per-group")
+def op_cap_per_group(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Keeps at most ``n`` rows per group, chosen by a deterministic
+    order (ties must be broken by the order columns — include a unique
+    id last). One shuffle on the group key; rank + filter, no state."""
+    from pyspark.sql import Window
+
+    opts = _opts(rest)
+    by = opts.get("by")
+    order = opts.get("order")
+    n = int(opts.get("n", 0))
+    if not by or not order or n <= 0:
+        raise ArityError("cap-per-group needs {'by': cols, 'order': cols, 'n': > 0}")
+    by = [by] if isinstance(by, str) else list(by)
+    order = [order] if isinstance(order, str) else list(order)
+    ocols = [
+        F.col(o[1:]).desc() if isinstance(o, str) and o.startswith("-") else F.col(o)
+        for o in order
+    ]
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*ocols)
+    out = (
+        rel.df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+    return rel.with_df(out)

@@ -120,6 +120,43 @@ def test_jaccard_pairs_values(spark, tables):
         assert abs(jac - r["jaccard"]) < 1e-6 and jac >= 0.9
 
 
+def test_hash_split_deterministic_and_proportional(spark, tables):
+    form = ["hash-split", docs_stream(tables),
+            {"id": "doc_id", "salt": "v1",
+             "fractions": {"train": 0.8, "val": 0.1, "test": 0.1}}]
+    a = {r["doc_id"]: r["split"] for r in ksml(form, spark=spark).df.collect()}
+    b = {r["doc_id"]: r["split"] for r in ksml(form, spark=spark).df.collect()}
+    assert a == b  # same assignment on every run
+    n = len(a)
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / n > 0.6  # proportional within small-sample slack
+    # a different salt re-draws the assignment
+    c = {r["doc_id"]: r["split"] for r in ksml(
+        ["hash-split", docs_stream(tables),
+         {"id": "doc_id", "salt": "v2",
+          "fractions": {"train": 0.8, "val": 0.1, "test": 0.1}}],
+        spark=spark).df.collect()}
+    assert c != a
+
+
+def test_cap_per_group(spark, tables):
+    out = pipe(
+        docs_stream(tables),
+        ["cap-per-group", {"by": ["lang"], "order": ["-n_chars", "doc_id"], "n": 3}],
+        spark=spark,
+    ).df
+    pdf = tables["documents"].select("doc_id", "lang", "n_chars").toPandas()
+    expected = (
+        pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("lang").head(3)
+    )
+    got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    assert got == set(zip(expected["lang"], expected["doc_id"]))
+
+
 def test_dup_clusters_connected_components(spark):
     # chain 1-2-3, pair 10-11, triangle 20-21-22 (+redundant edge)
     pairs = spark.createDataFrame(
