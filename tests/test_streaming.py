@@ -140,6 +140,25 @@ def test_process_batch_and_streaming_agree(spark, events_path, tables):
     assert g == b and len(b) > 0
 
 
+def test_hash_split_streaming_matches_batch(spark, events_path, tables):
+    """hash-split is a pure per-row expression — identical assignment on
+    a stream and on the batch table (the reproducibility property)."""
+    form = lambda src: pipe(  # noqa: E731
+        src,
+        ["hash-split", {"id": "event_id", "salt": "s1",
+                        "fractions": {"train": 0.5, "test": 0.5}}],
+        ["select", {"event_id": "event_id", "split": "split"}],
+        spark=spark,
+    )
+    stream = form(events_stream(spark, events_path))
+    assert stream.df.isStreaming
+    got = run_to_memory(stream, "split_stream", output_mode="append")
+    batch = form(["stream", tables["events"], {"key": "user_id"}]).df
+    g = {r["event_id"]: r["split"] for r in got.collect()}
+    b = {r["event_id"]: r["split"] for r in batch.collect()}
+    assert g == b and len(set(g.values())) == 2
+
+
 def _has_protobuf() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
