@@ -323,19 +323,23 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     pair are their own representative (left-join this result and
     coalesce).
 
-    Pregel-style batch iteration: each round every node takes the min of
-    its own label and its neighbors' labels (one codegen hash join + one
-    hash aggregation per round), stopping at a fixpoint or max_iter.
-    Rounds converge in O(component diameter) — near-dup components are
-    dense and shallow in practice. The driver only coordinates (one
-    changed-row COUNT per round). Each round's labels are
-    ``localCheckpoint``ed: iterative self-referencing DataFrames grow
-    their LOGICAL plan every round otherwise (persist caches data but
-    not the analysis/planning cost, which compounds until rounds take
-    minutes); checkpointing truncates lineage so every round plans the
-    same small tree. Batch-only by design: streaming connected
-    components needs incremental union-find state, out of scope (run per
-    micro-batch via foreach-batch if needed)."""
+    Contraction-based batch iteration (the multi-level CC shape that
+    holds at 100 TB): labels start as min(self, direct neighbors) — one
+    aggregation over the edge list — and every subsequent round operates
+    ONLY on the contracted cross-cluster edge graph, which collapses
+    near-complete dup components after the first remap. Per round: a
+    min-neighbor step plus a pointer-jump composition in label space
+    (tiny joins), the node labels re-mapped through it, and the edge set
+    re-contracted; convergence = the contracted edge set is empty (the
+    per-round COUNT the driver coordinates). Only the initial step and
+    first contraction scan the full edge list — rounds never re-touch
+    it, unlike plain label propagation whose every round joins all
+    edges. Each round ``localCheckpoint``s: iterative self-referencing
+    DataFrames otherwise compound their logical plan (persist caches
+    data, not analysis cost) until rounds take minutes. Batch-only by
+    design: streaming connected components needs incremental union-find
+    state, out of scope (run per micro-batch via foreach-batch if
+    needed)."""
     opts = _opts(rest)
     a = opts.get("a", "doc_a")
     b = opts.get("b", "doc_b")
@@ -355,60 +359,76 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         .distinct()
         .localCheckpoint()
     )
+    # initial labels: min(self, direct neighbors) — src is the group key,
+    # so one hash aggregation over the edge list, no join
     labels = (
-        edges.select(F.col("__src").alias("__node"))
-        .distinct()
-        .withColumn("__label", F.col("__node"))
+        edges.groupBy("__src")
+        .agg(F.least(F.first("__src"), F.min("__dst")).alias("__label"))
+        .select(F.col("__src").alias("__node"), "__label")
         .localCheckpoint()
     )
-    def jump(df):
-        # pointer jumping: label <- label(label). Labels only ever
-        # decrease toward the component min, so the self-join compresses
-        # paths and convergence needs far fewer rounds than plain
-        # neighbor-min (a second jump per round measured no better —
-        # per-round plan size outweighs the round savings)
+
+    def remap(e, mapping):
+        """Remap edge endpoints through (``__from`` -> ``__to``), keep
+        only cross-cluster edges. Absent keys map to themselves."""
+        sm = mapping.select(F.col("__from").alias("__src"), F.col("__to").alias("__ms"))
+        dm = mapping.select(F.col("__from").alias("__dst"), F.col("__to").alias("__md"))
         return (
-            df.alias("x")
+            e.join(sm, "__src", "left")
+            .join(dm, "__dst", "left")
+            .select(
+                F.coalesce(F.col("__ms"), F.col("__src")).alias("__src"),
+                F.coalesce(F.col("__md"), F.col("__dst")).alias("__dst"),
+            )
+            .filter(F.col("__src") != F.col("__dst"))
+            .distinct()
+        )
+
+    # first contraction: node -> initial label, over the full edge list —
+    # the LAST time the full list is touched; near-complete dup
+    # components collapse here and every later round runs on the
+    # (usually tiny) cross-cluster remainder
+    node_map = labels.select(
+        F.col("__node").alias("__from"), F.col("__label").alias("__to")
+    )
+    cedges = remap(edges, node_map).localCheckpoint()
+
+    for _ in range(max_iter):
+        if cedges.count() == 0:  # no cross-cluster edges: converged
+            break
+        # label-space step: l -> min(l, min neighbor), composed with one
+        # pointer jump (m2 = m . m) — labels only decrease toward the
+        # component min, so composition compresses paths
+        m = (
+            cedges.groupBy("__src")
+            .agg(F.least(F.first("__src"), F.min("__dst")).alias("__to"))
+            .select(F.col("__src").alias("__from"), "__to")
+        )
+        m2 = (
+            m.alias("x")
             .join(
-                df.select(
-                    F.col("__node").alias("__lnode"),
-                    F.col("__label").alias("__llabel"),
-                ),
-                F.col("x.__label") == F.col("__lnode"),
+                m.select(F.col("__from").alias("__f2"), F.col("__to").alias("__t2")),
+                F.col("x.__to") == F.col("__f2"),
                 "left",
             )
             .select(
-                F.col("x.__node").alias("__node"),
+                F.col("x.__from").alias("__from"),
                 F.least(
-                    F.col("x.__label"),
-                    F.coalesce(F.col("__llabel"), F.col("x.__label")),
-                ).alias("__label"),
-                *([F.col("x.__prev").alias("__prev")] if "__prev" in df.columns else []),
+                    F.col("x.__to"), F.coalesce(F.col("__t2"), F.col("x.__to"))
+                ).alias("__to"),
             )
         )
-
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["__dst"] == labels["__node"])
-            .groupBy("__src")
-            .agg(F.min("__label").alias("__nbr"))
+        labels = (
+            labels.join(m2, labels["__label"] == m2["__from"], "left")
+            .select(
+                F.col("__node"),
+                F.least(
+                    F.col("__label"), F.coalesce(F.col("__to"), F.col("__label"))
+                ).alias("__label"),
+            )
+            .localCheckpoint()
         )
-        stepped = labels.join(
-            nbr_min, labels["__node"] == nbr_min["__src"], "left"
-        ).select(
-            F.col("__node"),
-            F.least(
-                F.col("__label"), F.coalesce(F.col("__nbr"), F.col("__label"))
-            ).alias("__label"),
-            F.col("__label").alias("__prev"),  # pre-round label, for the
-            # convergence check below — a filter on the checkpointed
-            # result instead of an extra join against the old labels
-        )
-        new_labels = jump(stepped).localCheckpoint()
-        changed = new_labels.filter(F.col("__label") != F.col("__prev")).count()
-        labels = new_labels.drop("__prev")
-        if changed == 0:
-            break
+        cedges = remap(cedges, m2).localCheckpoint()
     out = labels.select(
         F.col("__node").alias(out_id), F.col("__label").alias("cluster")
     )
