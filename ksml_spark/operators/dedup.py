@@ -18,6 +18,11 @@ the first-class extension operators a 100 TB corpus pipeline needs:
         connected components over a near-dup pair relation: (id, cluster)
         with cluster = min member id — the step that turns LSH/Jaccard
         PAIRS into dedup groups with a canonical representative.
+    ["near-dedup", rel, {"col": "text", "id": "doc_id", "block": ...,
+                         "threshold": 0.8}]
+        end-to-end near-duplicate removal: jaccard-pairs -> dup-clusters
+        -> keep each cluster's representative (min id). The one-call
+        composition of the pipeline above.
 
 Scale posture: MinHash signatures are per-row narrow expressions (one scan,
 whole-stage codegen, no Python); the LSH self-join shuffles on (band,
@@ -433,6 +438,27 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         F.col("__node").alias(out_id), F.col("__label").alias("cluster")
     )
     return KStreamRel(out, key_cols=(out_id,))
+
+
+@defop("near-dedup")
+def op_near_dedup(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """End-to-end near-duplicate removal: rows whose id is a non-minimal
+    member of a near-dup cluster are dropped; everything else (including
+    rows with no near-dup) passes through unchanged.
+
+    Composition of the gated building blocks — jaccard-pairs (inverted-
+    index exact verification within blocks) -> dup-clusters (contraction
+    connected components) -> left_anti join against the non-representative
+    ids (a set far smaller than the corpus, so Catalyst broadcasts it)."""
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    pairs = op_jaccard_pairs(ctx, rel, opts)
+    clusters = op_dup_clusters(
+        ctx, pairs, {"a": "doc_a", "b": "doc_b", "as": idc,
+                     "max_iter": opts.get("max_iter", 15)}
+    )
+    losers = clusters.df.filter(F.col(idc) != F.col("cluster")).select(idc)
+    return rel.with_df(rel.df.join(losers, idc, "left_anti"))
 
 
 # ---------------------------------------------------------------------------

@@ -184,6 +184,25 @@ def test_dup_clusters_long_chain_converges(spark):
     assert got == {i: 0 for i in range(13)}
 
 
+def test_near_dedup_keeps_representatives(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),   # dup of 1
+            (3, "the quick brown fox leaps over the lazy dog"),   # near-dup of 1
+            (4, "completely different content about spark engines"),
+            (5, "another unrelated document entirely on its own"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ksml(
+        ["near-dedup", ["stream", docs, {"key": "doc_id"}],
+         {"col": "text", "id": "doc_id", "threshold": 0.5}],
+        spark=spark,
+    ).df
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4, 5]
+
+
 # ---------------------------------------------------------------------------
 # simhash
 
