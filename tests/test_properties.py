@@ -76,3 +76,42 @@ def test_branch_partitions_exactly(spark, data, thr):
     expected0 = df.filter(f"value > {thr}").count()
     expected1 = df.filter(f"not (value > {thr}) and key % 2 = 0").count()
     assert (n0, n1) == (expected0, expected1)
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_dup_clusters_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    out = ksml(
+        ["dup-clusters", ["stream", pairs, {}], {"a": "doc_a", "b": "doc_b"}],
+        spark=spark,
+    ).df
+    got = {r["doc_id"]: r["cluster"] for r in out.collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
