@@ -153,6 +153,52 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
 
+def _q_q5(spark, sf):
+    """TPC-H Q5-style: 6-table join (3 broadcast dims via global-table) +
+    filter + agg — local-supplier revenue per nation in one region/year."""
+    orders = ksml(["where",
+                   ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
+                   "o_orderdate >= timestamp'1996-01-01 00:00:00' and "
+                   "o_orderdate < timestamp'1997-01-01 00:00:00'"], spark=spark)
+    cust = ksml(["table", _t(sf, "customer"), {"key": "c_custkey", "unique": True}],
+                spark=spark)
+    co = ksml(["join", orders, cust], spark=spark)
+    co = ksml(["select-key", co, ["key-value-mapper", {"o_orderkey": "o_orderkey"}]],
+              spark=spark)
+    li = ksml(["stream", _t(sf, "lineitem"), {"key": "l_orderkey"}], spark=spark)
+    lco = ksml(["join", li, co], spark=spark)
+    supp = ksml(["global-table", _t(sf, "supplier"),
+                 {"key": "s_suppkey", "unique": True}], spark=spark)
+    nation = ksml(["global-table", _t(sf, "nation"),
+                   {"key": "n_nationkey", "unique": True}], spark=spark)
+    region = ksml(["global-table", _t(sf, "region"),
+                   {"key": "r_regionkey", "unique": True}], spark=spark)
+    return pipe(
+        ["join-global", lco, supp, ["key-value-mapper", "l_suppkey"]],
+        # Q5's local-supplier condition: supplier and customer co-located
+        ["where", "s_nationkey = c_nationkey"],
+        ["join-global", nation, ["key-value-mapper", "s_nationkey"]],
+        ["join-global", region, ["key-value-mapper", "n_regionkey"]],
+        ["where", "r_name = 'ASIA'"],
+        ["group-by", ["key-value-mapper", {"n_name": "n_name"}]],
+        ["agg", {"revenue": "sum(cast(round((l_extendedprice * (1 - l_discount)) * 1000000) as bigint)) / cast(1000000 as double)"}],
+        spark=spark,
+    ).df
+
+
+_Q5_ORACLE = """
+SELECT n_name,
+  SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / cast(1000000 as double) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name"""
+
+
 def _q_wordcount(spark, sf):
     return pipe(
         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
@@ -1189,6 +1235,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     # reference surface (SURVEY.md §2.1-2.5)
     "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
     "q3_segment_revenue": (_q_q3, _Q3_ORACLE),
+    "q5_local_supplier_revenue": (_q_q5, _Q5_ORACLE),
     "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
     "filter_highqty": (_q_filter, _FILTER_ORACLE),
     "filter_not_returns": (_q_filter_not, _FILTER_NOT_ORACLE),
