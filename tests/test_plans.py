@@ -160,6 +160,19 @@ def test_fingerprint_spreads_single_split_scan(spark):
     assert "roundrobin" in plan(out.df, "simple").lower()
 
 
+def test_q5_star_join_is_all_broadcast(spark):
+    """The 6-table Q5 plan at test scale: every dimension join broadcasts
+    (no sort-merge), and the multi-way join never degenerates into a
+    cartesian product."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q5_local_supplier_revenue"](spark, SF)
+    p = plan(df, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     """Bucket both sides by the join key at write time -> the join plan has
     NO exchange: the data is already co-located (SURVEY.md §2.1 scale
