@@ -1024,10 +1024,12 @@ def _q_hash_split(spark, sf):
 
 
 # integer cutoffs: floor(0.9 * 2^32), floor(0.95 * 2^32) — identical
-# constants in the Spark op, so assignment is bit-exact across engines
+# constants in the Spark op, so assignment is bit-exact across engines;
+# NULL ids get a NULL split on both sides (the op guards them explicitly)
 _HASH_SPLIT_ORACLE = """
 SELECT doc_id,
-  CASE WHEN b < 3865470566 THEN 'train'
+  CASE WHEN doc_id IS NULL THEN NULL
+       WHEN b < 3865470566 THEN 'train'
        WHEN b < 4080218931 THEN 'val'
        ELSE 'test' END AS split
 FROM (SELECT doc_id,

@@ -59,12 +59,7 @@ def minhash_slice(j: int) -> tuple[int, int]:
     return j // PIECES_PER_MD5, (j % PIECES_PER_MD5) * 8 + 1
 
 
-def _opts(rest) -> dict:
-    o = {}
-    for r in rest:
-        if isinstance(r, dict):
-            o.update(r)
-    return o
+from .util import opts_of as _opts  # noqa: E402  (shared option merging)
 
 
 @defop("dedup")
@@ -286,7 +281,9 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # output) would coalesce to ~1 partition and run the quadratic pair
     # generation single-threaded; a user-specified partition count is
     # respected by AQE, and both self-join sides reuse the one exchange
-    nparts = int(ex.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from .util import shuffle_partitions
+
+    nparts = shuffle_partitions(ex)
     ex = ex.repartition(
         nparts, *[f"__b{i}" for i in range(len(blocks))], "__tok"
     )
@@ -397,9 +394,16 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         F.col("__node").alias("__from"), F.col("__label").alias("__to")
     )
     cedges = remap(edges, node_map).localCheckpoint()
+    # superseded checkpoints are explicitly unpersisted as the loop
+    # advances — otherwise every round's edge/label snapshot stays
+    # pinned in block-manager storage until Python GC
+    pairs.unpersist()
+    edges.unpersist()
 
+    converged = False
     for _ in range(max_iter):
         if cedges.count() == 0:  # no cross-cluster edges: converged
+            converged = True
             break
         # label-space step: l -> min(l, min neighbor), composed with one
         # pointer jump (m2 = m . m) — labels only decrease toward the
@@ -423,6 +427,7 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                 ).alias("__to"),
             )
         )
+        prev_labels, prev_cedges = labels, cedges
         labels = (
             labels.join(m2, labels["__label"] == m2["__from"], "left")
             .select(
@@ -434,6 +439,16 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             .localCheckpoint()
         )
         cedges = remap(cedges, m2).localCheckpoint()
+        prev_labels.unpersist()
+        prev_cedges.unpersist()
+    # the in-loop check runs at round START, so a final round that just
+    # emptied cedges needs one more look before declaring failure
+    if not converged and cedges.count() != 0:
+        raise RuntimeError(
+            f"dup-clusters did not converge within max_iter={max_iter} "
+            "rounds — raise {'max_iter': N}; returning partial clusters "
+            "would silently split components"
+        )
     out = labels.select(
         F.col("__node").alias(out_id), F.col("__label").alias("cluster")
     )

@@ -17,8 +17,9 @@ the Kafka Streams DSL, which has no sampling surface).
 
 Scale posture: hash-split is a pure per-row expression (no shuffle, no
 state, works identically on streams); cap-per-group is one hash-partition
-shuffle on the group key + a streaming-friendly rank (the window carries
-no frame, so it is a single pass per partition).
+shuffle on the group key + a frameless rank (a single pass per
+partition) — batch-only, since Structured Streaming rejects non-time
+windows.
 """
 
 from __future__ import annotations
@@ -28,14 +29,7 @@ from pyspark.sql import functions as F
 from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..model import Rel
-
-
-def _opts(rest) -> dict:
-    o = {}
-    for r in rest:
-        if isinstance(r, dict):
-            o.update(r)
-    return o
+from .util import opts_of as _opts
 
 
 @defop("hash-split")
@@ -64,16 +58,17 @@ def op_hash_split(ctx: Ctx, rel: Rel, *rest) -> Rel:
         16,
         10,
     ).cast("long")
+    # NULL ids get a NULL split, explicitly: md5(NULL) is NULL, every
+    # cutoff comparison is NULL/false, and without this guard the CASE
+    # would silently dump all malformed rows into the LAST split
+    expr = F.when(F.col(idc).isNull(), F.lit(None).cast("string"))
     acc = 0.0
-    expr = None
     names = list(fractions.items())
     for name, w in names[:-1]:
         acc += float(w) / total
         cut = int(acc * (1 << 32))  # integer cutoff: no float compare
-        cond = bucket < F.lit(cut)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    last = names[-1][0]
-    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+        expr = expr.when(bucket < F.lit(cut), F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1][0]))
     return rel.with_df(rel.df.withColumn(out, expr))
 
 
@@ -84,19 +79,22 @@ def op_cap_per_group(ctx: Ctx, rel: Rel, *rest) -> Rel:
     id last). One shuffle on the group key; rank + filter, no state."""
     from pyspark.sql import Window
 
+    from .util import order_cols
+
     opts = _opts(rest)
     by = opts.get("by")
     order = opts.get("order")
     n = int(opts.get("n", 0))
     if not by or not order or n <= 0:
         raise ArityError("cap-per-group needs {'by': cols, 'order': cols, 'n': > 0}")
+    if rel.df.isStreaming:
+        raise ArityError(
+            "cap-per-group is batch-only (row_number over a non-time window "
+            "is not supported on streams; apply per micro-batch via "
+            "foreach-batch if needed)"
+        )
     by = [by] if isinstance(by, str) else list(by)
-    order = [order] if isinstance(order, str) else list(order)
-    ocols = [
-        F.col(o[1:]).desc() if isinstance(o, str) and o.startswith("-") else F.col(o)
-        for o in order
-    ]
-    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*ocols)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order_cols(order))
     out = (
         rel.df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)

@@ -35,12 +35,7 @@ from ..eval import Ctx, defop
 from ..model import KStreamRel, Rel
 
 
-def _opts(rest) -> dict:
-    o = {}
-    for r in rest:
-        if isinstance(r, dict):
-            o.update(r)
-    return o
+from .util import opts_of as _opts  # noqa: E402  (shared option merging)
 
 
 def dot_col(a: Column, b: Column, dim: Optional[int] = None) -> Column:
@@ -250,8 +245,22 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         v.alias("__v"),
         norm_col(v, dim).alias("__n"),
     )
+    from .util import source_bytes
+
     spread = _spread(prepared)
-    small = spread is not prepared  # _spread fired => relation is tiny
+    nbytes = source_bytes(rel.df)
+    # "small" needs BOTH signals: few source files (spread fired) AND a
+    # known on-disk size under the broadcast threshold — file count alone
+    # says nothing (8 files of 4 GB would OOM a forced broadcast)
+    try:
+        bcast_limit = int(
+            rel.df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except (TypeError, ValueError):
+        bcast_limit = 10 * 1024 * 1024
+    small = (
+        spread is not prepared and nbytes is not None and 0 < nbytes < bcast_limit
+    )
     a = spread.alias("a")
     # when the relation fits in a broadcast, pin the broadcast DIRECTION:
     # Catalyst sees two equal-size sides and may broadcast the spread one,

@@ -186,10 +186,16 @@ def op_transform_with_state(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         raise ArityError("transform-with-state requires key columns")
 
     conf = ctx.spark.conf
-    if "RocksDB" not in conf.get(
-        "spark.sql.streaming.stateStore.providerClass", ""
-    ):
+    current = conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    # only upgrade from unset / the HDFS default — a user-configured
+    # custom provider must not be silently clobbered session-wide
+    if not current or current.rsplit(".", 1)[-1] == "HDFSBackedStateStoreProvider":
         conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+    elif "RocksDB" not in current:
+        raise ArityError(
+            "transform-with-state requires the RocksDB state store provider; "
+            f"session is configured with {current}"
+        )
     if not rel.df.isStreaming:
         try:  # force-create the lazily-registered coordinator endpoint
             ctx.spark._jsparkSession.streams().stateStoreCoordinator()

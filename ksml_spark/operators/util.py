@@ -1,8 +1,58 @@
-"""Shared physical-plan helpers for operator implementations."""
+"""Shared physical-plan and option helpers for operator implementations."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def opts_of(rest) -> dict:
+    """Merge the dict arguments of an operator form (last wins)."""
+    o: dict = {}
+    for r in rest:
+        if isinstance(r, dict):
+            o.update(r)
+    return o
+
+
+def order_cols(order) -> list[Column]:
+    """Parse order specs: ``"col"`` ascending, ``"-col"`` descending
+    (the order-by convention)."""
+    items = [order] if isinstance(order, str) else list(order)
+    return [
+        F.col(o[1:]).desc() if isinstance(o, str) and o.startswith("-") else F.col(o)
+        for o in items
+    ]
+
+
+def shuffle_partitions(df: DataFrame, default: int = 200) -> int:
+    """The session's shuffle parallelism, tolerating non-integer values
+    (Databricks auto-optimized shuffle sets the conf to 'auto')."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return default
+
+
+def source_bytes(df: DataFrame) -> Optional[int]:
+    """Total size of the DataFrame's source files, or None when unknown
+    (non-local paths, no file source). Cheap: a logical-plan walk plus
+    local stat calls."""
+    import os
+
+    try:
+        files = df.inputFiles()
+        total = 0
+        for f in files:
+            p = f[7:] if f.startswith("file:///") else f
+            if not p.startswith("/"):
+                return None
+            total += os.path.getsize(p)
+        return total if files else None
+    except Exception:
+        return None
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -22,7 +72,7 @@ def spread(df: DataFrame) -> DataFrame:
     just to ask the question."""
     if df.isStreaming:  # micro-batch parallelism is the source's concern
         return df
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = shuffle_partitions(df)
     try:
         nfiles = len(df.inputFiles())
     except Exception:
