@@ -1097,6 +1097,15 @@ def _q_simhash(spark, sf):
     ).df
 
 
+def _q_simhash_pairs(spark, sf):
+    # no oracle: xxhash64 is JVM-only; pigeonhole-exactness unit-tested
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["simhash-pairs", {"col": "text", "id": "doc_id", "max_hamming": 3}],
+        spark=spark,
+    ).df
+
+
 def _q_ann_topk(spark, sf):
     return pipe(
         ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
@@ -1287,6 +1296,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
     "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
     "simhash_docs": (_q_simhash, None),
+    "simhash_pairs": (_q_simhash_pairs, None),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
     "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
     "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),

@@ -14,6 +14,10 @@ the first-class extension operators a 100 TB corpus pipeline needs:
         exact token-set Jaccard >= threshold within blocking groups.
     ["simhash", rel, {"col": "text", "as": "simhash"}]
         64-bit SimHash column (xxhash64 token hashes, bit voting).
+    ["simhash-pairs", rel, {"col": "text", "id": "doc_id", "max_hamming": 3}]
+        near-dup pairs by SimHash: 16-bit band bucketing (pigeonhole: any
+        pair within hamming distance 3 shares at least one of 4 bands)
+        then exact popcount(xor) verification.
     ["dup-clusters", pairs_rel, {"a": "doc_a", "b": "doc_b"}]
         connected components over a near-dup pair relation: (id, cluster)
         with cluster = min member id — the step that turns LSH/Jaccard
@@ -510,6 +514,73 @@ def simhash_signatures(df: DataFrame, idc: str, textc: str, bits: int = 64) -> D
             2 * F.col(f"__s{j}") > F.col("__n"), power
         ).otherwise(F.lit(0).cast("long"))
     return summed.select(F.col(idc), acc.alias("simhash"))
+
+
+@defop("simhash-pairs")
+def op_simhash_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Near-duplicate pairs by SimHash hamming distance:
+
+        ["simhash-pairs", rel, {"col": "text", "id": "doc_id",
+                                "max_hamming": 3}]
+
+    Plan: signatures once per doc (explode -> codegen agg, see
+    simhash_signatures), then the 64-bit hash is cut into four 16-bit
+    bands. By pigeonhole, two hashes within hamming distance <= 3 agree
+    exactly on at least one band, so candidates are an equi-join on
+    (band index, band value) — shuffle O(rows·4), never all-pairs — and
+    the exact ``bit_count(a XOR b) <= k`` check runs only on candidates.
+    max_hamming must be < 4 (the band count) for the pigeonhole bound;
+    larger thresholds need more/smaller bands. JVM-hash based, so
+    covered by unit tests (no portable SQL oracle), like simhash."""
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    k = int(opts.get("max_hamming", 3))
+    if k >= 4:
+        raise ArityError(
+            "simhash-pairs: max_hamming must be < 4 for 4-band pigeonhole "
+            "bucketing (use jaccard-pairs/lsh-candidates for looser matching)"
+        )
+    sigs = simhash_signatures(rel.df, idc, opts.get("col", "text")).localCheckpoint()
+    banded = sigs.select(
+        F.col(idc),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("bucket"),
+                )
+                for b in range(4)
+            ])
+        ).alias("__b"),
+    ).select(F.col(idc), "simhash", F.col("__b.band"), F.col("__b.bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{idc}") < F.col(f"b.{idc}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{idc}").alias("doc_a"),
+            F.col(f"b.{idc}").alias("doc_b"),
+            F.col("a.simhash").alias("__ha"),
+            F.col("b.simhash").alias("__hb"),
+        )
+        .distinct()  # a close pair can share several bands
+    )
+    pairs = (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+        )
+        .filter(F.col("hamming") <= k)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
 
 
 @defop("simhash")

@@ -184,6 +184,29 @@ def test_dup_clusters_long_chain_converges(spark):
     assert got == {i: 0 for i in range(13)}
 
 
+def test_simhash_pairs_equals_bruteforce_hamming(spark, tables):
+    out = pipe(
+        docs_stream(tables),
+        ["simhash-pairs", {"col": "text", "id": "doc_id", "max_hamming": 3}],
+        spark=spark,
+    ).df
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in pipe(docs_stream(tables), ["simhash", {"col": "text"}],
+                      spark=spark).df.select("doc_id", "simhash").collect()
+    }
+    expected = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                expected[(a, b)] = d
+    # pigeonhole guarantee: banding misses nothing at max_hamming < bands
+    assert got == expected and len(expected) > 0
+
+
 def test_near_dedup_keeps_representatives(spark):
     docs = spark.createDataFrame(
         [
