@@ -582,9 +582,11 @@ def _q_outer_join(spark, sf):
                 ["group-by-key"], ["agg", {"nc": "count(1)"}], spark=spark)
     supp = pipe(["stream", _t(sf, "supplier"), {"key": "s_nationkey"}],
                 ["group-by-key"], ["agg", {"ns": "count(1)"}], spark=spark)
+    # outer-join emits the coalesced key as c_nationkey (right key column
+    # is merged in, never NULL)
     return pipe(
         ["outer-join", cust, supp],
-        ["select", {"nationkey": "coalesce(c_nationkey, s_nationkey)",
+        ["select", {"nationkey": "c_nationkey",
                     "n_cust": "coalesce(nc, 0)", "n_supp": "coalesce(ns, 0)"}],
         spark=spark,
     ).df

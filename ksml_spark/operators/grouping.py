@@ -198,7 +198,8 @@ def op_reduce(ctx: Ctx, grouped: GroupedRel, reducer: Reducer, *rest) -> KTableR
     if reducer.is_sql() or isinstance(reducer.fn, dict):
         agged = grouped.df.groupBy(*grouped.grouping_cols()).agg(*_agg_exprs(reducer.fn))
         return _finish(grouped, agged)
-    return _fold_apply(grouped, init=None, step=reducer.fn)
+    vt = next((r["value-type"] for r in rest if isinstance(r, dict) and "value-type" in r), "double")
+    return _fold_apply(grouped, init=None, step=reducer.fn, value_type=vt)
 
 
 @defop("aggregate")
@@ -220,7 +221,8 @@ def op_aggregate(ctx: Ctx, grouped: GroupedRel, *rest) -> KTableRel:
         return _finish(grouped, agged)
     if init is None:
         raise ArityError("opaque :aggregate needs an [:initializer f]")
-    return _fold_apply(grouped, init=init.fn, step=lambda acc, row: agg.fn(None, row, acc))
+    vt = next((r["value-type"] for r in rest if isinstance(r, dict) and "value-type" in r), "double")
+    return _fold_apply(grouped, init=init.fn, step=lambda acc, row: agg.fn(None, row, acc), value_type=vt)
 
 
 @defop("agg-salted")
@@ -260,10 +262,15 @@ def op_agg_salted(ctx: Ctx, grouped: GroupedRel, aggs: dict, *rest) -> KTableRel
     return KTableRel(agged, key_cols=tuple(grouped.key_cols), time_col=None)
 
 
-def _fold_apply(grouped: GroupedRel, init, step) -> KTableRel:
+_NUMERIC_FOLD_TYPES = {"double", "float", "int", "bigint", "smallint", "tinyint", "long", "decimal"}
+
+
+def _fold_apply(grouped: GroupedRel, init, step, value_type: str = "double") -> KTableRel:
     """Opaque per-key fold via applyInPandas (Arrow-batched groups), rows
     visited in event-time order — record-at-a-time parity for black-box
-    reducers. Output schema: key columns + a double/string `value`.
+    reducers. Output schema: key columns + a `value` column of
+    ``value_type`` (default double; pass {"value-type": "string"} etc. in
+    the op's options for non-numeric accumulators).
 
     Scale note: one shuffle on the key (same as hash agg) but no partial
     aggregation — documented slow path; use expression reducers in
@@ -278,8 +285,12 @@ def _fold_apply(grouped: GroupedRel, init, step) -> KTableRel:
     df = grouped.df
     value_cols = [c for c in df.columns if c not in key_cols and c != time_col]
     out_schema = ", ".join(
-        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols] + ["`value` double"]
+        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols]
+        + [f"`value` {value_type}"]
     )
+    # Only coerce numerically when the declared output type is numeric —
+    # a string/struct accumulator must pass through untouched.
+    numeric = value_type.split("(")[0].strip().lower() in _NUMERIC_FOLD_TYPES
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         if time_col:
@@ -294,7 +305,10 @@ def _fold_apply(grouped: GroupedRel, init, step) -> KTableRel:
                 acc = step(acc, v)
             first = False
         out = {k: [pdf[k].iloc[0]] for k in key_cols}
-        out["value"] = [float(acc) if acc is not None else None]
+        if acc is None:
+            out["value"] = [None]
+        else:
+            out["value"] = [float(acc) if numeric else acc]
         return pd.DataFrame(out)
 
     agged = df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(fold, out_schema)

@@ -136,6 +136,23 @@ def _do_join(ctx: Ctx, left: Rel, right: Rel, how: str, rest) -> Rel:
             cond = cond & band
         joined = ldf.join(rdf, cond, how)
 
+    if how == "full_outer":
+        # Reference outer-join always carries the record key (Kafka Streams
+        # repartitions both sides to the same key space). Right-only rows
+        # would otherwise surface NULL left keys: coalesce the two key
+        # columns into the left name and drop the right copy.
+        rkeys = [rmap[b] for b in right.key_cols]
+        coalesced = [
+            F.coalesce(F.col(a), F.col(rb)).alias(a)
+            for a, rb in zip(left.key_cols, rkeys)
+        ]
+        others = [
+            F.col(c)
+            for c in joined.columns
+            if c not in set(left.key_cols) and c not in set(rkeys)
+        ]
+        joined = joined.select(*coalesced, *others)
+
     out_cls = KTableRel if isinstance(left, KTableRel) and isinstance(right, KTableRel) else KStreamRel
     joined = _apply_joiner(joined, left, right, rmap, vj, how)
     return out_cls(joined, key_cols=left.key_cols, time_col=left.time_col if (left.time_col and left.time_col in joined.columns) else None)
@@ -214,16 +231,23 @@ def op_asof_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     out_rvals = list(rmap.values())
     lvals = [c for c in lcols if c not in lk and c != lt]
 
+    from pyspark.sql.types import StructField, StructType
+
     rschema = {f.name: f.dataType for f in rdf.schema.fields}
     lschema = {f.name: f.dataType for f in left.df.schema.fields}
+    # All right value columns travel as ONE struct: last(struct,
+    # ignorenulls) then picks the matched right row atomically. Filling
+    # each column independently would back-fill a genuinely-NULL field of
+    # the matched row from an older right row — a row that never existed.
+    rstruct_type = StructType([StructField(n, rschema[n]) for n in out_rvals])
     l_tagged = left.df.select(
         *lk, F.col(lt), F.lit(1).alias("__side"), *lvals,
-        *[F.lit(None).cast(rschema[n]).alias(n) for n in out_rvals],
+        F.lit(None).cast(rstruct_type).alias("__rvals"),
     )
     r_tagged = rdf.select(
         *lk, F.col(lt), F.lit(0).alias("__side"),
         *[F.lit(None).cast(lschema[c]).alias(c) for c in lvals],
-        *out_rvals,
+        F.struct(*[F.col(n) for n in out_rvals]).alias("__rvals"),
     )
     u = l_tagged.unionByName(r_tagged)
 
@@ -231,7 +255,7 @@ def op_asof_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     if isinstance(tiebreaks, str):
         tiebreaks = [tiebreaks]
     order = [F.col(lt).asc(), F.col("__side").asc()] + [
-        F.col(rmap.get(c, c)).asc_nulls_first() for c in tiebreaks
+        F.col("__rvals")[rmap.get(c, c)].asc_nulls_first() for c in tiebreaks
     ]
     w = (
         Window.partitionBy(*[F.col(c) for c in lk])
@@ -240,9 +264,12 @@ def op_asof_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     )
     filled = u.select(
         *lk, F.col(lt), F.col("__side"), *lvals,
-        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_rvals],
+        F.last("__rvals", ignorenulls=True).over(w).alias("__rvals"),
     )
-    out = filled.filter(F.col("__side") == 1).drop("__side")
+    out = filled.filter(F.col("__side") == 1).select(
+        *lk, F.col(lt), *lvals,
+        *[F.col("__rvals")[n].alias(n) for n in out_rvals],
+    )
     return KStreamRel(out, key_cols=lk, time_col=lt)
 
 

@@ -110,14 +110,22 @@ def op_process(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
         return KStreamRel(out, key_cols=tuple(key_cols))
 
+    from pyspark.sql.types import StructType
+
+    out_names = (
+        schema.fieldNames()
+        if isinstance(schema, StructType)
+        else StructType.fromDDL(schema).fieldNames()
+    )
+
     def batch_fn(key, pdf):
         import pandas as pd
 
         chunks = list(fn(key, iter([pdf]), BatchGroupState()))
         if not chunks:
-            import pandas as pd
-
-            return pd.DataFrame({})
+            # applyInPandas validates returned column names against the
+            # output schema even for 0 rows — a bare DataFrame({}) fails.
+            return pd.DataFrame(columns=out_names)
         return pd.concat(chunks, ignore_index=True)
 
     out = rel.df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(batch_fn, schema)

@@ -226,3 +226,45 @@ def test_agg_salted_matches_plain(spark, tables):
         spark=spark,
     ).df
     assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_reduce_opaque_fold_string_value_type(spark):
+    """Non-numeric accumulator with {'value-type': 'string'} passes through
+    uncoerced (ADVICE r01: float(acc) crashed string reducers)."""
+    from ksml_spark import ksml
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "z", 1)],
+        "key string, tok string, seq long",
+    )
+    s = ksml(["stream", df.withColumn("event_time", F.timestamp_seconds(F.col("seq"))).drop("seq"),
+              {"key": "key", "time": "event_time"}], spark=spark)
+    out = ksml(
+        ["reduce", ["group-by-key", s],
+         ["reducer", lambda acc, v: acc + "," + v],
+         {"value-type": "string"}],
+        spark=spark,
+    )
+    rows = {r["key"]: r["value"] for r in out.df.collect()}
+    assert rows == {"a": "x,y", "b": "z"}
+
+
+def test_process_batch_empty_yield_for_some_keys(spark):
+    """A processor that emits nothing for a key must not crash
+    applyInPandas schema validation (ADVICE r01)."""
+    import pandas as pd
+
+    from ksml_spark import ksml
+
+    df = spark.createDataFrame([("a", 5), ("b", 1)], "key string, v long")
+
+    def proc(key, batches, state):
+        for pdf in batches:
+            if pdf["v"].sum() > 3:
+                yield pd.DataFrame({"key": [key[0]], "total": [int(pdf["v"].sum())]})
+            # else: emit nothing for this key
+
+    s = ksml(["stream", df, {"key": "key"}], spark=spark)
+    out = ksml(["process", s, proc, {"schema": "key string, total long"}], spark=spark)
+    rows = {r["key"]: r["total"] for r in out.df.collect()}
+    assert rows == {"a": 5}

@@ -2,6 +2,8 @@
 stream-table, stream-global-table (broadcast), stream-stream windowed,
 semi/anti extensions."""
 
+import datetime as dt
+
 from pyspark.sql import functions as F
 
 from ksml_spark import GlobalKTableRel, KStreamRel, KTableRel, ksml
@@ -34,9 +36,11 @@ def test_table_table_left_join(spark, left_right):
 def test_table_table_outer_join(spark, left_right):
     _, _, lt, rt = rels(spark, left_right)
     out = ksml(["outer-join", lt, rt], spark=spark)
-    # full outer: k1..k5
-    keys = {r["key"] or r["r_key"] for r in out.df.collect()}
-    assert keys == {"k1", "k2", "k3", "k4", "k5"}
+    # full outer: k1..k5; the join key is always present (coalesced), as in
+    # the reference where both sides share one key space
+    rows = out.df.collect()
+    assert {r["key"] for r in rows} == {"k1", "k2", "k3", "k4", "k5"}
+    assert all(r["key"] is not None for r in rows)
 
 
 def test_stream_table_join(spark, left_right):
@@ -125,3 +129,27 @@ def test_asof_join_matches_naive(spark, tables):
             m = prior[prior.ts == prior.ts.max()]
             expected = int(m.event_id.max())  # tiebreak: greatest id at equal ts
         assert got[row.event_id] == expected, f"click {row.event_id}"
+
+
+def test_asof_join_null_column_not_backfilled(spark):
+    """A genuinely-NULL column in the matched right row must stay NULL —
+    not be back-filled from an older right row (ADVICE r01)."""
+    left = spark.createDataFrame(
+        [("u", 100, dt.datetime(2024, 1, 1, 0, 0, 10))],
+        "key string, lval long, event_time timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", "old-code", 1, dt.datetime(2024, 1, 1, 0, 0, 1)),
+            ("u", None, 2, dt.datetime(2024, 1, 1, 0, 0, 5)),  # matched row: code IS NULL
+        ],
+        "key string, code string, rid long, event_time timestamp",
+    )
+    from ksml_spark import ksml
+
+    l = ksml(["stream", left, {"key": "key", "time": "event_time"}], spark=spark)
+    r = ksml(["stream", right, {"key": "key", "time": "event_time"}], spark=spark)
+    out = ksml(["asof-join", l, r], spark=spark)
+    row = out.df.collect()[0]
+    assert row["rid"] == 2          # matched the latest right row...
+    assert row["code"] is None      # ...and took its NULL, not old-code
