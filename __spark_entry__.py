@@ -1089,8 +1089,42 @@ reach(node, label) AS (
 SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node"""
 
 
+def _simhash_cte() -> str:
+    """DuckDB CTEs replicating ksml_spark.operators.dedup.simhash_signatures:
+    md5(token) sliced into two 32-bit halves, per-bit vote sums, tie-exact
+    ``2*s_j > n`` recombination. Bit 63 is the sign bit of a signed 64-bit
+    value (written as -9223372036854775807 - 1 to stay BIGINT-typed)."""
+    s_cols = ", ".join(
+        f"sum((h{'lo' if j < 32 else 'hi'} >> {j % 32}) & 1) AS s_{j}"
+        for j in range(64)
+    )
+    terms = " + ".join(
+        "CASE WHEN 2*s_{j} > n THEN {p} ELSE 0 END".format(
+            j=j, p=(1 << j) if j < 63 else "-9223372036854775807 - 1"
+        )
+        for j in range(64)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+md5d AS (SELECT doc_id, md5(tok) AS m FROM toks),
+halves AS (SELECT doc_id, ('0x' || substr(m, 1, 8))::BIGINT AS hhi,
+                  ('0x' || substr(m, 9, 8))::BIGINT AS hlo FROM md5d),
+summed AS (SELECT doc_id, count(*) AS n, {s_cols} FROM halves GROUP BY doc_id),
+sims AS (SELECT doc_id, {terms} AS simhash FROM summed)"""
+
+
+_SIMHASH_ORACLE = _simhash_cte() + "\nSELECT doc_id, simhash FROM sims"
+
+# the banded equi-join is an optimization; by pigeonhole it finds EXACTLY
+# the hamming<=3 pairs, so the oracle brute-forces all pairs (fine at sf0.01)
+_SIMHASH_PAIRS_ORACLE = _simhash_cte() + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
 def _q_simhash(spark, sf):
-    # no oracle: xxhash64 is JVM-only; unit-tested against a Python reference
     return pipe(
         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
         ["simhash", {"col": "text"}],
@@ -1100,7 +1134,6 @@ def _q_simhash(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
-    # no oracle: xxhash64 is JVM-only; pigeonhole-exactness unit-tested
     return pipe(
         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
         ["simhash-pairs", {"col": "text", "id": "doc_id", "max_hamming": 3}],
@@ -1297,8 +1330,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),
     "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
     "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
-    "simhash_docs": (_q_simhash, None),
-    "simhash_pairs": (_q_simhash_pairs, None),
+    "simhash_docs": (_q_simhash, _SIMHASH_ORACLE),
+    "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
     "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
     "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),

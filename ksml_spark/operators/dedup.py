@@ -13,7 +13,7 @@ the first-class extension operators a 100 TB corpus pipeline needs:
     ["jaccard-pairs", rel, {"col","id","block","threshold"}]
         exact token-set Jaccard >= threshold within blocking groups.
     ["simhash", rel, {"col": "text", "as": "simhash"}]
-        64-bit SimHash column (xxhash64 token hashes, bit voting).
+        64-bit SimHash column (portable md5 token hashes, bit voting).
     ["simhash-pairs", rel, {"col": "text", "id": "doc_id", "max_hamming": 3}]
         near-dup pairs by SimHash: 16-bit band bucketing (pigeonhole: any
         pair within hamming distance 3 shares at least one of 4 bands)
@@ -35,8 +35,8 @@ volume is O(rows·bands), independent of pair count. Exact Jaccard is only
 ever run INSIDE blocks (blocking key join), never all-pairs.
 
 All hash primitives are engine-portable (md5 over strings) so results are
-bit-reproducible against the DuckDB oracle; SimHash uses xxhash64 (JVM-only,
-covered by unit tests instead of the SQL oracle).
+bit-reproducible against the DuckDB oracle — including SimHash, whose
+64-bit token hash is md5 sliced into two 32-bit halves.
 """
 
 from __future__ import annotations
@@ -484,7 +484,7 @@ def op_near_dedup(ctx: Ctx, rel: Rel, *rest) -> Rel:
 # SimHash
 
 def simhash_signatures(df: DataFrame, idc: str, textc: str, bits: int = 64) -> DataFrame:
-    """(id, simhash) — 64-bit SimHash per document: per-token xxhash64,
+    """(id, simhash) — 64-bit SimHash per document: per-token 64-bit hash,
     per-bit +1/-1 vote, sign of each vote -> bit.
 
     Plan shape: explode tokens -> hash once -> aggregate the raw BIT sums
@@ -495,14 +495,29 @@ def simhash_signatures(df: DataFrame, idc: str, textc: str, bits: int = 64) -> D
     per-row expression work (measured ~30% on the whole query).
     Everything whole-stage-codegen'd (a higher-order fold would be
     interpreted and ~10x slower); the shuffle carries id + 65 longs with
-    map-side partial sums. JVM-hash based (unit-tested rather than
-    oracle-compared)."""
+    map-side partial sums.
+
+    The token hash is ENGINE-PORTABLE: md5(token) sliced into two 32-bit
+    halves (hi = hex 1-8, lo = hex 9-16), same construction the MinHash
+    family uses — so the DuckDB oracle reproduces signatures bit-exactly
+    (('0x'||substr(md5(t),p,8))::BIGINT on the other side). One md5 per
+    token occurrence; both halves slice the same md5 column."""
     toks = df.select(F.col(idc), F.explode(tokens_col(F.col(textc))).alias("__tok"))
-    hashed = toks.select(F.col(idc), F.xxhash64(F.col("__tok")).alias("__h"))
+    # two-step select guarantees md5 runs once per token (no reliance on
+    # codegen subexpression elimination across 64 bit extractions)
+    md5d = toks.select(F.col(idc), F.md5(F.col("__tok")).alias("__m"))
+    hashed = md5d.select(
+        F.col(idc),
+        F.conv(F.substring(F.col("__m"), 1, 8), 16, 10).cast("long").alias("__hhi"),
+        F.conv(F.substring(F.col("__m"), 9, 8), 16, 10).cast("long").alias("__hlo"),
+    )
     summed = hashed.groupBy(idc).agg(
         F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
+            F.sum(
+                F.shiftright(F.col("__hlo" if j < 32 else "__hhi"), j % 32)
+                .bitwiseAND(F.lit(1))
+            ).alias(f"__s{j}")
             for j in range(bits)
         ],
     )
@@ -530,8 +545,9 @@ def op_simhash_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     (band index, band value) — shuffle O(rows·4), never all-pairs — and
     the exact ``bit_count(a XOR b) <= k`` check runs only on candidates.
     max_hamming must be < 4 (the band count) for the pigeonhole bound;
-    larger thresholds need more/smaller bands. JVM-hash based, so
-    covered by unit tests (no portable SQL oracle), like simhash."""
+    larger thresholds need more/smaller bands. Portable md5 hashes
+    (see simhash_signatures), so the DuckDB oracle brute-forces the
+    same pairs from the same signatures."""
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     k = int(opts.get("max_hamming", 3))

@@ -229,10 +229,19 @@ def test_near_dedup_keeps_representatives(spark):
 # ---------------------------------------------------------------------------
 # simhash
 
-def py_simhash(text: str, spark_hash) -> int:
+def py_token_hash(tok: str) -> int:
+    """Python replica of the engine-portable token hash: md5 sliced into
+    two 32-bit halves (hi = hex 1-8, lo = hex 9-16)."""
+    import hashlib
+
+    m = hashlib.md5(tok.encode()).hexdigest()
+    return (int(m[0:8], 16) << 32) | int(m[8:16], 16)
+
+
+def py_simhash(text: str) -> int:
     votes = [0] * 64
     for tok in text.split(" "):
-        h = spark_hash[tok]
+        h = py_token_hash(tok)
         for j in range(64):
             votes[j] += 1 if (h >> j) & 1 else -1
     v = 0
@@ -251,15 +260,9 @@ def test_simhash_matches_python_reference(spark, tables):
     ).df
     sample = {r["doc_id"]: r["simhash"] for r in out.limit(10).collect()}
     texts = {r["doc_id"]: r["text"] for r in tables["documents"].collect()}
-    toks = sorted({t for d in sample for t in texts[d].split(" ")})
-    hdf = spark.createDataFrame([(t,) for t in toks], "tok string")
-    spark_hash = {
-        r["tok"]: r["h"]
-        for r in hdf.select("tok", F.xxhash64("tok").alias("h")).collect()
-    }
     # interpret python result as signed 64-bit
     for d, sh in sample.items():
-        expected = py_simhash(texts[d], spark_hash)
+        expected = py_simhash(texts[d])
         assert sh == expected, f"doc {d}"
 
 
