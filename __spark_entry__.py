@@ -1266,6 +1266,27 @@ def _q_multimodal(spark, sf):
     ).df
 
 
+def _q_media_meta(spark, sf):
+    """Typed media-metadata struct column (SURVEY §2.10 column model),
+    flattened for the oracle compare."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["binarize", {"col": "text", "as": "payload"}],
+        ["media", {"col": "payload", "mime": "text/plain"}],
+        ["select", {"doc_id": "doc_id", "mime": "media.mime",
+                    "width": "media.width", "height": "media.height",
+                    "n_bytes": "media.n_bytes"}],
+        spark=spark,
+    ).df
+
+
+_MEDIA_META_ORACLE = """
+SELECT doc_id, 'text/plain' AS mime, CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents"""
+
+
 _MULTIMODAL_ORACLE = """
 SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1337,6 +1358,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),
     "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
+    "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
 }
 
 

@@ -1,34 +1,43 @@
 """Multimodal (binary) column operators (SURVEY.md §2.10).
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
-struct. The decode/feature-extract step runs as an Arrow-batched
-``mapInPandas`` — the real Spark-side plumbing (schema, batching, partition
-preservation) with the actual codec stubbed: this container has no
-image/audio libraries, so ``decode_stub`` derives deterministic fake
-features from the raw bytes (documented, unit- and oracle-tested). Swap
-``decode_stub`` for a real decoder (PIL/librosa/av) in production — the
-operator contract, batch shape, and plan are unchanged.
+struct. The column model:
 
     ["binarize", rel, {"col": "text", "as": "payload"}]
         utf-8 encode a string column into a binary payload column
         (stand-in for reading real media bytes).
+    ["media", rel, {"col": "payload", "mime": "image/png", "as": "media"}]
+        typed media-metadata struct (mime, width, height, n_bytes)
+        alongside the opaque payload. width/height are NULL until a
+        decoder fills them; n_bytes is computed from the payload.
     ["decode-features", rel, {"col": "payload", "id": "doc_id"}]
-        mapInPandas feature extraction -> (id, n_bytes, header_hex,
-        fake_w, fake_h).
+        feature extraction -> (id, n_bytes, header_hex, fake_w, fake_h).
+        DEFAULT (stub) path: pure Column expressions — octet_length,
+        hex(substring), arithmetic — whole-stage codegen, NO Python in
+        the plan. With {"media": true}: adds the filled media struct.
+    ["decode-features", rel, {"decoder": fn, "schema": <DDL>}]
+        the REAL-decoder escape hatch: Arrow-batched ``mapInPandas``;
+        ``fn`` receives the whole pandas Series of payloads per batch
+        (vectorize inside — PIL/librosa/av per item is the floor, never
+        per-row Python on features an expression can compute) and
+        returns a DataFrame matching ``schema`` (minus the id column,
+        which the operator re-attaches positionally).
 
-Scale posture: mapInPandas is narrow (no shuffle), Arrow-batched, and
-prunes to exactly (id, payload) before the Python stage so only the bytes
-actually decoded cross the JVM<->Python boundary. For 100 TB media, bump
-``spark.sql.execution.arrow.maxRecordsPerBatch`` down so a batch of large
-payloads fits executor memory.
+Scale posture: the stub path is a narrow projection (no shuffle, no
+Python worker at all). The decoder hatch is narrow too, Arrow-batched,
+and prunes to exactly (id, payload) before the Python stage so only the
+bytes actually decoded cross the JVM<->Python boundary. For 100 TB
+media, bump ``spark.sql.execution.arrow.maxRecordsPerBatch`` down so a
+batch of large payloads fits executor memory.
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import functions as F
+from pyspark.sql import Column, functions as F
 
+from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..model import KStreamRel, Rel
 
@@ -49,34 +58,90 @@ def op_binarize(ctx: Ctx, rel: Rel, *rest) -> Rel:
     return rel.with_df(rel.df.withColumn(out, F.encode(F.col(col), "UTF-8")))
 
 
+def media_struct(
+    payload: Column, mime: Column, width: Column = None, height: Column = None
+) -> Column:
+    """(mime string, width int, height int, n_bytes bigint) — the typed
+    metadata that rides next to an opaque media payload."""
+    w = width if width is not None else F.lit(None).cast("int")
+    h = height if height is not None else F.lit(None).cast("int")
+    return F.struct(
+        mime.alias("mime"),
+        w.cast("int").alias("width"),
+        h.cast("int").alias("height"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+    )
+
+
+@defop("media")
+def op_media(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Attach the media-metadata struct column. ``mime`` is a column name
+    (taken per-row) or a literal string; ``width``/``height`` are column
+    names when known upstream, else NULL until a decoder fills them."""
+    opts = _opts(rest)
+    col = opts.get("col", "payload")
+    out = opts.get("as", "media")
+    mime = opts.get("mime", "application/octet-stream")
+    mime_c = F.col(mime) if mime in rel.df.columns else F.lit(mime)
+    w = F.col(opts["width"]) if "width" in opts else None
+    h = F.col(opts["height"]) if "height" in opts else None
+    return rel.with_df(
+        rel.df.withColumn(out, media_struct(F.col(col), mime_c, w, h))
+    )
+
+
 def decode_stub(payload: bytes) -> tuple[int, str, int, int]:
-    """Deterministic fake decoder: (n_bytes, first-4-bytes hex, fake
-    width, fake height). Replace with a real media decoder in production;
-    raise NotImplementedError paths are intentionally absent because the
-    stub must stay runnable in tests."""
+    """Python reference of the stub features (tests compare against this;
+    the operator itself computes them as Columns): (n_bytes, first-4-bytes
+    hex, fake width, fake height)."""
     n = len(payload)
     return n, payload[:4].hex(), n % 640, (n * 7) % 480
 
 
 @defop("decode-features")
 def op_decode_features(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
-    """Arrow-batched feature extraction over a binary column."""
+    """Feature extraction over a binary column — see module docstring."""
     opts = _opts(rest)
     col = opts.get("col", "payload")
     idc = opts.get("id", "doc_id")
+    decoder = opts.get("decoder")
     pruned = rel.df.select(idc, col)
-    schema = (
-        f"{idc} {pruned.schema[idc].dataType.simpleString()}, "
-        "n_bytes bigint, header_hex string, fake_w bigint, fake_h bigint"
-    )
+
+    if decoder is None:
+        # stub path: every feature is a plain expression; keep it JVM-side
+        # (whole-stage codegen), no Python worker in the plan at all
+        n = F.octet_length(F.col(col)).cast("bigint")
+        cols = [
+            F.col(idc),
+            n.alias("n_bytes"),
+            F.lower(F.hex(F.substring(F.col(col), 1, 4))).alias("header_hex"),
+            (n % 640).cast("bigint").alias("fake_w"),
+            ((n * 7) % 480).cast("bigint").alias("fake_h"),
+        ]
+        out = pruned.select(*cols)
+        if opts.get("media"):
+            mime = opts.get("mime", "application/octet-stream")
+            out = out.withColumn(
+                "media",
+                F.struct(
+                    F.lit(mime).alias("mime"),
+                    F.col("fake_w").cast("int").alias("width"),
+                    F.col("fake_h").cast("int").alias("height"),
+                    F.col("n_bytes").alias("n_bytes"),
+                ),
+            )
+        return KStreamRel(out, key_cols=(idc,))
+
+    # real-decoder hatch: Arrow-batched; the decoder sees the whole pandas
+    # Series per batch and returns a DataFrame of feature columns
+    schema = opts.get("schema")
+    if not schema:
+        raise ArityError("decode-features with a decoder needs {'schema': <DDL>}")
 
     def extract(batches: Iterator) -> Iterator:
-        import pandas as pd
-
         for pdf in batches:
-            feats = [decode_stub(p) for p in pdf[col]]
-            out = pd.DataFrame(feats, columns=["n_bytes", "header_hex", "fake_w", "fake_h"])
-            out.insert(0, idc, pdf[idc].values)
-            yield out
+            feats = decoder(pdf[col])
+            feats.insert(0, idc, pdf[idc].values)
+            yield feats
 
     return KStreamRel(pruned.mapInPandas(extract, schema), key_cols=(idc,))

@@ -395,3 +395,75 @@ def test_ann_ivf_structure_and_recall(spark, tables):
     # sampled centroids on near-random 64-dim data it is intentionally low)
     hits = sum(len(g[q] & e[q]) for q in e)
     assert hits >= 1
+
+
+def test_multimodal_stub_plan_has_no_python(spark, tables):
+    """The stub feature path must be pure expressions — no mapInPandas /
+    Python worker node in the executed plan (VERDICT r01)."""
+    out = pipe(
+        docs_stream(tables),
+        ["binarize", {"col": "text", "as": "payload"}],
+        ["decode-features", {"col": "payload", "id": "doc_id"}],
+        spark=spark,
+    ).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_multimodal_decoder_hatch_vectorized(spark, tables):
+    """The real-decoder escape hatch: decoder sees the whole pandas Series
+    per Arrow batch, returns a feature DataFrame."""
+    import pandas as pd
+
+    def decoder(payloads: pd.Series) -> pd.DataFrame:
+        # vectorized over the series (bytes accessor ops), not a row loop
+        return pd.DataFrame({
+            "n_bytes": payloads.str.len().astype("int64"),
+            "head2": payloads.str[:2].map(bytes.hex),
+        })
+
+    out = pipe(
+        docs_stream(tables),
+        ["binarize", {"col": "text", "as": "payload"}],
+        ["decode-features", {"col": "payload", "id": "doc_id",
+                             "decoder": decoder,
+                             "schema": "doc_id bigint, n_bytes bigint, head2 string"}],
+        spark=spark,
+    ).df
+    r = out.filter("doc_id = 1").collect()[0]
+    text = tables["documents"].filter("doc_id = 1").collect()[0]["text"]
+    assert r["n_bytes"] == len(text.encode())
+    assert r["head2"] == text.encode()[:2].hex()
+
+
+def test_media_struct_column_model(spark, tables):
+    """["media"] attaches (mime, width, height, n_bytes) struct; decode
+    with {"media": true} fills width/height."""
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructType
+
+    withmeta = pipe(
+        docs_stream(tables),
+        ["binarize", {"col": "text", "as": "payload"}],
+        ["media", {"col": "payload", "mime": "text/plain"}],
+        spark=spark,
+    ).df
+    mt = withmeta.schema["media"].dataType
+    assert isinstance(mt, StructType)
+    assert [f.name for f in mt.fields] == ["mime", "width", "height", "n_bytes"]
+    assert isinstance(mt["mime"].dataType, StringType)
+    assert isinstance(mt["width"].dataType, IntegerType)
+    assert isinstance(mt["n_bytes"].dataType, LongType)
+    r = withmeta.filter("doc_id = 1").select("media.*", "text").collect()[0]
+    assert r["mime"] == "text/plain" and r["width"] is None
+    assert r["n_bytes"] == len(r["text"].encode())
+
+    filled = pipe(
+        docs_stream(tables),
+        ["binarize", {"col": "text", "as": "payload"}],
+        ["decode-features", {"col": "payload", "id": "doc_id",
+                             "media": True, "mime": "text/plain"}],
+        spark=spark,
+    ).df
+    f = filled.filter("doc_id = 1").select("media.*").collect()[0]
+    r1 = filled.filter("doc_id = 1").collect()[0]
+    assert f["width"] == r1["fake_w"] and f["height"] == r1["fake_h"]
