@@ -1257,6 +1257,30 @@ FROM p a JOIN p b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_neardup_lsh(spark, sf):
+    """Sign-LSH-blocked near-dup pairs — the blocking mode used when no
+    semantic block key exists (the 100 TB default for raw embeddings)."""
+    return pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["neardup-pairs", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                           "lsh_dims": 8, "threshold": 0.4}],
+        spark=spark,
+    ).df
+
+
+_NEARDUP_LSH_ORACLE = """
+WITH p AS (SELECT vec_id,
+           array_to_string(list_transform(embedding[1:8],
+               x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket,
+           embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS sim
+FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
+
+
 def _q_multimodal(spark, sf):
     return pipe(
         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
@@ -1357,6 +1381,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
     "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),
     "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
+    "neardup_lsh": (_q_neardup_lsh, _NEARDUP_LSH_ORACLE),
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
 }

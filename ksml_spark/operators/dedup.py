@@ -191,10 +191,21 @@ def op_lsh_candidates(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     idc = opts.get("id", "doc_id")
     sigs = band_signatures(rel.df, idc, opts.get("col", "text"))
     if not sigs.isStreaming:
-        # the self-join reads the signature relation twice; cache it so the
-        # shingle/md5 work runs once (at cluster scale: persist to disk or
-        # materialize to a table instead)
-        sigs = sigs.persist()
+        # the self-join reads the signature relation twice; materialize it
+        # so the shingle/md5 work runs once. DISK_ONLY, not the default
+        # MEMORY_AND_DISK: at 100 TB the signature relation evicts /
+        # thrashes executor storage memory, and a sequential disk re-read
+        # of the narrow (id + 4 hex) relation is cheap next to recomputing
+        # the shingle explosion ({"storage": "memory"} opts into memory
+        # for small interactive runs)
+        from pyspark import StorageLevel
+
+        level = (
+            StorageLevel.MEMORY_AND_DISK
+            if opts.get("storage") == "memory"
+            else StorageLevel.DISK_ONLY
+        )
+        sigs = sigs.persist(level)
     long = sigs.select(
         F.col(idc),
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias(

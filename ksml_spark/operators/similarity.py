@@ -11,7 +11,9 @@ are the vector-search extension operators:
         query's sign-hash bucket (random-hyperplane LSH with axis-aligned
         planes = the signs of the first d dimensions).
     ["neardup-pairs", rel, {"id", "vec", "block": "label", "threshold"}]
-        embedding-cosine near-duplicate pairs within blocking groups.
+        embedding-cosine near-duplicate pairs within blocking groups
+        (or {"lsh_dims": d} sign-LSH buckets; unblocked all-pairs only
+        with an explicit {"allow_full": true}).
 
 Scale posture: the brute-force path broadcasts the (small) query side and
 streams candidates through it — no shuffle of the big side, O(Q·N) work
@@ -231,17 +233,39 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
 def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) with similarity
     >= threshold, compared only within blocking groups (equi-join on the
-    block key). Unblocked all-pairs is refused at scale by design — pass
-    block=None only for small relations."""
+    block key). Blocking is MANDATORY — an unblocked self-join is O(N²)
+    and cannot survive scale. Three ways to block:
+
+    * {"block": col} — a semantic blocking key (label, language, ...).
+    * {"lsh_dims": d} — sign-LSH blocking: pairs compared only within the
+      same sign-pattern bucket of the first d coordinates (reuses
+      sign_bucket_col; approximate — a near-dup pair straddling one of
+      the d hyperplanes is missed, the standard LSH recall trade).
+    * {"allow_full": true} — explicit opt-in to the full O(N²) self-join,
+      for small relations only; omitting all three RAISES."""
+    from ..errors import ArityError
+
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     thr = float(opts.get("threshold", 0.9))
     block = opts.get("block")
     dim = opts.get("dim")
     v = F.col(vecc).cast("array<double>")
+    blockers = []
+    if block:
+        blockers = [F.col(block)]
+    elif opts.get("lsh_dims"):
+        block = "__bucket"
+        blockers = [sign_bucket_col(v, int(opts["lsh_dims"])).alias("__bucket")]
+    elif not opts.get("allow_full"):
+        raise ArityError(
+            "neardup-pairs without blocking is an O(N^2) all-pairs self-join; "
+            "pass {'block': col}, {'lsh_dims': d} (sign-LSH buckets), or "
+            "{'allow_full': true} to opt in for small data"
+        )
     prepared = rel.df.select(
         F.col(idc),
-        *([F.col(block)] if block else []),
+        *blockers,
         v.alias("__v"),
         norm_col(v, dim).alias("__n"),
     )

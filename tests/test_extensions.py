@@ -467,3 +467,46 @@ def test_media_struct_column_model(spark, tables):
     f = filled.filter("doc_id = 1").select("media.*").collect()[0]
     r1 = filled.filter("doc_id = 1").collect()[0]
     assert f["width"] == r1["fake_w"] and f["height"] == r1["fake_h"]
+
+
+def test_neardup_pairs_refuses_unblocked(spark, tables):
+    """Unblocked all-pairs is O(N^2) — must raise without allow_full."""
+    from ksml_spark.errors import ArityError
+
+    with pytest.raises(ArityError, match="allow_full"):
+        pipe(
+            ["stream", tables["embeddings"], {"key": "vec_id"}],
+            ["neardup-pairs", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                               "threshold": 0.9}],
+            spark=spark,
+        )
+
+
+def test_neardup_pairs_lsh_blocked_subset_of_full(spark, tables):
+    """Sign-LSH blocking returns exactly the full-scan pairs whose members
+    share the sign bucket (approximate by design, exact within buckets)."""
+    full = pipe(
+        ["stream", tables["embeddings"], {"key": "vec_id"}],
+        ["neardup-pairs", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                           "threshold": 0.4, "allow_full": True}],
+        spark=spark,
+    ).df
+    lsh = pipe(
+        ["stream", tables["embeddings"], {"key": "vec_id"}],
+        ["neardup-pairs", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                           "threshold": 0.4, "lsh_dims": 8}],
+        spark=spark,
+    ).df
+    full_pairs = {(r["id_a"], r["id_b"]): r["sim"] for r in full.collect()}
+    lsh_pairs = {(r["id_a"], r["id_b"]): r["sim"] for r in lsh.collect()}
+    assert set(lsh_pairs) <= set(full_pairs)
+    for k, v in lsh_pairs.items():
+        assert v == full_pairs[k]
+    # buckets must actually explain the subset
+    import numpy as np
+
+    vecs = {r["vec_id"]: r["embedding"]
+            for r in tables["embeddings"].select("vec_id", "embedding").collect()}
+    bucket = {i: "".join("1" if x > 0 else "0" for x in v[:8]) for i, v in vecs.items()}
+    expected = {k for k in full_pairs if bucket[k[0]] == bucket[k[1]]}
+    assert set(lsh_pairs) == expected
