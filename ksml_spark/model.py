@@ -75,7 +75,20 @@ class KStreamRel(Rel):
 @dataclass
 class KTableRel(Rel):
     """Changelog table: df IS the current latest-per-key view (tombstones
-    already removed). Reference :table, eval.clj:72; SURVEY.md §1.1."""
+    already removed). Reference :table, eval.clj:72; SURVEY.md §1.1.
+
+    ``changelog`` — set only by [:table ...] on a STREAMING source:
+    (raw_changelog_df, order_cols, tombstone_col). The streaming
+    table⋈table join consumes the raw changelogs (one stateful operator
+    subsumes both views + the join — Spark refuses joins between two
+    aggregated streams). Any view transform invalidates it (with_df
+    resets to None): the transform applies to the view, not the log."""
+
+    changelog: Optional[tuple] = None
+
+    def with_df(self, df: DataFrame, **kw) -> "KTableRel":
+        kw.setdefault("changelog", None)
+        return replace(self, df=df, **kw)
 
 
 @dataclass

@@ -98,6 +98,26 @@ def _do_join(ctx: Ctx, left: Rel, right: Rel, how: str, rest) -> Rel:
     window = next((r for r in rest if isinstance(r, WindowSpec)), None)
     kx = next((r for r in rest if isinstance(r, KeyValueMapper)), None)
 
+    if (
+        isinstance(left, KTableRel)
+        and isinstance(right, KTableRel)
+        and not isinstance(right, GlobalKTableRel)
+        and left.df.isStreaming
+        and right.df.isStreaming
+        and how in ("inner", "left", "full_outer")
+    ):
+        # both-sides-updating changelog join: one stateful operator over
+        # the raw changelogs (Spark refuses joins of two aggregated
+        # streams). Emits all columns; apply projections after the join.
+        from ..streaming.changelog_join import changelog_join
+
+        if vj is not None and vj.fn is not None:
+            raise TypeDispatchError(
+                "streaming table-table join emits all columns; apply the "
+                "value-joiner as a map-values/select AFTER the join"
+            )
+        return changelog_join(left, right, how)
+
     ldf, rdf, lmap, rmap = _disambiguate(left, right)
 
     if isinstance(right, GlobalKTableRel):

@@ -139,13 +139,19 @@ def op_table(ctx: Ctx, src, *rest) -> KTableRel:
 
     if df.isStreaming:
         # streaming KTable: update-mode latest-per-key aggregation (the
-        # changelog view); watermark first if configured so state is pruned
+        # changelog view); watermark first if configured so state is pruned.
+        # The raw changelog rides along for the streaming table-table join
+        # (one stateful operator subsumes both views + the join).
         from ..streaming.runtime import latest_by
 
         if opts.get("retention") and time_col:
             df = df.withWatermark(time_col, opts["retention"])
-        view = latest_by(df, key_cols, order_cols or list(key_cols), tomb_col)
-        return KTableRel(view, key_cols=key_cols, time_col=time_col)
+        order = tuple(order_cols or key_cols)
+        view = latest_by(df, key_cols, order, tomb_col)
+        return KTableRel(
+            view, key_cols=key_cols, time_col=time_col,
+            changelog=(df, order, tomb_col),
+        )
 
     if order_cols:
         # max_by over the order tuple: one hash agg with map-side partials

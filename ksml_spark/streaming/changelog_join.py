@@ -1,0 +1,191 @@
+"""Streaming KTable ⋈ KTable changelog join — both sides live-updating.
+
+Reference semantics: :join/:left-join/:outer-join applied to two tables
+(/root/reference/src/cddr/ksml/eval.clj:133-143, eval_test.clj:322-355):
+each side is a changelog, the join output updates whenever EITHER side's
+latest value for a key changes, and a side losing its value (tombstone)
+retracts or downgrades the output row.
+
+Spark can't express this natively: the KTable view is an update-mode
+aggregation (latest_by), and Structured Streaming refuses joins between
+two aggregated streams. The Spark-first alternative is ONE stateful
+operator that subsumes both views and the join (SURVEY.md §7 "hard/risky"
+(a)): union the two RAW changelogs with a side tag, group by key, and run
+``applyInPandasWithState`` keeping (latest-left, latest-right) per key —
+exactly Kafka Streams' two-store join processor, expressed as Spark
+state. One shuffle on the key, state = two packed rows per key.
+
+Emission (update mode): after each micro-batch touching a key, emit the
+current joined row when the join predicate holds (inner: both sides
+present; left: left present; full_outer: either present); emit an
+all-NULL-values retraction row when it held before and stopped holding.
+``__seq`` (count of changelog records consumed for the key) orders
+emissions, so "final state" = the row with max ``__seq`` per key.
+
+Scale: identical shuffle shape to any keyed aggregation — the union is
+map-side, the single exchange is on the join key, state is O(distinct
+keys) with two value structs each, pruned by the state store's own
+watermark/TTL config. No second stateful operator, no stream-stream
+buffering of full histories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..errors import TypeDispatchError
+from ..model import KTableRel
+
+
+def _make_processor(how: str, key_names, lv_names, rv_names, out_rv_names):
+    """Build the per-key stateful function. Everything it closes over is
+    plain Python data (cloudpickle ships it by value to the workers)."""
+
+    def process(key, pdfs, state):
+        import base64
+        import pickle
+
+        import pandas as pd
+
+        def enc(o):
+            return base64.b64encode(pickle.dumps(o)).decode()
+
+        def dec(s):
+            return pickle.loads(base64.b64decode(s))
+
+        if state.exists:
+            lo_s, lv_s, ro_s, rv_s, emitted, seq = state.get
+            lo = dec(lo_s) if lo_s is not None else None
+            lv = dec(lv_s) if lv_s is not None else None
+            ro = dec(ro_s) if ro_s is not None else None
+            rv = dec(rv_s) if rv_s is not None else None
+        else:
+            lo = lv = ro = rv = None
+            emitted, seq = False, 0
+
+        nrec = 0
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                nrec += 1
+                if rec["__side"] == 0:
+                    o = tuple(rec["__lord"].values())
+                    # >= : a same-order later record wins, like max_by
+                    if lo is None or o >= lo:
+                        lo = o
+                        lv = None if rec["__tomb"] else rec["__lv"]
+                else:
+                    o = tuple(rec["__rord"].values())
+                    if ro is None or o >= ro:
+                        ro = o
+                        rv = None if rec["__tomb"] else rec["__rv"]
+        seq += nrec
+
+        if how == "inner":
+            active = lv is not None and rv is not None
+        elif how == "left":
+            active = lv is not None
+        else:  # full_outer
+            active = lv is not None or rv is not None
+
+        out_rows = []
+        if active:
+            row = dict(zip(key_names, key))
+            for n in lv_names:
+                row[n] = lv.get(n) if lv is not None else None
+            for orig, out in zip(rv_names, out_rv_names):
+                row[out] = rv.get(orig) if rv is not None else None
+            row["__seq"] = seq
+            out_rows.append(row)
+            emitted = True
+        elif emitted:
+            # the joined row existed and no longer does: retract (the
+            # KTable tombstone — all value columns NULL, key + seq kept)
+            row = dict(zip(key_names, key))
+            for n in lv_names:
+                row[n] = None
+            for out in out_rv_names:
+                row[out] = None
+            row["__seq"] = seq
+            out_rows.append(row)
+            emitted = False
+
+        state.update(
+            (
+                enc(lo) if lo is not None else None,
+                enc(lv) if lv is not None else None,
+                enc(ro) if ro is not None else None,
+                enc(rv) if rv is not None else None,
+                emitted,
+                seq,
+            )
+        )
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return process
+
+
+def changelog_join(left: KTableRel, right: KTableRel, how: str) -> KTableRel:
+    """Join two STREAMING KTables by their raw changelogs (see module
+    docstring). ``how`` in {"inner", "left", "full_outer"}."""
+    if left.changelog is None or right.changelog is None:
+        raise TypeDispatchError(
+            "streaming table-table join needs both sides' raw changelogs: "
+            "join [:table ...] sources directly (view transforms drop the "
+            "changelog — apply filters/map-values AFTER the join, or to the "
+            "underlying stream before table-ifying)"
+        )
+    ldf, lorder, ltomb = left.changelog
+    rdf, rorder, rtomb = right.changelog
+    lk, rk = list(left.key_cols), list(right.key_cols)
+    if len(lk) != len(rk):
+        raise TypeDispatchError(f"key arity mismatch: {lk} vs {rk}")
+    lvals = [c for c in ldf.columns if c not in lk]
+    rvals = [c for c in rdf.columns if c not in rk]
+    taken = set(lk) | set(lvals)
+    out_rvals = [f"r_{c}" if c in taken else c for c in rvals]
+
+    lord = F.struct(*[F.col(c).alias(f"o{i}") for i, c in enumerate(lorder)])
+    rord = F.struct(*[F.col(c).alias(f"o{i}") for i, c in enumerate(rorder)])
+    lv_struct = F.struct(*[F.col(c) for c in lvals])
+    rv_struct = F.struct(*[F.col(c) for c in rvals])
+    lord_t = ldf.select(lord.alias("x")).schema["x"].dataType
+    rord_t = rdf.select(rord.alias("x")).schema["x"].dataType
+    lv_t = ldf.select(lv_struct.alias("x")).schema["x"].dataType
+    rv_t = rdf.select(rv_struct.alias("x")).schema["x"].dataType
+
+    l_tagged = ldf.select(
+        *[F.col(c) for c in lk],
+        lord.alias("__lord"),
+        F.lit(None).cast(rord_t).alias("__rord"),
+        F.lit(0).alias("__side"),
+        (ltomb if ltomb is not None else F.lit(False)).alias("__tomb"),
+        lv_struct.alias("__lv"),
+        F.lit(None).cast(rv_t).alias("__rv"),
+    )
+    r_tagged = rdf.select(
+        *[F.col(o).alias(n) for o, n in zip(rk, lk)],
+        F.lit(None).cast(lord_t).alias("__lord"),
+        rord.alias("__rord"),
+        F.lit(1).alias("__side"),
+        (rtomb if rtomb is not None else F.lit(False)).alias("__tomb"),
+        F.lit(None).cast(lv_t).alias("__lv"),
+        rv_struct.alias("__rv"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    schema_parts = [f"`{c}` {ldf.schema[c].dataType.simpleString()}" for c in lk]
+    schema_parts += [f"`{c}` {ldf.schema[c].dataType.simpleString()}" for c in lvals]
+    schema_parts += [
+        f"`{n}` {rdf.schema[o].dataType.simpleString()}" for o, n in zip(rvals, out_rvals)
+    ]
+    schema_parts += ["`__seq` bigint"]
+
+    out = u.groupBy(*[F.col(c) for c in lk]).applyInPandasWithState(
+        _make_processor(how, lk, lvals, rvals, out_rvals),
+        outputStructType=", ".join(schema_parts),
+        stateStructType="lo string, lv string, ro string, rv string, emitted boolean, seq bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return KTableRel(out, key_cols=tuple(lk), time_col=None)

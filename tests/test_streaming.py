@@ -376,3 +376,147 @@ def test_windowed_append_emits_only_closed_windows(spark, events_path, tables):
     }
     # every closed window emitted with the exact batch count; open ones held back
     assert g == closed and len(closed) > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming KTable-KTable changelog join (both sides updating)
+
+def _tt_fixture_frames(spark):
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [
+            ("a", 1, ts("2024-01-01T00:00:01")),
+            ("a", 2, ts("2024-01-01T00:00:05")),   # update wins
+            ("b", 10, ts("2024-01-01T00:00:02")),
+            ("c", 30, ts("2024-01-01T00:00:03")),
+            ("d", 40, ts("2024-01-01T00:00:01")),
+            ("d", None, ts("2024-01-01T00:00:06")),  # tombstone: d leaves left
+        ],
+        "key string, lval long, event_time timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", "x0", ts("2024-01-01T00:00:01")),
+            ("a", "x1", ts("2024-01-01T00:00:04")),  # update wins
+            ("b", "y", ts("2024-01-01T00:00:02")),
+            ("e", "z", ts("2024-01-01T00:00:03")),
+        ],
+        "key string, rname string, event_time timestamp",
+    )
+    return left, right
+
+
+def _final_rows(mem_df, key_col="key"):
+    """Update-mode memory sink: final state per key = row with max __seq."""
+    rows = {}
+    for r in mem_df.collect():
+        prev = rows.get(r[key_col])
+        if prev is None or r["__seq"] > prev["__seq"]:
+            rows[r[key_col]] = r
+    return rows
+
+
+@pytest.mark.parametrize("kind,expected_keys", [
+    ("join", {"a", "b"}),
+    ("left-join", {"a", "b", "c"}),
+    ("outer-join", {"a", "b", "c", "e"}),
+])
+def test_streaming_table_table_join_matches_batch(spark, tmp_path, kind, expected_keys):
+    left, right = _tt_fixture_frames(spark)
+    lp, rp = str(tmp_path / f"l_{kind}"), str(tmp_path / f"r_{kind}")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+
+    ls = file_stream_source(spark, lp)
+    rs = file_stream_source(spark, rp)
+    out = ksml(
+        [kind,
+         ["table", ls, {"key": "key", "time": "event_time",
+                        "order": ["event_time"]}],
+         ["table", rs, {"key": "key", "time": "event_time",
+                        "order": ["event_time"]}]],
+        spark=spark,
+    )
+    assert out.df.isStreaming
+    name = f"tt_{kind.replace('-', '_')}"
+    got = _final_rows(run_to_memory(out, name, output_mode="update"))
+    # drop retracted finals (all value cols NULL)
+    active = {k: r for k, r in got.items()
+              if not (r["lval"] is None and r["rname"] is None)}
+    assert set(active) == expected_keys
+
+    batch = ksml(
+        [kind,
+         ["table", left, {"key": "key", "time": "event_time",
+                          "order": ["event_time"]}],
+         ["table", right, {"key": "key", "time": "event_time",
+                           "order": ["event_time"]}]],
+        spark=spark,
+    ).df
+    expected = {r["key"]: r for r in batch.collect()}
+    assert set(expected) == expected_keys
+    for k in expected_keys:
+        assert active[k]["lval"] == expected[k]["lval"], k
+        assert active[k]["rname"] == expected[k]["rname"], k
+
+
+def test_streaming_table_table_join_retracts_on_tombstone(spark, tmp_path):
+    """Key joined in batch 1; left tombstone in batch 2 must emit a
+    retraction row (all value columns NULL) for the inner join."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    sdir = str(tmp_path / "src")
+    os.makedirs(sdir)
+    f1, f2 = os.path.join(sdir, "b1.json"), os.path.join(sdir, "b2.json")
+    with open(f1, "w") as f:
+        f.write(json.dumps({"side": "l", "key": "a", "lval": 1,
+                            "event_time": "2024-01-01T00:00:01"}) + "\n")
+        f.write(json.dumps({"side": "r", "key": "a", "rname": "x",
+                            "event_time": "2024-01-01T00:00:01"}) + "\n")
+    with open(f2, "w") as f:
+        f.write(json.dumps({"side": "l", "key": "a", "lval": None,
+                            "event_time": "2024-01-01T00:00:05"}) + "\n")
+    os.utime(f1, (1, 1))       # force strict file ordering: f1 first
+    os.utime(f2, (2000000000, 2000000000))
+
+    schema = ("side string, key string, lval long, rname string, "
+              "event_time timestamp")
+    src = (
+        spark.readStream.schema(StructType.fromDDL(schema))
+        .option("maxFilesPerTrigger", 1)
+        .json(sdir)
+    )
+    lt = ["table", src.filter("side = 'l'").drop("rname", "side"),
+          {"key": "key", "time": "event_time", "order": ["event_time"]}]
+    rt = ["table", src.filter("side = 'r'").drop("lval", "side"),
+          {"key": "key", "time": "event_time", "order": ["event_time"]}]
+    out = ksml(["join", lt, rt], spark=spark)
+    mem = run_to_memory(out, "tt_retract", output_mode="update")
+    rows = sorted(mem.collect(), key=lambda r: r["__seq"])
+    assert len(rows) == 2, rows
+    assert rows[0]["lval"] == 1 and rows[0]["rname"] == "x"   # batch 1: joined
+    assert rows[1]["lval"] is None and rows[1]["rname"] is None  # batch 2: retracted
+
+
+def test_streaming_table_join_after_transform_raises(spark, tmp_path):
+    """A view transform invalidates the raw changelog — the join must
+    refuse rather than silently join stale logs."""
+    from ksml_spark.errors import TypeDispatchError
+
+    left, right = _tt_fixture_frames(spark)
+    lp = str(tmp_path / "l_tr")
+    left.write.parquet(lp)
+    ls = file_stream_source(spark, lp)
+    lt = ksml(["where", ["table", ls, {"key": "key", "time": "event_time"}],
+               "lval > 1"], spark=spark)
+    rt = ksml(["table", file_stream_source(spark, lp),
+               {"key": "key", "time": "event_time"}], spark=spark)
+    with pytest.raises(TypeDispatchError, match="changelog"):
+        ksml(["join", lt, rt], spark=spark)
