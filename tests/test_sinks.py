@@ -57,3 +57,68 @@ def test_scan_summary_reports_pushdown(spark):
     assert any("GreaterThanOrEqual" in f for f in s["pushed_filters"])
     assert s["read_schemas"] == ["struct<l_orderkey:bigint,l_quantity:double>"]
     assert "FileScan" in explain_str(out, "simple")
+
+
+# ---------------------------------------------------------------------------
+# serving layer (ring.clj parity: key lookup over materialized state)
+
+def test_serve_batch_windowed_count_point_lookup(spark, tables):
+    from ksml_spark import pipe
+
+    counts = pipe(
+        ["stream", tables["events"], {"key": "event_type", "time": "ts"}],
+        ["group-by-key"],
+        ["windowed-by", ["time-window", 3600000]],
+        ["count"],
+        spark=spark,
+    )
+    h = ksml(["serve", counts, {"name": "served_counts"}], spark=spark)
+    batch_rows = counts.df.collect()
+    probe = batch_rows[3]
+    got = h.lookup({"window_start": probe["window_start"],
+                    "event_type": probe["event_type"]})
+    assert len(got) == 1
+    assert got[0]["count"] == probe["count"]
+    # tuple form resolves positionally against the rel's key columns
+    got2 = h.lookup((probe["window_start"], probe["event_type"]))
+    assert got2[0]["count"] == probe["count"]
+    assert len(h.all()) == len(batch_rows)
+
+
+def test_serve_streaming_complete_snapshot_lookup(spark, tables, tmp_path):
+    """Streaming aggregate served in complete mode: point lookup equals
+    the batch answer (the ring.clj use-case without host routing)."""
+    from ksml_spark import pipe
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    p = str(tmp_path / "events")
+    tables["events"].write.parquet(p)
+    counts = pipe(
+        ["stream", file_stream_source(spark, p), {"key": "user_id", "time": "ts"}],
+        ["group-by-key"],
+        ["count"],
+        spark=spark,
+    )
+    assert counts.df.isStreaming
+    h = ksml(["serve", counts, {"name": "served_user_counts"}], spark=spark)
+    batch = {r["user_id"]: r["count"]
+             for r in tables["events"].groupBy("user_id").count().collect()}
+    probe = next(iter(batch))
+    got = h.lookup(probe)
+    assert len(got) == 1 and got[0]["count"] == batch[probe]
+    assert {r["user_id"]: r["count"] for r in h.all()} == batch
+    h.stop()
+
+
+def test_serve_requires_name_and_key(spark, tables):
+    import pytest as _pytest
+
+    from ksml_spark import pipe
+    from ksml_spark.errors import ArityError
+
+    s = pipe(["stream", tables["events"], {"key": "user_id", "time": "ts"}], spark=spark)
+    with _pytest.raises(ArityError, match="name"):
+        ksml(["serve", s, {}], spark=spark)
+    h = ksml(["serve", s, {"name": "served_raw"}], spark=spark)
+    with _pytest.raises(ArityError, match="key parts"):
+        h.lookup(("a", "b"))
