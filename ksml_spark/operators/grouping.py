@@ -222,6 +222,16 @@ def op_aggregate(ctx: Ctx, grouped: GroupedRel, *rest) -> KTableRel:
     if init is None:
         raise ArityError("opaque :aggregate needs an [:initializer f]")
     vt = next((r["value-type"] for r in rest if isinstance(r, dict) and "value-type" in r), "double")
+    if grouped.window is not None and grouped.window.kind == "session":
+        merger = next((r for r in rest if isinstance(r, Merger)), None)
+        arrival = next(
+            (r["arrival"] for r in rest if isinstance(r, dict) and "arrival" in r), None
+        )
+        return _session_fold_apply(
+            grouped, init.fn, agg.fn,
+            merger.fn if merger is not None else None,
+            value_type=vt, arrival=arrival,
+        )
     return _fold_apply(grouped, init=init.fn, step=lambda acc, row: agg.fn(None, row, acc), value_type=vt)
 
 
@@ -313,3 +323,88 @@ def _fold_apply(grouped: GroupedRel, init, step, value_type: str = "double") -> 
 
     agged = df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(fold, out_schema)
     return KTableRel(agged, key_cols=tuple(key_cols), time_col=None)
+
+
+def _session_fold_apply(
+    grouped: GroupedRel, init, step, merge, value_type: str = "double",
+    arrival: Optional[str] = None,
+) -> KTableRel:
+    """Opaque SESSION aggregation with a custom :merger (eval.clj:275-278)
+    — the Kafka Streams session processor reproduced: records are folded
+    in ARRIVAL order, each landing in the open session whose [start, end]
+    range it falls within ``gap`` of; a record that bridges two (or more)
+    open sessions first combines their accumulators via
+    merger(key, agg1, agg2), then folds in.
+
+    Arrival order is the reference's offset order. Its analog here is an
+    explicit {"arrival": col} (e.g. a kafka offset / ingest sequence);
+    without one, records process in event-time order — semantically fine
+    (the final sessionization is identical) but the merger then never
+    fires, because time-ordered records always extend the latest session.
+
+    Window bounds follow Kafka Streams SessionWindows: [earliest, latest]
+    record timestamp of the session (Spark's session_window would report
+    end = latest + gap).
+
+    Scale: one shuffle on the key; per-key work linear in records with a
+    small live-session list (out-of-order depth). Batch path; a streaming
+    version needs transformWithState session state (plan-constructible,
+    see operators/stateful.py)."""
+    import pandas as pd
+
+    if grouped.time_col is None:
+        raise TypeDispatchError("session aggregation needs a time column")
+    key_cols = list(grouped.key_cols)
+    time_col = grouped.time_col
+    df = grouped.df
+    gap = pd.Timedelta(grouped.window.size)
+    skip = set(key_cols) | {time_col} | ({arrival} if arrival else set())
+    value_cols = [c for c in df.columns if c not in skip]
+    out_schema = ", ".join(
+        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols]
+        + ["`window_start` timestamp", "`window_end` timestamp", f"`value` {value_type}"]
+    )
+    numeric = value_type.split("(")[0].strip().lower() in _NUMERIC_FOLD_TYPES
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(arrival or time_col, kind="stable")
+        key = tuple(pdf[c].iloc[0] for c in key_cols)
+        k1 = key[0] if len(key) == 1 else key
+        sessions: list[list] = []  # [start, end, acc]
+        for rec in pdf.to_dict("records"):
+            t = rec[time_col]
+            v = rec[value_cols[0]] if len(value_cols) == 1 else tuple(rec[c] for c in value_cols)
+            hits = [s for s in sessions if (s[0] - gap) <= t <= (s[1] + gap)]
+            if not hits:
+                acc = step(k1, v, init() if callable(init) else init)
+                sessions.append([t, t, acc])
+                continue
+            hits.sort(key=lambda s: s[0])
+            target = hits[0]
+            for other in hits[1:]:
+                if merge is None:
+                    raise TypeDispatchError(
+                        "out-of-order record bridged two sessions: session "
+                        ":aggregate needs a [:merger f] (eval.clj:275-278)"
+                    )
+                target[2] = merge(k1, target[2], other[2])
+                target[0] = min(target[0], other[0])
+                target[1] = max(target[1], other[1])
+                sessions.remove(other)
+            target[0] = min(target[0], t)
+            target[1] = max(target[1], t)
+            target[2] = step(k1, v, target[2])
+        rows = []
+        for start, end, acc in sessions:
+            row = dict(zip(key_cols, key))
+            row["window_start"] = start
+            row["window_end"] = end
+            if acc is None:
+                row["value"] = None
+            else:
+                row["value"] = float(acc) if numeric else acc
+            rows.append(row)
+        return pd.DataFrame(rows, columns=key_cols + ["window_start", "window_end", "value"])
+
+    agged = df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(fold, out_schema)
+    return KTableRel(agged, key_cols=tuple(["window_start"] + key_cols), time_col=None)

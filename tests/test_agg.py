@@ -268,3 +268,71 @@ def test_process_batch_empty_yield_for_some_keys(spark):
     out = ksml(["process", s, proc, {"schema": "key string, total long"}], spark=spark)
     rows = {r["key"]: r["total"] for r in out.df.collect()}
     assert rows == {"a": 5}
+
+
+def test_session_aggregate_custom_merger_golden(spark):
+    """Opaque session :aggregate with a custom :merger (eval.clj:275-278).
+    Arrival order makes record 'c' bridge two open sessions, firing
+    merger(k, agg1, agg2). Golden result hand-computed."""
+    import datetime as dt
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+    from ksml_spark import ksml
+
+    rows = [
+        # key u: arrival order a(t=0), b(t=15), c(t=8) — c bridges a and b
+        ("u", "a", ts(0), 1),
+        ("u", "b", ts(15), 2),
+        ("u", "c", ts(8), 3),
+        # key w: plain in-order session, merger never fires
+        ("w", "x", ts(0), 1),
+        ("w", "y", ts(5), 2),
+        # key u again, far away: separate session
+        ("u", "d", ts(100), 4),
+    ]
+    df = spark.createDataFrame(rows, "key string, val string, event_time timestamp, seq long")
+    s = ksml(["stream", df, {"key": "key", "time": "event_time"}], spark=spark)
+    out = ksml(
+        ["aggregate",
+         ["windowed-by", ["group-by-key", s], ["session-window", 10000]],
+         ["initializer", lambda: ""],
+         ["aggregator", lambda k, v, acc: v if acc == "" else acc + "+" + v],
+         ["merger", lambda k, a1, a2: a1 + "|" + a2],
+         {"value-type": "string", "arrival": "seq"}],
+        spark=spark,
+    )
+    got = {(r["key"], r["window_start"].second, r["window_end"].second): r["value"]
+           for r in out.df.collect()}
+    assert got == {
+        ("u", 0, 15): "a|b+c",   # merger fired: sessions [0,0]"a" + [15,15]"b", then c
+        ("w", 0, 5): "x+y",
+        ("u", 40, 40): "d",      # second=40 because 100s = 1min40s
+    }
+
+
+def test_session_aggregate_without_merger_raises_on_bridge(spark):
+    import datetime as dt
+
+    from ksml_spark import ksml
+    from ksml_spark.errors import TypeDispatchError
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    df = spark.createDataFrame(
+        [("u", "a", ts(0), 1), ("u", "b", ts(15), 2), ("u", "c", ts(8), 3)],
+        "key string, val string, event_time timestamp, seq long",
+    )
+    s = ksml(["stream", df, {"key": "key", "time": "event_time"}], spark=spark)
+    out = ksml(
+        ["aggregate",
+         ["windowed-by", ["group-by-key", s], ["session-window", 10000]],
+         ["initializer", lambda: ""],
+         ["aggregator", lambda k, v, acc: v if acc == "" else acc + "+" + v],
+         {"value-type": "string", "arrival": "seq"}],
+        spark=spark,
+    )
+    with pytest.raises(Exception, match="merger"):
+        out.df.collect()
