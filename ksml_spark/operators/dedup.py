@@ -512,8 +512,20 @@ def simhash_signatures(df: DataFrame, idc: str, textc: str, bits: int = 64) -> D
     halves (hi = hex 1-8, lo = hex 9-16), same construction the MinHash
     family uses — so the DuckDB oracle reproduces signatures bit-exactly
     (('0x'||substr(md5(t),p,8))::BIGINT on the other side). One md5 per
-    token occurrence; both halves slice the same md5 column."""
-    toks = df.select(F.col(idc), F.explode(tokens_col(F.col(textc))).alias("__tok"))
+    token occurrence; both halves slice the same md5 column.
+
+    The (id, text) projection is spread across cores before the explode:
+    testdata parquet is one row group = one task, and md5 + 64 bit-sums
+    per token is exactly the per-row-heavy shape a single split
+    serializes (measured 2x at sf0.1). A per-doc token-count pre-agg
+    (md5 once per distinct token, weighted votes) measured SLOWER once
+    parallel — the extra (id, token) shuffle costs more than the ~2.3x
+    md5 dedup saves."""
+    from .util import spread
+
+    toks = spread(df.select(F.col(idc), F.col(textc))).select(
+        F.col(idc), F.explode(tokens_col(F.col(textc))).alias("__tok")
+    )
     # two-step select guarantees md5 runs once per token (no reliance on
     # codegen subexpression elimination across 64 bit extractions)
     md5d = toks.select(F.col(idc), F.md5(F.col("__tok")).alias("__m"))
