@@ -118,6 +118,26 @@ def _do_join(ctx: Ctx, left: Rel, right: Rel, how: str, rest) -> Rel:
             )
         return changelog_join(left, right, how)
 
+    if (
+        isinstance(left, KStreamRel)
+        and isinstance(right, KTableRel)
+        and not isinstance(right, GlobalKTableRel)
+        and left.df.isStreaming
+        and right.df.isStreaming
+        and window is None
+        and how in ("inner", "left")
+    ):
+        # stream ⋈ LIVE table: Spark refuses append-stream ⋈ aggregated
+        # stream, so this is the latest-right stateful lookup processor.
+        from ..streaming.changelog_join import stream_table_join
+
+        if vj is not None and vj.fn is not None:
+            raise TypeDispatchError(
+                "streaming stream-table join emits all columns; apply the "
+                "value-joiner as a map-values/select AFTER the join"
+            )
+        return stream_table_join(left, right, how)
+
     ldf, rdf, lmap, rmap = _disambiguate(left, right)
 
     if isinstance(right, GlobalKTableRel):

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..errors import TypeDispatchError
-from ..model import KTableRel
+from ..model import KStreamRel, KTableRel
 
 
 def _make_processor(how: str, key_names, lv_names, rv_names, out_rv_names):
@@ -123,6 +123,134 @@ def _make_processor(how: str, key_names, lv_names, rv_names, out_rv_names):
             yield pd.DataFrame(out_rows)
 
     return process
+
+
+def _make_stream_table_processor(how: str, key_names, lv_names, rv_names, out_rv_names):
+    """Per-key stateful fn for stream ⋈ live-table: state = latest right
+    row; each LEFT record emits one enriched row. Records are applied in
+    event-time order (right before left at equal timestamps), so a table
+    update at time T is visible to stream records with ts >= T — Kafka
+    Streams' timestamp-synchronized lookup."""
+
+    def process(key, pdfs, state):
+        import base64
+        import pickle
+
+        import pandas as pd
+
+        def enc(o):
+            return base64.b64encode(pickle.dumps(o)).decode()
+
+        def dec(s):
+            return pickle.loads(base64.b64decode(s))
+
+        if state.exists:
+            ro_s, rv_s = state.get
+            ro = dec(ro_s) if ro_s is not None else None
+            rv = dec(rv_s) if rv_s is not None else None
+        else:
+            ro = rv = None
+
+        recs = []
+        for pdf in pdfs:
+            recs.extend(pdf.to_dict("records"))
+        recs.sort(key=lambda r: (r["__ts"], r["__side"]))
+
+        out_rows = []
+        for rec in recs:
+            if rec["__side"] == 0:  # right (table) update
+                o = tuple(rec["__rord"].values())
+                if ro is None or o >= ro:
+                    ro = o
+                    rv = None if rec["__tomb"] else rec["__rv"]
+                continue
+            # left (stream) record: emit the lookup result
+            if how == "inner" and rv is None:
+                continue
+            row = dict(zip(key_names, key))
+            lv = rec["__lv"]
+            for n in lv_names:
+                row[n] = lv.get(n) if lv is not None else None
+            for orig, out in zip(rv_names, out_rv_names):
+                row[out] = rv.get(orig) if rv is not None else None
+            out_rows.append(row)
+
+        state.update(
+            (enc(ro) if ro is not None else None, enc(rv) if rv is not None else None)
+        )
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return process
+
+
+def stream_table_join(left, right: KTableRel, how: str):
+    """Streaming KStream ⋈ streaming KTable (both sides live): per-key
+    latest-right state, one output row per stream record
+    (eval_test.clj:446-450 with a live table side). ``how`` in
+    {"inner", "left"}. State is O(keys) — only the table side is stored;
+    stream records pass through their arrival batch."""
+    if right.changelog is None:
+        raise TypeDispatchError(
+            "streaming stream-table join needs the table's raw changelog: "
+            "join a [:table ...] source directly (view transforms drop it)"
+        )
+    if left.time_col is None:
+        raise TypeDispatchError(
+            "streaming stream-table join needs a time column on the stream "
+            "side (records synchronize with table updates by event time)"
+        )
+    rdf, rorder, rtomb = right.changelog
+    lk, rk = list(left.key_cols), list(right.key_cols)
+    if len(lk) != len(rk):
+        raise TypeDispatchError(f"key arity mismatch: {lk} vs {rk}")
+    ldf = left.df
+    rtime = right.time_col or rorder[0]
+    lvals = [c for c in ldf.columns if c not in lk]
+    rvals = [c for c in rdf.columns if c not in rk]
+    taken = set(lk) | set(lvals)
+    out_rvals = [f"r_{c}" if c in taken else c for c in rvals]
+
+    rord = F.struct(*[F.col(c).alias(f"o{i}") for i, c in enumerate(rorder)])
+    lv_struct = F.struct(*[F.col(c) for c in lvals])
+    rv_struct = F.struct(*[F.col(c) for c in rvals])
+    rord_t = rdf.select(rord.alias("x")).schema["x"].dataType
+    lv_t = ldf.select(lv_struct.alias("x")).schema["x"].dataType
+    rv_t = rdf.select(rv_struct.alias("x")).schema["x"].dataType
+
+    r_tagged = rdf.select(
+        *[F.col(o).alias(n) for o, n in zip(rk, lk)],
+        F.col(rtime).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__side"),  # right first at equal timestamps
+        rord.alias("__rord"),
+        (rtomb if rtomb is not None else F.lit(False)).alias("__tomb"),
+        F.lit(None).cast(lv_t).alias("__lv"),
+        rv_struct.alias("__rv"),
+    )
+    l_tagged = ldf.select(
+        *[F.col(c) for c in lk],
+        F.col(left.time_col).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rord_t).alias("__rord"),
+        F.lit(False).alias("__tomb"),
+        lv_struct.alias("__lv"),
+        F.lit(None).cast(rv_t).alias("__rv"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    schema_parts = [f"`{c}` {ldf.schema[c].dataType.simpleString()}" for c in lk]
+    schema_parts += [f"`{c}` {ldf.schema[c].dataType.simpleString()}" for c in lvals]
+    schema_parts += [
+        f"`{n}` {rdf.schema[o].dataType.simpleString()}" for o, n in zip(rvals, out_rvals)
+    ]
+    out = u.groupBy(*[F.col(c) for c in lk]).applyInPandasWithState(
+        _make_stream_table_processor(how, lk, lvals, rvals, out_rvals),
+        outputStructType=", ".join(schema_parts),
+        stateStructType="ro string, rv string",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return KStreamRel(out, key_cols=tuple(lk), time_col=None)
 
 
 def changelog_join(left: KTableRel, right: KTableRel, how: str) -> KTableRel:

@@ -520,3 +520,54 @@ def test_streaming_table_join_after_transform_raises(spark, tmp_path):
                {"key": "key", "time": "event_time"}], spark=spark)
     with pytest.raises(TypeDispatchError, match="changelog"):
         ksml(["join", lt, rt], spark=spark)
+
+
+def test_streaming_stream_live_table_join(spark, tmp_path):
+    """Stream ⋈ LIVE KTable (both sides streaming): each stream record is
+    enriched with the table state current AT ITS EVENT TIME within the
+    batch; table updates after a record's ts don't rewrite it."""
+    import datetime as dt
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    dim = spark.createDataFrame(
+        [
+            ("a", "alpha-v1", ts(0)),
+            ("a", "alpha-v2", ts(10)),   # update
+            ("b", "beta", ts(0)),
+            ("b", None, ts(20)),          # tombstone: b leaves the table
+        ],
+        "key string, name string, event_time timestamp",
+    )
+    fact = spark.createDataFrame(
+        [
+            ("a", 1, ts(5)),    # sees alpha-v1 (v2 lands at t=10)
+            ("a", 2, ts(15)),   # sees alpha-v2
+            ("b", 3, ts(5)),    # sees beta
+            ("b", 4, ts(25)),   # after tombstone -> inner drops it
+            ("c", 5, ts(5)),    # never in the table
+        ],
+        "key string, fid long, event_time timestamp",
+    )
+    dp, fp = str(tmp_path / "dim"), str(tmp_path / "fact")
+    dim.write.parquet(dp)
+    fact.write.parquet(fp)
+
+    def run(kind):
+        out = ksml(
+            [kind,
+             ["stream", file_stream_source(spark, fp),
+              {"key": "key", "time": "event_time"}],
+             ["table", file_stream_source(spark, dp),
+              {"key": "key", "time": "event_time", "order": ["event_time"]}]],
+            spark=spark,
+        )
+        assert out.df.isStreaming
+        mem = run_to_memory(out, f"st_{kind.replace('-', '_')}", output_mode="update")
+        return {r["fid"]: r["name"] for r in mem.collect()}
+
+    inner = run("join")
+    assert inner == {1: "alpha-v1", 2: "alpha-v2", 3: "beta"}
+    left = run("left-join")
+    assert left == {1: "alpha-v1", 2: "alpha-v2", 3: "beta", 4: None, 5: None}
