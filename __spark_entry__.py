@@ -918,7 +918,9 @@ def _q_quality(spark, sf):
     ).df
 
 
-def _quality_oracle() -> str:
+def _quality_cte() -> str:
+    """CTE chain ending in qual(doc_id, quality) — shared by the
+    quality_scores oracle and the corpus_prep pipeline oracle."""
     ratios = ", ".join(f"{_lang_ratio_duck(l)} AS s_{l}" for l in _LANGS)
     best = "greatest(" + ", ".join(f"s_{l}" for l in _LANGS) + ")"
     return f"""
@@ -931,12 +933,16 @@ parts AS (SELECT doc_id,
   length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
   length(text) AS n_chars,
   least(1.0, 4.0 * {best}) AS sw_score
-FROM sc)
-SELECT doc_id, round((length_score
+FROM sc),
+qual AS (SELECT doc_id, round((length_score
   + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 12 THEN 1.0 ELSE 0.0 END)
   + (1.0 - least(1.0, punct / (n_chars / 10.0 + 1.0)))
   + sw_score) / 4.0, 6) AS quality
-FROM parts"""
+FROM parts)"""
+
+
+def _quality_oracle() -> str:
+    return _quality_cte() + "\nSELECT doc_id, quality FROM qual"
 
 
 def _q_fingerprint(spark, sf):
@@ -1281,6 +1287,56 @@ FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_corpus_prep(spark, sf):
+    """End-to-end training-corpus preparation — the composition a 100 TB
+    pipeline actually runs: quality gate -> exact near-dup removal on
+    normalized text (min-id representative) -> deterministic hash split
+    -> per-(split, lang) document/token accounting. Every stage is a
+    pure Column expression (one shuffle for the dedup, one for the final
+    aggregation)."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["quality-score", {"col": "text"}],
+        ["where", "round(quality, 6) >= 0.5"],
+        ["select", {"doc_id": "doc_id", "lang": "lang", "text": "text",
+                    "norm": "array_join(filter(split(lower(text), '[^a-z0-9]+'),"
+                            " x -> x <> ''), ' ')"}],
+        ["dedup", {"by": ["norm"], "order": ["doc_id"]}],
+        ["hash-split", {"id": "doc_id", "salt": "v1",
+                        "fractions": {"train": 0.9, "val": 0.05, "test": 0.05}}],
+        ["token-count", {"col": "text"}],
+        ["group-by", ["key-value-mapper", {"split": "split", "lang": "lang"}]],
+        ["agg", {"n_docs": "count(1)", "tokens": "sum(n_tokens_ws)"}],
+        spark=spark,
+    ).df
+
+
+_CORPUS_PREP_ORACLE = _quality_cte() + r""",
+kept AS (
+  SELECT d.doc_id, d.lang, d.text,
+         array_to_string(list_filter(regexp_split_to_array(lower(d.text),
+             '[^a-z0-9]+'), x -> x <> ''), ' ') AS norm
+  FROM documents d JOIN qual USING (doc_id)
+  WHERE quality >= 0.5
+),
+uniq AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1
+),
+sp AS (
+  SELECT doc_id, lang, text,
+    CASE WHEN b < 3865470566 THEN 'train'
+         WHEN b < 4080218931 THEN 'val'
+         ELSE 'test' END AS split
+  FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT AS b
+        FROM uniq)
+)
+SELECT split, lang, count(*) AS n_docs,
+       SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tokens
+FROM sp GROUP BY 1, 2"""
+
+
 def _q_multimodal(spark, sf):
     return pipe(
         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
@@ -1384,6 +1440,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "neardup_lsh": (_q_neardup_lsh, _NEARDUP_LSH_ORACLE),
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
+    "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
 }
 
 
