@@ -45,9 +45,18 @@ def defop(*names: str):
 @dataclass
 class Ctx:
     """Evaluation context — the analog of the dynamic ``*builder*`` binding
-    (/root/reference/src/cddr/ksml/eval.clj:42, core.clj:20-23)."""
+    (/root/reference/src/cddr/ksml/eval.clj:42, core.clj:20-23).
+
+    ``sources`` accumulates one entry per source op evaluated under this
+    context (the analog of the Topology's source-node registry) — the
+    basis of the DSL-level topology introspection (plans.topology)."""
 
     spark: SparkSession
+    sources: list = None
+
+    def __post_init__(self):
+        if self.sources is None:
+            self.sources = []
 
 
 def _normalize_op(head: str) -> str:
@@ -133,7 +142,13 @@ def ksml(form: Any, spark: Optional[SparkSession] = None) -> Any:
         spark = SparkSession.getActiveSession()
         if spark is None:
             raise ValueError("no active SparkSession; pass spark=...")
-    return keval(form, Ctx(spark))
+    ctx = Ctx(spark)
+    out = keval(form, ctx)
+    # attach the source registry to the result so plans.topology can
+    # answer "which sources feed this query" without re-evaluating
+    if hasattr(out, "__dict__") and ctx.sources:
+        out.topology_sources = list(ctx.sources)
+    return out
 
 
 def pipe(first: Any, *forms, spark: Optional[SparkSession] = None) -> Any:

@@ -20,3 +20,4 @@ from . import (  # noqa: F401
 from ..functions import text  # noqa: F401  (tokenize / lang-id / quality ops)
 from ..streaming import runtime  # noqa: F401  (with-watermark, latest_by)
 from ..streaming import serving  # noqa: F401  (serve / key lookup)
+from .. import plans  # noqa: F401  (topology introspection op)

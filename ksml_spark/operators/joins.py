@@ -94,6 +94,12 @@ def _apply_joiner(
 
 
 def _do_join(ctx: Ctx, left: Rel, right: Rel, how: str, rest) -> Rel:
+    # pre-built Rel operands (from earlier ksml() calls) carry their own
+    # source registry — merge it so topology introspection sees them
+    for r in (left, right):
+        for s in getattr(r, "topology_sources", []):
+            if s not in ctx.sources:
+                ctx.sources.append(s)
     vj = next((r for r in rest if isinstance(r, ValueJoiner)), None)
     window = next((r for r in rest if isinstance(r, WindowSpec)), None)
     kx = next((r for r in rest if isinstance(r, KeyValueMapper)), None)

@@ -43,15 +43,33 @@ def _as_tuple(x) -> tuple[str, ...]:
     return tuple(x)
 
 
+def _record(ctx: Ctx, **info) -> None:
+    """Register a source node on the evaluation context (the Topology's
+    source registry — basis of plans.topology introspection)."""
+    ctx.sources.append(info)
+
+
+def _kafka_topics(kopts: dict) -> list[str]:
+    if "subscribe" in kopts:
+        return [t.strip() for t in str(kopts["subscribe"]).split(",")]
+    pat = kopts.get("subscribePattern") or kopts.get("pattern")
+    return [str(pat)] if pat else []
+
+
 def _load_source(ctx: Ctx, src: Any, opts: dict) -> DataFrame:
     """Resolve a source operand to a DataFrame."""
     if isinstance(src, DataFrame):
+        _record(ctx, type="dataframe", streaming=src.isStreaming)
         return src
     if isinstance(src, Rel):
+        # a pre-built Rel from an earlier ksml() call: carry its sources
+        for s in getattr(src, "topology_sources", [{"type": "rel"}]):
+            ctx.sources.append(s)
         return src.df
     if isinstance(src, (list, tuple)) and src and isinstance(src[0], str):
         kind = src[0].lstrip(":").lower()
         if kind in ("parquet", "csv", "json"):
+            _record(ctx, type=kind, path=src[1], streaming=bool(opts.get("stream")))
             if kind == "parquet" and not opts.get("stream"):
                 from ..sources.files import read_parquet
 
@@ -61,19 +79,25 @@ def _load_source(ctx: Ctx, src: Any, opts: dict) -> DataFrame:
                 return reader.option("header", "true").option("inferSchema", "true").csv(src[1])
             return getattr(reader, kind)(src[1])
         if kind == "table-ref":
+            _record(ctx, type="table", name=src[1])
             return ctx.spark.table(src[1])
         if kind == "kafka":
             from ..sources.kafka import kafka_source
 
-            return kafka_source(ctx.spark, src[1] if len(src) > 1 else {}, opts)
+            kopts = src[1] if len(src) > 1 else {}
+            _record(ctx, type="kafka", topics=_kafka_topics(kopts),
+                    streaming=bool(opts.get("stream", True)))
+            return kafka_source(ctx.spark, kopts, opts)
     if isinstance(src, str):
         # a topic name / pattern -> Kafka source
         from ..sources.kafka import kafka_source
 
+        _record(ctx, type="kafka", topics=[src], streaming=bool(opts.get("stream", True)))
         return kafka_source(ctx.spark, {"subscribe": src}, opts)
     if isinstance(src, list) and all(isinstance(t, str) for t in src):
         from ..sources.kafka import kafka_source
 
+        _record(ctx, type="kafka", topics=list(src), streaming=bool(opts.get("stream", True)))
         return kafka_source(ctx.spark, {"subscribe": ",".join(src)}, opts)
     raise ArityError(f"cannot resolve source operand: {src!r}")
 
@@ -91,11 +115,18 @@ def _split_opts(args) -> tuple[list, dict]:
     return pos, opts
 
 
+def _tag_op(ctx: Ctx, n0: int, op: str) -> None:
+    for s in ctx.sources[n0:]:
+        s.setdefault("op", op)
+
+
 @defop("stream")
 def op_stream(ctx: Ctx, src, *rest) -> KStreamRel:
     """[:stream src consumed?] -> KStream (eval.clj:71)."""
     pos, opts = _split_opts(rest)
+    n0 = len(ctx.sources)
     df = _load_source(ctx, src, opts)
+    _tag_op(ctx, n0, "stream")
     df = apply_consumed(df, opts)
     return KStreamRel(
         df,
@@ -115,7 +146,9 @@ def op_table(ctx: Ctx, src, *rest) -> KTableRel:
     cost as any keyed aggregation and AQE handles skew.
     """
     pos, opts = _split_opts(rest)
+    n0 = len(ctx.sources)
     df = _load_source(ctx, src, opts)
+    _tag_op(ctx, n0, "table")
     df = apply_consumed(df, opts)
     key_cols = _as_tuple(opts.get("key") or ("key" if "key" in df.columns else None))
     time_col = opts.get("time") or ("event_time" if "event_time" in df.columns else None)

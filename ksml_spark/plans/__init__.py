@@ -32,3 +32,40 @@ def scan_summary(df_or_rel) -> dict:
         "broadcast_joins": p.count("BroadcastHashJoin"),
         "exchanges": p.count("Exchange hashpartitioning"),
     }
+
+
+def topology(rel) -> dict:
+    """DSL-level topology introspection — reference parity with
+    ``.sourceTopicPattern`` / Topology#describe (eval_test.clj:56-65):
+    which sources feed this query, plus the physical scan audit.
+
+    ``sources`` is the evaluation-time source registry ksml() attaches to
+    its result (one entry per [:stream]/[:table]/[:global-table] source,
+    including sources of pre-built Rel operands merged through joins);
+    ``source_topic_pattern`` joins the Kafka topics/patterns, the analog
+    of sourceTopicPattern; scan fields come from the Catalyst plan (the
+    DSL has no separate topology object to describe — SURVEY.md §3)."""
+    srcs = list(getattr(rel, "topology_sources", []))
+    topics = sorted({t for s in srcs if s.get("type") == "kafka" for t in s.get("topics", [])})
+    out = {
+        "sources": srcs,
+        "source_topic_pattern": "|".join(topics) if topics else None,
+    }
+    df = rel.df if isinstance(rel, Rel) else rel
+    if not df.isStreaming:  # explain of streaming plans needs a query start
+        out.update(scan_summary(df))
+    return out
+
+
+def _register_op() -> None:
+    from ..eval import Ctx, defop
+
+    @defop("topology")
+    def op_topology(ctx: Ctx, rel, *rest) -> dict:
+        """["topology", rel] — source registry + scan audit as a dict."""
+        if not getattr(rel, "topology_sources", None) and ctx.sources:
+            rel.topology_sources = list(ctx.sources)
+        return topology(rel)
+
+
+_register_op()

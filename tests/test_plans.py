@@ -217,3 +217,41 @@ def test_bucketed_tables_join_without_shuffle(spark):
     assert n == expected
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_topology_introspection(spark, tables):
+    """DSL-level 'which sources feed this query' (eval_test.clj:56-65
+    parity): source registry + kafka topic pattern + scan audit."""
+    from ksml_spark import ksml, pipe
+    from ksml_spark.plans import topology
+
+    # file sources through a join of two separately-built pipelines
+    cust = pipe(["stream", ["parquet", f"{SF}/customer.parquet"],
+                 {"key": "c_custkey"}], spark=spark)
+    orders = pipe(["table", ["parquet", f"{SF}/orders.parquet"],
+                   {"key": "o_custkey", "unique": True}], spark=spark)
+    joined = ksml(["join", cust, orders], spark=spark)
+    topo = topology(joined)
+    paths = {s["path"] for s in topo["sources"] if s.get("type") == "parquet"}
+    assert paths == {f"{SF}/customer.parquet", f"{SF}/orders.parquet"}
+    ops = {s.get("op") for s in topo["sources"]}
+    assert ops == {"stream", "table"}
+    assert topo["source_topic_pattern"] is None
+    assert topo["read_schemas"]  # physical scan audit present for batch
+
+    # kafka sources surface as a topic pattern (fake transport)
+    import tempfile
+
+    from ksml_spark.sources.kafka import write_fake_topic
+
+    d = tempfile.mkdtemp(prefix="topo_kafka_")
+    write_fake_topic(tables["nation"].limit(3), d, topic="clicks",
+                     key_col="n_nationkey", value_cols=["n_name"])
+    k = ksml(["stream", ["kafka", {"subscribe": "clicks,errors", "fake_dir": d}],
+              {"stream": False}], spark=spark)
+    kt = topology(k)
+    assert kt["source_topic_pattern"] == "clicks|errors"
+
+    # ["topology", rel] op form returns the same dict
+    t2 = ksml(["topology", joined], spark=spark)
+    assert t2["sources"] == topo["sources"]
