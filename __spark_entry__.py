@@ -1008,6 +1008,19 @@ def _q_jaccard_pairs(spark, sf):
     ).df
 
 
+def _q_jaccard_prefix(spark, sf):
+    """Same pairs, AllPairs prefix-filtered plan (the 100 TB refinement):
+    index only each doc's rarest n - ceil(t*n) + 1 tokens, verify exact
+    Jaccard on the candidate superset. Shares jaccard_pairs' oracle —
+    the results are bit-identical by construction."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["jaccard-pairs", {"col": "text", "id": "doc_id", "prefix": True,
+                           "block": ["lang", "n_chars div 100"], "threshold": 0.5}],
+        spark=spark,
+    ).df
+
+
 _JACCARD_PAIRS_ORACLE = """
 WITH d AS (SELECT doc_id, lang, n_chars // 100 AS nb,
            list_distinct(list_transform(string_split(text, ' '),
@@ -1428,6 +1441,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "minhash_signatures": (_q_minhash_sig, _MINHASH_SIG_ORACLE),
     "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
     "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
+    "jaccard_pairs_prefix": (_q_jaccard_prefix, _JACCARD_PAIRS_ORACLE),
     "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),
     "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
     "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),

@@ -242,9 +242,25 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     CodegenFallback expression, ~20us/pair interpreted). The block key
     still bounds the candidate space; at 100 TB a hyper-frequent token is
     a skewed join key — AQE skew-join splitting handles it, and
-    prefix-filtering (index only each doc's rarest tokens) is the
-    standard refinement if needed. threshold <= 0 falls back to the
-    blocked cross join (zero-overlap pairs must then be emitted)."""
+    {"prefix": true} enables the AllPairs prefix-filter refinement (see
+    below). threshold <= 0 falls back to the blocked cross join
+    (zero-overlap pairs must then be emitted).
+
+    PREFIX FILTERING ({"prefix": true}) — the 100 TB refinement
+    (Bayardo et al., "Scaling Up All Pairs Similarity Search"): order
+    each doc's tokens by global document frequency (rarest first; token
+    id tiebreak) and index only the first n - ceil(t*n) + 1. Any pair
+    with Jaccard >= t shares its canonically-FIRST common token inside
+    BOTH prefixes, so the prefix self-join is a guaranteed candidate
+    superset; exact Jaccard is then verified on candidates only by
+    re-joining the full token sets. The index shrinks by ~t/(1+t) and —
+    decisive at scale — the hottest (most frequent) tokens tend to fall
+    out of the index, shrinking the skewed join keys. Results are
+    bit-identical to the plain inverted-index plan (same oracle).
+    Measured honestly: at sf0.1 (5k docs) the prefix plan is SLOWER
+    (5.1s vs 3.0s) — the document-frequency pass + per-doc ranking +
+    verify join only amortize when the token index is large and skewed;
+    use the plain plan interactively, prefix at corpus scale."""
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     block = opts.get("block")
@@ -266,6 +282,9 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         tok_ids.alias("__t"),
     )
     toks = toks.withColumn("__n", F.size(F.col("__t")))
+
+    if thr > 0 and opts.get("prefix"):
+        return _jaccard_prefix(toks, idc, blocks, thr)
 
     if thr <= 0:  # exact all-pairs within block, incl. zero-overlap pairs
         a, b = toks.alias("a"), toks.alias("b")
@@ -321,6 +340,60 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     jac = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
     pairs = (
         counted.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= thr)
+    )
+    return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
+
+
+def _jaccard_prefix(toks: DataFrame, idc: str, blocks: list, thr: float) -> KStreamRel:
+    """AllPairs prefix-filtered exact Jaccard (see op_jaccard_pairs
+    docstring for the theory). toks: (id, __b*, __t token array, __n)."""
+    from pyspark.sql import Window
+
+    from .util import shuffle_partitions
+
+    bcols = [f"__b{i}" for i in range(len(blocks))]
+    ex = toks.select(F.col(idc), *bcols, F.col("__n"), F.explode("__t").alias("__tok"))
+    # canonical order = ascending global document frequency (token id
+    # tiebreak): rarest tokens first, so the index drops each doc's most
+    # frequent tokens — exactly the skewed join keys
+    freq = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(F.col(idc)).orderBy(F.col("__df").asc(), F.col("__tok").asc())
+    ranked = ex.join(freq, "__tok").withColumn("__pos", F.row_number().over(w))
+    # prefix length n - ceil(t*n) + 1; the epsilon keeps a float t*n that
+    # lands ON an integer from rounding the prefix shorter (a longer
+    # prefix is always a safe superset, a shorter one is not)
+    plen = (
+        F.col("__n")
+        - F.greatest(F.ceil(F.lit(thr) * F.col("__n") - F.lit(1e-9)), F.lit(1))
+        + 1
+    )
+    pref = ranked.filter(F.col("__pos") <= plen).select(F.col(idc), *bcols, "__tok")
+    pref = pref.repartition(shuffle_partitions(pref), *bcols, "__tok")
+    a, b = pref.alias("a"), pref.alias("b")
+    cond = (F.col("a.__tok") == F.col("b.__tok")) & (F.col(f"a.{idc}") < F.col(f"b.{idc}"))
+    for i in range(len(blocks)):
+        cond = (F.col(f"a.__b{i}") == F.col(f"b.__b{i}")) & cond
+    cand = (
+        a.join(b, cond, "inner")
+        .select(F.col(f"a.{idc}").alias("doc_a"), F.col(f"b.{idc}").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on candidates only: array_intersect is the
+    # interpreted slow path, but it now runs per CANDIDATE, not per
+    # shared-token occurrence — the candidate set is tiny by construction
+    ta = toks.select(
+        F.col(idc).alias("doc_a"), F.col("__t").alias("__ta"), F.col("__n").alias("__na")
+    )
+    tb = toks.select(
+        F.col(idc).alias("doc_b"), F.col("__t").alias("__tb"), F.col("__n").alias("__nb")
+    )
+    common = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    jac = common / (F.col("__na") + F.col("__nb") - common)
+    pairs = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= thr)
     )
     return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))

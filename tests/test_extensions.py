@@ -510,3 +510,15 @@ def test_neardup_pairs_lsh_blocked_subset_of_full(spark, tables):
     bucket = {i: "".join("1" if x > 0 else "0" for x in v[:8]) for i, v in vecs.items()}
     expected = {k for k in full_pairs if bucket[k[0]] == bucket[k[1]]}
     assert set(lsh_pairs) == expected
+
+
+def test_jaccard_prefix_matches_plain_plan(spark, tables):
+    """AllPairs prefix filtering must return bit-identical pairs to the
+    plain inverted-index plan (same threshold, same blocks)."""
+    base = {"col": "text", "id": "doc_id", "block": ["lang"], "threshold": 0.5}
+    plain = pipe(docs_stream(tables), ["jaccard-pairs", base], spark=spark).df
+    pref = pipe(docs_stream(tables),
+                ["jaccard-pairs", {**base, "prefix": True}], spark=spark).df
+    a = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in plain.collect()}
+    b = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pref.collect()}
+    assert a == b and len(a) > 0
