@@ -1300,6 +1300,33 @@ FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_frame_sample(spark, sf):
+    """Video-frame-sampling batch shape (stub demuxer = byte slicing):
+    explode payloads into strided, capped frame records."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["binarize", {"col": "text", "as": "payload"}],
+        ["frame-sample", {"col": "payload", "id": "doc_id",
+                          "frame_bytes": 256, "every": 2, "max_frames": 4}],
+        ["select", {"doc_id": "doc_id", "frame_idx": "frame_idx",
+                    "frame_hex": "lower(hex(frame))"}],
+        spark=spark,
+    ).df
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      generate_series(0,
+        greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS INT), 1) - 1,
+        2)[1:4],
+      i -> struct_pack(idx := i,
+                       hx := lower(hex(encode(substr(text, i*256 + 1, 256))))))) AS s
+  FROM documents)
+SELECT doc_id, s.idx AS frame_idx, s.hx AS frame_hex FROM f"""
+
+
 def _q_corpus_prep(spark, sf):
     """End-to-end training-corpus preparation — the composition a 100 TB
     pipeline actually runs: quality gate -> exact near-dup removal on
@@ -1455,6 +1482,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
     "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
+    "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
 }
 
 

@@ -145,3 +145,37 @@ def op_decode_features(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             yield feats
 
     return KStreamRel(pruned.mapInPandas(extract, schema), key_cols=(idc,))
+
+
+@defop("frame-sample")
+def op_frame_sample(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """["frame-sample", rel, {"col": "payload", "id": "doc_id",
+    "frame_bytes": 256, "every": 2, "max_frames": 8}] — explode a media
+    payload into sampled frame records (id, frame_idx, frame binary):
+    the video frame-sampling batch shape. The "demuxer" is stubbed as
+    fixed-size byte slicing (deterministic, oracle-comparable); a real
+    one plugs in through decode-features' mapInPandas hatch with the
+    same output shape. Frame indices stride by ``every`` and cap at
+    ``max_frames``.
+
+    Scale posture: pure expressions (sequence -> transform(substring) ->
+    posexplode), narrow — no shuffle, no Python; output rows fan out at
+    most max_frames per input row, so downstream partition sizing is
+    bounded. Empty payloads emit one empty frame (frame_idx 0)."""
+    opts = _opts(rest)
+    col = opts.get("col", "payload")
+    idc = opts.get("id", "doc_id")
+    fb = int(opts.get("frame_bytes", 256))
+    ev = int(opts.get("every", 1))
+    mx = int(opts.get("max_frames", 8))
+    frames = (
+        f"transform("
+        f"  slice(sequence(0, greatest(int(ceil(octet_length(`{col}`) / cast({fb} as double))), 1) - 1, {ev}), 1, {mx}),"
+        f"  i -> struct(i AS frame_idx, substring(`{col}`, i * {fb} + 1, {fb}) AS frame))"
+    )
+    out = (
+        rel.df.select(idc, col)
+        .select(F.col(idc), F.explode(F.expr(frames)).alias("__f"))
+        .select(F.col(idc), F.col("__f.frame_idx"), F.col("__f.frame"))
+    )
+    return KStreamRel(out, key_cols=(idc, "frame_idx"))

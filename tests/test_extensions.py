@@ -522,3 +522,30 @@ def test_jaccard_prefix_matches_plain_plan(spark, tables):
     a = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in plain.collect()}
     b = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pref.collect()}
     assert a == b and len(a) > 0
+
+
+def test_frame_sample_stride_and_cap(spark, tables):
+    out = pipe(
+        docs_stream(tables),
+        ["binarize", {"col": "text", "as": "payload"}],
+        ["frame-sample", {"col": "payload", "id": "doc_id",
+                          "frame_bytes": 100, "every": 2, "max_frames": 3}],
+        spark=spark,
+    ).df
+    texts = {r["doc_id"]: r["text"].encode() for r in tables["documents"].collect()}
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    assert set(got) == set(texts)
+    for d, frames in got.items():
+        b = texts[d]
+        import math
+
+        n = max(math.ceil(len(b) / 100), 1)
+        expect_idx = list(range(0, n, 2))[:3]
+        assert sorted(frames) == expect_idx
+        for i in expect_idx:
+            assert frames[i] == b[i * 100: i * 100 + 100]
+    # plan stays Python-free
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
