@@ -169,6 +169,23 @@ def word_signals(df, idc: str, textc: str):
     return ex.groupBy(idc).agg(*aggs)
 
 
+def word_signal_cols(textc: str) -> dict:
+    """Per-row EXPRESSION versions of word_signals (higher-order array
+    functions). Interpreted, so ~10x slower per row than the
+    explode/agg/join path — but shuffle-free and legal on STREAMING
+    sources, where joining a stream to its own aggregation is refused by
+    Spark. Types match the agg path (bigint); empty texts yield 0s,
+    which the consumers already coalesce identically."""
+    w = words(F.col(textc))
+    out = {
+        "__nw": F.size(w).cast("bigint"),
+        "__swl": F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)).cast("bigint"),
+    }
+    for lang, words_ in STOPWORDS.items():
+        out[f"__hits_{lang}"] = F.size(F.filter(w, lambda x: x.isin(words_))).cast("bigint")
+    return out
+
+
 def _signal_ratio(lang: str) -> Column:
     return F.when(
         F.coalesce(F.col("__nw"), F.lit(0)) > 0,
@@ -232,6 +249,15 @@ def op_token_count(ctx: Ctx, rel: Rel, *rest) -> Rel:
 
 
 def _with_signals(rel: Rel, col: str, opts: dict, out_name: str, out_col: Column) -> Rel:
+    if rel.df.isStreaming:
+        # streaming: the agg+join-back below would be a stream joined to
+        # its own aggregation (refused by Spark); compute the signals as
+        # per-row array expressions instead — same values, no shuffle
+        df = rel.df
+        for n, c in word_signal_cols(col).items():
+            df = df.withColumn(n, c)
+        df = df.withColumn(out_name, out_col)
+        return rel.with_df(df.drop(*[c for c in df.columns if c.startswith("__")]))
     idc = opts.get("id") or (rel.key_cols[0] if rel.key_cols else "doc_id")
     sigs = word_signals(rel.df, idc, col)
     joined = rel.df.join(sigs, idc, "left").withColumn(out_name, out_col)

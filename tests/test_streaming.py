@@ -571,3 +571,29 @@ def test_streaming_stream_live_table_join(spark, tmp_path):
     assert inner == {1: "alpha-v1", 2: "alpha-v2", 3: "beta"}
     left = run("left-join")
     assert left == {1: "alpha-v1", 2: "alpha-v2", 3: "beta", 4: None, 5: None}
+
+
+def test_streaming_text_signals_match_batch(spark, tables, tmp_path):
+    """lang-id / quality-score on a STREAMING source (per-row expression
+    path — the agg+join-back is refused on streams) must equal batch."""
+    p = str(tmp_path / "docs")
+    tables["documents"].write.parquet(p)
+
+    def both(form_tail):
+        sdf = file_stream_source(spark, p)
+        s = pipe(["stream", sdf, {"key": "doc_id"}], *form_tail, spark=spark)
+        assert s.df.isStreaming
+        got = run_to_memory(s, "txtsig", output_mode="append")
+        b = pipe(["stream", tables["documents"], {"key": "doc_id"}],
+                 *form_tail, spark=spark).df
+        return got, b
+
+    got, b = both([
+        ["lang-id", {"col": "text"}],
+        ["quality-score", {"col": "text"}],
+        ["select", {"doc_id": "doc_id", "lang_pred": "lang_pred",
+                    "quality": "round(quality, 6)"}],
+    ])
+    g = {r["doc_id"]: (r["lang_pred"], r["quality"]) for r in got.collect()}
+    e = {r["doc_id"]: (r["lang_pred"], r["quality"]) for r in b.collect()}
+    assert g == e
