@@ -1300,6 +1300,56 @@ FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_repetition(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["repetition-score", {"col": "text"}],
+        ["select", {"doc_id": "doc_id", "n_words": "n_words",
+                    "n_distinct_words": "n_distinct_words",
+                    "dup_word_ratio": "round(dup_word_ratio, 6)",
+                    "top_word_ratio": "round(top_word_ratio, 6)"}],
+        spark=spark,
+    ).df
+
+
+_REPETITION_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+pw AS (SELECT doc_id, unnest(w) AS word FROM w),
+cnt AS (SELECT doc_id, word, count(*) AS c FROM pw GROUP BY 1, 2),
+sig AS (SELECT doc_id, sum(c) AS nw, count(*) AS nd, max(c) AS top FROM cnt GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(nw, 0) AS n_words, coalesce(nd, 0) AS n_distinct_words,
+  round(CASE WHEN coalesce(nw, 0) > 0 THEN 1.0 - nd / nw::DOUBLE ELSE 0.0 END, 6) AS dup_word_ratio,
+  round(CASE WHEN coalesce(nw, 0) > 0 THEN top / nw::DOUBLE ELSE 0.0 END, 6) AS top_word_ratio
+FROM documents d LEFT JOIN sig USING (doc_id)"""
+
+
+def _q_scrub(spark, sf):
+    """PII/URL redaction. Testdata has no URLs/emails, so the query
+    plants one of each per doc (deterministic) before scrubbing — the
+    oracle plants identically and redaction is actually exercised."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["select", {"doc_id": "doc_id",
+                    "text": "concat(text, ' http://x.io/', doc_id,"
+                            " ' u', doc_id, '@ex.com tail')"}],
+        ["scrub", {"col": "text", "patterns": ["url", "email"],
+                   "replacement": "<X>"}],
+        ["select", {"doc_id": "doc_id", "text": "text"}],
+        spark=spark,
+    ).df
+
+
+_SCRUB_ORACLE = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      concat(text, ' http://x.io/', doc_id, ' u', doc_id, '@ex.com tail'),
+      'https?://[^\s]+', '<X>', 'g'),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<X>', 'g') AS text
+FROM documents"""
+
+
 def _q_frame_sample(spark, sf):
     """Video-frame-sampling batch shape (stub demuxer = byte slicing):
     explode payloads into strided, capped frame records."""
@@ -1483,6 +1533,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
     "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
     "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
+    "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
+    "scrub_text": (_q_scrub, _SCRUB_ORACLE),
 }
 
 

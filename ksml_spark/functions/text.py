@@ -292,3 +292,84 @@ def op_fingerprint(ctx: Ctx, rel: Rel, *rest) -> Rel:
     df = df.withColumn(opts.get("as", "fingerprint"), fingerprint64(F.col(col)))
     df = df.withColumn(opts.get("rolling_as", "rolling_fp"), rolling_hash(F.col(col)))
     return rel.with_df(df)
+
+
+# ---------------------------------------------------------------------------
+# repetition signals + scrubbing (Gopher-style corpus filters)
+
+#: Scrub patterns portable between Java regex (Spark) and RE2 (DuckDB):
+#: no backreferences, no lookaround.
+SCRUB_PATTERNS = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+@defop("repetition-score")
+def op_repetition_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Adds the Gopher-style repetition signals used to drop boilerplate:
+
+        n_words, n_distinct_words,
+        dup_word_ratio = 1 - distinct/words   (0 when empty),
+        top_word_ratio = max word frequency / words.
+
+    Batch plan: explode words -> per-(id, word) count -> per-id
+    (sum, count, max) — two narrow hash aggregations with map-side
+    partials, join back on id (same shape as word_signals, and like it
+    NOT spread: the join-back reuses the scan). Streaming sources are
+    refused (needs the agg+join-back; per-row top-frequency would be
+    O(words^2) interpreted)."""
+    col, opts = _col_opts(rest)
+    if rel.df.isStreaming:
+        from ..errors import TypeDispatchError
+
+        raise TypeDispatchError(
+            "repetition-score is batch-only (per-word frequency needs an "
+            "aggregation joined back to the stream)"
+        )
+    idc = opts.get("id") or (rel.key_cols[0] if rel.key_cols else "doc_id")
+    ex = (
+        rel.df.select(F.col(idc), F.explode(words(F.col(col))).alias("__w"))
+    )
+    per_word = ex.groupBy(idc, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    sig = per_word.groupBy(idc).agg(
+        F.sum("__c").alias("__nw"),
+        F.count(F.lit(1)).alias("__nd"),
+        F.max("__c").alias("__top"),
+    )
+    joined = rel.df.join(sig, idc, "left")
+    nw = F.coalesce(F.col("__nw"), F.lit(0))
+    out = (
+        joined.withColumn("n_words", nw)
+        .withColumn("n_distinct_words", F.coalesce(F.col("__nd"), F.lit(0)))
+        .withColumn(
+            "dup_word_ratio",
+            F.when(nw > 0, F.lit(1.0) - F.col("__nd") / nw).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_word_ratio",
+            F.when(nw > 0, F.col("__top") / nw).otherwise(F.lit(0.0)),
+        )
+    )
+    return rel.with_df(out.drop("__nw", "__nd", "__top"))
+
+
+@defop("scrub")
+def op_scrub(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """["scrub", rel, {"col": "text", "patterns": ["url", "email"],
+    "replacement": "<REDACTED>", "as": col}] — regex redaction of
+    URLs / emails / IPv4s (or custom patterns given as raw regex
+    strings). Pure regexp_replace chain — codegen, streaming-safe; the
+    built-in patterns avoid backreferences/lookaround so they behave
+    identically under Java regex and RE2 (the DuckDB oracle)."""
+    col, opts = _col_opts(rest)
+    out_name = opts.get("as", col)
+    repl = opts.get("replacement", "<REDACTED>")
+    pats = opts.get("patterns", ["url", "email"])
+    if isinstance(pats, str):
+        pats = [pats]
+    c = F.col(col)
+    for p in pats:
+        c = F.regexp_replace(c, SCRUB_PATTERNS.get(p, p), repl)
+    return rel.with_df(rel.df.withColumn(out_name, c))

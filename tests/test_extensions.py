@@ -549,3 +549,29 @@ def test_frame_sample_stride_and_cap(spark, tables):
     # plan stays Python-free
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
+def test_repetition_score_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = pipe(["stream", df, {"key": "doc_id"}],
+               ["repetition-score", {"col": "text"}], spark=spark).df
+    got = {r["doc_id"]: (r["n_words"], r["n_distinct_words"],
+                         round(r["dup_word_ratio"], 6), round(r["top_word_ratio"], 6))
+           for r in out.collect()}
+    assert got[1] == (4, 2, 0.5, 0.75)
+    assert got[2] == (3, 3, 0.0, round(1 / 3, 6))
+    assert got[3] == (0, 0, 0.0, 0.0)
+
+
+def test_scrub_redacts_urls_and_emails(spark):
+    df = spark.createDataFrame(
+        [(1, "see https://a.b/c?d=1 or mail j.doe+x@corp.example.org now 10.0.0.1")],
+        "doc_id long, text string",
+    )
+    out = pipe(["stream", df, {"key": "doc_id"}],
+               ["scrub", {"col": "text", "patterns": ["url", "email", "ipv4"],
+                          "replacement": "<X>"}], spark=spark).df
+    assert out.collect()[0]["text"] == "see <X> or mail <X> now <X>"
