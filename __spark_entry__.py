@@ -1300,6 +1300,28 @@ FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_sample_hash(spark, sf):
+    """Stratified deterministic downsampling: rebalance by language."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["sample-hash", {"id": "doc_id", "salt": "s1", "by": "lang",
+                         "fractions": {"en": 0.5, "de": 0.25, "*": 0.75}}],
+        ["select", {"doc_id": "doc_id", "lang": "lang"}],
+        spark=spark,
+    ).df
+
+
+# same md5 prefix + integer cutoffs as the Spark op: floor(f * 2^32)
+_SAMPLE_HASH_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 8))::BIGINT AS b
+  FROM documents)
+WHERE b < CASE lang WHEN 'en' THEN 2147483648
+                    WHEN 'de' THEN 1073741824
+                    ELSE 3221225472 END"""
+
+
 def _q_repetition(spark, sf):
     return pipe(
         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
@@ -1534,6 +1556,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
     "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
     "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
+    "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
     "scrub_text": (_q_scrub, _SCRUB_ORACLE),
 }
 

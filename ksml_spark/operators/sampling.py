@@ -101,3 +101,60 @@ def op_cap_per_group(ctx: Ctx, rel: Rel, *rest) -> Rel:
         .drop("__rn")
     )
     return rel.with_df(out)
+
+
+@defop("sample-hash")
+def op_sample_hash(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Deterministic (optionally stratified) downsampling:
+
+        ["sample-hash", rel, {"id": "doc_id", "salt": "s1",
+                              "fraction": 0.3}]
+        ["sample-hash", rel, {"id": "doc_id", "salt": "s1",
+                              "by": "lang",
+                              "fractions": {"en": 0.5, "de": 0.1,
+                                            "*": 1.0}}]
+
+    Keeps a row iff its 32-bit md5(id + salt) bucket falls below
+    floor(fraction * 2^32) — the same engine-portable integer-cutoff
+    construction as hash-split, so the SAME rows are kept on every run,
+    every engine, any partitioning (rebalancing a corpus by language /
+    source needs reproducible subsets, which random() sampling can't
+    give). Stratified form: per-group fractions on the ``by`` column,
+    "*" the default for unlisted groups (absent -> unlisted groups are
+    DROPPED). A subset with a smaller fraction at the same salt is a
+    strict subset of a larger one (nested samples — fraction sweeps
+    reuse downstream caches). Pure per-row expression: no shuffle, no
+    state, streaming-safe. NULL ids are dropped (their bucket is NULL).
+    """
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    salt = str(opts.get("salt", ""))
+    by = opts.get("by")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(idc).cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+    def cut(frac) -> int:
+        f = float(frac)
+        if not (0.0 <= f <= 1.0):
+            raise ArityError(f"sample-hash fraction must be in [0, 1], got {frac!r}")
+        return (1 << 32) if f >= 1.0 else int(f * (1 << 32))
+
+    if by is None:
+        if "fraction" not in opts:
+            raise ArityError("sample-hash needs {'fraction': f} or {'by', 'fractions'}")
+        keep = bucket < F.lit(cut(opts["fraction"]))
+    else:
+        fracs = opts.get("fractions")
+        if not isinstance(fracs, dict) or not fracs:
+            raise ArityError("stratified sample-hash needs {'fractions': {group: f}}")
+        default = fracs.get("*", 0.0)
+        expr = F.lit(cut(default))
+        for g, f in fracs.items():
+            if g == "*":
+                continue
+            expr = F.when(F.col(by) == F.lit(g), F.lit(cut(f))).otherwise(expr)
+        keep = bucket < expr
+    return rel.with_df(rel.df.filter(keep))

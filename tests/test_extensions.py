@@ -575,3 +575,29 @@ def test_scrub_redacts_urls_and_emails(spark):
                ["scrub", {"col": "text", "patterns": ["url", "email", "ipv4"],
                           "replacement": "<X>"}], spark=spark).df
     assert out.collect()[0]["text"] == "see <X> or mail <X> now <X>"
+
+
+def test_sample_hash_deterministic_and_nested(spark, tables):
+    def keep(frac, salt="s1"):
+        out = pipe(docs_stream(tables),
+                   ["sample-hash", {"id": "doc_id", "salt": salt, "fraction": frac}],
+                   spark=spark).df
+        return {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    a = keep(0.3)
+    assert a == keep(0.3)              # reproducible
+    assert a < keep(0.6)               # nested: smaller frac is a strict subset
+    assert keep(1.0) == {r["doc_id"] for r in tables["documents"].collect()}
+    assert keep(0.0) == set()
+    assert keep(0.3, salt="other") != a  # salt re-draws
+
+
+def test_sample_hash_stratified_fractions(spark, tables):
+    out = pipe(docs_stream(tables),
+               ["sample-hash", {"id": "doc_id", "salt": "s1", "by": "lang",
+                                "fractions": {"en": 1.0, "de": 0.0}}],
+               spark=spark).df
+    langs = {r["lang"] for r in out.select("lang").collect()}
+    assert "en" in langs and "de" not in langs
+    # no "*": unlisted languages dropped
+    assert langs == {"en"}
