@@ -1300,6 +1300,30 @@ FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_vec_quantize(spark, sf):
+    """int8 symmetric quantization — 4x ANN memory shrink; q and scale
+    compared element-exact against DuckDB."""
+    return pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["vec-quantize", {"vec": "embedding", "dim": 64}],
+        ["select", {"vec_id": "vec_id",
+                    "q_str": "array_join(q, ',')",
+                    "q_scale": "round(q_scale, 6)"}],
+        spark=spark,
+    ).df
+
+
+_VEC_QUANTIZE_ORACLE = """
+WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+           FROM embeddings)
+SELECT vec_id,
+  array_to_string(list_transform(v,
+    x -> CASE WHEN mx > 0 THEN CAST(floor(x * 127 / mx + 0.5) AS INT) ELSE 0 END), ',') AS q_str,
+  round(mx / 127.0, 6) AS q_scale
+FROM p"""
+
+
 def _q_sample_hash(spark, sf):
     """Stratified deterministic downsampling: rebalance by language."""
     return pipe(
@@ -1557,6 +1581,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
     "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
     "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
+    "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
     "scrub_text": (_q_scrub, _SCRUB_ORACLE),
 }
 

@@ -305,3 +305,44 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         .filter(F.col("sim") >= thr)
     )
     return KStreamRel(pairs, key_cols=("id_a", "id_b"))
+
+
+@defop("vec-quantize")
+def op_vec_quantize(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Symmetric int8 quantization of an embedding column:
+
+        ["vec-quantize", rel, {"vec": "embedding", "dim": 64,
+                               "as": "q", "scale_as": "q_scale"}]
+
+    q_i = floor(x_i * 127 / max|x| + 0.5) (round-half-up, identical in
+    Spark and DuckDB — no banker's-rounding divergence), scale =
+    max|x| / 127, so x ~ q * scale. 4x memory shrink for the candidate-
+    generation side of ANN at corpus scale (generate on int8, re-rank
+    exact on floats). Zero vectors quantize to all-zero with scale 0.
+
+    With a known dim the max and the quantized array are UNROLLED
+    getItem chains (whole-stage codegen); without it, higher-order
+    transform/array_max (interpreted — fine off the hot path)."""
+    opts = _opts(rest)
+    vecc = opts.get("vec", "embedding")
+    dim = opts.get("dim")
+    out = opts.get("as", "q")
+    scale_as = opts.get("scale_as", "q_scale")
+    v = F.col(vecc).cast("array<double>")
+    if dim:
+        mx = F.greatest(*[F.abs(v.getItem(i)) for i in range(int(dim))])
+        items = [
+            F.when(mx > 0, F.floor(v.getItem(i) * 127 / mx + F.lit(0.5)))
+            .otherwise(F.lit(0)).cast("int")
+            for i in range(int(dim))
+        ]
+        q = F.array(*items)
+    else:
+        mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        q = F.transform(
+            v,
+            lambda x: F.when(mx > 0, F.floor(x * 127 / mx + F.lit(0.5)))
+            .otherwise(F.lit(0)).cast("int"),
+        )
+    df = rel.df.withColumn(out, q).withColumn(scale_as, mx / F.lit(127.0))
+    return rel.with_df(df)

