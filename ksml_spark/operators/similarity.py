@@ -322,7 +322,13 @@ def op_vec_quantize(ctx: Ctx, rel: Rel, *rest) -> Rel:
 
     With a known dim the max and the quantized array are UNROLLED
     getItem chains (whole-stage codegen); without it, higher-order
-    transform/array_max (interpreted — fine off the hot path)."""
+    transform/array_max (interpreted — fine off the hot path). The max
+    is MATERIALIZED as its own projection first: inlining it into each
+    of the dim quantize terms repeats the 2·dim-op greatest chain per
+    element (measured 2x slower at sf0.1 — subexpression elimination
+    does not collapse it across array entries). NOT spread: on the
+    single-split testdata the extra exchange measured slower (1.8s vs
+    1.5s at sf0.1) than just running the narrow projection in place."""
     opts = _opts(rest)
     vecc = opts.get("vec", "embedding")
     dim = opts.get("dim")
@@ -330,19 +336,26 @@ def op_vec_quantize(ctx: Ctx, rel: Rel, *rest) -> Rel:
     scale_as = opts.get("scale_as", "q_scale")
     v = F.col(vecc).cast("array<double>")
     if dim:
-        mx = F.greatest(*[F.abs(v.getItem(i)) for i in range(int(dim))])
-        items = [
+        mx_expr = F.greatest(*[F.abs(v.getItem(i)) for i in range(int(dim))])
+    else:
+        mx_expr = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    staged = rel.df.withColumn("__mx", mx_expr)
+    mx = F.col("__mx")
+    if dim:
+        q = F.array(*[
             F.when(mx > 0, F.floor(v.getItem(i) * 127 / mx + F.lit(0.5)))
             .otherwise(F.lit(0)).cast("int")
             for i in range(int(dim))
-        ]
-        q = F.array(*items)
+        ])
     else:
-        mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
         q = F.transform(
             v,
             lambda x: F.when(mx > 0, F.floor(x * 127 / mx + F.lit(0.5)))
             .otherwise(F.lit(0)).cast("int"),
         )
-    df = rel.df.withColumn(out, q).withColumn(scale_as, mx / F.lit(127.0))
+    df = (
+        staged.withColumn(out, q)
+        .withColumn(scale_as, mx / F.lit(127.0))
+        .drop("__mx")
+    )
     return rel.with_df(df)
