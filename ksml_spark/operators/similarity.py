@@ -359,3 +359,84 @@ def op_vec_quantize(ctx: Ctx, rel: Rel, *rest) -> Rel:
         .drop("__mx")
     )
     return rel.with_df(df)
+
+
+@defop("kmeans-centroids")
+def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Lloyd-iteration centroid refinement for the IVF layout:
+
+        ["kmeans-centroids", rel, {"id": "vec_id", "vec": "embedding",
+                                   "dim": 64, "init": "vec_id % 127 = 3",
+                                   "iters": 5}]
+
+    Starts from the deterministic ``init`` sample (same contract as
+    ann-ivf-topk's "centroids") and runs ``iters`` fixed Lloyd rounds:
+    assign every vector to its nearest centroid by cosine (broadcast
+    join, argmax via max_by), recompute each centroid as the
+    coordinate-wise mean — dim unrolled avg(getItem(i)) aggregates, all
+    codegen, no explode and no driver collect. Returns (cluster,
+    centroid array<double>, n) — feed it to ann-ivf-topk as a refined
+    centroid set, or persist it as the cluster dictionary of a bucketed
+    IVF table.
+
+    Scale: per round one broadcast of K centroids + one hash aggregation
+    with map-side partials over the corpus (the same shape as any keyed
+    agg); K·dim cells cross the wire. localCheckpoint per round stops
+    iterative plan compounding. Batch-only; no SQL oracle (iterative) —
+    covered by blob-recovery and SSE-descent tests instead. Empty
+    clusters drop (standard Lloyd; K can shrink). Means are float sums
+    in shuffle order, so exact bits vary run-to-run — consumers rank by
+    cosine, where last-bit noise is immaterial."""
+    from ..errors import ArityError
+
+    opts = _opts(rest)
+    idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
+    dim = int(opts["dim"])
+    iters = int(opts.get("iters", 5))
+    init = opts.get("init") or opts.get("centroids")
+    if not init:
+        raise ArityError("kmeans-centroids needs {'init': <filter expr>}")
+    if rel.df.isStreaming:
+        raise ArityError("kmeans-centroids is batch-only")
+
+    prepared = _prepared(rel, idc, vecc, dim)
+    vecs = _spread(prepared).localCheckpoint()
+    cents = (
+        prepared.filter(F.expr(init))
+        .select(F.col(idc).alias("__cid"), F.col("__v").alias("__cv"),
+                F.col("__n").alias("__cn"),
+                F.lit(None).cast("bigint").alias("__cnt"))  # filled by round 1
+        .localCheckpoint()
+    )
+    csim = dot_col(F.col("__v"), F.col("__cv"), dim) / (F.col("__n") * F.col("__cn"))
+    for _ in range(iters):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("__csim", csim)
+            .groupBy(idc)
+            .agg(
+                F.first("__v").alias("__v"),
+                F.max_by(F.col("__cid"), F.struct(F.col("__csim"), -F.col("__cid"))).alias("__cid"),
+            )
+        )
+        means = assigned.groupBy("__cid").agg(
+            *[F.avg(F.col("__v").getItem(i)).alias(f"__m{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        newc = means.select(
+            "__cid",
+            F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("__cv"),
+            "__cnt",
+        )
+        prev = cents
+        cents = newc.select(
+            "__cid", "__cv", norm_col(F.col("__cv"), dim).alias("__cn"), "__cnt"
+        ).localCheckpoint()
+        prev.unpersist()
+    out = cents.select(
+        F.col("__cid").alias("cluster"),
+        F.col("__cv").alias("centroid"),
+        F.col("__cnt").alias("n"),
+    )
+    vecs.unpersist()
+    return KStreamRel(out, key_cols=("cluster",))

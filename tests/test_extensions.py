@@ -621,3 +621,67 @@ def test_vec_quantize_roundtrip_error_bound(spark, tables):
             continue
         for x, qi in zip(r["embedding"], r["q"]):
             assert abs(qi * s - x) <= s / 2 + 1e-12
+
+
+def test_kmeans_centroids_recovers_blobs(spark):
+    """Three well-separated blobs: refined centroids land on the blob
+    means and each blob maps to one cluster."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    blobs = {0: [5.0, 0.0, 0.0], 1: [0.0, 5.0, 0.0], 2: [0.0, 0.0, 5.0]}
+    rows = []
+    vid = 0
+    for b, center in blobs.items():
+        for _ in range(30):
+            v = (np.array(center) + rng.normal(0, 0.2, 3)).tolist()
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ksml(
+        ["kmeans-centroids", ["stream", df, {"key": "vec_id"}],
+         {"id": "vec_id", "vec": "embedding", "dim": 3,
+          "init": "vec_id % 31 = 0", "iters": 6}],
+        spark=spark,
+    ).df
+    cents = out.collect()
+    # empty clusters drop; the survivors must cover all three blobs
+    assert sum(r["n"] for r in cents) == 90
+    dominant = []
+    for r in cents:
+        c = np.array(r["centroid"])
+        d = min(blobs, key=lambda b: np.linalg.norm(c / np.linalg.norm(c)
+                                                    - np.array(blobs[b]) / 5.0))
+        dominant.append(d)
+    assert set(dominant) == {0, 1, 2}
+
+
+def test_kmeans_refined_ivf_sse_not_worse(spark, tables):
+    """Lloyd iterations must not increase within-cluster cosine
+    dissimilarity vs the raw sampled centroids (descent property)."""
+    import numpy as np
+
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in tables["embeddings"].collect()}
+
+    def sse(cent_rows):
+        cents = {r["cluster"]: np.array(r["centroid"], dtype=np.float64)
+                 for r in cent_rows}
+        total = 0.0
+        for v in emb.values():
+            best = max(
+                cents.values(),
+                key=lambda c: float(v @ c) / (np.linalg.norm(v) * np.linalg.norm(c)),
+            )
+            total += 1.0 - float(v @ best) / (np.linalg.norm(v) * np.linalg.norm(best))
+        return total
+
+    def run(iters):
+        return ksml(
+            ["kmeans-centroids", ["stream", tables["embeddings"], {"key": "vec_id"}],
+             {"id": "vec_id", "vec": "embedding", "dim": 64,
+              "init": "vec_id % 127 = 3", "iters": iters}],
+            spark=spark,
+        ).df.collect()
+
+    assert sse(run(4)) <= sse(run(0)) + 1e-9
