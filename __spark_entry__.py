@@ -1300,6 +1300,18 @@ FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_kmeans_centroids(spark, sf):
+    # rows-only: iterative Lloyd refinement has no SQL expression; the
+    # blob-recovery + SSE-descent tests are the correctness evidence
+    return pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["kmeans-centroids", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                              "init": "vec_id % 127 = 3", "iters": 3}],
+        ["select", {"cluster": "cluster", "n": "n"}],
+        spark=spark,
+    ).df
+
+
 def _q_vec_quantize(spark, sf):
     """int8 symmetric quantization — 4x ANN memory shrink; q and scale
     compared element-exact against DuckDB."""
@@ -1582,6 +1594,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
     "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
     "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
+    "kmeans_centroids": (_q_kmeans_centroids, None),
     "scrub_text": (_q_scrub, _SCRUB_ORACLE),
 }
 
