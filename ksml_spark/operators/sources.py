@@ -207,8 +207,19 @@ def op_global_table(ctx: Ctx, src, *rest) -> GlobalKTableRel:
     The replicated-to-every-instance semantics map to a broadcast hint:
     joins against this Rel ship the whole (small) table to every executor
     instead of shuffling the big side.
-    """
+
+    Batch sources only: Spark cannot broadcast a live stream, so a
+    continuously-updating lookup table is expressed as a streaming
+    [:table ...] joined via the stream⋈live-table processor instead
+    (streaming/changelog_join.py) — same semantics, keyed state in place
+    of replication."""
     t = op_table(ctx, src, *rest)
+    if t.df.isStreaming:
+        raise ArityError(
+            ":global-table needs a batch source (a broadcast cannot update); "
+            "for a live lookup table use [:join stream [:table <stream> ...]] "
+            "— the stream-table processor keeps the latest value per key"
+        )
     return GlobalKTableRel(F.broadcast(t.df), key_cols=t.key_cols, time_col=t.time_col)
 
 

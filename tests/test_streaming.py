@@ -597,3 +597,16 @@ def test_streaming_text_signals_match_batch(spark, tables, tmp_path):
     g = {r["doc_id"]: (r["lang_pred"], r["quality"]) for r in got.collect()}
     e = {r["doc_id"]: (r["lang_pred"], r["quality"]) for r in b.collect()}
     assert g == e
+
+
+def test_global_table_refuses_streaming_source(spark, tmp_path):
+    """A broadcast can't update: global-table on a stream must point the
+    user at the stream-live-table join instead."""
+    from ksml_spark.errors import ArityError
+
+    left, _ = _tt_fixture_frames(spark)
+    p = str(tmp_path / "gdim")
+    left.write.parquet(p)
+    with pytest.raises(ArityError, match="batch source"):
+        ksml(["global-table", file_stream_source(spark, p),
+              {"key": "key", "time": "event_time"}], spark=spark)
