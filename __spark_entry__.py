@@ -1422,6 +1422,10 @@ def _q_frame_sample(spark, sf):
     ).df
 
 
+# NOTE: the oracle slices VARCHAR by characters, the Spark op slices the
+# binary payload by BYTES — equivalent ONLY because documents.text is pure
+# ASCII at every SF (verified; DuckDB cannot slice blobs). On non-ASCII
+# corpora the op is still byte-correct; the oracle is what's limited.
 _FRAME_SAMPLE_ORACLE = """
 WITH f AS (
   SELECT doc_id,

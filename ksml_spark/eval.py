@@ -107,6 +107,13 @@ def keval(form: Any, ctx: Ctx) -> Any:
             # a plain list of strings (data, not an op application)
             return list(form)
         args = [keval(a, ctx) for a in form[1:]]
+        # a pre-built Rel operand (from an earlier ksml() call) carries
+        # its own source registry — merge it so topology introspection
+        # survives ANY operator, not just source loads
+        for a in args:
+            for s in getattr(a, "topology_sources", []):
+                if s not in ctx.sources:
+                    ctx.sources.append(s)
         return rule(ctx, *args)
 
     if isinstance(form, (list, tuple)):

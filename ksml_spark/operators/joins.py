@@ -94,12 +94,7 @@ def _apply_joiner(
 
 
 def _do_join(ctx: Ctx, left: Rel, right: Rel, how: str, rest) -> Rel:
-    # pre-built Rel operands (from earlier ksml() calls) carry their own
-    # source registry — merge it so topology introspection sees them
-    for r in (left, right):
-        for s in getattr(r, "topology_sources", []):
-            if s not in ctx.sources:
-                ctx.sources.append(s)
+    # (pre-built Rel operands' source registries are merged by keval)
     vj = next((r for r in rest if isinstance(r, ValueJoiner)), None)
     window = next((r for r in rest if isinstance(r, WindowSpec)), None)
     kx = next((r for r in rest if isinstance(r, KeyValueMapper)), None)
@@ -143,6 +138,22 @@ def _do_join(ctx: Ctx, left: Rel, right: Rel, how: str, rest) -> Rel:
                 "value-joiner as a map-values/select AFTER the join"
             )
         return stream_table_join(left, right, how)
+
+    if (
+        isinstance(right, KTableRel)
+        and not isinstance(right, GlobalKTableRel)
+        and left.df.isStreaming
+        and right.df.isStreaming
+    ):
+        # remaining streaming ⋈ live-table combos (outer/semi/anti, or a
+        # windowed form) would otherwise die inside Spark with its
+        # internal "join between streaming aggregations" error
+        raise TypeDispatchError(
+            f"streaming join how={how!r} against a LIVE table is not "
+            "supported: table-table supports inner/left/full_outer, "
+            "stream-table supports inner/left (no window). Snapshot the "
+            "table to batch, or restructure via the stateful processor."
+        )
 
     ldf, rdf, lmap, rmap = _disambiguate(left, right)
 

@@ -82,17 +82,34 @@ def kafka_source(spark: SparkSession, kopts: dict, opts: dict) -> DataFrame:
     return reader.load()
 
 
-def _fake_records(df: DataFrame, topic: str) -> DataFrame:
+def _fake_records(df: DataFrame, topic: str, epoch: int = 0) -> DataFrame:
     """Wrap encoded (key, value) rows into the full Kafka record shape the
-    fake transport stores (broker-assigned fields are synthesized)."""
-    return df.select(
-        "key",
-        "value",
-        F.lit(topic).alias("topic"),
-        F.pmod(F.xxhash64("key"), F.lit(4)).cast("int").alias("partition"),
-        F.monotonically_increasing_id().alias("offset"),
-        F.current_timestamp().alias("timestamp"),
-        F.lit(0).alias("timestampType"),
+    fake transport stores (broker-assigned fields are synthesized).
+
+    Offsets are dense per synthesized partition within one write;
+    ``epoch`` (the micro-batch id in streaming) occupies the high 32
+    bits, so offsets across appended batches stay UNIQUE and strictly
+    increasing per partition — ordered like a broker's, though not dense
+    across batches."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("partition").orderBy(F.monotonically_increasing_id())
+    return (
+        df.select(
+            "key",
+            "value",
+            F.lit(topic).alias("topic"),
+            F.pmod(F.xxhash64("key"), F.lit(4)).cast("int").alias("partition"),
+            F.current_timestamp().alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+        .withColumn(
+            "offset",
+            F.lit(int(epoch) << 32).cast("long")
+            + F.row_number().over(w).cast("bigint")
+            - 1,
+        )
+        .select("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
     )
 
 
@@ -108,7 +125,7 @@ def kafka_sink(df: DataFrame, topic: Optional[str], opts: dict, rel):
             # foreachBatch append == the kafka sink's per-batch produce;
             # update output mode matches KS emit-on-update tables
             def write_batch(bdf: DataFrame, batch_id: int) -> None:
-                _fake_records(bdf, topic).write.mode("append").parquet(fake)
+                _fake_records(bdf, topic, epoch=batch_id).write.mode("append").parquet(fake)
 
             w = df.writeStream.foreachBatch(write_batch).outputMode(
                 opts.get("output_mode", "update")

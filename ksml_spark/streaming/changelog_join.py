@@ -37,6 +37,28 @@ from ..errors import TypeDispatchError
 from ..model import KStreamRel, KTableRel
 
 
+def _ord_ge(a, b) -> bool:
+    """Order-tuple a >= b with NULL/NaT elements as -infinity: a record
+    with a NULL order value never beats one with a real value — the same
+    outcome as max_by in the batch view, where null ordering keys lose
+    to any non-null. Equal tuples return True (later record wins)."""
+    import pandas as pd
+
+    for x, y in zip(a, b):
+        xn = x is None or (not isinstance(x, (str, bytes, list, dict)) and pd.isna(x))
+        yn = y is None or (not isinstance(y, (str, bytes, list, dict)) and pd.isna(y))
+        if xn and yn:
+            continue
+        if xn:
+            return False
+        if yn:
+            return True
+        if x == y:
+            continue
+        return x > y
+    return True
+
+
 def _make_processor(how: str, key_names, lv_names, rv_names, out_rv_names):
     """Build the per-key stateful function. Everything it closes over is
     plain Python data (cloudpickle ships it by value to the workers)."""
@@ -69,13 +91,14 @@ def _make_processor(how: str, key_names, lv_names, rv_names, out_rv_names):
                 nrec += 1
                 if rec["__side"] == 0:
                     o = tuple(rec["__lord"].values())
-                    # >= : a same-order later record wins, like max_by
-                    if lo is None or o >= lo:
+                    # >= : a same-order later record wins, like max_by;
+                    # NULL order elements lose to real ones (_ord_ge)
+                    if lo is None or _ord_ge(o, lo):
                         lo = o
                         lv = None if rec["__tomb"] else rec["__lv"]
                 else:
                     o = tuple(rec["__rord"].values())
-                    if ro is None or o >= ro:
+                    if ro is None or _ord_ge(o, ro):
                         ro = o
                         rv = None if rec["__tomb"] else rec["__rv"]
         seq += nrec
@@ -160,7 +183,7 @@ def _make_stream_table_processor(how: str, key_names, lv_names, rv_names, out_rv
         for rec in recs:
             if rec["__side"] == 0:  # right (table) update
                 o = tuple(rec["__rord"].values())
-                if ro is None or o >= ro:
+                if ro is None or _ord_ge(o, ro):
                     ro = o
                     rv = None if rec["__tomb"] else rec["__rv"]
                 continue

@@ -73,16 +73,17 @@ class ServeHandle:
             df = df.filter(df[col] == val)
         return df.collect()
 
-    def refresh(self, timeout: float = 120.0) -> "ServeHandle":
-        """Streaming handles: process everything currently available
-        (meaningful with the availableNow default where the query has
-        finished; continuous triggers refresh on their own)."""
-        if self.query is not None and not self.query.isActive:
-            # availableNow queries terminate; a fresh lookup needs a new run
-            raise ArityError(
-                "availableNow serve query already finished; re-evaluate "
-                "['serve', ...] to snapshot new data"
-            )
+    def refresh(self) -> "ServeHandle":
+        """Streaming handles: block until everything currently available
+        at the source has been processed into the serving table."""
+        if self.query is not None:
+            if not self.query.isActive:
+                # availableNow queries terminate; a fresh lookup needs a new run
+                raise ArityError(
+                    "availableNow serve query already finished; re-evaluate "
+                    "['serve', ...] to snapshot new data"
+                )
+            self.query.processAllAvailable()
         return self
 
     def stop(self) -> None:
@@ -101,7 +102,10 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
     name = opts.get("name") or rel.name
     if not name:
         raise ArityError("serve needs {'name': ...}")
-    key_cols = tuple(opts.get("key") or rel.key_cols)
+    key = opts.get("key")
+    if isinstance(key, str):  # a bare column name is a 1-column key
+        key = (key,)
+    key_cols = tuple(key or rel.key_cols)
     if not key_cols:
         raise ArityError("serve needs key columns (keyed rel or {'key': cols})")
 

@@ -125,3 +125,38 @@ def test_kafka_e2e_stream_window_count_to_kafka_sink(spark, fake_topic, tmp_path
     )
     expected = {(r["ws"], r["event_type"]): r["count"] for r in batch}
     assert got_map == expected
+
+
+def test_fake_sink_offsets_unique_across_batches(spark, tmp_path):
+    """Streaming fake sink over 2+ micro-batches: (partition, offset)
+    must stay unique and batch-ordered (review finding: the old
+    monotonically_increasing_id collided across batches)."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    sdir, out = str(tmp_path / "src"), str(tmp_path / "sink")
+    os.makedirs(sdir)
+    for i, fname in enumerate(["b1.json", "b2.json"]):
+        with open(os.path.join(sdir, fname), "w") as f:
+            for j in range(5):
+                f.write(json.dumps({"key": f"k{i}_{j}", "v": j}) + "\n")
+        os.utime(os.path.join(sdir, fname), (i + 1, i + 1))
+    src = (spark.readStream.schema(StructType.fromDDL("key string, v long"))
+           .option("maxFilesPerTrigger", 1).json(sdir))
+    from ksml_spark import ksml
+
+    sink = ksml(
+        ["to", ["stream", src, {"key": "key"}], "t",
+         {"fake_dir": out, "checkpoint": str(tmp_path / "ck"),
+          "trigger": "available_now", "output_mode": "append"}],
+        spark=spark,
+    )
+    sink.query.awaitTermination(120)
+    rec = spark.read.schema(StructType.fromDDL(KAFKA_RECORD_DDL)).parquet(out)
+    rows = rec.select("partition", "offset").collect()
+    pairs = [(r["partition"], r["offset"]) for r in rows]
+    assert len(pairs) == 10
+    assert len(set(pairs)) == 10  # unique per (partition, offset)
+    # batch 1 offsets (epoch 1 in high bits) sort after batch 0's
+    assert {o >> 32 for _, o in pairs} == {0, 1}

@@ -255,3 +255,15 @@ def test_topology_introspection(spark, tables):
     # ["topology", rel] op form returns the same dict
     t2 = ksml(["topology", joined], spark=spark)
     assert t2["sources"] == topo["sources"]
+
+
+def test_topology_survives_transforms_across_ksml_calls(spark):
+    """Source registry must survive non-join ops applied in a separate
+    ksml() call (review finding: with_df drops dynamic attrs)."""
+    from ksml_spark.plans import topology
+
+    t = pipe(["stream", ["parquet", f"{SF}/customer.parquet"],
+              {"key": "c_custkey"}], spark=spark)
+    t2 = ksml(["where", t, "c_acctbal > 0"], spark=spark)
+    topo = topology(t2)
+    assert [s["path"] for s in topo["sources"]] == [f"{SF}/customer.parquet"]

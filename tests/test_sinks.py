@@ -122,3 +122,14 @@ def test_serve_requires_name_and_key(spark, tables):
     h = ksml(["serve", s, {"name": "served_raw"}], spark=spark)
     with _pytest.raises(ArityError, match="key parts"):
         h.lookup(("a", "b"))
+
+
+def test_serve_accepts_bare_string_key_option(spark, tables):
+    h = ksml(["serve",
+              pipe(["stream", tables["events"], {"key": "user_id", "time": "ts"}],
+                   spark=spark),
+              {"name": "served_str_key", "key": "event_id"}], spark=spark)
+    assert h.key_cols == ("event_id",)
+    probe = tables["events"].first()
+    got = h.lookup(probe["event_id"])
+    assert len(got) == 1 and got[0]["user_id"] == probe["user_id"]

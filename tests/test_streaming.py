@@ -610,3 +610,35 @@ def test_global_table_refuses_streaming_source(spark, tmp_path):
     with pytest.raises(ArityError, match="batch source"):
         ksml(["global-table", file_stream_source(spark, p),
               {"key": "key", "time": "event_time"}], spark=spark)
+
+
+def test_streaming_table_join_null_order_loses(spark, tmp_path):
+    """A changelog record with a NULL order value must lose to any real
+    record (parity with max_by, review finding: NaT comparison stuck)."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [("a", 1, dt.datetime(2024, 1, 1, 0, 0, 1)),
+         ("a", 99, None),          # NULL event_time: must NOT win
+         ("b", 7, dt.datetime(2024, 1, 1, 0, 0, 2))],
+        "key string, lval long, event_time timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", "x", dt.datetime(2024, 1, 1, 0, 0, 1)),
+         ("b", "y", dt.datetime(2024, 1, 1, 0, 0, 1))],
+        "key string, rname string, event_time timestamp",
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+    out = ksml(
+        ["join",
+         ["table", file_stream_source(spark, lp),
+          {"key": "key", "time": "event_time", "order": ["event_time"]}],
+         ["table", file_stream_source(spark, rp),
+          {"key": "key", "time": "event_time", "order": ["event_time"]}]],
+        spark=spark,
+    )
+    got = _final_rows(run_to_memory(out, "tt_nullord", output_mode="update"))
+    assert got["a"]["lval"] == 1  # the real-timestamped record won
+    assert got["b"]["lval"] == 7
