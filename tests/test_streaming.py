@@ -642,3 +642,43 @@ def test_streaming_table_join_null_order_loses(spark, tmp_path):
     got = _final_rows(run_to_memory(out, "tt_nullord", output_mode="update"))
     assert got["a"]["lval"] == 1  # the real-timestamped record won
     assert got["b"]["lval"] == 7
+
+
+def test_streaming_table_table_join_cross_batch_update(spark, tmp_path):
+    """Updates arriving in a LATER micro-batch must re-emit the joined
+    row with the new value and a higher __seq (update semantics)."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    sdir = str(tmp_path / "src")
+    os.makedirs(sdir)
+    batches = [
+        [{"side": "l", "key": "a", "lval": 1, "event_time": "2024-01-01T00:00:01"},
+         {"side": "r", "key": "a", "rname": "x0", "event_time": "2024-01-01T00:00:01"}],
+        [{"side": "r", "key": "a", "rname": "x1", "event_time": "2024-01-01T00:00:05"}],
+        [{"side": "l", "key": "a", "lval": 2, "event_time": "2024-01-01T00:00:09"}],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(sdir, f"b{i}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (i + 1, i + 1))
+    schema = "side string, key string, lval long, rname string, event_time timestamp"
+    src = (spark.readStream.schema(StructType.fromDDL(schema))
+           .option("maxFilesPerTrigger", 1).json(sdir))
+    out = ksml(
+        ["join",
+         ["table", src.filter("side = 'l'").drop("rname", "side"),
+          {"key": "key", "time": "event_time", "order": ["event_time"]}],
+         ["table", src.filter("side = 'r'").drop("lval", "side"),
+          {"key": "key", "time": "event_time", "order": ["event_time"]}]],
+        spark=spark,
+    )
+    mem = run_to_memory(out, "tt_xbatch", output_mode="update")
+    rows = sorted(mem.collect(), key=lambda r: r["__seq"])
+    emitted = [(r["lval"], r["rname"]) for r in rows]
+    assert emitted == [(1, "x0"), (1, "x1"), (2, "x1")]
+    assert [r["__seq"] for r in rows] == sorted({r["__seq"] for r in rows})
