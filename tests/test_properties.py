@@ -115,3 +115,31 @@ def test_dup_clusters_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {x: find(x) for x in parent}
     assert got == expected
+
+
+def test_ord_ge_total_order_with_nulls():
+    """_ord_ge must behave as >= of a total order where NULL elements are
+    -infinity: totality (a>=b or b>=a), antisymmetric agreement with
+    tuple compare on None-free tuples, None always loses."""
+    import datetime as dt
+
+    from hypothesis import given, strategies as st
+
+    from ksml_spark.streaming.changelog_join import _ord_ge
+
+    elem = st.one_of(st.none(), st.integers(-5, 5))
+    tup = st.tuples(elem, elem)
+
+    @given(tup, tup)
+    def check(a, b):
+        assert _ord_ge(a, b) or _ord_ge(b, a)  # total
+        key = lambda t: tuple((x is not None, x if x is not None else 0) for x in t)
+        assert _ord_ge(a, b) == (key(a) >= key(b))
+
+    check()
+    # None loses to any real value, NaT treated like None
+    import pandas as pd
+
+    assert _ord_ge((dt.datetime(2024, 1, 1),), (None,))
+    assert not _ord_ge((None,), (dt.datetime(2024, 1, 1),))
+    assert _ord_ge((dt.datetime(2024, 1, 1),), (pd.NaT,))
