@@ -123,8 +123,6 @@ def test_ord_ge_total_order_with_nulls():
     tuple compare on None-free tuples, None always loses."""
     import datetime as dt
 
-    from hypothesis import given, strategies as st
-
     from ksml_spark.streaming.changelog_join import _ord_ge
 
     elem = st.one_of(st.none(), st.integers(-5, 5))
@@ -138,8 +136,6 @@ def test_ord_ge_total_order_with_nulls():
 
     check()
     # None loses to any real value, NaT treated like None
-    import pandas as pd
-
     assert _ord_ge((dt.datetime(2024, 1, 1),), (None,))
     assert not _ord_ge((None,), (dt.datetime(2024, 1, 1),))
     assert _ord_ge((dt.datetime(2024, 1, 1),), (pd.NaT,))

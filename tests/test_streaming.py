@@ -464,35 +464,39 @@ def test_streaming_table_table_join_matches_batch(spark, tmp_path, kind, expecte
         assert active[k]["rname"] == expected[k]["rname"], k
 
 
-def test_streaming_table_table_join_retracts_on_tombstone(spark, tmp_path):
-    """Key joined in batch 1; left tombstone in batch 2 must emit a
-    retraction row (all value columns NULL) for the inner join."""
+_SIDES_SCHEMA = ("side string, key string, lval long, rname string, "
+                 "event_time timestamp")
+
+
+def _json_batch_source(spark, tmp_path, batches, schema=_SIDES_SCHEMA):
+    """One micro-batch per dict-list in ``batches``: each list becomes a
+    json-lines file with an increasing mtime (the file source processes
+    files in modification-time order) read with maxFilesPerTrigger=1."""
     import json
     import os
 
-    from pyspark.sql.types import StructType
-
     sdir = str(tmp_path / "src")
     os.makedirs(sdir)
-    f1, f2 = os.path.join(sdir, "b1.json"), os.path.join(sdir, "b2.json")
-    with open(f1, "w") as f:
-        f.write(json.dumps({"side": "l", "key": "a", "lval": 1,
-                            "event_time": "2024-01-01T00:00:01"}) + "\n")
-        f.write(json.dumps({"side": "r", "key": "a", "rname": "x",
-                            "event_time": "2024-01-01T00:00:01"}) + "\n")
-    with open(f2, "w") as f:
-        f.write(json.dumps({"side": "l", "key": "a", "lval": None,
-                            "event_time": "2024-01-01T00:00:05"}) + "\n")
-    os.utime(f1, (1, 1))       # force strict file ordering: f1 first
-    os.utime(f2, (2000000000, 2000000000))
+    for i, rows in enumerate(batches):
+        p = os.path.join(sdir, f"b{i}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (i + 1, i + 1))  # force strict file ordering
+    from pyspark.sql.types import StructType
 
-    schema = ("side string, key string, lval long, rname string, "
-              "event_time timestamp")
-    src = (
-        spark.readStream.schema(StructType.fromDDL(schema))
-        .option("maxFilesPerTrigger", 1)
-        .json(sdir)
-    )
+    return (spark.readStream.schema(StructType.fromDDL(schema))
+            .option("maxFilesPerTrigger", 1).json(sdir))
+
+
+def test_streaming_table_table_join_retracts_on_tombstone(spark, tmp_path):
+    """Key joined in batch 1; left tombstone in batch 2 must emit a
+    retraction row (all value columns NULL) for the inner join."""
+    src = _json_batch_source(spark, tmp_path, [
+        [{"side": "l", "key": "a", "lval": 1, "event_time": "2024-01-01T00:00:01"},
+         {"side": "r", "key": "a", "rname": "x", "event_time": "2024-01-01T00:00:01"}],
+        [{"side": "l", "key": "a", "lval": None, "event_time": "2024-01-01T00:00:05"}],
+    ])
     lt = ["table", src.filter("side = 'l'").drop("rname", "side"),
           {"key": "key", "time": "event_time", "order": ["event_time"]}]
     rt = ["table", src.filter("side = 'r'").drop("lval", "side"),
@@ -647,28 +651,12 @@ def test_streaming_table_join_null_order_loses(spark, tmp_path):
 def test_streaming_table_table_join_cross_batch_update(spark, tmp_path):
     """Updates arriving in a LATER micro-batch must re-emit the joined
     row with the new value and a higher __seq (update semantics)."""
-    import json as _json
-    import os
-
-    from pyspark.sql.types import StructType
-
-    sdir = str(tmp_path / "src")
-    os.makedirs(sdir)
-    batches = [
+    src = _json_batch_source(spark, tmp_path, [
         [{"side": "l", "key": "a", "lval": 1, "event_time": "2024-01-01T00:00:01"},
          {"side": "r", "key": "a", "rname": "x0", "event_time": "2024-01-01T00:00:01"}],
         [{"side": "r", "key": "a", "rname": "x1", "event_time": "2024-01-01T00:00:05"}],
         [{"side": "l", "key": "a", "lval": 2, "event_time": "2024-01-01T00:00:09"}],
-    ]
-    for i, rows in enumerate(batches):
-        p = os.path.join(sdir, f"b{i}.json")
-        with open(p, "w") as f:
-            for r in rows:
-                f.write(_json.dumps(r) + "\n")
-        os.utime(p, (i + 1, i + 1))
-    schema = "side string, key string, lval long, rname string, event_time timestamp"
-    src = (spark.readStream.schema(StructType.fromDDL(schema))
-           .option("maxFilesPerTrigger", 1).json(sdir))
+    ])
     out = ksml(
         ["join",
          ["table", src.filter("side = 'l'").drop("rname", "side"),
@@ -681,4 +669,5 @@ def test_streaming_table_table_join_cross_batch_update(spark, tmp_path):
     rows = sorted(mem.collect(), key=lambda r: r["__seq"])
     emitted = [(r["lval"], r["rname"]) for r in rows]
     assert emitted == [(1, "x0"), (1, "x1"), (2, "x1")]
-    assert [r["__seq"] for r in rows] == sorted({r["__seq"] for r in rows})
+    # rows are sorted by __seq, so distinct values == strictly increasing
+    assert len({r["__seq"] for r in rows}) == len(rows)
