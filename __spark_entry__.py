@@ -1358,6 +1358,24 @@ WHERE b < CASE lang WHEN 'en' THEN 2147483648
                     ELSE 3221225472 END"""
 
 
+def _q_top_bigrams(spark, sf):
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["ngrams", {"col": "text", "n": 2, "top": 50}],
+        spark=spark,
+    ).df
+
+
+_TOP_BIGRAMS_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+g AS (SELECT unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+        ELSE [array_to_string(w[i:i+1], ' ')
+              for i in generate_series(1, greatest(len(w) - 1, 1))] END) AS ngram
+      FROM w)
+SELECT ngram, count(*) AS count FROM g GROUP BY ngram
+ORDER BY count DESC, ngram ASC LIMIT 50"""
+
+
 def _q_repetition(spark, sf):
     return pipe(
         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
@@ -1596,6 +1614,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
     "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
     "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
+    "top_bigrams": (_q_top_bigrams, _TOP_BIGRAMS_ORACLE),
     "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
     "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
     "kmeans_centroids": (_q_kmeans_centroids, None),

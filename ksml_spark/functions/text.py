@@ -373,3 +373,35 @@ def op_scrub(ctx: Ctx, rel: Rel, *rest) -> Rel:
     for p in pats:
         c = F.regexp_replace(c, SCRUB_PATTERNS.get(p, p), repl)
     return rel.with_df(rel.df.withColumn(out_name, c))
+
+
+@defop("ngrams")
+def op_ngrams(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Corpus n-gram statistics:
+
+        ["ngrams", rel, {"col": "text", "n": 2, "top": 100}]
+        -> (ngram, count), the corpus-wide top-K word n-grams with a
+           deterministic tiebreak (count desc, ngram asc).
+
+    Explode word n-grams (whitespace words; short docs contribute
+    nothing when they have < n words) -> hash count -> top-K. One
+    shuffle with map-side partials; the top-K is a global sort of the
+    AGGREGATED (distinct-ngram) relation, not the corpus. Omit "top"
+    for the full distribution."""
+    col, opts = _col_opts(rest)
+    n = int(opts.get("n", 2))
+    top = opts.get("top")
+    w = words(F.col(col))
+    grams = F.when(F.size(w) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+    from ..operators.util import spread
+
+    ex = spread(rel.df).select(F.explode(grams).alias("ngram"))
+    counted = ex.groupBy("ngram").agg(F.count(F.lit(1)).alias("count"))
+    if top:
+        counted = counted.orderBy(F.col("count").desc(), F.col("ngram").asc()).limit(int(top))
+    return rel.with_df(counted, key_cols=("ngram",), time_col=None)

@@ -716,3 +716,19 @@ def test_quantized_ann_recall(spark, tables):
     assert top1 >= len(e) - 1
     overlap = sum(len(set(q[k].values()) & set(e[k].values())) for k in e) / (3 * len(e))
     assert overlap >= 0.85
+
+
+def test_ngrams_values_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = pipe(["stream", df, {"key": "doc_id"}],
+               ["ngrams", {"col": "text", "n": 2, "top": 3}], spark=spark).df
+    rows = [(r["ngram"], r["count"]) for r in out.collect()]
+    # "a b": doc1 twice + doc2 once = 3; then ties broken by ngram asc
+    assert rows == [("a b", 3), ("b a", 1), ("b c", 1)]
+    # a doc with < n words contributes nothing ("solo" absent)
+    full = pipe(["stream", df, {"key": "doc_id"}],
+                ["ngrams", {"col": "text", "n": 2}], spark=spark).df
+    assert "solo" not in {r["ngram"] for r in full.collect()}
