@@ -26,6 +26,122 @@ from ksml_spark import get_spark  # noqa: E402
 from ksml_spark.sources.files import TABLE_NAMES, load_table  # noqa: E402
 
 
+def _stream_bench(spark, sf_dir: str) -> dict:
+    """Streaming throughput (rows/s, higher is better) over the three
+    stateful streaming paths with no batch analog: the fake-kafka
+    end-to-end pipeline (source → serde decode → watermark → windowed
+    count), the KTable⋈KTable changelog join, and the KStream⋈live-KTable
+    join. Sources are pre-written (untimed); each timed pass runs the
+    full plan to a noop sink with Trigger.AvailableNow and a fresh
+    checkpoint, so the measured cost is the streaming engine + state
+    store + Python stateful processor, not sink serialization.
+
+    ``changelog_join_loop`` pins the pre-vectorization record-loop path
+    of the same join (small_group=inf) so the vectorized speedup is a
+    recorded number, not a claim."""
+    import shutil
+    import tempfile
+
+    from ksml_spark import ksml, pipe
+    from ksml_spark.sources.kafka import write_fake_topic
+    from ksml_spark.streaming.changelog_join import changelog_join, stream_table_join
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    tmp = tempfile.mkdtemp(prefix="ksml_stream_bench_")
+    results: dict[str, dict] = {}
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        n = ev.count()
+        topic_dir = os.path.join(tmp, "broker")
+        write_fake_topic(
+            ev.select("user_id", "event_type", "event_id", "ts"), topic_dir,
+            topic="events", key_col="user_id",
+            value_cols=["event_type", "event_id"], time_col="ts",
+        )
+        lp, rp = os.path.join(tmp, "cl_l"), os.path.join(tmp, "cl_r")
+        ev.select("user_id", "value", "ts").write.parquet(lp)
+        ev.select("user_id", "event_type", "ts").write.parquet(rp)
+        # hot-key variant: 32 keys total, thousands of records per key per
+        # batch — the high-velocity/skew case where the per-key reduction
+        # dominates (this is what the vectorized _lexi_best path is for)
+        hlp, hrp = os.path.join(tmp, "cl_hl"), os.path.join(tmp, "cl_hr")
+        hot = ev.selectExpr("user_id % 32 as user_id", "value", "event_type", "ts")
+        hot.select("user_id", "value", "ts").write.parquet(hlp)
+        hot.select("user_id", "event_type", "ts").write.parquet(hrp)
+
+        def run_noop(df, ckpt: str, timed_from: float) -> float:
+            q = (
+                df.writeStream.format("noop").outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(600)
+            return time.time() - timed_from
+
+        def kafka_pipeline(ckpt):
+            t0 = time.time()
+            out = pipe(
+                ["stream",
+                 ["kafka", {"subscribe": "events", "fake_dir": topic_dir}],
+                 ["consumed", ["serde", "String"],
+                  ["serde", "json", "event_type string, event_id long"],
+                  ["timestamp-extractor", "timestamp", "fail"]]],
+                ["with-watermark", "1 hour"],
+                ["group-by", ["key-value-mapper", {"event_type": "value.event_type"}]],
+                ["windowed-by", ["time-window", 3600000]],
+                ["count"], spark=spark)
+            return run_noop(out.df, ckpt, t0), n
+
+        def cl_join(ckpt, small_group=None, paths=(lp, rp)):
+            t0 = time.time()
+            lt = ksml(["table", file_stream_source(spark, paths[0]),
+                       {"key": "user_id", "time": "ts", "order": ["ts"]}], spark=spark)
+            rt = ksml(["table", file_stream_source(spark, paths[1]),
+                       {"key": "user_id", "time": "ts", "order": ["ts"]}], spark=spark)
+            kw = {} if small_group is None else {"small_group": small_group}
+            out = changelog_join(lt, rt, "inner", **kw)
+            return run_noop(out.df, ckpt, t0), 2 * n
+
+        def st_join(ckpt):
+            t0 = time.time()
+            ls = ksml(["stream", file_stream_source(spark, lp),
+                       {"key": "user_id", "time": "ts"}], spark=spark)
+            rt = ksml(["table", file_stream_source(spark, rp),
+                       {"key": "user_id", "time": "ts", "order": ["ts"]}], spark=spark)
+            out = stream_table_join(ls, rt, "inner")
+            return run_noop(out.df, ckpt, t0), 2 * n
+
+        benches = {
+            "kafka_pipeline": kafka_pipeline,
+            "changelog_join": cl_join,
+            "changelog_join_hot": lambda ckpt: cl_join(ckpt, paths=(hlp, hrp)),
+            "changelog_join_hot_loop": lambda ckpt: cl_join(
+                ckpt, small_group=1 << 62, paths=(hlp, hrp)),
+            "stream_table_join": st_join,
+        }
+        passes = int(os.environ.get("BENCH_STREAM_PASSES", "2"))
+        for name, fn in benches.items():
+            best, rows = float("inf"), 0
+            npass = 1 if name.endswith("_loop") else passes
+            for i in range(npass):
+                try:
+                    dt, rows = fn(os.path.join(tmp, f"ck_{name}_{i}"))
+                    best = min(best, dt)
+                except Exception as e:
+                    print(f"stream bench error in {name}: {type(e).__name__}: {e}",
+                          file=sys.stderr)
+                    best, rows = float("nan"), 0
+                    break
+            results[name] = {
+                "rows": rows,
+                "seconds": round(best, 3),
+                "rows_per_sec": round(rows / best) if best == best and best > 0 else None,
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return results
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -60,11 +176,16 @@ def main() -> None:
             per_query[name] = round(min(dt, prev) if prev is not None and prev == prev else dt, 3)
     total = sum(v for v in per_query.values() if v == v)
 
+    streaming = {}
+    if os.environ.get("BENCH_STREAMING", "1") != "0":
+        streaming = _stream_bench(spark, sf_dir)
+
     print(json.dumps({
         "metric": "suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "streaming": streaming,
         "sf": sf,
     }))
 

@@ -59,9 +59,40 @@ def _ord_ge(a, b) -> bool:
     return True
 
 
-def _make_processor(how: str, key_names, lv_names, rv_names, out_rv_names):
+def _lexi_best(sub, ord_cols):
+    """Positional label of the LAST row achieving the lexicographic max of
+    ``ord_cols`` with NULL/NaT as -infinity — the vectorized equivalent of
+    folding ``_ord_ge`` over the rows in arrival order (same total order,
+    same later-record-wins tie break). Column-wise C-speed comparisons
+    instead of a per-record Python loop."""
+    import pandas as pd
+
+    cur = sub
+    for c in ord_cols:
+        if len(cur) == 1:
+            break
+        col = cur[c]
+        m = col.max()
+        if m is None or (not isinstance(m, (str, bytes, list, dict)) and pd.isna(m)):
+            continue  # whole element NULL: tie at -infinity, next element
+        cur = cur[col == m]  # NULL rows compare False: they lose
+    return cur.index[-1]
+
+
+# below this many records per key-batch the plain dict loop beats pandas
+# column-op fixed overhead; above it the vectorized reduction wins and the
+# gap grows with velocity (measured in this container, 1 timestamp order
+# column: n=32 loop 2.1x faster, n=128 ~par, n=512 vec 1.9x, n=2048 vec
+# 5.4x, n=8192 vec 18x)
+_SMALL_GROUP = 128
+
+
+def _make_processor(how: str, key_names, lv_names, rv_names, out_rv_names,
+                    lo_cols, ro_cols, small_group: int = _SMALL_GROUP):
     """Build the per-key stateful function. Everything it closes over is
-    plain Python data (cloudpickle ships it by value to the workers)."""
+    plain Python data (cloudpickle ships it by value to the workers).
+    ``small_group`` is the loop/vectorized cutover (captured by value so
+    tests can force either path)."""
 
     def process(key, pdfs, state):
         import base64
@@ -85,22 +116,43 @@ def _make_processor(how: str, key_names, lv_names, rv_names, out_rv_names):
             lo = lv = ro = rv = None
             emitted, seq = False, 0
 
-        nrec = 0
-        for pdf in pdfs:
-            for rec in pdf.to_dict("records"):
-                nrec += 1
-                if rec["__side"] == 0:
-                    o = tuple(rec["__lord"].values())
-                    # >= : a same-order later record wins, like max_by;
-                    # NULL order elements lose to real ones (_ord_ge)
+        chunks = [p for p in pdfs if len(p)]
+        nrec = sum(len(p) for p in chunks)
+        if nrec and nrec <= small_group:
+            for pdf in chunks:
+                for rec in pdf.to_dict("records"):
+                    if rec["__side"] == 0:
+                        o = tuple(rec[c] for c in lo_cols)
+                        # >= : a same-order later record wins, like max_by;
+                        # NULL order elements lose to real ones (_ord_ge)
+                        if lo is None or _ord_ge(o, lo):
+                            lo = o
+                            lv = None if rec["__tomb"] else rec["__lv"]
+                    else:
+                        o = tuple(rec[c] for c in ro_cols)
+                        if ro is None or _ord_ge(o, ro):
+                            ro = o
+                            rv = None if rec["__tomb"] else rec["__rv"]
+        elif nrec:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            side = pdf["__side"].to_numpy()
+            for mask, ord_cols, val_col, cur in (
+                (side == 0, lo_cols, "__lv", "l"),
+                (side == 1, ro_cols, "__rv", "r"),
+            ):
+                sub = pdf[mask]
+                if not len(sub):
+                    continue
+                r = pdf.loc[_lexi_best(sub, ord_cols)]
+                o = tuple(r[c] for c in ord_cols)
+                if cur == "l":
                     if lo is None or _ord_ge(o, lo):
                         lo = o
-                        lv = None if rec["__tomb"] else rec["__lv"]
+                        lv = None if r["__tomb"] else r[val_col]
                 else:
-                    o = tuple(rec["__rord"].values())
                     if ro is None or _ord_ge(o, ro):
                         ro = o
-                        rv = None if rec["__tomb"] else rec["__rv"]
+                        rv = None if r["__tomb"] else r[val_col]
         seq += nrec
 
         if how == "inner":
@@ -150,10 +202,15 @@ def _make_processor(how: str, key_names, lv_names, rv_names, out_rv_names):
 
 def _make_stream_table_processor(how: str, key_names, lv_names, rv_names, out_rv_names):
     """Per-key stateful fn for stream ⋈ live-table: state = latest right
-    row; each LEFT record emits one enriched row. Records are applied in
-    event-time order (right before left at equal timestamps), so a table
-    update at time T is visible to stream records with ts >= T — Kafka
-    Streams' timestamp-synchronized lookup."""
+    row; each LEFT record emits one enriched row. WITHIN a micro-batch,
+    records are applied in event-time order (right before left at equal
+    timestamps), so a table update at time T is visible to stream records
+    with ts >= T of the same batch — Kafka Streams' timestamp-synchronized
+    lookup, per micro-batch. Across batches the guarantee is weaker: a
+    table update arriving in a LATER micro-batch than a stream record with
+    a later event time does not retro-apply (the stream record was already
+    emitted). Co-partition and align batch boundaries (e.g. one source,
+    maxFilesPerTrigger) when strict cross-batch synchronization matters."""
 
     def process(key, pdfs, state):
         import base64
@@ -212,7 +269,12 @@ def stream_table_join(left, right: KTableRel, how: str):
     latest-right state, one output row per stream record
     (eval_test.clj:446-450 with a live table side). ``how`` in
     {"inner", "left"}. State is O(keys) — only the table side is stored;
-    stream records pass through their arrival batch."""
+    stream records pass through their arrival batch.
+
+    Timestamp synchronization is per micro-batch (see
+    ``_make_stream_table_processor``): table updates that arrive in a
+    later micro-batch than an already-emitted stream record do not
+    retro-apply to it."""
     if right.changelog is None:
         raise TypeDispatchError(
             "streaming stream-table join needs the table's raw changelog: "
@@ -276,9 +338,12 @@ def stream_table_join(left, right: KTableRel, how: str):
     return KStreamRel(out, key_cols=tuple(lk), time_col=None)
 
 
-def changelog_join(left: KTableRel, right: KTableRel, how: str) -> KTableRel:
+def changelog_join(left: KTableRel, right: KTableRel, how: str,
+                   small_group: int = _SMALL_GROUP) -> KTableRel:
     """Join two STREAMING KTables by their raw changelogs (see module
-    docstring). ``how`` in {"inner", "left", "full_outer"}."""
+    docstring). ``how`` in {"inner", "left", "full_outer"}.
+    ``small_group``: per-key batch size below which the reduction uses the
+    plain record loop instead of the vectorized path (test hook)."""
     if left.changelog is None or right.changelog is None:
         raise TypeDispatchError(
             "streaming table-table join needs both sides' raw changelogs: "
@@ -296,19 +361,22 @@ def changelog_join(left: KTableRel, right: KTableRel, how: str) -> KTableRel:
     taken = set(lk) | set(lvals)
     out_rvals = [f"r_{c}" if c in taken else c for c in rvals]
 
-    lord = F.struct(*[F.col(c).alias(f"o{i}") for i, c in enumerate(lorder)])
-    rord = F.struct(*[F.col(c).alias(f"o{i}") for i, c in enumerate(rorder)])
+    # order elements as flat typed columns (NOT a struct): structs arrive
+    # in pandas as per-row dicts, forcing a Python record loop; flat
+    # columns keep the per-key batch reduction vectorized (_lexi_best)
+    lo_cols = [f"__lo{i}" for i in range(len(lorder))]
+    ro_cols = [f"__ro{i}" for i in range(len(rorder))]
+    lo_types = [ldf.schema[c].dataType for c in lorder]
+    ro_types = [rdf.schema[c].dataType for c in rorder]
     lv_struct = F.struct(*[F.col(c) for c in lvals])
     rv_struct = F.struct(*[F.col(c) for c in rvals])
-    lord_t = ldf.select(lord.alias("x")).schema["x"].dataType
-    rord_t = rdf.select(rord.alias("x")).schema["x"].dataType
     lv_t = ldf.select(lv_struct.alias("x")).schema["x"].dataType
     rv_t = rdf.select(rv_struct.alias("x")).schema["x"].dataType
 
     l_tagged = ldf.select(
         *[F.col(c) for c in lk],
-        lord.alias("__lord"),
-        F.lit(None).cast(rord_t).alias("__rord"),
+        *[F.col(c).alias(n) for c, n in zip(lorder, lo_cols)],
+        *[F.lit(None).cast(t).alias(n) for t, n in zip(ro_types, ro_cols)],
         F.lit(0).alias("__side"),
         (ltomb if ltomb is not None else F.lit(False)).alias("__tomb"),
         lv_struct.alias("__lv"),
@@ -316,8 +384,8 @@ def changelog_join(left: KTableRel, right: KTableRel, how: str) -> KTableRel:
     )
     r_tagged = rdf.select(
         *[F.col(o).alias(n) for o, n in zip(rk, lk)],
-        F.lit(None).cast(lord_t).alias("__lord"),
-        rord.alias("__rord"),
+        *[F.lit(None).cast(t).alias(n) for t, n in zip(lo_types, lo_cols)],
+        *[F.col(c).alias(n) for c, n in zip(rorder, ro_cols)],
         F.lit(1).alias("__side"),
         (rtomb if rtomb is not None else F.lit(False)).alias("__tomb"),
         F.lit(None).cast(lv_t).alias("__lv"),
@@ -333,7 +401,8 @@ def changelog_join(left: KTableRel, right: KTableRel, how: str) -> KTableRel:
     schema_parts += ["`__seq` bigint"]
 
     out = u.groupBy(*[F.col(c) for c in lk]).applyInPandasWithState(
-        _make_processor(how, lk, lvals, rvals, out_rvals),
+        _make_processor(how, lk, lvals, rvals, out_rvals, lo_cols, ro_cols,
+                        small_group=small_group),
         outputStructType=", ".join(schema_parts),
         stateStructType="lo string, lv string, ro string, rv string, emitted boolean, seq bigint",
         outputMode="update",

@@ -139,3 +139,25 @@ def test_ord_ge_total_order_with_nulls():
     assert _ord_ge((dt.datetime(2024, 1, 1),), (None,))
     assert not _ord_ge((None,), (dt.datetime(2024, 1, 1),))
     assert _ord_ge((dt.datetime(2024, 1, 1),), (pd.NaT,))
+
+
+def test_lexi_best_matches_ord_ge_fold():
+    """The vectorized per-key batch reduction (_lexi_best) must select the
+    same row as sequentially folding _ord_ge over the rows in order —
+    same NULL-as--infinity order, same later-record-wins tie break."""
+    from ksml_spark.streaming.changelog_join import _lexi_best, _ord_ge
+
+    elem = st.one_of(st.none(), st.integers(-3, 3))
+    rows = st.lists(st.tuples(elem, elem), min_size=1, max_size=30)
+
+    @given(rows)
+    def check(tuples):
+        pdf = pd.DataFrame(tuples, columns=["o0", "o1"])
+        got = _lexi_best(pdf, ["o0", "o1"])
+        best_i, best = 0, tuples[0]
+        for i, t in enumerate(tuples[1:], start=1):
+            if _ord_ge(t, best):
+                best_i, best = i, t
+        assert got == best_i, (tuples, got, best_i)
+
+    check()

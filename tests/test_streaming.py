@@ -509,6 +509,66 @@ def test_streaming_table_table_join_retracts_on_tombstone(spark, tmp_path):
     assert rows[1]["lval"] is None and rows[1]["rname"] is None  # batch 2: retracted
 
 
+def test_streaming_tt_join_vectorized_path_parity(spark, tmp_path):
+    """High-velocity keys (> _SMALL_GROUP records per key per micro-batch)
+    take the vectorized _lexi_best reduction; the emitted row sequence must
+    be identical to the record-loop path across multiple batches, with
+    out-of-order arrivals, a NULL-order record (must lose), and a
+    tombstone retraction."""
+    import random
+
+    from ksml_spark.streaming.changelog_join import changelog_join
+
+    rng = random.Random(7)
+
+    def ts(t):
+        return f"2024-01-01T00:{t // 60:02d}:{t % 60:02d}"
+
+    def batch(bi):
+        rows = []
+        perm = list(range(20))
+        rng.shuffle(perm)
+        for i in perm:  # 20 out-of-order left updates for key a
+            t = bi * 100 + i
+            rows.append({"side": "l", "key": "a", "lval": t, "event_time": ts(t)})
+        rng.shuffle(perm)
+        for i in perm:  # 20 right updates for key a
+            t = bi * 100 + i
+            rows.append({"side": "r", "key": "a", "rname": f"v{t}", "event_time": ts(t)})
+        if bi == 0:
+            rows.append({"side": "l", "key": "a", "lval": 999})  # NULL order: loses
+            rows.append({"side": "l", "key": "b", "lval": 1, "event_time": ts(5)})
+            rows.append({"side": "r", "key": "b", "rname": "rb", "event_time": ts(5)})
+        else:
+            rows.append({"side": "l", "key": "b", "event_time": ts(110)})  # tombstone
+        return rows
+
+    def run(small_group, tag):
+        src = _json_batch_source(spark, tmp_path / tag, [batch(0), batch(1)])
+        lt = ksml(["table", src.filter("side = 'l'").drop("rname", "side"),
+                   {"key": "key", "time": "event_time", "order": ["event_time"]}],
+                  spark=spark)
+        rt = ksml(["table", src.filter("side = 'r'").drop("lval", "side"),
+                   {"key": "key", "time": "event_time", "order": ["event_time"]}],
+                  spark=spark)
+        out = changelog_join(lt, rt, "inner", small_group=small_group)
+        mem = run_to_memory(out, f"tt_vec_{tag}", output_mode="update")
+        return sorted(((r["key"], r["lval"], r["rname"], r["__seq"])
+                       for r in mem.collect()), key=lambda t: (t[0], t[3]))
+
+    vec = run(0, "vec")        # every group takes the vectorized reduction
+    loop = run(10**9, "loop")  # every group takes the record loop
+    assert vec == loop
+    got = {(k, seq): (lv, rn) for k, lv, rn, seq in vec}
+    # batch 0: a sees 41 records (20+20+NULL-order), best t=19 on both sides
+    assert got[("a", 41)] == (19, "v19")
+    # batch 1: 40 more records, best t=119
+    assert got[("a", 81)] == (119, "v119")
+    assert got[("b", 2)] == (1, "rb")        # batch 0: b joined
+    assert got[("b", 3)] == (None, None)     # batch 1: tombstone retracts b
+    assert len(vec) == 4
+
+
 def test_streaming_table_join_after_transform_raises(spark, tmp_path):
     """A view transform invalidates the raw changelog — the join must
     refuse rather than silently join stale logs."""
