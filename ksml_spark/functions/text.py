@@ -391,6 +391,14 @@ def op_ngrams(ctx: Ctx, rel: Rel, *rest) -> Rel:
     col, opts = _col_opts(rest)
     n = int(opts.get("n", 2))
     top = opts.get("top")
+    if top and rel.df.isStreaming:
+        from ..errors import TypeDispatchError
+
+        raise TypeDispatchError(
+            "ngrams top-K is batch-only (a global sort of the aggregated "
+            "relation is not supported on streams); omit 'top' for the "
+            "full streaming distribution"
+        )
     w = words(F.col(col))
     grams = F.when(F.size(w) < n, F.array()).otherwise(
         F.transform(

@@ -84,7 +84,14 @@ class KTableRel(Rel):
     aggregated streams). Any view transform invalidates it (with_df
     resets to None): the transform applies to the view, not the log."""
 
+    ``update_only`` — True when df is produced by a stateful processor
+    (applyInPandasWithState, e.g. the streaming changelog join): such
+    plans only run in update output mode (Spark rejects complete), emit
+    a ``__seq`` emission counter, and may retract via all-NULL-value
+    rows. Consumers (the serving layer) must dedup to max __seq per key."""
+
     changelog: Optional[tuple] = None
+    update_only: bool = False
 
     def with_df(self, df: DataFrame, **kw) -> "KTableRel":
         kw.setdefault("changelog", None)

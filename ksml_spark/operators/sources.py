@@ -62,9 +62,13 @@ def _load_source(ctx: Ctx, src: Any, opts: dict) -> DataFrame:
         _record(ctx, type="dataframe", streaming=src.isStreaming)
         return src
     if isinstance(src, Rel):
-        # a pre-built Rel from an earlier ksml() call: carry its sources
+        # a pre-built Rel from an earlier ksml() call: carry its sources.
+        # keval already merges Rel args' registries (with dedup) before
+        # the op runs, so only append what it hasn't seen — otherwise
+        # plans.topology double-counts sources for forms like [stream rel]
         for s in getattr(src, "topology_sources", [{"type": "rel"}]):
-            ctx.sources.append(s)
+            if s not in ctx.sources:
+                ctx.sources.append(s)
         return src.df
     if isinstance(src, (list, tuple)) and src and isinstance(src[0], str):
         kind = src[0].lstrip(":").lower()

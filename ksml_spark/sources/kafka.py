@@ -82,15 +82,31 @@ def kafka_source(spark: SparkSession, kopts: dict, opts: dict) -> DataFrame:
     return reader.load()
 
 
-def _fake_records(df: DataFrame, topic: str, epoch: int = 0) -> DataFrame:
+def _next_epoch(spark: SparkSession, fake_dir: str) -> int:
+    """Next free epoch for a batch produce into a fake topic dir: one past
+    the highest epoch already written (offsets carry the epoch in their
+    high 32 bits), so repeated batch produces never collide on
+    (partition, offset) — the streaming path gets the same property from
+    the micro-batch id."""
+    from pyspark.sql.types import StructType
+
+    try:
+        df = spark.read.schema(StructType.fromDDL(KAFKA_RECORD_DDL)).parquet(fake_dir)
+        m = df.agg(F.max("offset")).first()[0]
+        return (int(m) >> 32) + 1 if m is not None else 0
+    except Exception:  # dir doesn't exist yet: first write
+        return 0
+
+
+def _fake_records(df: DataFrame, topic: str, epoch: int = 0, partitions: int = 4) -> DataFrame:
     """Wrap encoded (key, value) rows into the full Kafka record shape the
     fake transport stores (broker-assigned fields are synthesized).
 
     Offsets are dense per synthesized partition within one write;
-    ``epoch`` (the micro-batch id in streaming) occupies the high 32
-    bits, so offsets across appended batches stay UNIQUE and strictly
-    increasing per partition — ordered like a broker's, though not dense
-    across batches."""
+    ``epoch`` (the micro-batch id in streaming, a per-write sequence in
+    batch) occupies the high 32 bits, so offsets across appended batches
+    stay UNIQUE and strictly increasing per partition — ordered like a
+    broker's, though not dense across batches."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("partition").orderBy(F.monotonically_increasing_id())
@@ -99,7 +115,7 @@ def _fake_records(df: DataFrame, topic: str, epoch: int = 0) -> DataFrame:
             "key",
             "value",
             F.lit(topic).alias("topic"),
-            F.pmod(F.xxhash64("key"), F.lit(4)).cast("int").alias("partition"),
+            F.pmod(F.xxhash64("key"), F.lit(partitions)).cast("int").alias("partition"),
             F.current_timestamp().alias("timestamp"),
             F.lit(0).alias("timestampType"),
         )
@@ -121,11 +137,13 @@ def kafka_sink(df: DataFrame, topic: Optional[str], opts: dict, rel):
         raise ValueError("kafka sink needs a topic")
     fake = opts.get("fake_dir")
     if fake:
+        partitions = int(opts.get("partitions", 4))
         if df.isStreaming:
             # foreachBatch append == the kafka sink's per-batch produce;
             # update output mode matches KS emit-on-update tables
             def write_batch(bdf: DataFrame, batch_id: int) -> None:
-                _fake_records(bdf, topic, epoch=batch_id).write.mode("append").parquet(fake)
+                _fake_records(bdf, topic, epoch=batch_id,
+                              partitions=partitions).write.mode("append").parquet(fake)
 
             w = df.writeStream.foreachBatch(write_batch).outputMode(
                 opts.get("output_mode", "update")
@@ -135,7 +153,9 @@ def kafka_sink(df: DataFrame, topic: Optional[str], opts: dict, rel):
             if opts.get("trigger") == "available_now":
                 w = w.trigger(availableNow=True)
             return SinkResult(rel, topic, w.start())
-        _fake_records(df, topic).write.mode("append").parquet(fake)
+        epoch = _next_epoch(df.sparkSession, fake)
+        _fake_records(df, topic, epoch=epoch,
+                      partitions=partitions).write.mode("append").parquet(fake)
         return SinkResult(rel, topic)
 
     bootstrap = opts.get("bootstrap", "localhost:9092")

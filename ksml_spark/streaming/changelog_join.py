@@ -403,9 +403,11 @@ def changelog_join(left: KTableRel, right: KTableRel, how: str,
     out = u.groupBy(*[F.col(c) for c in lk]).applyInPandasWithState(
         _make_processor(how, lk, lvals, rvals, out_rvals, lo_cols, ro_cols,
                         small_group=small_group),
+        # (update_only: this plan is applyInPandasWithState — update
+        # output mode only; __seq orders emissions per key)
         outputStructType=", ".join(schema_parts),
         stateStructType="lo string, lv string, ro string, rv string, emitted boolean, seq bigint",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
-    return KTableRel(out, key_cols=tuple(lk), time_col=None)
+    return KTableRel(out, key_cols=tuple(lk), time_col=None, update_only=True)

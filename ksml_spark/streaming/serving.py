@@ -14,18 +14,23 @@ materialized table:
     h.lookup({"window_start": ..., "event_type": "click"})  # composite
     h.all(); h.refresh(); h.stop()
 
-* batch rel: registered as a temp view (re-resolved per lookup).
-* streaming rel: a memory-sink query — "complete" output for aggregated
-  tables (each trigger replaces the snapshot, so lookups always see a
-  consistent latest state), "append" for plain streams. ``trigger``
-  option defaults to availableNow (deterministic in tests); pass e.g.
-  {"trigger": "5 seconds"} for a continuously-refreshing serving copy.
+Storage backends:
 
-Scale note: the memory sink collects the materialized view to the
-driver, which is exactly what a serving copy of an aggregate is — O(keys)
-not O(events). For beyond-driver-memory serving, sink to a bucketed
-catalog table instead (operators/sinks.py) and point lookups prune to
-one bucket.
+* ``storage: "memory"`` (default) — batch rels register a temp view;
+  streaming rels run a memory-sink query: "complete" output for
+  aggregated tables (each trigger replaces the snapshot, so lookups
+  always see a consistent latest state), "append" for plain streams,
+  "update" + read-side max-__seq dedup for stateful-processor tables
+  (``KTableRel.update_only`` — e.g. the streaming changelog join, whose
+  applyInPandasWithState plan Spark refuses to run in complete mode).
+  The memory sink collects the view to the driver — O(keys), not
+  O(events), which is what a serving copy of an aggregate is.
+* ``storage: "table"`` — the beyond-driver-memory path: the view is
+  written to a catalog table BUCKETED by the key columns
+  (operators/sinks.py bucketed sink layout), and ``lookup()`` prunes the
+  scan to a single bucket (SelectedBucketsCount: 1 in the plan) — the
+  Spark analog of routing a lookup to the one instance hosting the key.
+  Streaming rels refresh the table per trigger via foreachBatch.
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ from dataclasses import dataclass
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..errors import ArityError
 from ..eval import Ctx, defop
@@ -48,9 +54,31 @@ class ServeHandle:
     name: str
     key_cols: tuple[str, ...]
     query: Any = None  # StreamingQuery when the rel was streaming
+    latest_by_seq: bool = False  # update-mode sink: dedup to max __seq/key
 
     def df(self) -> DataFrame:
-        return self.spark.table(self.name)
+        df = self.spark.table(self.name)
+        if self.latest_by_seq:
+            df = self._latest(df)
+        return df
+
+    def _latest(self, df: DataFrame) -> DataFrame:
+        """An update-mode sink holds every emission; the current table
+        state is the max-__seq row per key, minus retracted keys (all
+        value columns NULL — the tombstone shape the changelog join
+        emits)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col("__seq").desc())
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__rn", "__seq")
+        )
+        vals = [c for c in df.columns if c not in self.key_cols]
+        if vals:
+            df = df.filter(" OR ".join(f"`{c}` IS NOT NULL" for c in vals))
+        return df
 
     def all(self) -> list:
         return self.df().collect()
@@ -91,10 +119,23 @@ class ServeHandle:
             self.query.stop()
 
 
+def _bucketed_write(df: DataFrame, name: str, key_cols, buckets: int) -> None:
+    """Overwrite ``name`` as a catalog table bucketed+sorted by the key
+    columns: equality lookups on the key prune to one bucket."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, *key_cols)
+        .sortBy(*key_cols)
+        .saveAsTable(name)
+    )
+
+
 @defop("serve")
 def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
-    """["serve", rel, {"name": ..., "key": cols?, "trigger": ...,
-    "output_mode": ...}] — materialize + return a lookup handle."""
+    """["serve", rel, {"name": ..., "key": cols?, "storage":
+    "memory"|"table", "buckets": N, "trigger": ..., "output_mode": ...}]
+    — materialize + return a lookup handle."""
     opts: dict = {}
     for r in rest:
         if isinstance(r, dict):
@@ -108,17 +149,55 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
     key_cols = tuple(key or rel.key_cols)
     if not key_cols:
         raise ArityError("serve needs key columns (keyed rel or {'key': cols})")
+    storage = opts.get("storage", "memory")
+    buckets = int(opts.get("buckets", 8))
+    update_only = bool(getattr(rel, "update_only", False))
 
     if not rel.df.isStreaming:
-        rel.df.createOrReplaceTempView(name)
+        if storage == "table":
+            _bucketed_write(rel.df, name, key_cols, buckets)
+        else:
+            rel.df.createOrReplaceTempView(name)
         return ServeHandle(ctx.spark, name, key_cols)
 
-    # streaming: memory sink. Aggregated tables serve a full consistent
-    # snapshot per trigger (complete); plain streams append.
+    # streaming: aggregated tables serve a full consistent snapshot per
+    # trigger (complete); stateful-processor tables (changelog join) are
+    # update-mode-only and dedup at read; plain streams append.
     mode = opts.get("output_mode") or (
-        "complete" if isinstance(rel, KTableRel) else "append"
+        "update" if update_only
+        else "complete" if isinstance(rel, KTableRel)
+        else "append"
     )
-    w = rel.df.writeStream.format("memory").queryName(name).outputMode(mode)
+    if update_only and mode != "update":
+        raise ArityError(
+            "this table comes from a stateful processor (changelog join): "
+            "Spark only runs it in update output mode — drop the "
+            f"output_mode override ({mode!r}); lookups dedup to the latest "
+            "emission per key automatically"
+        )
+
+    if storage == "table":
+        # beyond-driver-memory: refresh a bucketed catalog table per
+        # trigger. Complete mode overwrites the snapshot; update mode
+        # appends emissions and the handle dedups by __seq at read.
+        append_mode = mode == "update"
+
+        def write_batch(bdf: DataFrame, batch_id: int) -> None:
+            if append_mode:
+                try:
+                    exists = bdf.sparkSession.catalog.tableExists(name)
+                except Exception:
+                    exists = False
+                if exists:
+                    bdf.write.mode("append").format("parquet").insertInto(name)
+                else:
+                    _bucketed_write(bdf, name, key_cols, buckets)
+            else:
+                _bucketed_write(bdf, name, key_cols, buckets)
+
+        w = rel.df.writeStream.foreachBatch(write_batch).outputMode(mode)
+    else:
+        w = rel.df.writeStream.format("memory").queryName(name).outputMode(mode)
     trig = opts.get("trigger", "available_now")
     if trig == "available_now":
         w = w.trigger(availableNow=True)
@@ -129,4 +208,5 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
     q = w.start()
     if trig == "available_now":
         q.awaitTermination(float(opts.get("timeout", 120.0)))
-    return ServeHandle(ctx.spark, name, key_cols, query=q)
+    return ServeHandle(ctx.spark, name, key_cols, query=q,
+                       latest_by_seq=update_only)
