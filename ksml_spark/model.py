@@ -82,7 +82,7 @@ class KTableRel(Rel):
     table⋈table join consumes the raw changelogs (one stateful operator
     subsumes both views + the join — Spark refuses joins between two
     aggregated streams). Any view transform invalidates it (with_df
-    resets to None): the transform applies to the view, not the log."""
+    resets to None): the transform applies to the view, not the log.
 
     ``update_only`` — True when df is produced by a stateful processor
     (applyInPandasWithState, e.g. the streaming changelog join): such

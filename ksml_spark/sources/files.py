@@ -42,7 +42,15 @@ def _nano_timestamp_cols(path: str) -> tuple[str, ...]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """spark.read.parquet with transparent TIMESTAMP(NANOS) handling."""
+    """spark.read.parquet with transparent TIMESTAMP(NANOS) handling.
+
+    Also pins ``inferTimestampNTZ`` off: the testdata stores timestamps as
+    isAdjustedToUTC=false, which Spark 4 would otherwise surface as
+    TIMESTAMP_NTZ — a type watermarks/windows reject in streaming and that
+    diverges from the engine's TIMESTAMP(LTZ) column model. Reading them as
+    LTZ under the UTC session timezone preserves wall-clock values exactly
+    (bit-identical to DuckDB's naive reading)."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nanos = _nano_timestamp_cols(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -62,6 +62,9 @@ def file_stream_source(
 ) -> DataFrame:
     """A deterministic streaming source for tests: stream an existing
     file directory (schema taken from a batch read when not given)."""
+    # Unadjusted parquet timestamps must surface as TIMESTAMP(LTZ), not NTZ:
+    # watermarks reject NTZ event-time columns (see sources/files.py).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if schema is None:
         schema = spark.read.format(fmt).load(path).schema
     return spark.readStream.format(fmt).schema(schema).load(path)
