@@ -55,6 +55,7 @@ class ServeHandle:
     key_cols: tuple[str, ...]
     query: Any = None  # StreamingQuery when the rel was streaming
     latest_by_seq: bool = False  # update-mode sink: dedup to max __seq/key
+    bucketed: bool = False  # storage="table": key lookups prune to 1 bucket
 
     def df(self) -> DataFrame:
         df = self.spark.table(self.name)
@@ -99,7 +100,22 @@ class ServeHandle:
             items = [(self.key_cols[0], key)]
         for col, val in items:
             df = df.filter(df[col] == val)
-        return df.collect()
+        if not self.bucketed:
+            return df.collect()
+        # Spark's auto-bucketed-scan heuristic drops the bucketed read for
+        # a bare filter (it only credits avoided shuffles, not pruning);
+        # turn it off for the lookup so the scan reads ONE bucket —
+        # "SelectedBucketsCount: 1 out of N" — the ring.clj host-routing
+        # analog. Restored after; single-driver serving assumption noted
+        # in the module docstring.
+        conf = self.spark.conf
+        key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        prev = conf.get(key)
+        conf.set(key, "false")
+        try:
+            return df.collect()
+        finally:
+            conf.set(key, prev)
 
     def refresh(self) -> "ServeHandle":
         """Streaming handles: block until everything currently available
@@ -158,7 +174,7 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
             _bucketed_write(rel.df, name, key_cols, buckets)
         else:
             rel.df.createOrReplaceTempView(name)
-        return ServeHandle(ctx.spark, name, key_cols)
+        return ServeHandle(ctx.spark, name, key_cols, bucketed=storage == "table")
 
     # streaming: aggregated tables serve a full consistent snapshot per
     # trigger (complete); stateful-processor tables (changelog join) are
@@ -209,4 +225,5 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
     if trig == "available_now":
         q.awaitTermination(float(opts.get("timeout", 120.0)))
     return ServeHandle(ctx.spark, name, key_cols, query=q,
+                       bucketed=storage == "table",
                        latest_by_seq=update_only)

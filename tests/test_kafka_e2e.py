@@ -127,6 +127,87 @@ def test_kafka_e2e_stream_window_count_to_kafka_sink(spark, fake_topic, tmp_path
     assert got_map == expected
 
 
+def test_kafka_pattern_subscription(spark, fake_topic):
+    """Regex topic subscription (eval_test.clj:103-141 — the reference's
+    most-tested source form, Pattern/compile → subscribePattern): 'ev.*'
+    must match the events topic and exclude 'other'."""
+    out = ksml(
+        ["stream",
+         ["kafka", {"pattern": "ev.*", "fake_dir": fake_topic}],
+         ["consumed",
+          ["serde", "String"],
+          ["serde", "json", "event_type string, event_id long"],
+          ["timestamp-extractor", "timestamp", "fail"]],
+         {"stream": False}],
+        spark=spark,
+    )
+    n_events = load_table(spark, SF, "events").count()
+    assert out.df.count() == n_events  # 'other' not matched by the pattern
+
+    # a broader pattern picks up both topics
+    both = ksml(
+        ["stream",
+         ["kafka", {"pattern": "ev.*|oth.*", "fake_dir": fake_topic}],
+         {"stream": False}],
+        spark=spark,
+    )
+    assert both.df.count() == n_events + 7
+
+
+def test_kafka_pattern_subscription_streaming(spark, fake_topic, tmp_path):
+    """Streaming variant: pattern-filtered consume -> serde -> count by
+    event_type, parity with a batch recomputation over the same topic."""
+    out = pipe(
+        ["stream",
+         ["kafka", {"pattern": "ev.*", "fake_dir": fake_topic}],
+         ["consumed",
+          ["serde", "String"],
+          ["serde", "json", "event_type string, event_id long"],
+          ["timestamp-extractor", "timestamp", "fail"]]],
+        ["group-by", ["key-value-mapper", {"event_type": "value.event_type"}]],
+        ["count"],
+        spark=spark,
+    )
+    assert out.df.isStreaming
+    sink = ksml(
+        ["to", out, {"format": "memory", "name": "pat_counts",
+                     "output_mode": "complete", "trigger": "available_now"}],
+        spark=spark,
+    )
+    sink.query.awaitTermination(120)
+    sink.query.stop()
+    got = {r["event_type"]: r["count"] for r in spark.table("pat_counts").collect()}
+    expected = {
+        r["event_type"]: r["count"]
+        for r in load_table(spark, SF, "events").groupBy("event_type").count().collect()
+    }
+    assert got == expected
+
+
+def test_kafka_multi_partition_consume(spark, fake_topic):
+    """Multi-partition consumption: the fake transport hash-partitions by
+    key into 4 partitions; consuming must cover every partition, keep
+    (partition, offset) unique, and preserve per-key partition affinity
+    (all records of one key live in one partition — the broker invariant
+    co-partitioned joins rely on)."""
+    out = ksml(
+        ["stream",
+         ["kafka", {"subscribe": "events", "fake_dir": fake_topic}],
+         ["consumed", ["serde", "String"],
+          ["serde", "json", "event_type string, event_id long"]],
+         {"stream": False}],
+        spark=spark,
+    )
+    rows = out.df.select("key", "partition", "offset").collect()
+    parts = {r["partition"] for r in rows}
+    assert parts == {0, 1, 2, 3}  # every partition consumed
+    assert len({(r["partition"], r["offset"]) for r in rows}) == len(rows)
+    key_parts: dict[str, set] = {}
+    for r in rows:
+        key_parts.setdefault(r["key"], set()).add(r["partition"])
+    assert all(len(ps) == 1 for ps in key_parts.values())
+
+
 def test_fake_sink_offsets_unique_across_batches(spark, tmp_path):
     """Streaming fake sink over 2+ micro-batches: (partition, offset)
     must stay unique and batch-ordered (review finding: the old

@@ -110,6 +110,80 @@ def test_serve_streaming_complete_snapshot_lookup(spark, tables, tmp_path):
     h.stop()
 
 
+def test_serve_table_storage_bucket_pruned_lookup(spark, tables):
+    """storage='table': the serving copy is a catalog table BUCKETED by
+    the key, and a key lookup prunes the scan to ONE bucket — the Spark
+    analog of ring.clj routing a lookup to the instance hosting the key.
+    This is the beyond-driver-memory serving path."""
+    from pyspark.sql import functions as F
+
+    from ksml_spark import pipe
+
+    counts = pipe(
+        ["stream", tables["events"], {"key": "user_id", "time": "ts"}],
+        ["group-by-key"],
+        ["count"],
+        spark=spark,
+    )
+    h = ksml(["serve", counts,
+              {"name": "served_bucketed", "storage": "table", "buckets": 8}],
+             spark=spark)
+    try:
+        batch = {r["user_id"]: r["count"]
+                 for r in tables["events"].groupBy("user_id").count().collect()}
+        probe = next(iter(batch))
+        got = h.lookup(probe)
+        assert len(got) == 1 and got[0]["count"] == batch[probe]
+        assert {r["user_id"]: r["count"] for r in h.all()} == batch
+        # the plan lookup() executes: auto-bucketed-scan off (it only
+        # credits avoided shuffles, not pruning), scan prunes to 1 bucket
+        key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        spark.conf.set(key, "false")
+        try:
+            plan = (
+                h.df().filter(F.col("user_id") == probe)
+                ._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("formatted"))
+            )
+        finally:
+            spark.conf.set(key, "true")
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS served_bucketed")
+
+
+def test_serve_streaming_table_storage_refresh(spark, tables, tmp_path):
+    """Streaming aggregate served into a bucketed catalog table
+    (complete-mode snapshot overwrite per trigger): lookups match the
+    batch answer and the table is bucketed by the key."""
+    from ksml_spark import pipe
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    p = str(tmp_path / "events")
+    tables["events"].write.parquet(p)
+    counts = pipe(
+        ["stream", file_stream_source(spark, p), {"key": "user_id", "time": "ts"}],
+        ["group-by-key"],
+        ["count"],
+        spark=spark,
+    )
+    h = ksml(["serve", counts,
+              {"name": "served_stream_tbl", "storage": "table", "buckets": 4}],
+             spark=spark)
+    try:
+        batch = {r["user_id"]: r["count"]
+                 for r in tables["events"].groupBy("user_id").count().collect()}
+        probe = next(iter(batch))
+        got = h.lookup(probe)
+        assert len(got) == 1 and got[0]["count"] == batch[probe]
+        ddl = spark.sql("SHOW CREATE TABLE served_stream_tbl").first()[0]
+        assert "CLUSTERED BY (user_id)" in ddl and "INTO 4 BUCKETS" in ddl
+    finally:
+        h.stop()
+        spark.sql("DROP TABLE IF EXISTS served_stream_tbl")
+
+
 def test_serve_requires_name_and_key(spark, tables):
     import pytest as _pytest
 
