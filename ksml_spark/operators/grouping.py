@@ -347,9 +347,16 @@ def _session_fold_apply(
     end = latest + gap).
 
     Scale: one shuffle on the key; per-key work linear in records with a
-    small live-session list (out-of-order depth). Batch path; a streaming
-    version needs transformWithState session state (plan-constructible,
-    see operators/stateful.py)."""
+    small live-session list (out-of-order depth).
+
+    Streaming input runs the SAME fold through applyInPandasWithState:
+    per-key state is the live-session list (sessions never close — Kafka
+    Streams session stores keep them queryable; bound with a watermark
+    upstream if retention matters), and every micro-batch re-emits the
+    key's full current session set tagged with a per-key ``__seq`` —
+    emit-on-update, where the latest emission per key is the complete
+    truth (the serving layer's update-mode dedup keeps exactly that
+    snapshot)."""
     import pandas as pd
 
     if grouped.time_col is None:
@@ -360,17 +367,15 @@ def _session_fold_apply(
     gap = pd.Timedelta(grouped.window.size)
     skip = set(key_cols) | {time_col} | ({arrival} if arrival else set())
     value_cols = [c for c in df.columns if c not in skip]
-    out_schema = ", ".join(
+    out_fields = (
         [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols]
         + ["`window_start` timestamp", "`window_end` timestamp", f"`value` {value_type}"]
     )
     numeric = value_type.split("(")[0].strip().lower() in _NUMERIC_FOLD_TYPES
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(arrival or time_col, kind="stable")
-        key = tuple(pdf[c].iloc[0] for c in key_cols)
-        k1 = key[0] if len(key) == 1 else key
-        sessions: list[list] = []  # [start, end, acc]
+    def fold_records(sessions: list, pdf: pd.DataFrame, k1) -> list:
+        """Fold one arrival-ordered batch into the live-session list
+        ([start, end, acc] triples), merging bridged sessions."""
         for rec in pdf.to_dict("records"):
             t = rec[time_col]
             v = rec[value_cols[0]] if len(value_cols) == 1 else tuple(rec[c] for c in value_cols)
@@ -394,6 +399,9 @@ def _session_fold_apply(
             target[0] = min(target[0], t)
             target[1] = max(target[1], t)
             target[2] = step(k1, v, target[2])
+        return sessions
+
+    def session_rows(sessions: list, key: tuple) -> list[dict]:
         rows = []
         for start, end, acc in sessions:
             row = dict(zip(key_cols, key))
@@ -404,6 +412,52 @@ def _session_fold_apply(
             else:
                 row["value"] = float(acc) if numeric else acc
             rows.append(row)
+        return rows
+
+    if df.isStreaming:
+        import base64
+        import pickle
+
+        out_schema = ", ".join(out_fields + ["`__seq` bigint"])
+        out_cols = key_cols + ["window_start", "window_end", "value", "__seq"]
+
+        def fold_stream(key, pdfs, state):
+            if state.exists:
+                blob, seq = state.get()
+                sessions = pickle.loads(base64.b64decode(blob))
+            else:
+                sessions, seq = [], 0
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            pdf = pdf.sort_values(arrival or time_col, kind="stable")
+            k1 = key[0] if len(key) == 1 else key
+            sessions = fold_records(sessions, pdf, k1)
+            seq += 1
+            state.update((base64.b64encode(pickle.dumps(sessions)).decode(), seq))
+            rows = session_rows(sessions, key)
+            for r in rows:
+                r["__seq"] = seq
+            yield pd.DataFrame(rows, columns=out_cols)
+
+        agged = df.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+            fold_stream,
+            outputStructType=out_schema,
+            stateStructType="sessions string, seq bigint",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+        # key_cols = the GROUP key (not window_start): each emission is the
+        # key's full session snapshot, so latest-emission-per-key dedup
+        # (serving's update-mode read) yields the current sessionization.
+        return KTableRel(agged, key_cols=tuple(key_cols), time_col=None,
+                         update_only=True)
+
+    out_schema = ", ".join(out_fields)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(arrival or time_col, kind="stable")
+        key = tuple(pdf[c].iloc[0] for c in key_cols)
+        k1 = key[0] if len(key) == 1 else key
+        rows = session_rows(fold_records([], pdf, k1), key)
         return pd.DataFrame(rows, columns=key_cols + ["window_start", "window_end", "value"])
 
     agged = df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(fold, out_schema)
