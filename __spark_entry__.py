@@ -1300,6 +1300,35 @@ FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_kmeans_assign(spark, sf):
+    """Nearest-init-centroid assignment by cosine (ties -> smallest
+    centroid id) — the closed-form half of a Lloyd round, giving the
+    k-means path a hash-exact oracle row (the iterated centroids in
+    kmeans_centroids stay rows-only by design)."""
+    return pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["kmeans-assign", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                           "centroids": "vec_id % 127 = 3"}],
+        ["select", {"vec_id": "vec_id", "cluster": "cluster",
+                    "sim": "round(sim, 6)"}],
+        spark=spark,
+    ).df
+
+
+_KMEANS_ASSIGN_ORACLE = """
+WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM p WHERE vec_id % 127 = 3)
+SELECT vec_id, cid AS cluster, round(sim, 6) AS sim FROM (
+  SELECT p.vec_id, c.cid,
+         list_dot_product(p.v, c.cv) / (p.n * c.cn) AS sim,
+         row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY list_dot_product(p.v, c.cv) / (p.n * c.cn) DESC, c.cid) AS rn
+  FROM p, c
+) WHERE rn = 1"""
+
+
 def _q_kmeans_centroids(spark, sf):
     # rows-only: iterative Lloyd refinement has no SQL expression; the
     # blob-recovery + SSE-descent tests are the correctness evidence
@@ -1394,7 +1423,7 @@ pw AS (SELECT doc_id, unnest(w) AS word FROM w),
 cnt AS (SELECT doc_id, word, count(*) AS c FROM pw GROUP BY 1, 2),
 sig AS (SELECT doc_id, sum(c) AS nw, count(*) AS nd, max(c) AS top FROM cnt GROUP BY 1)
 SELECT d.doc_id,
-  coalesce(nw, 0) AS n_words, coalesce(nd, 0) AS n_distinct_words,
+  CAST(coalesce(nw, 0) AS BIGINT) AS n_words, coalesce(nd, 0) AS n_distinct_words,
   round(CASE WHEN coalesce(nw, 0) > 0 THEN 1.0 - nd / nw::DOUBLE ELSE 0.0 END, 6) AS dup_word_ratio,
   round(CASE WHEN coalesce(nw, 0) > 0 THEN top / nw::DOUBLE ELSE 0.0 END, 6) AS top_word_ratio
 FROM documents d LEFT JOIN sig USING (doc_id)"""
@@ -1503,7 +1532,7 @@ sp AS (
         FROM uniq)
 )
 SELECT split, lang, count(*) AS n_docs,
-       SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tokens
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS tokens
 FROM sp GROUP BY 1, 2"""
 
 
@@ -1553,6 +1582,8 @@ FROM documents"""
 # file come first; long-stable queries (hash-green in r01 AND r02) rotate to
 # the back so every query gets a driver-recorded row across rounds 3-4.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
+    # --- new in r05 ---
+    "kmeans_assign": (_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
     # --- never driver-recorded through r02: record these in r03 ---
     "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),

@@ -180,14 +180,35 @@ def main() -> None:
     if os.environ.get("BENCH_STREAMING", "1") != "0":
         streaming = _stream_bench(spark, sf_dir)
 
-    print(json.dumps({
-        "metric": "suite_seconds",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": per_query,
-        "streaming": streaming,
-        "sf": sf,
-    }))
+    # The driver keeps only the LAST ~2000 chars of stdout and parses the
+    # JSON line found there: in round 4 the (correct) metric line grew past
+    # 2000 chars once the streaming section joined it, so its head scrolled
+    # out of the window and the driver recorded "parsed": null — a clean run
+    # with no number. Keep the FINAL line hard-capped: streaming numbers go
+    # on their own earlier line (and into docs/PERF_BASELINE.md), the metric
+    # line uses compact separators, and if it still exceeds the budget the
+    # per-query map degrades (fewer decimals, then slowest-N only) before
+    # ever dropping "value".
+    if streaming:
+        print(json.dumps({"streaming": streaming}, separators=(",", ":")))
+
+    def metric_line(queries: dict) -> str:
+        return json.dumps({
+            "metric": "suite_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+        }, separators=(",", ":"))
+
+    budget = 1900
+    line = metric_line(per_query)
+    if len(line) > budget:
+        line = metric_line({k: round(v, 2) for k, v in per_query.items()})
+    if len(line) > budget:
+        slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:40])
+        line = metric_line({k: round(v, 2) for k, v in slowest.items()})
+    print(line)
 
 
 if __name__ == "__main__":

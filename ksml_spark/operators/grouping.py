@@ -423,7 +423,9 @@ def _session_fold_apply(
 
         def fold_stream(key, pdfs, state):
             if state.exists:
-                blob, seq = state.get()
+                # GroupState.get is a property (calling it would invoke the
+                # returned tuple and crash on the 2nd micro-batch per key)
+                blob, seq = state.get
                 sessions = pickle.loads(base64.b64decode(blob))
             else:
                 sessions, seq = [], 0

@@ -361,6 +361,47 @@ def op_vec_quantize(ctx: Ctx, rel: Rel, *rest) -> Rel:
     return rel.with_df(df)
 
 
+@defop("kmeans-assign")
+def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Closed-form nearest-centroid assignment — the "assign" half of a
+    Lloyd round, exposed on its own so the k-means path has a
+    SQL-oracle-able component (the iterated centroids stay rows-only):
+
+        ["kmeans-assign", rel, {"id": "vec_id", "vec": "embedding",
+                                "dim": 64, "centroids": "vec_id % 127 = 3"}]
+
+    Assigns every vector to its nearest ``centroids``-sampled row by
+    cosine (ties → smallest centroid id) and returns
+    (id, cluster, sim). This is also exactly the partition-assignment
+    step a bucketed IVF table build runs at 100 TB scale: one broadcast
+    of K centroids, one codegen fan-out + hash-agg argmax, no shuffle of
+    the corpus side."""
+    from ..errors import ArityError
+
+    opts = _opts(rest)
+    idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
+    dim = opts.get("dim")
+    init = opts.get("centroids") or opts.get("init")
+    if not init:
+        raise ArityError("kmeans-assign needs {'centroids': <filter expr>}")
+
+    prepared = _prepared(rel, idc, vecc, dim)
+    cents = prepared.filter(F.expr(init)).select(
+        F.col(idc).alias("__cid"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    )
+    csim = dot_col(F.col("__v"), F.col("__cv"), dim) / (F.col("__n") * F.col("__cn"))
+    assigned = (
+        _spread(prepared).crossJoin(F.broadcast(cents))
+        .withColumn("__csim", csim)
+        .groupBy(idc)
+        .agg(
+            F.max_by(F.col("__cid"), F.struct(F.col("__csim"), -F.col("__cid"))).alias("cluster"),
+            F.max(F.struct(F.col("__csim"), -F.col("__cid"))).getField("__csim").alias("sim"),
+        )
+    )
+    return KStreamRel(assigned, key_cols=(idc,))
+
+
 @defop("kmeans-centroids")
 def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """Lloyd-iteration centroid refinement for the IVF layout:

@@ -49,12 +49,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     TIMESTAMP_NTZ — a type watermarks/windows reject in streaming and that
     diverges from the engine's TIMESTAMP(LTZ) column model. Reading them as
     LTZ under the UTC session timezone preserves wall-clock values exactly
-    (bit-identical to DuckDB's naive reading)."""
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    (bit-identical to DuckDB's naive reading).
+
+    Both confs are save/restored around the (eager) schema-inference read —
+    the 4.1.2 reader ignores a per-read ``inferTimestampNTZ`` option, and a
+    permanent ``spark.conf.set`` would silently change NTZ inference for
+    user code outside this framework. ``nanosAsLong`` must stay pinned for
+    the DataFrame's lifetime though: the scan re-reads it at execution, so
+    restoring it would crash later actions on nano files — we only restore
+    it when this call was the one to flip it."""
+    conf = spark.conf
+    ntz_prev = conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
     nanos = _nano_timestamp_cols(path)
+    nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if nanos:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        conf.set(nanos_key, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", ntz_prev)
     for c in nanos:
         # Integer division, not float: at epoch-ns magnitude doubles have
         # 256ns ulp, so `/ 1000` rounds ~1.6% of values off by 1us.

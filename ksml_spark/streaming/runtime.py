@@ -64,10 +64,17 @@ def file_stream_source(
     file directory (schema taken from a batch read when not given)."""
     # Unadjusted parquet timestamps must surface as TIMESTAMP(LTZ), not NTZ:
     # watermarks reject NTZ event-time columns (see sources/files.py).
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    if schema is None:
-        schema = spark.read.format(fmt).load(path).schema
-    return spark.readStream.format(fmt).schema(schema).load(path)
+    # Scoped save/restore — the explicit schema pins the type for the
+    # streaming scan, so only this inference read needs the conf.
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        if schema is None:
+            schema = spark.read.format(fmt).load(path).schema
+        return spark.readStream.format(fmt).schema(schema).load(path)
+    finally:
+        spark.conf.set(key, prev)
 
 
 def run_to_memory(

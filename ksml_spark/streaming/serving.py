@@ -65,16 +65,20 @@ class ServeHandle:
 
     def _latest(self, df: DataFrame) -> DataFrame:
         """An update-mode sink holds every emission; the current table
-        state is the max-__seq row per key, minus retracted keys (all
-        value columns NULL — the tombstone shape the changelog join
-        emits)."""
+        state is ALL rows carrying the max __seq per key (one emission
+        may be a multi-row snapshot — e.g. a streaming session fold
+        emits every live session for the key with the same __seq, see
+        grouping.py's session snapshot contract), minus retracted keys
+        (all value columns NULL — the tombstone shape the changelog
+        join emits). row_number()==1 here would drop all but one
+        arbitrary session per key."""
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*self.key_cols).orderBy(F.col("__seq").desc())
+        w = Window.partitionBy(*self.key_cols)
         df = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
-            .drop("__rn", "__seq")
+            df.withColumn("__maxseq", F.max("__seq").over(w))
+            .filter("__seq = __maxseq")
+            .drop("__maxseq", "__seq")
         )
         vals = [c for c in df.columns if c not in self.key_cols]
         if vals:

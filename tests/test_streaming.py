@@ -731,3 +731,101 @@ def test_streaming_table_table_join_cross_batch_update(spark, tmp_path):
     assert emitted == [(1, "x0"), (1, "x1"), (2, "x1")]
     # rows are sorted by __seq, so distinct values == strictly increasing
     assert len({r["__seq"] for r in rows}) == len(rows)
+
+
+_SESS_SCHEMA = "key string, val string, event_time timestamp"
+
+
+def _streaming_session_agg(spark, src):
+    s = ksml(["stream", src, {"key": "key", "time": "event_time"}], spark=spark)
+    return ksml(
+        ["aggregate",
+         ["windowed-by", ["group-by-key", s], ["session-window", 10000]],
+         ["initializer", lambda: ""],
+         ["aggregator", lambda k, v, acc: v if acc == "" else acc + "+" + v],
+         ["merger", lambda k, a1, a2: a1 + "|" + a2],
+         {"value-type": "string"}],
+        spark=spark,
+    )
+
+
+def test_streaming_session_aggregate_multi_batch_serve(spark, tmp_path):
+    """Streaming opaque session :aggregate across >=2 micro-batches for
+    the same key, served through the update-mode handle.
+
+    Regression-pins two review findings at once:
+    * GroupState.get is a property — ``state.get()`` crashed the SECOND
+      micro-batch for any key (a single availableNow batch masks it).
+    * one emission is the key's FULL session snapshot (N rows, same
+      __seq): the serve dedup must keep all of them, not row_number()==1.
+    """
+    src = _json_batch_source(spark, tmp_path, [
+        [{"key": "u", "val": "a", "event_time": "2024-01-01T00:00:00"},
+         {"key": "u", "val": "b", "event_time": "2024-01-01T00:01:40"},
+         # key w: two open sessions [0,0] and [15,15] (gap 10s)
+         {"key": "w", "val": "x", "event_time": "2024-01-01T00:00:00"},
+         {"key": "w", "val": "y", "event_time": "2024-01-01T00:00:15"}],
+        # batch 2 re-touches BOTH keys -> state.exists path runs
+        [{"key": "u", "val": "c", "event_time": "2024-01-01T00:00:08"},
+         {"key": "u", "val": "d", "event_time": "2024-01-01T00:03:20"},
+         # w's t=8 bridges its two sessions: cross-batch merger fires
+         {"key": "w", "val": "z", "event_time": "2024-01-01T00:00:08"}],
+    ], schema=_SESS_SCHEMA)
+    out = _streaming_session_agg(spark, src)
+    h = ksml(["serve", out, {"name": "sess_mb_serve"}], spark=spark)
+    try:
+        u = {(r["window_start"].isoformat(), r["window_end"].isoformat()): r["value"]
+             for r in h.lookup("u")}
+        assert u == {
+            ("2024-01-01T00:00:00", "2024-01-01T00:00:08"): "a+c",
+            ("2024-01-01T00:01:40", "2024-01-01T00:01:40"): "b",
+            ("2024-01-01T00:03:20", "2024-01-01T00:03:20"): "d",
+        }, u
+        w = {(r["window_start"].isoformat(), r["window_end"].isoformat()): r["value"]
+             for r in h.lookup("w")}
+        assert w == {("2024-01-01T00:00:00", "2024-01-01T00:00:15"): "x|y+z"}, w
+        # full snapshot: every live session of every key
+        assert len(h.all()) == 4
+    finally:
+        h.stop()
+
+
+def test_streaming_session_aggregate_matches_batch(spark, tmp_path):
+    """Same records, batch vs 2-micro-batch streaming: identical final
+    sessionization (the streaming fold resumes from per-key state)."""
+    import datetime as dt
+
+    rows_b1 = [("u", "a", dt.datetime(2024, 1, 1, 0, 0, 0)),
+               ("u", "b", dt.datetime(2024, 1, 1, 0, 1, 40)),
+               ("w", "x", dt.datetime(2024, 1, 1, 0, 0, 0))]
+    rows_b2 = [("u", "c", dt.datetime(2024, 1, 1, 0, 0, 8)),
+               ("w", "y", dt.datetime(2024, 1, 1, 0, 0, 5))]
+    batch_df = spark.createDataFrame(rows_b1 + rows_b2, _SESS_SCHEMA)
+    s = ksml(["stream", batch_df, {"key": "key", "time": "event_time"}], spark=spark)
+    golden = ksml(
+        ["aggregate",
+         ["windowed-by", ["group-by-key", s], ["session-window", 10000]],
+         ["initializer", lambda: ""],
+         ["aggregator", lambda k, v, acc: v if acc == "" else acc + "+" + v],
+         ["merger", lambda k, a1, a2: a1 + "|" + a2],
+         {"value-type": "string"}],
+        spark=spark,
+    )
+    want = {(r["key"], r["window_start"], r["window_end"]): r["value"]
+            for r in golden.df.collect()}
+
+    def _iso(t):
+        return t.isoformat()
+
+    src = _json_batch_source(spark, tmp_path, [
+        [{"key": k, "val": v, "event_time": _iso(t)} for k, v, t in rows_b1],
+        [{"key": k, "val": v, "event_time": _iso(t)} for k, v, t in rows_b2],
+    ], schema=_SESS_SCHEMA)
+    out = _streaming_session_agg(spark, src)
+    h = ksml(["serve", out, {"name": "sess_parity_serve"}], spark=spark)
+    try:
+        got = {(r["key"], r["window_start"], r["window_end"]): r["value"]
+               for r in h.all()}
+        assert got == want, (got, want)
+    finally:
+        h.stop()
