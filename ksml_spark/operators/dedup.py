@@ -260,7 +260,12 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     Measured honestly: at sf0.1 (5k docs) the prefix plan is SLOWER
     (5.1s vs 3.0s) — the document-frequency pass + per-doc ranking +
     verify join only amortize when the token index is large and skewed;
-    use the plain plan interactively, prefix at corpus scale."""
+    use the plain plan interactively, prefix at corpus scale.
+
+    The default {"prefix": "auto"} makes that call automatically: the
+    estimated index size (exact doc count x sampled mean tokens/doc)
+    crossing {"auto_threshold": 50_000_000} postings selects the prefix
+    plan; True/False stay as explicit overrides."""
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     block = opts.get("block")
@@ -283,8 +288,26 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     )
     toks = toks.withColumn("__n", F.size(F.col("__t")))
 
-    if thr > 0 and opts.get("prefix"):
-        return _jaccard_prefix(toks, idc, blocks, thr)
+    # Plan choice: {"prefix": True/False} is an explicit override; the
+    # default "auto" estimates the token-index size (exact doc count — a
+    # metadata-only parquet aggregate — x sampled mean distinct tokens
+    # per doc) and switches to the prefix-filtered plan once the index
+    # crosses ``auto_threshold`` postings (default 50M — the regime where
+    # the df pass + verify join amortize; measured slower below it, see
+    # the docstring's sf0.1 numbers). Streaming rels can't count, so
+    # auto resolves to the plain plan there.
+    if thr > 0:
+        prefix_opt = opts.get("prefix", "auto")
+        if prefix_opt == "auto":
+            use_prefix = (
+                not rel.df.isStreaming
+                and _estimated_postings(toks)
+                >= int(opts.get("auto_threshold", 50_000_000))
+            )
+        else:
+            use_prefix = bool(prefix_opt)
+        if use_prefix:
+            return _jaccard_prefix(toks, idc, blocks, thr)
 
     if thr <= 0:  # exact all-pairs within block, incl. zero-overlap pairs
         a, b = toks.alias("a"), toks.alias("b")
@@ -343,6 +366,19 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         .filter(F.col("jaccard") >= thr)
     )
     return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
+
+
+def _estimated_postings(toks: DataFrame, sample: int = 2048) -> float:
+    """Estimated inverted-index size (total postings = sum of per-doc
+    distinct tokens) without tokenizing the corpus: exact doc count
+    (columnless — parquet answers it from footer metadata) x mean __n
+    over a ``sample``-doc prefix. Two sub-second jobs; the decision they
+    feed only matters when the real work is minutes."""
+    n_docs = toks.count()
+    if n_docs == 0:
+        return 0.0
+    mean_n = toks.select("__n").limit(sample).agg(F.avg("__n")).first()[0]
+    return float(n_docs) * float(mean_n or 0.0)
 
 
 def _jaccard_prefix(toks: DataFrame, idc: str, blocks: list, thr: float) -> KStreamRel:

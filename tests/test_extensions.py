@@ -524,6 +524,35 @@ def test_jaccard_prefix_matches_plain_plan(spark, tables):
     assert a == b and len(a) > 0
 
 
+def test_jaccard_prefix_auto_switch(spark, tables):
+    """Default {"prefix": "auto"} picks the plan from the estimated
+    token-index size: plain below ``auto_threshold`` postings, the
+    AllPairs prefix-filtered plan above it — same results either way.
+    The prefix plan is identified by its document-frequency ranking
+    window (row_number over __df), which the plain plan never has."""
+    base = {"col": "text", "id": "doc_id", "block": ["lang"], "threshold": 0.5}
+
+    def plan(extra):
+        df = pipe(docs_stream(tables), ["jaccard-pairs", {**base, **extra}],
+                  spark=spark).df
+        return df, df._jdf.queryExecution().optimizedPlan().toString()
+
+    # toy corpus is far below the default 50M-postings threshold -> plain
+    _, auto_plan = plan({})
+    assert "row_number" not in auto_plan
+    # forcing the threshold to 1 posting flips auto to the prefix plan
+    forced_df, forced_plan = plan({"auto_threshold": 1})
+    assert "row_number" in forced_plan
+    # explicit override still beats auto in both directions
+    _, off_plan = plan({"auto_threshold": 1, "prefix": False})
+    assert "row_number" not in off_plan
+    # and the auto-chosen prefix plan returns the same pairs
+    want = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in plan({"prefix": False})[0].collect()}
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in forced_df.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_frame_sample_stride_and_cap(spark, tables):
     out = pipe(
         docs_stream(tables),
