@@ -1300,6 +1300,33 @@ FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination: corpus docs sharing >= 2 distinct word
+    3-grams with the pseudo-benchmark subset (doc_id % 41 = 0). The pair
+    list is the audit artifact; anti-join drops the leaked docs."""
+    return pipe(
+        ["decontaminate",
+         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+         ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+          "doc_id % 41 = 0"],
+         {"n": 3, "min_shared": 2}],
+        spark=spark,
+    ).df
+
+
+_DECONTAMINATE_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+g AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+        ELSE [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(w) - 2, 1))] END) AS gram
+      FROM w),
+gh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS g FROM g),
+b AS (SELECT doc_id AS bench_id, g FROM gh WHERE doc_id % 41 = 0)
+SELECT c.doc_id AS corpus_id, b.bench_id, count(*) AS n_shared
+FROM gh c JOIN b USING (g)
+GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+
 def _q_kmeans_assign(spark, sf):
     """Nearest-init-centroid assignment by cosine (ties -> smallest
     centroid id) — the closed-form half of a Lloyd round, giving the
@@ -1584,6 +1611,7 @@ FROM documents"""
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     # --- new in r05 ---
     "kmeans_assign": (_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
+    "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     # --- never driver-recorded through r02: record these in r03 ---
     "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),

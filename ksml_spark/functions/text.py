@@ -413,3 +413,76 @@ def op_ngrams(ctx: Ctx, rel: Rel, *rest) -> Rel:
     if top:
         counted = counted.orderBy(F.col("count").desc(), F.col("ngram").asc()).limit(int(top))
     return rel.with_df(counted, key_cols=("ngram",), time_col=None)
+
+
+def _gram_ids(col: Column, n: int) -> Column:
+    """Distinct word n-grams of ``col`` hashed to engine-portable longs
+    (md5 first-8-hex slice — the same construction DuckDB reproduces as
+    ('0x' || substr(md5(g), 1, 8))::BIGINT, see sampling.py)."""
+    w = words(col)
+    grams = F.when(F.size(w) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+    return F.array_distinct(
+        F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
+    )
+
+
+@defop("decontaminate")
+def op_decontaminate(ctx: Ctx, corpus: Rel, bench: Rel, *rest) -> Rel:
+    """Benchmark decontamination for training corpora: find corpus
+    documents sharing >= ``min_shared`` distinct word n-grams with any
+    benchmark document.
+
+        ["decontaminate", corpus, benchmark,
+         {"col": "text", "id": "doc_id", "bench_col": "text",
+          "bench_id": "doc_id", "n": 8, "min_shared": 1}]
+        -> (corpus id, bench id, n_shared) contamination pairs.
+
+    Compose with the anti-join to actually drop them:
+    ``["anti-join", corpus, ["select-key", pairs, ...]]`` — the pair
+    relation IS the audit artifact (what leaked, from where, how much),
+    which pipelines keep alongside the cleaned split.
+
+    Plan: both sides reduce to exploded (id, gram-hash) postings with
+    per-doc-distinct grams; the benchmark side (eval suites are MBs, the
+    corpus is the 100 TB side) is broadcast, so the corpus never
+    shuffles for the probe — the only exchange is the hash aggregation
+    counting shared grams per (corpus, bench) pair, whose input is just
+    the matching postings. Set {"broadcast": False} for oversized
+    benchmark sets to fall back to a shuffled join.
+
+    Reference: no analog (the reference wraps Kafka Streams; corpus
+    hygiene ops are this engine's §2.10 extension surface)."""
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    n = int(opts.get("n", 8))
+    min_shared = int(opts.get("min_shared", 1))
+    idc = opts.get("id", "doc_id")
+    bidc = opts.get("bench_id", idc)
+    colc = opts.get("col", "text")
+    bcolc = opts.get("bench_col", colc)
+    from ..operators.util import spread
+
+    cg = spread(corpus.df).select(
+        F.col(idc).alias("corpus_id"),
+        F.explode(_gram_ids(F.col(colc), n)).alias("__g"),
+    )
+    bg = bench.df.select(
+        F.col(bidc).alias("bench_id"),
+        F.explode(_gram_ids(F.col(bcolc), n)).alias("__g"),
+    )
+    if opts.get("broadcast", True):
+        bg = F.broadcast(bg)
+    pairs = (
+        cg.join(bg, "__g")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return corpus.with_df(pairs, key_cols=("corpus_id", "bench_id"), time_col=None)

@@ -761,3 +761,49 @@ def test_ngrams_values_and_determinism(spark):
     full = pipe(["stream", df, {"key": "doc_id"}],
                 ["ngrams", {"col": "text", "n": 2}], spark=spark).df
     assert "solo" not in {r["ngram"] for r in full.collect()}
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    """Corpus docs sharing >= min_shared distinct 3-grams with the
+    benchmark set are flagged with the exact shared-gram count;
+    sub-threshold and disjoint docs are not."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         # shares exactly two distinct 3-grams with bench doc 100
+         (2, "a b c d x y z zz a b c d"),
+         # one shared 3-gram only: below min_shared=2
+         (3, "x y z completely different words here"),
+         (4, "nothing in common at all with anything")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a b c d q r s"), (200, "the quick brown fox stops")],
+        "doc_id long, text string")
+    out = ksml(["decontaminate",
+                ["stream", corpus, {"key": "doc_id"}],
+                ["stream", bench, {"key": "doc_id"}],
+                {"n": 3, "min_shared": 2}], spark=spark)
+    got = {(r["corpus_id"], r["bench_id"]): r["n_shared"] for r in out.df.collect()}
+    # doc 1 x bench 200: "the quick brown" + "quick brown fox" = 2
+    # doc 2 x bench 100: "a b c" + "b c d" = 2 (distinct, despite repeat)
+    assert got == {(1, 200): 2, (2, 100): 2}, got
+
+
+def test_decontaminate_anti_join_composes(spark):
+    """The advertised removal composition: anti-join the corpus against
+    the contamination pairs' corpus ids."""
+    corpus = spark.createDataFrame(
+        [(1, "shared phrase alpha beta gamma"), (2, "clean text stays here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "shared phrase alpha beta gamma delta")], "doc_id long, text string")
+    pairs = ksml(["decontaminate",
+                  ["stream", corpus, {"key": "doc_id"}],
+                  ["stream", bench, {"key": "doc_id"}],
+                  {"n": 3, "min_shared": 1}], spark=spark)
+    leaked = pipe(
+        ["select", pairs, {"doc_id": "corpus_id"}],
+        ["select-key", ["key-value-mapper", {"doc_id": "doc_id"}]],
+        spark=spark)
+    clean = ksml(["anti-join", ["stream", corpus, {"key": "doc_id"}], leaked],
+                 spark=spark)
+    assert [r["doc_id"] for r in clean.df.collect()] == [2]

@@ -267,3 +267,21 @@ def test_topology_survives_transforms_across_ksml_calls(spark):
     t2 = ksml(["where", t, "c_acctbal > 0"], spark=spark)
     topo = topology(t2)
     assert [s["path"] for s in topo["sources"]] == [f"{SF}/customer.parquet"]
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The corpus (100 TB side) must never shuffle for the gram probe:
+    the benchmark posting list is broadcast, and the only exchange is
+    the shared-gram count aggregation."""
+    out = pipe(
+        ["decontaminate",
+         ["stream", ["parquet", f"{SF}/documents.parquet"], {"key": "doc_id"}],
+         ["where", ["stream", ["parquet", f"{SF}/documents.parquet"],
+                    {"key": "doc_id"}], "doc_id % 41 = 0"],
+         {"n": 3, "min_shared": 2}],
+        spark=spark,
+    )
+    p = plan(out.df, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p  # map-side combine before the one exchange
