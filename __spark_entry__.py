@@ -1300,6 +1300,37 @@ FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_pack_chunks(spark, sf):
+    """Concat-and-chunk sequence packing over doc_id order: each doc's
+    training-chunk index and in-chunk offset at a 2048-token budget,
+    via the two-level parallel prefix sum (buckets of 64 docs)."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["token-count", {"col": "text"}],
+        ["pack-chunks", {"tokens": "n_tokens_ws", "order": "doc_id",
+                         "budget": 2048, "bucket_size": 64}],
+        ["select", {"doc_id": "doc_id", "n_tokens_ws": "n_tokens_ws",
+                    "chunk": "chunk", "offset": "offset"}],
+        spark=spark,
+    ).df
+
+
+_PACK_CHUNKS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+  FROM documents),
+s AS (
+  SELECT doc_id, n,
+    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM t)
+SELECT doc_id, n AS n_tokens_ws,
+       CAST(start // 2048 AS BIGINT) AS chunk,
+       CAST(start % 2048 AS BIGINT) AS offset
+FROM s"""
+
+
 def _q_decontaminate(spark, sf):
     """Benchmark decontamination: corpus docs sharing >= 2 distinct word
     3-grams with the pseudo-benchmark subset (doc_id % 41 = 0). The pair
@@ -1612,6 +1643,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     # --- new in r05 ---
     "kmeans_assign": (_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
+    "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
     # --- never driver-recorded through r02: record these in r03 ---
     "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),

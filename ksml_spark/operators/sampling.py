@@ -158,3 +158,71 @@ def op_sample_hash(ctx: Ctx, rel: Rel, *rest) -> Rel:
             expr = F.when(F.col(by) == F.lit(g), F.lit(cut(f))).otherwise(expr)
         keep = bucket < expr
     return rel.with_df(rel.df.filter(keep))
+
+
+@defop("pack-chunks")
+def op_pack_chunks(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Sequence packing (concat-and-chunk): lay every document out on one
+    global token tape in a deterministic order and cut it into
+    fixed-``budget`` training chunks — the standard pretraining batch
+    layout (documents concatenated, split at context-length boundaries).
+
+        ["pack-chunks", rel, {"tokens": "n_tokens_ws", "order": "doc_id",
+                              "budget": 4096, "bucket_size": 4096,
+                              "id": "doc_id"}]
+        -> input columns + (chunk, offset): the chunk index containing
+           the document's first token and its offset inside that chunk
+           (start = global running token count before the doc;
+           chunk = start div budget, offset = start mod budget).
+
+    A single global-order window would serialize the corpus through one
+    partition, so the running sum is a two-level parallel prefix sum:
+
+    1. rows cumsum WITHIN ``bucket`` = (order) div bucket_size — a
+       partitioned window, fully parallel;
+    2. per-bucket totals prefix-summed on the BUCKET relation (K rows,
+       one per bucket — a single-partition window over kilobytes, the
+       classic carry propagation) and broadcast-joined back.
+
+    The result is identical to the global cumsum for ANY bucket_size —
+    partitioning never changes the answer, only the parallelism.
+    ``order`` must be a numeric, collision-free expression (div defines
+    the buckets); batch-only (global positions need a closed input)."""
+    from pyspark.sql import Window
+
+    opts = _opts(rest)
+    tokc = opts.get("tokens")
+    if not tokc:
+        raise ArityError("pack-chunks needs {'tokens': <token-count column>}")
+    idc = opts.get("id", "doc_id")
+    order = opts.get("order", idc)
+    budget = int(opts.get("budget", 4096))
+    bucket_size = int(opts.get("bucket_size", 4096))
+    if rel.df.isStreaming:
+        raise ArityError(
+            "pack-chunks is batch-only: chunk positions depend on the total "
+            "global order, which an unbounded stream never closes"
+        )
+
+    df = rel.df.withColumn("__bkt", (F.expr(order).cast("long") / bucket_size).cast("long"))
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.expr(order), F.col(idc))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = df.withColumn("__in_off", F.coalesce(F.sum(tokc).over(w_in), F.lit(0)))
+    totals = df.groupBy("__bkt").agg(F.sum(F.col(tokc)).alias("__tot"))
+    w_b = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__bkt", F.coalesce(F.sum("__tot").over(w_b), F.lit(0)).alias("__bkt_off")
+    )
+    out = (
+        within.join(F.broadcast(offs), "__bkt")
+        .withColumn("__start", F.col("__bkt_off") + F.col("__in_off"))
+        # integer div, not `/`: float division drifts past 2^53 total
+        # tokens, a magnitude a 100 TB corpus actually reaches
+        .withColumn("chunk", F.expr(f"__start div {budget}"))
+        .withColumn("offset", F.expr(f"__start % {budget}"))
+        .drop("__bkt", "__in_off", "__bkt_off", "__start")
+    )
+    return rel.with_df(out)

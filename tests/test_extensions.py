@@ -807,3 +807,32 @@ def test_decontaminate_anti_join_composes(spark):
     clean = ksml(["anti-join", ["stream", corpus, {"key": "doc_id"}], leaked],
                  spark=spark)
     assert [r["doc_id"] for r in clean.df.collect()] == [2]
+
+
+def test_pack_chunks_matches_global_cumsum(spark):
+    """Two-level prefix sum == the straight global cumsum, for any
+    bucket_size, including docs spanning bucket and budget boundaries."""
+    rows = [(i, 10 + (i * 7) % 13) for i in range(50)]  # varied token counts
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    want, start = {}, 0
+    for i, n in rows:
+        want[i] = (start // 16, start % 16)
+        start += n
+    for bucket_size in (1, 4, 7, 1000):
+        out = ksml(["pack-chunks", ["stream", df, {"key": "doc_id"}],
+                    {"tokens": "n", "order": "doc_id", "budget": 16,
+                     "bucket_size": bucket_size}], spark=spark)
+        got = {r["doc_id"]: (r["chunk"], r["offset"]) for r in out.df.collect()}
+        assert got == want, bucket_size
+
+
+def test_pack_chunks_big_window_is_partitioned(spark):
+    """The corpus-side cumsum window must be partitioned by bucket (the
+    only single-partition window runs on the tiny bucket relation)."""
+    df = spark.range(100).selectExpr("id as doc_id", "id % 7 as n")
+    out = ksml(["pack-chunks", ["stream", df, {"key": "doc_id"}],
+                {"tokens": "n", "order": "doc_id", "budget": 16,
+                 "bucket_size": 10}], spark=spark)
+    p = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy" not in p  # sanity: physical plans spell it differently
+    assert "__bkt" in p  # bucket column drives the partitioned window
