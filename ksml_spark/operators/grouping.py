@@ -418,8 +418,8 @@ def _session_fold_apply(
         import base64
         import pickle
 
-        out_schema = ", ".join(out_fields + ["`__seq` bigint"])
-        out_cols = key_cols + ["window_start", "window_end", "value", "__seq"]
+        out_schema = ", ".join(out_fields + ["`__seq` bigint", "`__closed` boolean"])
+        out_cols = key_cols + ["window_start", "window_end", "value", "__seq", "__closed"]
 
         def fold_stream(key, pdfs, state):
             if state.exists:
@@ -434,11 +434,32 @@ def _session_fold_apply(
             k1 = key[0] if len(key) == 1 else key
             sessions = fold_records(sessions, pdf, k1)
             seq += 1
+            # Watermark eviction — the state bound a 100 TB stream needs.
+            # A session whose end sits more than ``gap`` behind the
+            # watermark can never be touched again (older records are
+            # dropped by the watermark; newer ones can't fall within gap
+            # of it), so it is CLOSED: emit it one final time flagged
+            # __closed and drop it from state. Result-preserving — the
+            # serve layer unions closed sessions with the live snapshot.
+            # Without an upstream withWatermark the watermark stays 0 and
+            # sessions live forever (Kafka Streams' no-retention default).
+            try:
+                wm_ms = state.getCurrentWatermarkMs()
+            except Exception:  # no upstream withWatermark: keep all state
+                wm_ms = 0
+            closed = []
+            if wm_ms > 0:
+                bound = pd.Timestamp(wm_ms, unit="ms") - gap
+                closed = [s for s in sessions if s[1] < bound]
+                sessions = [s for s in sessions if not (s[1] < bound)]
             state.update((base64.b64encode(pickle.dumps(sessions)).decode(), seq))
             rows = session_rows(sessions, key)
             for r in rows:
-                r["__seq"] = seq
-            yield pd.DataFrame(rows, columns=out_cols)
+                r["__seq"], r["__closed"] = seq, False
+            final_rows = session_rows(closed, key)
+            for r in final_rows:
+                r["__seq"], r["__closed"] = seq, True
+            yield pd.DataFrame(rows + final_rows, columns=out_cols)
 
         agged = df.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
             fold_stream,

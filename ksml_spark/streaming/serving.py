@@ -71,15 +71,22 @@ class ServeHandle:
         grouping.py's session snapshot contract), minus retracted keys
         (all value columns NULL — the tombstone shape the changelog
         join emits). row_number()==1 here would drop all but one
-        arbitrary session per key."""
+        arbitrary session per key.
+
+        Rows flagged ``__closed`` (watermark-evicted sessions — see the
+        session fold's eviction contract in grouping.py) are immutable
+        finals: they appear once at their closing __seq and never again,
+        so they are kept from ANY seq and unioned with the live
+        snapshot."""
         from pyspark.sql import Window
 
         w = Window.partitionBy(*self.key_cols)
-        df = (
-            df.withColumn("__maxseq", F.max("__seq").over(w))
-            .filter("__seq = __maxseq")
-            .drop("__maxseq", "__seq")
-        )
+        df = df.withColumn("__maxseq", F.max("__seq").over(w))
+        if "__closed" in df.columns:
+            df = df.filter("__closed OR __seq = __maxseq").drop("__closed")
+        else:
+            df = df.filter("__seq = __maxseq")
+        df = df.drop("__maxseq", "__seq")
         vals = [c for c in df.columns if c not in self.key_cols]
         if vals:
             df = df.filter(" OR ".join(f"`{c}` IS NOT NULL" for c in vals))

@@ -829,3 +829,42 @@ def test_streaming_session_aggregate_matches_batch(spark, tmp_path):
         assert got == want, (got, want)
     finally:
         h.stop()
+
+
+def test_streaming_session_watermark_eviction(spark, tmp_path):
+    """With an upstream watermark, sessions more than gap behind it are
+    evicted from state via one final __closed emission; the served view
+    still contains every session (closed ∪ live snapshot)."""
+    src = _json_batch_source(spark, tmp_path, [
+        [{"key": "u", "val": "a", "event_time": "2024-01-01T00:00:00"}],
+        [{"key": "u", "val": "b", "event_time": "2024-01-01T00:01:40"}],
+        # watermark now ~t=95s; session [0,0] is > gap(10s) behind -> closed
+        [{"key": "u", "val": "c", "event_time": "2024-01-01T00:05:00"}],
+    ], schema=_SESS_SCHEMA)
+    s = ksml(["stream", src, {"key": "key", "time": "event_time"}], spark=spark)
+    s = ksml(["with-watermark", s, "5 seconds"], spark=spark)
+    out = ksml(
+        ["aggregate",
+         ["windowed-by", ["group-by-key", s], ["session-window", 10000]],
+         ["initializer", lambda: ""],
+         ["aggregator", lambda k, v, acc: v if acc == "" else acc + "+" + v],
+         ["merger", lambda k, a1, a2: a1 + "|" + a2],
+         {"value-type": "string"}],
+        spark=spark,
+    )
+    h = ksml(["serve", out, {"name": "sess_evict_serve"}], spark=spark)
+    try:
+        got = {(r["window_start"].second + 60 * r["window_start"].minute): r["value"]
+               for r in h.lookup("u")}
+        assert got == {0: "a", 100: "b", 300: "c"}, got
+        # raw sink evidence: [0,0] was emitted __closed in the 3rd batch
+        # and is absent from the live snapshot of that seq
+        raw = spark.table("sess_evict_serve")
+        closed = [(r["window_start"].second, r["__seq"]) for r in
+                  raw.filter("__closed").collect()]
+        assert closed == [(0, 3)], closed
+        live3 = {r["window_start"].minute * 60 + r["window_start"].second
+                 for r in raw.filter("__seq = 3 AND NOT __closed").collect()}
+        assert live3 == {100, 300}, live3
+    finally:
+        h.stop()
