@@ -111,6 +111,24 @@ def _stream_bench(spark, sf_dir: str) -> dict:
             out = stream_table_join(ls, rt, "inner")
             return run_noop(out.df, ckpt, t0), 2 * n
 
+        def session_fold(ckpt):
+            # opaque per-key session fold (applyInPandasWithState) with
+            # watermark eviction — the custom-merger stateful path
+            t0 = time.time()
+            s = ksml(["stream", file_stream_source(spark, lp),
+                      {"key": "user_id", "time": "ts"}], spark=spark)
+            s = ksml(["with-watermark", s, "1 hour"], spark=spark)
+            out = ksml(
+                ["aggregate",
+                 ["windowed-by", ["group-by-key", s], ["session-window", 3600000]],
+                 ["initializer", lambda: 0.0],
+                 ["aggregator", lambda k, v, acc: acc + (v or 0.0)],
+                 ["merger", lambda k, a, b: a + b],
+                 {"value-type": "double"}],
+                spark=spark,
+            )
+            return run_noop(out.df, ckpt, t0), n
+
         benches = {
             "kafka_pipeline": kafka_pipeline,
             "changelog_join": cl_join,
@@ -118,6 +136,7 @@ def _stream_bench(spark, sf_dir: str) -> dict:
             "changelog_join_hot_loop": lambda ckpt: cl_join(
                 ckpt, small_group=1 << 62, paths=(hlp, hrp)),
             "stream_table_join": st_join,
+            "session_fold": session_fold,
         }
         passes = int(os.environ.get("BENCH_STREAM_PASSES", "2"))
         for name, fn in benches.items():
