@@ -834,5 +834,12 @@ def test_pack_chunks_big_window_is_partitioned(spark):
                 {"tokens": "n", "order": "doc_id", "budget": 16,
                  "bucket_size": 10}], spark=spark)
     p = out.df._jdf.queryExecution().executedPlan().toString()
-    assert "partitionBy" not in p  # sanity: physical plans spell it differently
-    assert "__bkt" in p  # bucket column drives the partitioned window
+    big, carry = None, None
+    for ln in p.splitlines():
+        if "sum(n#" in ln and "windowspecdefinition" in ln:
+            big = ln
+        if "sum(__tot" in ln and "windowspecdefinition" in ln:
+            carry = ln
+    assert big is not None and "__bkt" in big.split("windowspecdefinition")[1][:20]
+    # the only unpartitioned (single-node) window is the tiny carry one
+    assert carry is not None and "ASC" in carry.split("windowspecdefinition")[1][:40]
