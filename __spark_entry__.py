@@ -1024,7 +1024,7 @@ def _q_jaccard_prefix(spark, sf):
 _JACCARD_PAIRS_ORACLE = """
 WITH d AS (SELECT doc_id, lang, n_chars // 100 AS nb,
            list_distinct(list_transform(string_split(text, ' '),
-             x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS t FROM documents),
+             x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS t FROM documents),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.t, b.t)) AS c, len(a.t) + len(b.t) AS n
@@ -1090,7 +1090,7 @@ def _q_dup_clusters(spark, sf):
 _DUP_CLUSTERS_ORACLE = """
 WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars // 100 AS nb,
            list_distinct(list_transform(string_split(text, ' '),
-             x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS t FROM documents),
+             x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS t FROM documents),
 p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.t, b.t)) AS c, len(a.t) + len(b.t) AS n
@@ -1351,7 +1351,7 @@ g AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
         ELSE [array_to_string(w[i:i+2], ' ')
               for i in generate_series(1, greatest(len(w) - 2, 1))] END) AS gram
       FROM w),
-gh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS g FROM g),
+gh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g FROM g),
 b AS (SELECT doc_id AS bench_id, g FROM gh WHERE doc_id % 41 = 0)
 SELECT c.doc_id AS corpus_id, b.bench_id, count(*) AS n_shared
 FROM gh c JOIN b USING (g)

@@ -192,6 +192,8 @@ def main() -> None:
                 print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
                 dt = float("nan")
             prev = per_query.get(name)
+            if dt != dt and prev is not None and prev == prev:
+                continue  # a failed later pass must not clobber a real time
             per_query[name] = round(min(dt, prev) if prev is not None and prev == prev else dt, 3)
     total = sum(v for v in per_query.values() if v == v)
 
@@ -208,7 +210,14 @@ def main() -> None:
     # line uses compact separators, and if it still exceeds the budget the
     # per-query map degrades (fewer decimals, then slowest-N only) before
     # ever dropping "value".
+    # NaN (a failed query) is not valid JSON — json.dumps would emit the
+    # bare token `NaN` and strict parsers reject the whole line; encode
+    # failures as null instead.
+    per_query = {k: (v if v == v else None) for k, v in per_query.items()}
     if streaming:
+        for v in streaming.values():
+            if isinstance(v, dict) and v.get("seconds") != v.get("seconds"):
+                v["seconds"] = None
         print(json.dumps({"streaming": streaming}, separators=(",", ":")))
 
     def metric_line(queries: dict) -> str:
@@ -220,13 +229,18 @@ def main() -> None:
             "sf": sf,
         }, separators=(",", ":"))
 
+    def rounded(nd: int) -> dict:
+        return {k: (round(v, nd) if v is not None else None)
+                for k, v in per_query.items()}
+
     budget = 1900
     line = metric_line(per_query)
     if len(line) > budget:
-        line = metric_line({k: round(v, 2) for k, v in per_query.items()})
+        line = metric_line(rounded(2))
     if len(line) > budget:
-        slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:40])
-        line = metric_line({k: round(v, 2) for k, v in slowest.items()})
+        slowest = dict(sorted(rounded(2).items(),
+                              key=lambda kv: -(kv[1] or 0.0))[:40])
+        line = metric_line(slowest)
     print(line)
 
 

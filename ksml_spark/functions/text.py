@@ -416,9 +416,13 @@ def op_ngrams(ctx: Ctx, rel: Rel, *rest) -> Rel:
 
 
 def _gram_ids(col: Column, n: int) -> Column:
-    """Distinct word n-grams of ``col`` hashed to engine-portable longs
-    (md5 first-8-hex slice — the same construction DuckDB reproduces as
-    ('0x' || substr(md5(g), 1, 8))::BIGINT, see sampling.py)."""
+    """Distinct word n-grams of ``col`` hashed to engine-portable 60-bit
+    longs (md5_long_col; DuckDB: ('0x' || substr(md5(g), 1, 15))::BIGINT).
+    60 bits matters here: decontaminate's default min_shared=1 means a
+    single colliding gram creates a false contamination pair, and a
+    32-bit space takes real birthday collisions at 1e9+ distinct grams."""
+    from ..operators.util import md5_long_col
+
     w = words(col)
     grams = F.when(F.size(w) < n, F.array()).otherwise(
         F.transform(
@@ -426,9 +430,7 @@ def _gram_ids(col: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(w, i, n)),
         )
     )
-    return F.array_distinct(
-        F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
-    )
+    return F.array_distinct(F.transform(grams, lambda g: md5_long_col(g)))
 
 
 @defop("decontaminate")

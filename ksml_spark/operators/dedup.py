@@ -263,23 +263,25 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     use the plain plan interactively, prefix at corpus scale.
 
     The default {"prefix": "auto"} makes that call automatically: the
-    estimated index size (exact doc count x sampled mean tokens/doc)
-    crossing {"auto_threshold": 50_000_000} postings selects the prefix
-    plan; True/False stay as explicit overrides."""
+    estimated index size (Catalyst plan stats x one LIMIT-sampled mean
+    tokens/doc — no full pass at plan-build time) crossing
+    {"auto_threshold": 50_000_000} postings selects the prefix plan;
+    True/False stay as explicit overrides."""
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     block = opts.get("block")
     thr = float(opts.get("threshold", 0.5))
     col = opts.get("col", "text")
     blocks = [block] if isinstance(block, str) else list(block or [])
-    # tokens are hashed to 32-bit ints (engine-portable md5 slice) up
-    # front: join/agg work on longs is far cheaper than on strings, and
-    # the hash runs once per doc occurrence, not per pair
+    # tokens are hashed to 60-bit longs (engine-portable md5 slice, see
+    # md5_long_col) up front: join/agg work on longs is far cheaper than
+    # on strings, the hash runs once per doc occurrence (not per pair),
+    # and 60 bits keeps birthday collisions negligible at corpus-scale
+    # vocabularies where a 32-bit slice would merge unrelated tokens
+    from .util import md5_long_col
+
     tok_ids = F.array_distinct(
-        F.transform(
-            tokens_col(F.col(col)),
-            lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
-        )
+        F.transform(tokens_col(F.col(col)), lambda x: md5_long_col(x))
     )
     toks = rel.df.select(
         F.col(idc),
@@ -289,19 +291,21 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     toks = toks.withColumn("__n", F.size(F.col("__t")))
 
     # Plan choice: {"prefix": True/False} is an explicit override; the
-    # default "auto" estimates the token-index size (exact doc count — a
-    # metadata-only parquet aggregate — x sampled mean distinct tokens
-    # per doc) and switches to the prefix-filtered plan once the index
-    # crosses ``auto_threshold`` postings (default 50M — the regime where
-    # the df pass + verify join amortize; measured slower below it, see
-    # the docstring's sf0.1 numbers). Streaming rels can't count, so
-    # auto resolves to the plain plan there.
+    # default "auto" estimates the token-index size and switches to the
+    # prefix-filtered plan once it crosses ``auto_threshold`` postings
+    # (default 50M — the regime where the df pass + verify join
+    # amortize; measured slower below it, see the docstring's sf0.1
+    # numbers). The estimate costs one LIMIT-sample job (a single input
+    # split), never a full pass: row count comes from Catalyst plan
+    # statistics, not count() — plan construction must not silently scan
+    # a corpus. Streaming rels can't sample, so auto resolves to the
+    # plain plan there.
     if thr > 0:
         prefix_opt = opts.get("prefix", "auto")
         if prefix_opt == "auto":
             use_prefix = (
                 not rel.df.isStreaming
-                and _estimated_postings(toks)
+                and _estimated_postings(rel.df, F.col(col), tok_ids)
                 >= int(opts.get("auto_threshold", 50_000_000))
             )
         else:
@@ -368,17 +372,41 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
 
 
-def _estimated_postings(toks: DataFrame, sample: int = 2048) -> float:
+def _estimated_postings(df: DataFrame, text_col, tok_ids, sample: int = 2048) -> float:
     """Estimated inverted-index size (total postings = sum of per-doc
-    distinct tokens) without tokenizing the corpus: exact doc count
-    (columnless — parquet answers it from footer metadata) x mean __n
-    over a ``sample``-doc prefix. Two sub-second jobs; the decision they
-    feed only matters when the real work is minutes."""
-    n_docs = toks.count()
-    if n_docs == 0:
+    distinct tokens) WITHOUT a full pass over the corpus — this runs at
+    plan-construction time, where silently executing a count() over an
+    arbitrary upstream pipeline would mean minutes of surprise cluster
+    work per ksml() call. Inputs: one LIMIT-``sample`` job over a single
+    input split (mean tokens/doc + mean row bytes), combined with
+    Catalyst's plan statistics (rowCount when available, else
+    sizeInBytes / mean row bytes). File-source sizeInBytes is compressed
+    bytes, so the row estimate can undershoot by the compression ratio
+    (~3x) — order-of-magnitude accuracy, which is all a 50M-postings
+    threshold needs; {"prefix": True/False} overrides when it matters."""
+    s = (
+        df.select(
+            F.octet_length(text_col).alias("__b"),
+            F.size(tok_ids).alias("__n"),
+        )
+        .limit(sample)
+        .agg(F.avg("__b").alias("b"), F.avg("__n").alias("n"),
+             F.count(F.lit(1)).alias("c"))
+        .first()
+    )
+    if not s["c"]:
         return 0.0
-    mean_n = toks.select("__n").limit(sample).agg(F.avg("__n")).first()[0]
-    return float(n_docs) * float(mean_n or 0.0)
+    mean_n = float(s["n"] or 0.0)
+    if s["c"] < sample:  # the whole input fit in the sample: exact enough
+        return float(s["c"]) * mean_n
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        rows_est = float(str(rc.get()))
+    else:
+        mean_b = float(s["b"] or 1.0)
+        rows_est = float(str(stats.sizeInBytes())) / max(mean_b, 1.0)
+    return max(rows_est, float(s["c"])) * mean_n
 
 
 def _jaccard_prefix(toks: DataFrame, idc: str, blocks: list, thr: float) -> KStreamRel:

@@ -420,6 +420,11 @@ def _session_fold_apply(
 
         out_schema = ", ".join(out_fields + ["`__seq` bigint", "`__closed` boolean"])
         out_cols = key_cols + ["window_start", "window_end", "value", "__seq", "__closed"]
+        # Event-time timers only exist when the input carries a watermark
+        # (Spark rejects EventTimeTimeout without one); without a
+        # watermark there is no eviction signal anyway, so NoTimeout.
+        has_wm = "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+        gap_ms = int(gap / pd.Timedelta("1ms"))
 
         def fold_stream(key, pdfs, state):
             if state.exists:
@@ -429,10 +434,15 @@ def _session_fold_apply(
                 sessions = pickle.loads(base64.b64decode(blob))
             else:
                 sessions, seq = [], 0
-            pdf = pd.concat(list(pdfs), ignore_index=True)
-            pdf = pdf.sort_values(arrival or time_col, kind="stable")
-            k1 = key[0] if len(key) == 1 else key
-            sessions = fold_records(sessions, pdf, k1)
+            # pdfs is empty on a timer-only invocation (state.hasTimedOut):
+            # the key got no new data but the watermark advanced past its
+            # oldest session — fall through to eviction with no fold.
+            chunks = [p for p in pdfs if len(p)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True)
+                pdf = pdf.sort_values(arrival or time_col, kind="stable")
+                k1 = key[0] if len(key) == 1 else key
+                sessions = fold_records(sessions, pdf, k1)
             seq += 1
             # Watermark eviction — the state bound a 100 TB stream needs.
             # A session whose end sits more than ``gap`` behind the
@@ -452,7 +462,19 @@ def _session_fold_apply(
                 bound = pd.Timestamp(wm_ms, unit="ms") - gap
                 closed = [s for s in sessions if s[1] < bound]
                 sessions = [s for s in sessions if not (s[1] < bound)]
+            # The cursor (empty list + seq) is kept, never state.remove()d:
+            # serve's latest-emission dedup needs __seq monotone per key
+            # across the key's whole lifetime, and a removed-then-reborn
+            # key would restart at 1 and lose to its own older snapshot.
+            # Residual cost: O(bytes) per dormant key — the sessions
+            # themselves (the unbounded part) are gone.
             state.update((base64.b64encode(pickle.dumps(sessions)).decode(), seq))
+            if has_wm and sessions:
+                # arm a timer for the moment the watermark closes the
+                # oldest live session, so eviction fires even if the key
+                # never receives another record (dormant-key bound)
+                min_end_ms = min(s[1] for s in sessions).value // 1_000_000
+                state.setTimeoutTimestamp(min_end_ms + gap_ms + 1)
             rows = session_rows(sessions, key)
             for r in rows:
                 r["__seq"], r["__closed"] = seq, False
@@ -466,7 +488,7 @@ def _session_fold_apply(
             outputStructType=out_schema,
             stateStructType="sessions string, seq bigint",
             outputMode="update",
-            timeoutConf="NoTimeout",
+            timeoutConf="EventTimeTimeout" if has_wm else "NoTimeout",
         )
         # key_cols = the GROUP key (not window_start): each emission is the
         # key's full session snapshot, so latest-emission-per-key dedup

@@ -187,7 +187,17 @@ def op_pack_chunks(ctx: Ctx, rel: Rel, *rest) -> Rel:
     The result is identical to the global cumsum for ANY bucket_size —
     partitioning never changes the answer, only the parallelism.
     ``order`` must be a numeric, collision-free expression (div defines
-    the buckets); batch-only (global positions need a closed input)."""
+    the buckets); batch-only (global positions need a closed input).
+
+    Cost shape: the input lineage is traversed twice — once for the
+    within-bucket cumsum, once for the per-bucket totals. The totals
+    branch is column-pruned to (order, tokens) by Catalyst, so when the
+    token count is a STORED column (the steady-state layout — real
+    pipelines materialize token counts once) the second pass is a
+    narrow metadata-light scan. When tokens are computed on the fly
+    (e.g. token-count immediately upstream) the tokenize expression runs
+    twice; pass {"persist": true} to cache the input (MEMORY_AND_DISK)
+    across both branches instead."""
     from pyspark.sql import Window
 
     opts = _opts(rest)
@@ -205,6 +215,8 @@ def op_pack_chunks(ctx: Ctx, rel: Rel, *rest) -> Rel:
         )
 
     df = rel.df.withColumn("__bkt", (F.expr(order).cast("long") / bucket_size).cast("long"))
+    if opts.get("persist"):
+        df = df.persist()
     w_in = (
         Window.partitionBy("__bkt")
         .orderBy(F.expr(order), F.col(idc))

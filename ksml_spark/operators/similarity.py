@@ -389,6 +389,13 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     cents = prepared.filter(F.expr(init)).select(
         F.col(idc).alias("__cid"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
     )
+    # fail loudly, not with a silently-empty assignment: a centroid
+    # filter matching zero rows means every vector would be dropped by
+    # the crossJoin (one limit-1 probe; stops at the first hit)
+    if cents.isEmpty():
+        raise ArityError(
+            f"kmeans-assign: centroids filter {init!r} matched no rows"
+        )
     csim = dot_col(F.col("__v"), F.col("__cv"), dim) / (F.col("__n") * F.col("__cn"))
     assigned = (
         _spread(prepared).crossJoin(F.broadcast(cents))
@@ -441,6 +448,10 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         raise ArityError("kmeans-centroids is batch-only")
 
     prepared = _prepared(rel, idc, vecc, dim)
+    if prepared.filter(F.expr(init)).isEmpty():
+        raise ArityError(
+            f"kmeans-centroids: init filter {init!r} matched no rows"
+        )
     vecs = _spread(prepared).localCheckpoint()
     cents = (
         prepared.filter(F.expr(init))

@@ -80,3 +80,21 @@ def spread(df: DataFrame) -> DataFrame:
     if 0 < nfiles < nparts:
         return df.repartition(nparts)
     return df
+
+
+def md5_long_col(col, hex_chars: int = 15):
+    """Engine-portable long hash: the first ``hex_chars`` hex digits of
+    md5(col) as a non-negative BIGINT. DuckDB reproduces it exactly as
+    ``('0x' || substr(md5(x), 1, hex_chars))::BIGINT``, so oracles stay
+    hash-exact.
+
+    Default 15 hex digits = 60 bits — the widest md5 slice that stays
+    positive in a signed 64-bit long; at corpus scale (1e9+ distinct
+    values) 32-bit slices take birthday collisions that merge unrelated
+    identities. Pass 8 (32 bits) ONLY where a fixed 2^32 cutoff domain
+    is the point (hash-split / sample-hash fraction thresholds) or where
+    a 32-bit lane is the published construction (minhash, simhash
+    halves) — never for join/identity hashing."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")

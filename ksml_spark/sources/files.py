@@ -51,13 +51,16 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     LTZ under the UTC session timezone preserves wall-clock values exactly
     (bit-identical to DuckDB's naive reading).
 
-    Both confs are save/restored around the (eager) schema-inference read —
-    the 4.1.2 reader ignores a per-read ``inferTimestampNTZ`` option, and a
-    permanent ``spark.conf.set`` would silently change NTZ inference for
-    user code outside this framework. ``nanosAsLong`` must stay pinned for
-    the DataFrame's lifetime though: the scan re-reads it at execution, so
-    restoring it would crash later actions on nano files — we only restore
-    it when this call was the one to flip it."""
+    ``inferTimestampNTZ`` is save/restored around the (eager)
+    schema-inference read — the 4.1.2 reader ignores a per-read option,
+    and a permanent ``spark.conf.set`` would silently change NTZ
+    inference for user code outside this framework. ``nanosAsLong`` is
+    NOT restored, deliberately: the parquet scan re-reads it at
+    execution time (action time, not read_parquet time), so restoring it
+    here would crash every later action on the returned DataFrame. The
+    conf is only ever flipped when the file actually has nano columns,
+    and its effect on outside code is to read TIMESTAMP(NANOS) columns
+    as BIGINT instead of erroring (PARQUET_TYPE_ILLEGAL)."""
     conf = spark.conf
     ntz_prev = conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
     nanos = _nano_timestamp_cols(path)

@@ -857,14 +857,54 @@ def test_streaming_session_watermark_eviction(spark, tmp_path):
         got = {(r["window_start"].second + 60 * r["window_start"].minute): r["value"]
                for r in h.lookup("u")}
         assert got == {0: "a", 100: "b", 300: "c"}, got
-        # raw sink evidence: [0,0] was emitted __closed in the 3rd batch
-        # and is absent from the live snapshot of that seq
+        # raw sink evidence: [0,0] closes in the 3rd (data) batch; the
+        # armed event-time timer then closes [100,100] in a 4th
+        # timer-only batch once the watermark (295s) passes 100s+gap
         raw = spark.table("sess_evict_serve")
         closed = [(r["window_start"].second, r["__seq"]) for r in
-                  raw.filter("__closed").collect()]
-        assert closed == [(0, 3)], closed
+                  raw.filter("__closed").orderBy("__seq").collect()]
+        assert closed == [(0, 3), (40, 4)], closed
         live3 = {r["window_start"].minute * 60 + r["window_start"].second
                  for r in raw.filter("__seq = 3 AND NOT __closed").collect()}
         assert live3 == {100, 300}, live3
+        live4 = {r["window_start"].minute * 60 + r["window_start"].second
+                 for r in raw.filter("__seq = 4 AND NOT __closed").collect()}
+        assert live4 == {300}, live4
+    finally:
+        h.stop()
+
+
+def test_streaming_session_dormant_key_timer_eviction(spark, tmp_path):
+    """A key that stops receiving data must still be evicted when the
+    watermark passes its sessions (event-time timer invocation) — with
+    NoTimeout, dormant keys' state would grow forever."""
+    src = _json_batch_source(spark, tmp_path, [
+        [{"key": "w", "val": "x", "event_time": "2024-01-01T00:00:00"},
+         {"key": "u", "val": "a", "event_time": "2024-01-01T00:03:20"}],
+        # only u gets data; w must be closed by its timer as the
+        # watermark (195s) passes w's session end (0s) + gap (10s)
+        [{"key": "u", "val": "b", "event_time": "2024-01-01T00:06:40"}],
+    ], schema=_SESS_SCHEMA)
+    s = ksml(["stream", src, {"key": "key", "time": "event_time"}], spark=spark)
+    s = ksml(["with-watermark", s, "5 seconds"], spark=spark)
+    out = ksml(
+        ["aggregate",
+         ["windowed-by", ["group-by-key", s], ["session-window", 10000]],
+         ["initializer", lambda: ""],
+         ["aggregator", lambda k, v, acc: v if acc == "" else acc + "+" + v],
+         ["merger", lambda k, a1, a2: a1 + "|" + a2],
+         {"value-type": "string"}],
+        spark=spark,
+    )
+    h = ksml(["serve", out, {"name": "sess_timer_serve"}], spark=spark)
+    try:
+        # w was closed via a timer-only invocation (no w data in batch 2)
+        raw = spark.table("sess_timer_serve")
+        w_closed = [(r["value"], r["__seq"]) for r in
+                    raw.filter("key = 'w' AND __closed").collect()]
+        assert w_closed == [("x", 2)], w_closed
+        # and the serve view still returns w's session plus u's sessions
+        assert {r["value"] for r in h.lookup("w")} == {"x"}
+        assert {r["value"] for r in h.lookup("u")} == {"a", "b"}
     finally:
         h.stop()
