@@ -161,3 +161,33 @@ def test_lexi_best_matches_ord_ge_fold():
         assert got == best_i, (tuples, got, best_i)
 
     check()
+
+
+def test_md5_long_col_three_engine_parity(spark):
+    """The shared identity hash (operators/util.md5_long_col) must agree
+    bit-for-bit across Spark, Python hashlib, and DuckDB — it is the
+    contract every hash-joined oracle relies on. Covers ascii, unicode,
+    empties, whitespace, and long strings at both widths (60-bit
+    identity default, 32-bit cutoff lanes)."""
+    import hashlib
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from ksml_spark.operators.util import md5_long_col
+
+    vals = ["", "a", "hello world", "naïve café", "日本語テキスト", " ",
+            "\t tab", "x" * 4096, "0", "NULL", "None", "a|b|c",
+            "line\nbreak", "quote'quote", 'double"quote']
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    for hexn in (15, 8):
+        got = {r["s"]: r["h"] for r in
+               df.select("s", md5_long_col(F.col("s"), hexn).alias("h")).collect()}
+        py = {v: int(hashlib.md5(v.encode()).hexdigest()[:hexn], 16) for v in vals}
+        assert got == py, hexn
+        con = duckdb.connect()
+        for v in vals:
+            duck = con.sql(
+                "SELECT ('0x' || substr(md5(?), 1, ?))::BIGINT", params=[v, hexn]
+            ).fetchone()[0]
+            assert duck == py[v], (v, hexn)
