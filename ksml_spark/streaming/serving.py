@@ -30,7 +30,9 @@ Storage backends:
   (operators/sinks.py bucketed sink layout), and ``lookup()`` prunes the
   scan to a single bucket (SelectedBucketsCount: 1 in the plan) — the
   Spark analog of routing a lookup to the one instance hosting the key.
-  Streaming rels refresh the table per trigger via foreachBatch.
+  Streaming rels refresh the table per trigger via foreachBatch; in
+  update mode the emission log is compacted to its current truth every
+  ``compact_every`` batches, so the table stays O(current state).
 """
 
 from __future__ import annotations
@@ -63,6 +65,24 @@ class ServeHandle:
             df = self._latest(df)
         return df
 
+    @staticmethod
+    def current_rows(df: DataFrame, key_cols) -> DataFrame:
+        """Rows constituting the current truth of an update-mode log:
+        every ``__closed`` row (immutable finals — watermark-evicted
+        sessions, see grouping.py) plus all rows carrying the max
+        ``__seq`` per key. Markers are KEPT — ``_latest`` drops them for
+        reads; table compaction persists them so later reads still
+        dedup correctly."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols)
+        df = df.withColumn("__maxseq", F.max("__seq").over(w))
+        if "__closed" in df.columns:
+            df = df.filter("__closed OR __seq = __maxseq")
+        else:
+            df = df.filter("__seq = __maxseq")
+        return df.drop("__maxseq")
+
     def _latest(self, df: DataFrame) -> DataFrame:
         """An update-mode sink holds every emission; the current table
         state is ALL rows carrying the max __seq per key (one emission
@@ -78,15 +98,9 @@ class ServeHandle:
         finals: they appear once at their closing __seq and never again,
         so they are kept from ANY seq and unioned with the live
         snapshot."""
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*self.key_cols)
-        df = df.withColumn("__maxseq", F.max("__seq").over(w))
+        df = self.current_rows(df, self.key_cols).drop("__seq")
         if "__closed" in df.columns:
-            df = df.filter("__closed OR __seq = __maxseq").drop("__closed")
-        else:
-            df = df.filter("__seq = __maxseq")
-        df = df.drop("__maxseq", "__seq")
+            df = df.drop("__closed")
         vals = [c for c in df.columns if c not in self.key_cols]
         if vals:
             df = df.filter(" OR ".join(f"`{c}` IS NOT NULL" for c in vals))
@@ -206,8 +220,13 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
     if storage == "table":
         # beyond-driver-memory: refresh a bucketed catalog table per
         # trigger. Complete mode overwrites the snapshot; update mode
-        # appends emissions and the handle dedups by __seq at read.
+        # appends emissions and the handle dedups by __seq at read —
+        # with periodic COMPACTION (every ``compact_every`` batches the
+        # accumulated log is deduped to its current truth and
+        # bucketed-overwritten), so the table stays O(current state),
+        # not O(all emissions ever).
         append_mode = mode == "update"
+        compact_every = int(opts.get("compact_every", 32))
 
         def write_batch(bdf: DataFrame, batch_id: int) -> None:
             if append_mode:
@@ -215,10 +234,19 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
                     exists = bdf.sparkSession.catalog.tableExists(name)
                 except Exception:
                     exists = False
-                if exists:
-                    bdf.write.mode("append").format("parquet").insertInto(name)
-                else:
+                if not exists:
                     _bucketed_write(bdf, name, key_cols, buckets)
+                elif compact_every > 0 and batch_id % compact_every == compact_every - 1:
+                    merged = bdf.sparkSession.table(name).unionByName(bdf)
+                    # materialize BEFORE overwrite — the source table is
+                    # the one being rewritten (serving state is O(keys),
+                    # so the checkpoint is small by construction)
+                    compacted = ServeHandle.current_rows(
+                        merged, key_cols
+                    ).localCheckpoint()
+                    _bucketed_write(compacted, name, key_cols, buckets)
+                else:
+                    bdf.write.mode("append").format("parquet").insertInto(name)
             else:
                 _bucketed_write(bdf, name, key_cols, buckets)
 

@@ -207,3 +207,58 @@ def test_serve_accepts_bare_string_key_option(spark, tables):
     probe = tables["events"].first()
     got = h.lookup(probe["event_id"])
     assert len(got) == 1 and got[0]["user_id"] == probe["user_id"]
+
+
+def test_serve_table_update_mode_compaction(spark, tmp_path):
+    """update-mode table storage compacts the emission log to its
+    current truth every compact_every batches: the physical table stays
+    O(current state) while lookups return the same answer."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    sdir = str(tmp_path / "src_compact")
+    os.makedirs(sdir)
+    batches = [
+        [{"side": "l", "key": "a", "lval": 1, "event_time": "2024-01-01T00:00:01"},
+         {"side": "r", "key": "a", "rname": "x0", "event_time": "2024-01-01T00:00:01"}],
+        [{"side": "r", "key": "a", "rname": "x1", "event_time": "2024-01-01T00:00:05"}],
+        [{"side": "l", "key": "a", "lval": 2, "event_time": "2024-01-01T00:00:09"},
+         {"side": "r", "key": "b", "rname": "y", "event_time": "2024-01-01T00:00:09"},
+         {"side": "l", "key": "b", "lval": 7, "event_time": "2024-01-01T00:00:09"}],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(sdir, f"b{i}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (i + 1, i + 1))
+    schema = ("side string, key string, lval long, rname string, "
+              "event_time timestamp")
+    src = (spark.readStream.schema(StructType.fromDDL(schema))
+           .option("maxFilesPerTrigger", 1).json(sdir))
+    out = ksml(
+        ["join",
+         ["table", src.filter("side = 'l'").drop("rname", "side"),
+          {"key": "key", "time": "event_time", "order": ["event_time"]}],
+         ["table", src.filter("side = 'r'").drop("lval", "side"),
+          {"key": "key", "time": "event_time", "order": ["event_time"]}]],
+        spark=spark,
+    )
+    h = ksml(["serve", out, {"name": "served_compact", "storage": "table",
+                             "buckets": 4, "compact_every": 2,
+                             "checkpoint": str(tmp_path / "ck_compact")}],
+             spark=spark)
+    try:
+        got = {r["key"]: r for r in h.all()}
+        assert got["a"]["lval"] == 2 and got["a"]["rname"] == "x1"
+        assert got["b"]["lval"] == 7 and got["b"]["rname"] == "y"
+        # key a emitted 3 times across batches; the batch-2 compaction
+        # (batch_id 1) folded emissions 1-2 into one row, so the
+        # physical log holds fewer rows than total emissions
+        raw_rows = spark.table("served_compact").count()
+        assert raw_rows == 3, raw_rows  # a@compaction, a@batch3, b@batch3
+    finally:
+        h.stop()
+        spark.sql("DROP TABLE IF EXISTS served_compact")
