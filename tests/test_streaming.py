@@ -908,3 +908,26 @@ def test_streaming_session_dormant_key_timer_eviction(spark, tmp_path):
         assert {r["value"] for r in h.lookup("u")} == {"a", "b"}
     finally:
         h.stop()
+
+
+def test_streaming_decontaminate_matches_batch(spark, tables, tmp_path):
+    """decontaminate over a STREAMING corpus (continuous-ingestion
+    decontamination): stream-static broadcast probe + update-mode count,
+    final state equal to the batch answer on the same data."""
+    docs = tables["documents"]
+    p = str(tmp_path / "docs_stream")
+    docs.write.parquet(p)
+    bench_form = ["where", ["stream", docs, {"key": "doc_id"}], "doc_id % 41 = 0"]
+    want = {(r["corpus_id"], r["bench_id"]): r["n_shared"] for r in ksml(
+        ["decontaminate", ["stream", docs, {"key": "doc_id"}],
+         bench_form, {"n": 3, "min_shared": 2}], spark=spark).df.collect()}
+    out = ksml(
+        ["decontaminate",
+         ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+         bench_form, {"n": 3, "min_shared": 2}],
+        spark=spark,
+    )
+    assert out.df.isStreaming
+    mem = run_to_memory(out, "decontam_stream", output_mode="update")
+    got = {(r["corpus_id"], r["bench_id"]): r["n_shared"] for r in mem.collect()}
+    assert got == want and len(got) > 0
