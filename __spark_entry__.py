@@ -1300,6 +1300,32 @@ FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_dedup_paragraphs(spark, sf):
+    """Intra-doc repeated-paragraph removal. Testdata has no natural
+    paragraph breaks, so the query plants them deterministically (full
+    text, its first-100-char prefix, then the full text AGAIN) — the
+    repeat must drop, the prefix must survive unless it equals the
+    whole text."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["select", {"doc_id": "doc_id",
+                    "text": "concat(text, '\n\n', substring(text, 1, 100),"
+                            " '\n\n', text)"}],
+        ["dedup-paragraphs", {"col": "text", "id": "doc_id"}],
+        ["select", {"doc_id": "doc_id", "text": "text"}],
+        spark=spark,
+    ).df
+
+
+_DEDUP_PARAGRAPHS_ORACLE = """
+WITH p AS (SELECT doc_id, trim(text) AS p1, trim(substr(text, 1, 100)) AS p2
+           FROM documents)
+SELECT doc_id,
+  CASE WHEN p2 = p1 OR p2 = '' THEN p1
+       ELSE p1 || chr(10) || chr(10) || p2 END AS text
+FROM p"""
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-and-chunk sequence packing over doc_id order: each doc's
     training-chunk index and in-chunk offset at a 2048-token budget,
@@ -1644,6 +1670,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "kmeans_assign": (_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
+    "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
     # --- never driver-recorded through r02: record these in r03 ---
     "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),

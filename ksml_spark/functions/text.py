@@ -488,3 +488,68 @@ def op_decontaminate(ctx: Ctx, corpus: Rel, bench: Rel, *rest) -> Rel:
         .filter(F.col("n_shared") >= min_shared)
     )
     return corpus.with_df(pairs, key_cols=("corpus_id", "bench_id"), time_col=None)
+
+
+@defop("dedup-paragraphs")
+def op_dedup_paragraphs(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Intra-document repeated-paragraph removal (the C4/Gopher cleanup
+    step: web text repeats nav/boilerplate blocks inside one page):
+
+        ["dedup-paragraphs", rel, {"col": "text", "id": "doc_id",
+                                   "sep": "\\n\\n", "min_chars": 0}]
+
+    Keeps the FIRST occurrence of each distinct paragraph (after
+    trimming) in document order, drops later repeats, empty paragraphs
+    (consecutive separators), and paragraphs shorter than ``min_chars``,
+    and rebuilds ``col`` joined with ``sep``. ``sep`` is treated as a
+    LITERAL string (regex-quoted before hitting Spark's regex split). Purely relational: posexplode paragraphs ->
+    first-occurrence rank per (doc, paragraph) -> re-assemble via
+    sort_array of (pos, paragraph) structs — two keyed shuffles on the
+    doc id, no Python. Documents with no surviving paragraph keep an
+    empty string (they are a filter decision, not this op's).
+
+    Other columns pass through untouched (carried through the
+    aggregation via first())."""
+    from pyspark.sql import Window
+
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    colc = opts.get("col", "text")
+    idc = opts.get("id", "doc_id")
+    sep = opts.get("sep", "\n\n")
+    min_chars = int(opts.get("min_chars", 0))
+    df = rel.df
+    other = [c for c in df.columns if c not in (colc,)]
+
+    paras = df.select(
+        *other,
+        F.posexplode(F.split(F.col(colc), "\\Q" + sep + "\\E", -1)).alias(
+            "__pos", "__para"
+        ),
+    ).withColumn("__para", F.trim("__para"))
+    paras = paras.filter(F.length("__para") >= F.lit(max(min_chars, 1)))
+    w = Window.partitionBy(idc, "__para").orderBy("__pos")
+    firsts = paras.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1")
+    rebuilt = (
+        firsts.groupBy(idc)
+        .agg(
+            *[F.first(c).alias(c) for c in other if c != idc],
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__pos", "__para"))),
+                    lambda s: s.getField("__para"),
+                ),
+                sep,
+            ).alias(colc),
+        )
+    )
+    # documents whose every paragraph was filtered out reappear empty
+    all_ids = df.select(*[c for c in df.columns if c != colc]).dropDuplicates([idc])
+    out = (
+        all_ids.join(rebuilt.select(idc, colc), idc, "left")
+        .withColumn(colc, F.coalesce(F.col(colc), F.lit("")))
+        .select(*df.columns)
+    )
+    return rel.with_df(out)

@@ -843,3 +843,20 @@ def test_pack_chunks_big_window_is_partitioned(spark):
     assert big is not None and "__bkt" in big.split("windowspecdefinition")[1][:20]
     # the only unpartitioned (single-node) window is the tiny carry one
     assert carry is not None and "ASC" in carry.split("windowspecdefinition")[1][:40]
+
+
+def test_dedup_paragraphs_keeps_first_occurrence_in_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "intro\n\nbody A\n\nintro\n\nbody B\n\nbody A", "en"),
+         (2, "only one paragraph", "de"),
+         (3, "x\n\n\n\nx\n\n  x  ", "en"),   # empties + whitespace variants
+         (4, "", "fr")],                      # empty doc survives as empty
+        "doc_id long, text string, lang string")
+    out = ksml(["dedup-paragraphs", ["stream", docs, {"key": "doc_id"}],
+                {"col": "text", "id": "doc_id"}], spark=spark)
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in out.df.collect()}
+    assert got[1] == ("intro\n\nbody A\n\nbody B", "en")
+    assert got[2] == ("only one paragraph", "de")
+    assert got[3] == ("x", "en")
+    assert got[4] == ("", "fr")
+    assert len(got) == 4
