@@ -183,6 +183,10 @@ class Serde:
             if not self.schema:
                 raise ValueError("json serde requires a DDL schema")
             return F.from_json(col.cast("string"), self.schema)
+        if self.name == "avro":
+            if not self.schema:
+                raise ValueError("avro serde requires an Avro JSON schema")
+            return self._avro()[0](col, self.schema)
         if self.name in self._DECODE:
             return self._DECODE[self.name](col)
         if self.deserializer is not None:
@@ -191,10 +195,26 @@ class Serde:
             return self.deserializer.fn(col)
         raise ValueError(f"unknown serde {self.name!r}")
 
+    @staticmethod
+    def _avro():
+        """(from_avro, to_avro) — Spark ships the Python wrappers always,
+        but the spark-avro JAR is an external module; a missing JAR
+        surfaces as a JVM error naming the artifact to add. Probed at
+        call time so environments without the JAR still use every other
+        serde."""
+        try:
+            from pyspark.sql.avro.functions import from_avro, to_avro
+
+            return from_avro, to_avro
+        except Exception as e:  # pragma: no cover - import always works upstream
+            raise ValueError(f"avro serde unavailable: {e}") from e
+
     def encode(self, col: Column) -> Column:
         """typed Column -> binary Kafka column."""
         if self.name == "json":
             return F.to_json(col).cast("binary")
+        if self.name == "avro":
+            return self._avro()[1](col).cast("binary")
         if self.name in self._ENCODE:
             return self._ENCODE[self.name](col)
         if self.serializer is not None:
