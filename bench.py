@@ -149,7 +149,10 @@ def _stream_bench(spark, sf_dir: str) -> dict:
                 except Exception as e:
                     print(f"stream bench error in {name}: {type(e).__name__}: {e}",
                           file=sys.stderr)
-                    best, rows = float("nan"), 0
+                    # a failed LATER pass must not clobber a real earlier
+                    # measurement (same guard as the batch loop)
+                    if best == float("inf"):
+                        best, rows = float("nan"), 0
                     break
             results[name] = {
                 "rows": rows,
@@ -238,8 +241,11 @@ def main() -> None:
     if len(line) > budget:
         line = metric_line(rounded(2))
     if len(line) > budget:
+        # failed (null) queries rank FIRST so a breakage never silently
+        # vanishes from the degraded map
         slowest = dict(sorted(rounded(2).items(),
-                              key=lambda kv: -(kv[1] or 0.0))[:40])
+                              key=lambda kv: -(float("inf") if kv[1] is None
+                                               else kv[1]))[:40])
         line = metric_line(slowest)
     print(line)
 

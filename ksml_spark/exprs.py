@@ -214,7 +214,14 @@ class Serde:
         if self.name == "json":
             return F.to_json(col).cast("binary")
         if self.name == "avro":
-            return self._avro()[1](col).cast("binary")
+            # pass the declared schema to the WRITER too: inferred writer
+            # schemas wrap nullable fields in [null, T] unions whose
+            # union-index prefix byte the plain-typed reader schema would
+            # then misparse
+            to_avro = self._avro()[1]
+            if self.schema:
+                return to_avro(col, self.schema).cast("binary")
+            return to_avro(col).cast("binary")
         if self.name in self._ENCODE:
             return self._ENCODE[self.name](col)
         if self.serializer is not None:

@@ -509,7 +509,15 @@ def op_dedup_paragraphs(ctx: Ctx, rel: Rel, *rest) -> Rel:
     empty string (they are a filter decision, not this op's).
 
     Other columns pass through untouched (carried through the
-    aggregation via first())."""
+    aggregation via first()). PRECONDITION: ``id`` is unique per row
+    (the standard documents-table contract) — duplicate ids would merge
+    their paragraph streams nondeterministically.
+
+    Cost shape: like pack-chunks, the input lineage is traversed twice
+    (dedup branch + the id-recovery join that restores documents whose
+    every paragraph was filtered); pass {"persist": true} to cache the
+    input across both branches when it is an expensive pipeline rather
+    than a stored table."""
     from pyspark.sql import Window
 
     opts = {}
@@ -521,11 +529,16 @@ def op_dedup_paragraphs(ctx: Ctx, rel: Rel, *rest) -> Rel:
     sep = opts.get("sep", "\n\n")
     min_chars = int(opts.get("min_chars", 0))
     df = rel.df
+    if opts.get("persist"):
+        df = df.persist()
     other = [c for c in df.columns if c not in (colc,)]
 
+    # literal-quote like Pattern.quote: an embedded \E would otherwise
+    # end the quote early and leak live regex
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = df.select(
         *other,
-        F.posexplode(F.split(F.col(colc), "\\Q" + sep + "\\E", -1)).alias(
+        F.posexplode(F.split(F.col(colc), quoted, -1)).alias(
             "__pos", "__para"
         ),
     ).withColumn("__para", F.trim("__para"))

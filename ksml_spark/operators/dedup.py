@@ -404,8 +404,19 @@ def _estimated_postings(df: DataFrame, text_col, tok_ids, sample: int = 2048) ->
     if rc.isDefined():
         rows_est = float(str(rc.get()))
     else:
-        mean_b = float(s["b"] or 1.0)
-        rows_est = float(str(stats.sizeInBytes())) / max(mean_b, 1.0)
+        size = float(str(stats.sizeInBytes()))
+        if size >= float(1 << 60):
+            # Catalyst reports defaultSizeInBytes (Long.MaxValue-ish) for
+            # leaves it can't size — LogicalRDD (createDataFrame,
+            # localCheckpoint outputs). Dividing that is a ~1e16-row
+            # hallucination that would force the prefix plan on tiny
+            # data; treat stats as unavailable and fall back to the
+            # sample count (=> plain plan unless overridden — the safe
+            # default, since unsized inputs are typically small/local).
+            rows_est = float(s["c"])
+        else:
+            mean_b = float(s["b"] or 1.0)
+            rows_est = size / max(mean_b, 1.0)
     return max(rows_est, float(s["c"])) * mean_n
 
 

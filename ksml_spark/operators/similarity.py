@@ -384,6 +384,12 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     init = opts.get("centroids") or opts.get("init")
     if not init:
         raise ArityError("kmeans-assign needs {'centroids': <filter expr>}")
+    if rel.df.isStreaming:
+        raise ArityError(
+            "kmeans-assign is batch-only (the empty-centroid probe and "
+            "broadcast centroid set need a closed input); for streaming, "
+            "assign against a PRE-BUILT centroid table via join-global"
+        )
 
     prepared = _prepared(rel, idc, vecc, dim)
     cents = prepared.filter(F.expr(init)).select(
@@ -448,10 +454,6 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         raise ArityError("kmeans-centroids is batch-only")
 
     prepared = _prepared(rel, idc, vecc, dim)
-    if prepared.filter(F.expr(init)).isEmpty():
-        raise ArityError(
-            f"kmeans-centroids: init filter {init!r} matched no rows"
-        )
     vecs = _spread(prepared).localCheckpoint()
     cents = (
         prepared.filter(F.expr(init))
@@ -460,6 +462,13 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                 F.lit(None).cast("bigint").alias("__cnt"))  # filled by round 1
         .localCheckpoint()
     )
+    # probe the CHECKPOINTED centroid set (no rescan): an init filter
+    # matching nothing must fail loudly, not return an empty result
+    if cents.isEmpty():
+        vecs.unpersist()
+        raise ArityError(
+            f"kmeans-centroids: init filter {init!r} matched no rows"
+        )
     csim = dot_col(F.col("__v"), F.col("__cv"), dim) / (F.col("__n") * F.col("__cn"))
     for _ in range(iters):
         assigned = (

@@ -237,14 +237,26 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
                 if not exists:
                     _bucketed_write(bdf, name, key_cols, buckets)
                 elif compact_every > 0 and batch_id % compact_every == compact_every - 1:
-                    merged = bdf.sparkSession.table(name).unionByName(bdf)
-                    # materialize BEFORE overwrite — the source table is
-                    # the one being rewritten (serving state is O(keys),
-                    # so the checkpoint is small by construction)
-                    compacted = ServeHandle.current_rows(
-                        merged, key_cols
-                    ).localCheckpoint()
-                    _bucketed_write(compacted, name, key_cols, buckets)
+                    sp = bdf.sparkSession
+                    merged = sp.table(name).unionByName(bdf)
+                    # Write the compacted truth to a TEMP table first,
+                    # then swap — an in-place overwrite deletes the old
+                    # files before writing, so a mid-write failure would
+                    # lose the only copy of the emission log (including
+                    # __closed finals that exist nowhere else). With the
+                    # swap, a crash at any point leaves either the old
+                    # table or the fully-written tmp intact. The
+                    # drop+rename pair is still two catalog ops, not one
+                    # atomic swap: a concurrent lookup in that instant
+                    # can transiently fail — single-writer serving, same
+                    # caveat as any non-transactional catalog.
+                    tmp = f"{name}__compact_tmp"
+                    _bucketed_write(
+                        ServeHandle.current_rows(merged, key_cols), tmp,
+                        key_cols, buckets,
+                    )
+                    sp.sql(f"DROP TABLE `{name}`")
+                    sp.sql(f"ALTER TABLE `{tmp}` RENAME TO `{name}`")
                 else:
                     bdf.write.mode("append").format("parquet").insertInto(name)
             else:

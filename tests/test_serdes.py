@@ -138,7 +138,9 @@ def test_avro_serde_roundtrip_or_curated_absence(spark):
               '"fields": [{"name": "v", "type": "long"}]}')
     df = spark.createDataFrame([(1,), (7,)], "v long").selectExpr(
         "struct(v) AS payload")
-    enc = Serde(name="avro")
+    # schema on BOTH sides: an inferred writer schema would wrap nullable
+    # fields in [null, T] unions the plain reader schema can't parse
+    enc = Serde(name="avro", schema=schema)
     dec = Serde(name="avro", schema=schema)
     if not _avro_jar_present(spark):
         with pytest.raises(Exception) as ei:
