@@ -931,3 +931,50 @@ def test_streaming_decontaminate_matches_batch(spark, tables, tmp_path):
     mem = run_to_memory(out, "decontam_stream", output_mode="update")
     got = {(r["corpus_id"], r["bench_id"]): r["n_shared"] for r in mem.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_session_fold_checkpoint_recovery(spark, tmp_path):
+    """Session-fold state (pickled live-session list) survives a query
+    RESTART from the checkpoint: batch 2 runs in a fresh query and must
+    extend batch 1's session rather than refold from scratch."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    sdir, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(sdir)
+
+    def add_batch(i, rows):
+        p = os.path.join(sdir, f"b{i}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (i + 1, i + 1))
+
+    captured = {}
+
+    def run():
+        src = (spark.readStream.schema(StructType.fromDDL(_SESS_SCHEMA))
+               .json(sdir))
+        out = _streaming_session_agg(spark, src)
+
+        def capture(df, batch_id):
+            for r in df.collect():
+                captured[(r["key"], r["window_start"].isoformat())] = (
+                    r["value"], r["__seq"])
+
+        q = (out.df.writeStream.foreachBatch(capture).outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    add_batch(0, [{"key": "u", "val": "a", "event_time": "2024-01-01T00:00:00"}])
+    run()
+    assert captured == {("u", "2024-01-01T00:00:00"): ("a", 1)}, captured
+    captured.clear()
+    # t=8 falls within gap of the CHECKPOINTED session [0,0]; a refold
+    # from scratch would instead produce a lone "b" session
+    add_batch(1, [{"key": "u", "val": "b", "event_time": "2024-01-01T00:00:08"}])
+    run()
+    assert captured == {("u", "2024-01-01T00:00:00"): ("a+b", 2)}, captured
