@@ -204,24 +204,32 @@ def main() -> None:
     if os.environ.get("BENCH_STREAMING", "1") != "0":
         streaming = _stream_bench(spark, sf_dir)
 
-    # The driver keeps only the LAST ~2000 chars of stdout and parses the
-    # JSON line found there: in round 4 the (correct) metric line grew past
-    # 2000 chars once the streaming section joined it, so its head scrolled
-    # out of the window and the driver recorded "parsed": null — a clean run
-    # with no number. Keep the FINAL line hard-capped: streaming numbers go
-    # on their own earlier line (and into docs/PERF_BASELINE.md), the metric
-    # line uses compact separators, and if it still exceeds the budget the
-    # per-query map degrades (fewer decimals, then slowest-N only) before
-    # ever dropping "value".
-    # NaN (a failed query) is not valid JSON — json.dumps would emit the
-    # bare token `NaN` and strict parsers reject the whole line; encode
-    # failures as null instead.
-    per_query = {k: (v if v == v else None) for k, v in per_query.items()}
+    for line in format_output_lines(total, per_query, streaming, sf):
+        print(line)
+
+
+def format_output_lines(total, per_query, streaming, sf, budget: int = 1900):
+    """The driver-facing output contract, testable in isolation.
+
+    The driver keeps only the LAST ~2000 chars of stdout and parses the
+    JSON line found there: in round 4 the (correct) metric line grew past
+    2000 chars once the streaming section joined it, so its head scrolled
+    out of the window and the driver recorded "parsed": null — a clean run
+    with no number. Keep the FINAL line hard-capped: streaming numbers go
+    on their own earlier line (and into docs/PERF_BASELINE.md), the metric
+    line uses compact separators, and if it still exceeds the budget the
+    per-query map degrades (fewer decimals, then slowest-N with failed
+    queries ranked first) before ever dropping "value". NaN (a failed
+    query) is not valid JSON — json.dumps would emit the bare token `NaN`
+    and strict parsers reject the whole line; failures encode as null."""
+    lines = []
+    per_query = {k: (v if v is not None and v == v else None)
+                 for k, v in per_query.items()}
     if streaming:
         for v in streaming.values():
             if isinstance(v, dict) and v.get("seconds") != v.get("seconds"):
                 v["seconds"] = None
-        print(json.dumps({"streaming": streaming}, separators=(",", ":")))
+        lines.append(json.dumps({"streaming": streaming}, separators=(",", ":")))
 
     def metric_line(queries: dict) -> str:
         return json.dumps({
@@ -236,7 +244,6 @@ def main() -> None:
         return {k: (round(v, nd) if v is not None else None)
                 for k, v in per_query.items()}
 
-    budget = 1900
     line = metric_line(per_query)
     if len(line) > budget:
         line = metric_line(rounded(2))
@@ -247,7 +254,8 @@ def main() -> None:
                               key=lambda kv: -(float("inf") if kv[1] is None
                                                else kv[1]))[:40])
         line = metric_line(slowest)
-    print(line)
+    lines.append(line)
+    return lines
 
 
 if __name__ == "__main__":

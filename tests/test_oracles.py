@@ -63,3 +63,30 @@ def test_no_oracle_emits_pandas_unsafe_types(con):
             if s in ("HUGEINT", "UHUGEINT") or s.startswith("DECIMAL"):
                 bad.append((name, col, s))
     assert not bad, bad
+
+
+def test_bench_output_lines_stay_driver_parseable():
+    """bench.py's final stdout line must stay a single valid-JSON line
+    under the driver's ~2000-char tail window, for any mix of many
+    queries and failures (the r04 'parsed: null' regression class)."""
+    import json as js
+
+    from bench import format_output_lines
+
+    streaming = {"a": {"rows": 10, "seconds": float("nan"), "rows_per_sec": None},
+                 "b": {"rows": 10, "seconds": 1.5, "rows_per_sec": 7}}
+    q = {f"query_name_with_some_length_{i:03d}": 12.345 for i in range(120)}
+    q["broken_query"] = float("nan")
+    lines = format_output_lines(321.123, q, streaming, 0.1)
+    assert len(lines) == 2
+    s = js.loads(lines[0])  # valid JSON despite the NaN input
+    assert s["streaming"]["a"]["seconds"] is None
+    m = js.loads(lines[1])
+    assert len(lines[1]) <= 1900
+    assert m["metric"] == "suite_seconds" and m["value"] == 321.123
+    # the failed query must survive every degradation rung
+    assert "broken_query" in m["queries"]
+    assert m["queries"]["broken_query"] is None
+    # small suites pass through un-degraded at full precision
+    m2 = js.loads(format_output_lines(1.0, {"q1": 1.234}, {}, 0.01)[-1])
+    assert m2["queries"]["q1"] == 1.234
