@@ -1300,6 +1300,38 @@ FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_expect(spark, sf):
+    """Data-contract gate over documents: one row per declared
+    constraint with its violation count. accepted(lang) and min_rows
+    deliberately FAIL at every SF so both ok states are exercised."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["expect", {"not_null": ["text", "lang"],
+                    "unique": ["doc_id"],
+                    "accepted": {"lang": ["en", "de"]},
+                    "min_rows": 1_000_000}],
+        spark=spark,
+    ).df
+
+
+_EXPECT_ORACLE = """
+WITH a AS (SELECT count(*) AS n,
+  count(*) FILTER (text IS NULL) AS nn_text,
+  count(*) FILTER (lang IS NULL) AS nn_lang,
+  count(DISTINCT doc_id) AS u_doc,
+  count(*) FILTER (lang IS NULL OR lang NOT IN ('en', 'de')) AS acc_lang
+FROM documents)
+SELECT "constraint", CAST(violations AS BIGINT) AS violations,
+       violations = 0 AS ok
+FROM (
+  SELECT 'not_null(text)' AS "constraint", nn_text AS violations FROM a
+  UNION ALL SELECT 'not_null(lang)', nn_lang FROM a
+  UNION ALL SELECT 'unique(doc_id)', n - u_doc FROM a
+  UNION ALL SELECT 'accepted(lang)', acc_lang FROM a
+  UNION ALL SELECT 'min_rows(1000000)', greatest(0, 1000000 - n) FROM a
+)"""
+
+
 def _q_dedup_paragraphs(spark, sf):
     """Intra-doc repeated-paragraph removal. Testdata has no natural
     paragraph breaks, so the query plants them deterministically (full
@@ -1671,6 +1703,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
     "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
+    "expect_contract": (_q_expect, _EXPECT_ORACLE),
     # --- never driver-recorded through r02: record these in r03 ---
     "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),

@@ -194,3 +194,84 @@ def op_as_view(ctx: Ctx, rel: Rel, name: str) -> Rel:
     rel = _as_rel(rel)
     rel.df.createOrReplaceTempView(name)
     return rel
+
+
+@defop("expect")
+def op_expect(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Data-quality constraints as a relation (the pipeline data-contract
+    gate a 100 TB ingestion job runs before writing):
+
+        ["expect", rel, {"not_null": ["text", "lang"],
+                         "unique": ["doc_id"],
+                         "accepted": {"lang": ["en", "de", "fr", "es"]},
+                         "min_rows": 1}]
+        -> (constraint string, violations bigint, ok boolean), one row
+           per declared constraint.
+
+    Constraint kinds:
+    * ``not_null``: cols — violations = NULL count per column;
+    * ``unique``: col list — violations = rows minus distinct
+      combinations (0 = the columns form a key);
+    * ``accepted``: {col: [values]} — violations = rows whose value
+      falls outside the list (NULL counts as a violation — declare the
+      column in not_null semantics separately if NULLs are legal);
+    * ``min_rows``: n — violations = shortfall below n.
+
+    One aggregation pass over the input computes every constraint
+    (conditional count_ifs + count_distinct share the single hash
+    aggregation; map-side partials, one shuffle); the per-constraint
+    rows are exploded from that single aggregate row. Compose with
+    ["where", "NOT ok"] + a foreach/serve sink for alerting, or collect
+    and raise in the driver for a hard gate. Batch-only (global counts).
+    """
+    from ..errors import ArityError
+
+    rel = _as_rel(rel)
+    opts: dict = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    if rel.df.isStreaming:
+        raise ArityError("expect is batch-only (global counts close the input)")
+    df = rel.df
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    rows = []  # (constraint label, violations Column over the agg row)
+    for c in opts.get("not_null", []) or []:
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"__nn_{c}"))
+        rows.append((f"not_null({c})", F.col(f"__nn_{c}")))
+    uniq = opts.get("unique")
+    if uniq:
+        ucols = [uniq] if isinstance(uniq, str) else list(uniq)
+        aggs.append(F.count_distinct(*[F.col(c) for c in ucols]).alias("__uniq"))
+        rows.append(("unique(" + ",".join(ucols) + ")",
+                     F.col("__rows") - F.col("__uniq")))
+    for c, vals in (opts.get("accepted") or {}).items():
+        ok = F.col(c).isin(list(vals))
+        aggs.append(F.count_if(~F.coalesce(ok, F.lit(False))).alias(f"__acc_{c}"))
+        rows.append((f"accepted({c})", F.col(f"__acc_{c}")))
+    if "min_rows" in opts:
+        n = int(opts["min_rows"])
+        rows.append((f"min_rows({n})",
+                     F.greatest(F.lit(0).cast("long"), F.lit(n) - F.col("__rows"))))
+    if not rows:
+        raise ArityError(
+            "expect needs at least one constraint: not_null / unique / "
+            "accepted / min_rows"
+        )
+    agged = df.agg(*aggs)
+    report = agged.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(label).alias("constraint"),
+                    viol.cast("long").alias("violations"),
+                )
+                for label, viol in rows
+            ])
+        ).alias("__c")
+    ).select(
+        F.col("__c.constraint").alias("constraint"),
+        F.col("__c.violations").alias("violations"),
+        (F.col("__c.violations") == 0).alias("ok"),
+    )
+    return rel.with_df(report, key_cols=("constraint",), time_col=None)

@@ -860,3 +860,25 @@ def test_dedup_paragraphs_keeps_first_occurrence_in_order(spark):
     assert got[3] == ("x", "en")
     assert got[4] == ("", "fr")
     assert len(got) == 4
+
+
+def test_expect_contract_report(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, None, "de"), (2, "c", "xx"), (4, "d", None)],
+        "doc_id long, text string, lang string")
+    out = ksml(["expect", ["stream", df, {"key": "doc_id"}],
+                {"not_null": ["text", "lang"], "unique": ["doc_id"],
+                 "accepted": {"lang": ["en", "de"]}, "min_rows": 10}],
+               spark=spark)
+    got = {r["constraint"]: (r["violations"], r["ok"]) for r in out.df.collect()}
+    assert got == {
+        "not_null(text)": (1, False),
+        "not_null(lang)": (1, False),
+        "unique(doc_id)": (1, False),     # 4 rows, 3 distinct ids
+        "accepted(lang)": (2, False),     # 'xx' and NULL
+        "min_rows(10)": (6, False),       # 4 rows, shortfall 6
+    }, got
+    clean = ksml(["expect", ["stream", df.filter("doc_id = 1"), {"key": "doc_id"}],
+                  {"not_null": ["text"], "unique": ["doc_id"], "min_rows": 1}],
+                 spark=spark)
+    assert all(r["ok"] for r in clean.df.collect())
