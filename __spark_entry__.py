@@ -1300,6 +1300,26 @@ FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
+def _q_histogram(spark, sf):
+    """Order-price distribution in 20 fixed bins of 30000 (exactly
+    representable doubles, so bin edges are bit-identical across
+    engines)."""
+    return pipe(
+        ["stream", _t(sf, "orders"), {"key": "o_orderkey"}],
+        ["histogram", {"col": "o_totalprice", "bins": 20,
+                       "min": 0, "max": 600000}],
+        spark=spark,
+    ).df
+
+
+_HISTOGRAM_ORACLE = """
+SELECT bin, 0.0 + bin * 30000.0 AS lo, 0.0 + (bin + 1) * 30000.0 AS hi,
+       count(*) AS count
+FROM (SELECT CAST(least(19, greatest(0, floor(o_totalprice / 30000.0))) AS BIGINT) AS bin
+      FROM orders WHERE o_totalprice IS NOT NULL)
+GROUP BY bin"""
+
+
 def _q_expect(spark, sf):
     """Data-contract gate over documents: one row per declared
     constraint with its violation count. accepted(lang) and min_rows
@@ -1704,6 +1724,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
     "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
     "expect_contract": (_q_expect, _EXPECT_ORACLE),
+    "histogram_prices": (_q_histogram, _HISTOGRAM_ORACLE),
     # --- never driver-recorded through r02: record these in r03 ---
     "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),

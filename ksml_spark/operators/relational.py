@@ -275,3 +275,51 @@ def op_expect(ctx: Ctx, rel: Rel, *rest) -> Rel:
         (F.col("__c.violations") == 0).alias("ok"),
     )
     return rel.with_df(report, key_cols=("constraint",), time_col=None)
+
+
+@defop("histogram")
+def op_histogram(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Fixed-bin histogram of a numeric column:
+
+        ["histogram", rel, {"col": "o_totalprice", "bins": 20,
+                            "min": 0, "max": 600000}]
+        -> (bin bigint, lo double, hi double, count bigint), one row per
+           NON-EMPTY bin; values below min clamp into bin 0, >= max into
+           the last bin, NULLs are skipped.
+
+    Explicit [min, max) bounds keep the op single-pass and deterministic
+    (bin edges are data-independent — an auto-ranged variant would need
+    a min/max pre-pass and make edges drift with the data); the bin
+    assignment is one codegen expression and the counts one hash
+    aggregation with map-side partials. One shuffle of at most ``bins``
+    rows."""
+    rel = _as_rel(rel)
+    opts: dict = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    col = opts.get("col")
+    if not col or "min" not in opts or "max" not in opts:
+        raise ArityError("histogram needs {'col', 'min', 'max'} (+ optional 'bins')")
+    bins = int(opts.get("bins", 20))
+    lo, hi = float(opts["min"]), float(opts["max"])
+    if not (hi > lo) or bins < 1:
+        raise ArityError("histogram needs max > min and bins >= 1")
+    width = (hi - lo) / bins
+    c = to_col(col)
+    bin_expr = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(width))),
+    ).cast("long")
+    out = (
+        rel.df.filter(c.isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            "count",
+        )
+    )
+    return rel.with_df(out, key_cols=("bin",), time_col=None)

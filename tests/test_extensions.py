@@ -882,3 +882,18 @@ def test_expect_contract_report(spark):
                   {"not_null": ["text"], "unique": ["doc_id"], "min_rows": 1}],
                  spark=spark)
     assert all(r["ok"] for r in clean.df.collect())
+
+
+def test_histogram_bins_clamp_and_skip_nulls(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in [-5.0, 0.0, 9.99, 10.0, 25.0, 99.0, 100.0, 250.0]]
+        + [(None,)], "v double")
+    out = ksml(["histogram", ["stream", df, {}],
+                {"col": "v", "bins": 10, "min": 0, "max": 100}], spark=spark)
+    got = {r["bin"]: (r["lo"], r["hi"], r["count"]) for r in out.df.collect()}
+    assert got == {
+        0: (0.0, 10.0, 3),    # -5 clamps up, 0.0 and 9.99 in range
+        1: (10.0, 20.0, 1),
+        2: (20.0, 30.0, 1),
+        9: (90.0, 100.0, 3),  # 99 in range; 100 and 250 clamp down
+    }, got
