@@ -1313,7 +1313,8 @@ def _q_histogram(spark, sf):
 
 
 _HISTOGRAM_ORACLE = """
-SELECT bin, 0.0 + bin * 30000.0 AS lo, 0.0 + (bin + 1) * 30000.0 AS hi,
+SELECT bin, bin * CAST(30000 AS DOUBLE) AS lo,
+       (bin + 1) * CAST(30000 AS DOUBLE) AS hi,
        count(*) AS count
 FROM (SELECT CAST(least(19, greatest(0, floor(o_totalprice / 30000.0))) AS BIGINT) AS bin
       FROM orders WHERE o_totalprice IS NOT NULL)
