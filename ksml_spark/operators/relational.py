@@ -215,6 +215,10 @@ def op_expect(ctx: Ctx, rel: Rel, *rest) -> Rel:
     * ``accepted``: {col: [values]} — violations = rows whose value
       falls outside the list (NULL counts as a violation — declare the
       column in not_null semantics separately if NULLs are legal);
+    * ``matches``: {col: regex} — violations = non-NULL rows not fully
+      matching the pattern (NULLs are not_null's concern);
+    * ``between``: {col: [lo, hi]} — violations = non-NULL rows outside
+      the inclusive range;
     * ``min_rows``: n — violations = shortfall below n.
 
     One aggregation pass over the input computes every constraint
@@ -249,6 +253,14 @@ def op_expect(ctx: Ctx, rel: Rel, *rest) -> Rel:
         ok = F.col(c).isin(list(vals))
         aggs.append(F.count_if(~F.coalesce(ok, F.lit(False))).alias(f"__acc_{c}"))
         rows.append((f"accepted({c})", F.col(f"__acc_{c}")))
+    for c, pat in (opts.get("matches") or {}).items():
+        bad = F.col(c).isNotNull() & ~F.col(c).rlike(f"^(?:{pat})$")
+        aggs.append(F.count_if(bad).alias(f"__re_{c}"))
+        rows.append((f"matches({c})", F.col(f"__re_{c}")))
+    for c, (blo, bhi) in (opts.get("between") or {}).items():
+        bad = F.col(c).isNotNull() & ~F.col(c).between(F.lit(blo), F.lit(bhi))
+        aggs.append(F.count_if(bad).alias(f"__bt_{c}"))
+        rows.append((f"between({c})", F.col(f"__bt_{c}")))
     if "min_rows" in opts:
         n = int(opts["min_rows"])
         rows.append((f"min_rows({n})",

@@ -897,3 +897,17 @@ def test_histogram_bins_clamp_and_skip_nulls(spark):
         2: (20.0, 30.0, 1),
         9: (90.0, 100.0, 3),  # 99 in range; 100 and 250 clamp down
     }, got
+
+
+def test_expect_matches_and_between(spark):
+    df = spark.createDataFrame(
+        [(1, "ab12", 5.0), (2, "XY", 50.0), (3, None, -1.0), (4, "cd34", None)],
+        "id long, code string, score double")
+    out = ksml(["expect", ["stream", df, {"key": "id"}],
+                {"matches": {"code": "[a-z]{2}[0-9]{2}"},
+                 "between": {"score": [0, 10]}}], spark=spark)
+    got = {r["constraint"]: (r["violations"], r["ok"]) for r in out.df.collect()}
+    assert got == {
+        "matches(code)": (1, False),   # 'XY'; NULL not counted here
+        "between(score)": (2, False),  # 50.0 and -1.0; NULL skipped
+    }, got
