@@ -191,3 +191,58 @@ def test_md5_long_col_three_engine_parity(spark):
                 "SELECT ('0x' || substr(md5(?), 1, ?))::BIGINT", params=[v, hexn]
             ).fetchone()[0]
             assert duck == py[v], (v, hexn)
+
+
+hist_vals = st.lists(
+    st.one_of(st.none(), st.floats(min_value=-1000, max_value=1000,
+                                   allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=hist_vals, bins=st.integers(min_value=1, max_value=12))
+def test_histogram_matches_python_reference(spark, vals, bins):
+    from ksml_spark import ksml
+
+    lo, hi = -100.0, 100.0
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = ksml(["histogram", ["stream", df, {}],
+                {"col": "v", "bins": bins, "min": lo, "max": hi}], spark=spark)
+    got = {r["bin"]: r["count"] for r in out.df.collect()}
+    import math
+
+    width = (hi - lo) / bins
+    want = {}
+    for v in vals:
+        if v is None:
+            continue
+        # floor of the IEEE-rounded quotient, NOT Python's `//` (true
+        # floor division): a boundary-adjacent ratio like 2.999...97 can
+        # round to 3.0 in the division itself, and Spark/DuckDB both
+        # floor that rounded quotient — the engines agree with each
+        # other, which is the contract the oracle compare relies on
+        b = min(bins - 1, max(0, math.floor((v - lo) / width)))
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+    # counts conserve every non-null row
+    assert sum(got.values()) == sum(1 for v in vals if v is not None)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.lists(st.tuples(st.integers(min_value=0, max_value=5),
+                               st.one_of(st.none(), st.integers(min_value=-5, max_value=5))),
+                     min_size=1, max_size=40))
+def test_expect_matches_pandas_reference(spark, data):
+    from ksml_spark import ksml
+
+    df = spark.createDataFrame(data, "k long, v long")
+    out = ksml(["expect", ["stream", df, {"key": "k"}],
+                {"not_null": ["v"], "unique": ["k"],
+                 "between": {"v": [0, 3]}, "min_rows": 10}], spark=spark)
+    got = {r["constraint"]: r["violations"] for r in out.df.collect()}
+    ks = [k for k, _ in data]
+    vs = [v for _, v in data]
+    assert got["not_null(v)"] == sum(1 for v in vs if v is None)
+    assert got["unique(k)"] == len(ks) - len(set(ks))
+    assert got["between(v)"] == sum(1 for v in vs if v is not None and not (0 <= v <= 3))
+    assert got["min_rows(10)"] == max(0, 10 - len(data))
