@@ -323,8 +323,15 @@ def op_histogram(ctx: Ctx, rel: Rel, *rest) -> Rel:
         F.lit(bins - 1),
         F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(width))),
     ).cast("long")
+    keep = c.isNotNull()
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if isinstance(rel.df.select(c).schema[0].dataType, (DoubleType, FloatType)):
+        # NaN would otherwise form a junk NULL bin (floor(NaN) -> NULL
+        # after the long cast); skip it like NULL
+        keep = keep & ~F.isnan(c)
     out = (
-        rel.df.filter(c.isNotNull())
+        rel.df.filter(keep)
         .groupBy(bin_expr.alias("bin"))
         .agg(F.count(F.lit(1)).alias("count"))
         .select(
