@@ -285,3 +285,36 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "partial_count" in p  # map-side combine before the one exchange
+
+
+def test_expect_is_single_agg_pass_no_joins(spark):
+    """expect computes every constraint from ONE aggregation pass over the
+    input: no joins, map-side partials; the only extra exchange is
+    count_distinct's two-phase expand."""
+    out = pipe(
+        ["stream", ["parquet", f"{SF}/documents.parquet"], {"key": "doc_id"}],
+        ["expect", {"not_null": ["text"], "unique": ["doc_id"],
+                    "accepted": {"lang": ["en", "de"]}, "min_rows": 10}],
+        spark=spark,
+    )
+    p = plan(out.df, "simple")
+    assert "Join" not in p
+    assert "partial_count" in p
+    assert p.count("Exchange") <= 2  # base agg + count_distinct phase
+
+
+def test_histogram_prunes_scan_and_pushes_null_filter(spark):
+    """histogram reads ONLY the binned column, pushes the null filter to
+    the parquet scan, and shuffles at most `bins` rows (one exchange,
+    partial counts)."""
+    out = pipe(
+        ["stream", ["parquet", f"{SF}/orders.parquet"], {"key": "o_orderkey"}],
+        ["histogram", {"col": "o_totalprice", "bins": 10,
+                       "min": 0, "max": 600000}],
+        spark=spark,
+    )
+    p = plan(out.df, "simple")
+    assert "partial_count" in p
+    assert p.count("Exchange") == 1
+    assert "ReadSchema: struct<o_totalprice:double>" in p
+    assert "IsNotNull(o_totalprice)" in p  # pushed to the scan
