@@ -978,3 +978,18 @@ def test_streaming_session_fold_checkpoint_recovery(spark, tmp_path):
     add_batch(1, [{"key": "u", "val": "b", "event_time": "2024-01-01T00:00:08"}])
     run()
     assert captured == {("u", "2024-01-01T00:00:00"): ("a+b", 2)}, captured
+
+
+def test_streaming_histogram_matches_batch(spark, events_path, tables):
+    """histogram is a plain keyed aggregation, so it runs unchanged on a
+    stream in update mode; final bins equal the batch answer."""
+    form = lambda src: pipe(  # noqa: E731
+        src, ["histogram", {"col": "value", "bins": 8, "min": 0, "max": 400}],
+        spark=spark)
+    stream = form(events_stream(spark, events_path))
+    assert stream.df.isStreaming
+    got = run_to_memory(stream, "hist_stream", output_mode="complete")
+    batch = form(["stream", tables["events"], {"key": "user_id"}]).df
+    g = {r["bin"]: r["count"] for r in got.collect()}
+    b = {r["bin"]: r["count"] for r in batch.collect()}
+    assert g == b and len(b) > 0
