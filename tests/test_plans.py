@@ -318,3 +318,23 @@ def test_histogram_prunes_scan_and_pushes_null_filter(spark):
     assert p.count("Exchange") == 1
     assert "ReadSchema: struct<o_totalprice:double>" in p
     assert "IsNotNull(o_totalprice)" in p  # pushed to the scan
+
+
+def test_no_query_plans_a_cartesian_or_stray_nested_loop(spark):
+    """Bulk scale audit over EVERY registry query's physical plan: no
+    CartesianProduct anywhere; BroadcastNestedLoopJoin only where the
+    broadcast fan-out IS the algorithm (ANN brute-force / IVF and
+    k-means assignment score every vector against a tiny broadcast
+    centroid/query set — the documented vector-x-K shape)."""
+    import __spark_entry__ as m
+
+    bnlj_ok = {"kmeans_assign", "ann_topk", "ann_ivf_topk"}
+    bad = []
+    for name, fn in m.queries().items():
+        p = (fn(spark, "/root/testdata/sf0.001")
+             ._jdf.queryExecution().executedPlan().toString())
+        if "CartesianProduct" in p:
+            bad.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in p and name not in bnlj_ok:
+            bad.append((name, "nested-loop join"))
+    assert not bad, bad
