@@ -172,6 +172,28 @@ def _bucketed_write(df: DataFrame, name: str, key_cols, buckets: int) -> None:
     )
 
 
+def _seed_or_recover(sp: SparkSession, bdf: DataFrame, name: str,
+                     key_cols, buckets: int) -> None:
+    """Seed the serving table from the first batch — UNLESS a previous
+    compaction swap crashed between ``DROP TABLE name`` and
+    ``RENAME tmp TO name``, in which case ``<name>__compact_tmp`` holds
+    the only copy of the full compacted state (including ``__closed``
+    finals that exist nowhere else). The tmp was written by merging the
+    then-current table with THIS batch (foreachBatch retries the
+    uncommitted batch with the same data on restart), so recovery is a
+    plain rename-back with NO re-append — appending the retried batch
+    again would duplicate rows at the max ``__seq`` and corrupt reads."""
+    tmp = f"{name}__compact_tmp"
+    try:
+        tmp_exists = sp.catalog.tableExists(tmp)
+    except Exception:
+        tmp_exists = False
+    if tmp_exists:
+        sp.sql(f"ALTER TABLE `{tmp}` RENAME TO `{name}`")
+    else:
+        _bucketed_write(bdf, name, key_cols, buckets)
+
+
 @defop("serve")
 def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
     """["serve", rel, {"name": ..., "key": cols?, "storage":
@@ -235,7 +257,7 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
                 except Exception:
                     exists = False
                 if not exists:
-                    _bucketed_write(bdf, name, key_cols, buckets)
+                    _seed_or_recover(bdf.sparkSession, bdf, name, key_cols, buckets)
                 elif compact_every > 0 and batch_id % compact_every == compact_every - 1:
                     sp = bdf.sparkSession
                     merged = sp.table(name).unionByName(bdf)
@@ -245,7 +267,11 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
                     # lose the only copy of the emission log (including
                     # __closed finals that exist nowhere else). With the
                     # swap, a crash at any point leaves either the old
-                    # table or the fully-written tmp intact. The
+                    # table or the fully-written tmp intact — and a crash
+                    # in the DROP→RENAME window is healed on restart:
+                    # the retried batch finds ``name`` missing and
+                    # ``_seed_or_recover`` renames tmp back instead of
+                    # seeding a fresh table from one batch. The
                     # drop+rename pair is still two catalog ops, not one
                     # atomic swap: a concurrent lookup in that instant
                     # can transiently fail — single-writer serving, same

@@ -262,3 +262,36 @@ def test_serve_table_update_mode_compaction(spark, tmp_path):
     finally:
         h.stop()
         spark.sql("DROP TABLE IF EXISTS served_compact")
+
+
+def test_serve_compaction_crash_recovery_restores_tmp(spark):
+    """If the compaction swap crashes between DROP TABLE and RENAME, the
+    full compacted state lives only in <name>__compact_tmp. On restart
+    the retried micro-batch must rename tmp back — NOT seed a fresh
+    table from the single batch (which would silently lose every other
+    key, including __closed finals). Drives _seed_or_recover directly
+    against the simulated crash state."""
+    from ksml_spark.streaming.serving import _bucketed_write, _seed_or_recover
+
+    name, tmp = "served_crash", "served_crash__compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    try:
+        # crash state: tmp holds the compacted truth (old keys + the
+        # retried batch's key), `name` was dropped before the rename
+        full = spark.createDataFrame(
+            [("a", 1, 5), ("b", 7, 5), ("c", 3, 4)], "key string, v int, __seq int")
+        _bucketed_write(full, tmp, ("key",), 4)
+        retried = spark.createDataFrame([("b", 7, 5)], "key string, v int, __seq int")
+        _seed_or_recover(spark, retried, name, ("key",), 4)
+        got = {r["key"]: r["v"] for r in spark.table(name).collect()}
+        assert got == {"a": 1, "b": 7, "c": 3}, got  # full state, no dup of b
+        assert spark.table(name).count() == 3
+        assert not spark.catalog.tableExists(tmp)
+        # fresh-seed path: no tmp -> seed from the batch
+        spark.sql(f"DROP TABLE {name}")
+        _seed_or_recover(spark, retried, name, ("key",), 4)
+        assert [r["key"] for r in spark.table(name).collect()] == ["b"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
