@@ -506,7 +506,8 @@ def op_dedup_paragraphs(ctx: Ctx, rel: Rel, *rest) -> Rel:
     first-occurrence rank per (doc, paragraph) -> re-assemble via
     sort_array of (pos, paragraph) structs — two keyed shuffles on the
     doc id, no Python. Documents with no surviving paragraph keep an
-    empty string (they are a filter decision, not this op's).
+    empty string (they are a filter decision, not this op's); documents
+    whose input text is NULL stay NULL.
 
     Other columns pass through untouched (carried through the
     aggregation via first()). PRECONDITION: ``id`` is unique per row
@@ -558,11 +559,21 @@ def op_dedup_paragraphs(ctx: Ctx, rel: Rel, *rest) -> Rel:
             ).alias(colc),
         )
     )
-    # documents whose every paragraph was filtered out reappear empty
-    all_ids = df.select(*[c for c in df.columns if c != colc]).dropDuplicates([idc])
+    # documents whose every paragraph was filtered out reappear empty —
+    # EXCEPT rows whose input text was NULL, which stay NULL (matching
+    # SQL semantics / the DuckDB oracle; a NULL document is missing
+    # data, not an empty one)
+    all_ids = df.select(
+        *[c for c in df.columns if c != colc],
+        F.col(colc).isNull().alias("__was_null"),
+    ).dropDuplicates([idc])
     out = (
         all_ids.join(rebuilt.select(idc, colc), idc, "left")
-        .withColumn(colc, F.coalesce(F.col(colc), F.lit("")))
+        .withColumn(
+            colc,
+            F.when(F.col("__was_null"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col(colc), F.lit(""))),
+        )
         .select(*df.columns)
     )
     return rel.with_df(out)

@@ -211,7 +211,11 @@ def op_expect(ctx: Ctx, rel: Rel, *rest) -> Rel:
     Constraint kinds:
     * ``not_null``: cols — violations = NULL count per column;
     * ``unique``: col list — violations = rows minus distinct
-      combinations (0 = the columns form a key);
+      combinations (0 = the columns form a key). NOTE: count_distinct
+      skips tuples containing a NULL, so rows with a NULL key column
+      all count as violations — surprising but deliberate (a nullable
+      column is not a key), and it matches the SQL oracle's
+      COUNT(*) - COUNT(DISTINCT ...) arithmetic;
     * ``accepted``: {col: [values]} — violations = rows whose value
       falls outside the list (NULL counts as a violation — declare the
       column in not_null semantics separately if NULLs are legal);
@@ -268,7 +272,7 @@ def op_expect(ctx: Ctx, rel: Rel, *rest) -> Rel:
     if not rows:
         raise ArityError(
             "expect needs at least one constraint: not_null / unique / "
-            "accepted / min_rows"
+            "accepted / matches / between / min_rows"
         )
     agged = df.agg(*aggs)
     report = agged.select(

@@ -81,6 +81,29 @@ def _prepared(rel: Rel, idc: str, vecc: str, dim: Optional[int] = None) -> DataF
     return rel.df.select(F.col(idc), v.alias("__v"), norm_col(v, dim).alias("__n"))
 
 
+def _centroid_sim(dim: Optional[int]) -> Column:
+    """Cosine against a broadcast centroid row, NULL for zero-norm pairs.
+    The CASE WHEN is evaluated lazily per row, so a zero-norm vector (or
+    centroid) yields NULL instead of an ANSI DIVIDE_BY_ZERO job failure."""
+    denom = F.col("__n") * F.col("__cn")
+    return F.when(denom > 0, dot_col(F.col("__v"), F.col("__cv"), dim) / denom)
+
+
+def _nearest_order() -> Column:
+    """min_by ordering for nearest-centroid argmax: (-sim, centroid id)
+    picks max similarity, ties to the smallest id. Negating the SIM
+    instead of the id keeps the tie-break valid for string centroid ids
+    (the old -__cid form required a numeric id and failed analysis with
+    an opaque cast error otherwise). The whole struct goes NULL when the
+    sim is NULL so min_by SKIPS zero-norm rows (a struct with a NULL
+    first field would otherwise compare smallest and wrongly win);
+    a vector whose every centroid sim is NULL gets cluster NULL."""
+    return F.when(
+        F.col("__csim").isNotNull(),
+        F.struct((-F.col("__csim")).alias("s"), F.col("__cid").alias("c")),
+    )
+
+
 from .util import spread as _spread  # noqa: E402  (shared plan helper)
 
 
@@ -193,16 +216,14 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     cents = prepared.filter(F.expr(opts["centroids"])).select(
         F.col(idc).alias("__cid"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
     )
-    csim = dot_col(F.col("__v"), F.col("__cv"), dim) / (F.col("__n") * F.col("__cn"))
-
     # nearest centroid per vector: argmax by (sim, then smallest cid);
     # the K-way fan-out against broadcast centroids is the heavy branch,
     # so a single-split source is spread across cores first
-    scored = _spread(prepared).crossJoin(F.broadcast(cents)).withColumn("__csim", csim)
+    scored = _spread(prepared).crossJoin(F.broadcast(cents)).withColumn("__csim", _centroid_sim(dim))
     assign = scored.groupBy(idc).agg(
         F.first("__v").alias("__v"),  # constant within the group
         F.first("__n").alias("__n"),
-        F.max_by(F.col("__cid"), F.struct(F.col("__csim"), -F.col("__cid"))).alias("__cluster"),
+        F.min_by(F.col("__cid"), _nearest_order()).alias("__cluster"),
     )
 
     # queries probe their nprobe nearest clusters
@@ -371,8 +392,11 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                                 "dim": 64, "centroids": "vec_id % 127 = 3"}]
 
     Assigns every vector to its nearest ``centroids``-sampled row by
-    cosine (ties → smallest centroid id) and returns
-    (id, cluster, sim). This is also exactly the partition-assignment
+    cosine (ties → smallest centroid id; numeric OR string ids) and
+    returns (id, cluster, sim). Zero-norm vectors get (cluster NULL,
+    sim NULL) — cosine is undefined for them — and zero-norm centroids
+    are skipped; filter `sim IS NULL` downstream to audit such rows.
+    This is also exactly the partition-assignment
     step a bucketed IVF table build runs at 100 TB scale: one broadcast
     of K centroids, one codegen fan-out + hash-agg argmax, no shuffle of
     the corpus side."""
@@ -402,14 +426,17 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         raise ArityError(
             f"kmeans-assign: centroids filter {init!r} matched no rows"
         )
-    csim = dot_col(F.col("__v"), F.col("__cv"), dim) / (F.col("__n") * F.col("__cn"))
+    # cluster = argmax sim (ties -> smallest centroid id, string-id
+    # safe); sim = that max. A zero-norm vector gets (NULL, NULL) —
+    # documented, instead of an ANSI DIVIDE_BY_ZERO job failure — and a
+    # zero-norm centroid simply never wins.
     assigned = (
         _spread(prepared).crossJoin(F.broadcast(cents))
-        .withColumn("__csim", csim)
+        .withColumn("__csim", _centroid_sim(dim))
         .groupBy(idc)
         .agg(
-            F.max_by(F.col("__cid"), F.struct(F.col("__csim"), -F.col("__cid"))).alias("cluster"),
-            F.max(F.struct(F.col("__csim"), -F.col("__cid"))).getField("__csim").alias("sim"),
+            F.min_by(F.col("__cid"), _nearest_order()).alias("cluster"),
+            F.max("__csim").alias("sim"),
         )
     )
     return KStreamRel(assigned, key_cols=(idc,))
@@ -469,18 +496,19 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         raise ArityError(
             f"kmeans-centroids: init filter {init!r} matched no rows"
         )
-    csim = dot_col(F.col("__v"), F.col("__cv"), dim) / (F.col("__n") * F.col("__cn"))
     for _ in range(iters):
         assigned = (
             vecs.crossJoin(F.broadcast(cents))
-            .withColumn("__csim", csim)
+            .withColumn("__csim", _centroid_sim(dim))
             .groupBy(idc)
             .agg(
                 F.first("__v").alias("__v"),
-                F.max_by(F.col("__cid"), F.struct(F.col("__csim"), -F.col("__cid"))).alias("__cid"),
+                F.min_by(F.col("__cid"), _nearest_order()).alias("__cid"),
             )
         )
-        means = assigned.groupBy("__cid").agg(
+        # zero-norm vectors assign to NULL (cosine undefined); keep them
+        # out of the means rather than emitting a NULL pseudo-cluster
+        means = assigned.filter(F.col("__cid").isNotNull()).groupBy("__cid").agg(
             *[F.avg(F.col("__v").getItem(i)).alias(f"__m{i}") for i in range(dim)],
             F.count(F.lit(1)).alias("__cnt"),
         )

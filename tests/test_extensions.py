@@ -911,3 +911,49 @@ def test_expect_matches_and_between(spark):
         "matches(code)": (1, False),   # 'XY'; NULL not counted here
         "between(score)": (2, False),  # 50.0 and -1.0; NULL skipped
     }, got
+
+
+def test_dedup_paragraphs_preserves_null_text(spark):
+    """NULL input text stays NULL (SQL semantics, matches the DuckDB
+    oracle) — it must not be coerced to '' by the id-recovery join."""
+    docs = spark.createDataFrame(
+        [(1, "a\n\na", "en"), (2, None, "de"), (3, "", "fr")],
+        "doc_id long, text string, lang string")
+    out = ksml(["dedup-paragraphs", ["stream", docs, {"key": "doc_id"}],
+                {"col": "text", "id": "doc_id"}], spark=spark)
+    got = {r["doc_id"]: r["text"] for r in out.df.collect()}
+    assert got == {1: "a", 2: None, 3: ""}, got
+
+
+def test_expect_empty_spec_error_lists_every_constraint_kind(spark):
+    from ksml_spark.errors import ArityError
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ArityError) as ei:
+        ksml(["expect", ["stream", df, {"key": "doc_id"}], {}], spark=spark)
+    msg = str(ei.value)
+    for kind in ("not_null", "unique", "accepted", "matches", "between",
+                 "min_rows"):
+        assert kind in msg, (kind, msg)
+
+
+def test_kmeans_assign_string_ids_ties_and_zero_norm(spark):
+    """String centroid ids work (tie-break no longer negates the id);
+    ties go to the smallest id; zero-norm vectors get (NULL, NULL)
+    instead of an ANSI DIVIDE_BY_ZERO job failure."""
+    rows = [
+        ("c_b", [1.0, 0.0]), ("c_a", [1.0, 0.0]),   # identical centroids -> tie
+        ("v1", [2.0, 0.0]),                          # sim 1.0 to both
+        ("v2", [0.0, 3.0]),                          # orthogonal: sim 0.0 tie
+        ("vz", [0.0, 0.0]),                          # zero-norm vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = ksml(["kmeans-assign", ["stream", df, {"key": "vec_id"}],
+                {"id": "vec_id", "vec": "embedding", "dim": 2,
+                 "centroids": "vec_id like 'c%'"}], spark=spark)
+    got = {r["vec_id"]: (r["cluster"], r["sim"]) for r in out.df.collect()}
+    assert got["v1"] == ("c_a", 1.0)
+    assert got["v2"] == ("c_a", 0.0)
+    assert got["vz"] == (None, None)
+    # centroids assign to themselves (sim 1.0, smallest id on the tie)
+    assert got["c_a"] == ("c_a", 1.0) and got["c_b"] == ("c_a", 1.0)
