@@ -1715,35 +1715,38 @@ FROM documents"""
 # ---------------------------------------------------------------------------
 
 # Registry order matters: the correctness driver records only the FIRST 50
-# entries per round.  Queries that have never appeared in a driver CORRECTNESS
-# file come first; long-stable queries (hash-green in r01 AND r02) rotate to
-# the back so every query gets a driver-recorded row across rounds 3-4.
+# entries per round.  ROTATION INVARIANT: entries are ordered by the round
+# of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
+# queries count as "never recorded" and go first of all; ties keep relative
+# order).  With 72 queries and a 50-row window, 22 fall outside each round
+# and re-enter the window the next round — so every query has a driver-green
+# row at most 2 rounds old.  Each round: move the previous round's
+# unrecorded tail to the front and push the freshest block to the back.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
-    # --- new in r05 ---
-    "kmeans_assign": (_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
-    "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
-    "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
-    "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
-    "expect_contract": (_q_expect, _EXPECT_ORACLE),
-    "histogram_prices": (_q_histogram, _HISTOGRAM_ORACLE),
-    # --- never driver-recorded through r02: record these in r03 ---
-    "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
-    "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
-    "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
-    "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),
-    "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
-    "neardup_lsh": (_q_neardup_lsh, _NEARDUP_LSH_ORACLE),
-    "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
-    "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
-    "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
-    "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
-    "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
-    "top_bigrams": (_q_top_bigrams, _TOP_BIGRAMS_ORACLE),
-    "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
-    "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
-    "kmeans_centroids": (_q_kmeans_centroids, None),
-    "scrub_text": (_q_scrub, _SCRUB_ORACLE),
-    # --- driver-recorded in r02, keep inside the 50-row window ---
+    # --- outside the r05 window (last driver-green r02/r04): record in r06 ---
+    "jaccard_pairs_prefix": (_q_jaccard_prefix, _JACCARD_PAIRS_ORACLE),
+    "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),
+    "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
+    "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
+    "simhash_docs": (_q_simhash, _SIMHASH_ORACLE),
+    "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
+    "q3_segment_revenue": (_q_q3, _Q3_ORACLE),
+    "q5_local_supplier_revenue": (_q_q5, _Q5_ORACLE),
+    "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
+    "filter_highqty": (_q_filter, _FILTER_ORACLE),
+    "filter_not_returns": (_q_filter_not, _FILTER_NOT_ORACLE),
+    "map_values_net": (_q_map_values, _MAP_VALUES_ORACLE),
+    "select_key_count": (_q_select_key, _SELECT_KEY_ORACLE),
+    "flat_map_pairs": (_q_flat_map, _FLAT_MAP_ORACLE),
+    "branch_orders": (_q_branch, _BRANCH_ORACLE),
+    "merge_event_types": (_q_merge, _MERGE_ORACLE),
+    "table_latest_event": (_q_table_latest, _TABLE_LATEST_ORACLE),
+    "table_filter_mapvalues": (_q_table_ops, _TABLE_OPS_ORACLE),
+    "table_regroup": (_q_table_regroup, _TABLE_REGROUP_ORACLE),
+    "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
+    "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
+    "agg_salted_user_totals": (_q_agg_salted, _AGG_SALTED_ORACLE),
+    # --- green in r05, mid-window: stay inside the r06 window ---
     "windowed_count": (_q_windowed_count, _WINDOWED_COUNT_ORACLE),
     "hopping_count": (_q_hopping_count, _HOPPING_COUNT_ORACLE),
     "session_count": (_q_session_count, _SESSION_COUNT_ORACLE),
@@ -1775,29 +1778,30 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "minhash_signatures": (_q_minhash_sig, _MINHASH_SIG_ORACLE),
     "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
     "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
-    "jaccard_pairs_prefix": (_q_jaccard_prefix, _JACCARD_PAIRS_ORACLE),
-    "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),
-    "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
-    "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
-    "simhash_docs": (_q_simhash, _SIMHASH_ORACLE),
-    # --- long-stable (hash-green r01+r02): rotated past the driver window ---
-    "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
-    "q3_segment_revenue": (_q_q3, _Q3_ORACLE),
-    "q5_local_supplier_revenue": (_q_q5, _Q5_ORACLE),
-    "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
-    "filter_highqty": (_q_filter, _FILTER_ORACLE),
-    "filter_not_returns": (_q_filter_not, _FILTER_NOT_ORACLE),
-    "map_values_net": (_q_map_values, _MAP_VALUES_ORACLE),
-    "select_key_count": (_q_select_key, _SELECT_KEY_ORACLE),
-    "flat_map_pairs": (_q_flat_map, _FLAT_MAP_ORACLE),
-    "branch_orders": (_q_branch, _BRANCH_ORACLE),
-    "merge_event_types": (_q_merge, _MERGE_ORACLE),
-    "table_latest_event": (_q_table_latest, _TABLE_LATEST_ORACLE),
-    "table_filter_mapvalues": (_q_table_ops, _TABLE_OPS_ORACLE),
-    "table_regroup": (_q_table_regroup, _TABLE_REGROUP_ORACLE),
-    "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
-    "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
-    "agg_salted_user_totals": (_q_agg_salted, _AGG_SALTED_ORACLE),
+    # --- freshest driver evidence (r05 window head): rotate past the 50-row
+    # window this round; they re-enter in r07 per the invariant above ---
+    "kmeans_assign": (_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
+    "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
+    "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
+    "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
+    "expect_contract": (_q_expect, _EXPECT_ORACLE),
+    "histogram_prices": (_q_histogram, _HISTOGRAM_ORACLE),
+    "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
+    "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
+    "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
+    "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),
+    "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
+    "neardup_lsh": (_q_neardup_lsh, _NEARDUP_LSH_ORACLE),
+    "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
+    "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
+    "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
+    "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
+    "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
+    "top_bigrams": (_q_top_bigrams, _TOP_BIGRAMS_ORACLE),
+    "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
+    "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
+    "kmeans_centroids": (_q_kmeans_centroids, None),
+    "scrub_text": (_q_scrub, _SCRUB_ORACLE),
 }
 
 
