@@ -164,6 +164,94 @@ def _stream_bench(spark, sf_dir: str) -> dict:
     return results
 
 
+def _skew_bench(spark, sf_dir: str) -> dict:
+    """Skew stress proof (seconds, single pass — the numbers back
+    docs/SCALE.md's skew claims with measurement instead of prose):
+
+    * ``jaccard_*``: a synthetic corpus (20k docs, 200k-token vocabulary,
+      ~40 tokens/doc) with ONE hot token injected into ~17% of documents
+      — the skewed-join-key case the AllPairs prefix filter exists for.
+      Synthetic because the bundled documents table has a 31-token
+      vocabulary (every token is hyper-frequent; only blocking keeps any
+      plan feasible there), so a controlled realistic-vocab corpus is the
+      only way to isolate one hot key. Reported: the plain inverted
+      index, the prefix plan, and {"prefix": "auto"} (which must pick
+      prefix via the sampled-skew rule — see dedup._index_estimate).
+    * ``agg_*``: the events table replicated x10 (1M rows) with one key
+      remapped onto ~30% of rows; plain groupBy vs the two-phase
+      agg-salted op. Measured honestly: Spark's map-side partial
+      aggregation absorbs algebraic hot-key skew, so plain WINS — the
+      pinned numbers document that agg-salted is for paths where partial
+      aggregation can't apply, not a default.
+    """
+    from pyspark.sql import functions as F
+
+    from ksml_spark import ksml, pipe
+
+    out: dict[str, float] = {}
+    n_docs, vocab, toks = 20_000, 200_000, 40
+    corpus = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.pmod(F.xxhash64("id"), F.lit(6)) == 0,
+            F.concat(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(toks)),
+                        lambda j: F.concat(F.lit("tok"), F.pmod(
+                            F.xxhash64(F.col("id") * toks + j), F.lit(vocab))),
+                    ), " "),
+                F.lit(" hotskewtok")),
+        ).otherwise(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(toks)),
+                    lambda j: F.concat(F.lit("tok"), F.pmod(
+                        F.xxhash64(F.col("id") * toks + j), F.lit(vocab))),
+                ), " "),
+        ).alias("text"),
+    ).persist()
+    corpus.count()
+    try:
+        for label, pflag in (("jaccard_plain", False), ("jaccard_prefix", True),
+                             ("jaccard_auto", "auto")):
+            t0 = time.time()
+            r = pipe(["stream", corpus, {"key": "doc_id"}],
+                     ["jaccard-pairs", {"col": "text", "id": "doc_id",
+                                        "threshold": 0.5, "prefix": pflag}],
+                     spark=spark)
+            r.df.write.mode("overwrite").format("noop").save()
+            out[label] = round(time.time() - t0, 2)
+    finally:
+        corpus.unpersist()
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    big = (
+        ev.crossJoin(spark.range(10).withColumnRenamed("id", "__r"))
+        .select(
+            F.when(F.pmod(F.xxhash64("user_id", "__r", "value"), F.lit(10)) < 3,
+                   F.lit(-1)).otherwise(F.col("user_id")).alias("user_id"),
+            "value")
+        .persist()
+    )
+    big.count()
+    try:
+        for label, op in (("agg_plain", "agg"), ("agg_salted", "agg-salted")):
+            args = [op, ["group-by-key", ["stream", big, {"key": "user_id"}]],
+                    {"total": "sum(value)", "n": "count(1)"}]
+            if op == "agg-salted":
+                args.append({"salt": 32})
+            best = float("inf")
+            for _ in range(2):  # hash aggs are sub-second: min-of-2
+                t0 = time.time()
+                ksml(args, spark=spark).df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.time() - t0)
+            out[label] = round(best, 2)
+    finally:
+        big.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -203,12 +291,19 @@ def main() -> None:
     streaming = {}
     if os.environ.get("BENCH_STREAMING", "1") != "0":
         streaming = _stream_bench(spark, sf_dir)
+    skew = {}
+    if os.environ.get("BENCH_SKEW", "1") != "0":
+        try:
+            skew = _skew_bench(spark, sf_dir)
+        except Exception as e:
+            print(f"skew bench error: {type(e).__name__}: {e}", file=sys.stderr)
 
-    for line in format_output_lines(total, per_query, streaming, sf):
+    for line in format_output_lines(total, per_query, streaming, sf, skew=skew):
         print(line)
 
 
-def format_output_lines(total, per_query, streaming, sf, budget: int = 1900):
+def format_output_lines(total, per_query, streaming, sf, budget: int = 1900,
+                        skew: dict | None = None):
     """The driver-facing output contract, testable in isolation.
 
     The driver keeps only the LAST ~2000 chars of stdout and parses the
@@ -230,6 +325,10 @@ def format_output_lines(total, per_query, streaming, sf, budget: int = 1900):
             if isinstance(v, dict) and v.get("seconds") != v.get("seconds"):
                 v["seconds"] = None
         lines.append(json.dumps({"streaming": streaming}, separators=(",", ":")))
+    if skew:
+        # compact single line, BEFORE the metric line (which must stay
+        # last inside the driver's stdout tail window)
+        lines.append(json.dumps({"skew": skew}, separators=(",", ":")))
 
     def metric_line(queries: dict) -> str:
         return json.dumps({

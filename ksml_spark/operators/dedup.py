@@ -262,10 +262,14 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     verify join only amortize when the token index is large and skewed;
     use the plain plan interactively, prefix at corpus scale.
 
-    The default {"prefix": "auto"} makes that call automatically: the
-    estimated index size (Catalyst plan stats x one LIMIT-sampled mean
-    tokens/doc — no full pass at plan-build time) crossing
-    {"auto_threshold": 50_000_000} postings selects the prefix plan;
+    The default {"prefix": "auto"} makes that call automatically from a
+    plan-build-time sample (no full pass): the prefix plan is selected
+    when the estimated index size crosses {"auto_threshold": 50M}
+    postings, OR when it is skewed — the hottest (block, token) join
+    key's estimated pair output exceeding {"hot_ratio": 4.0} x postings
+    and {"hot_min_pairs": 2M}. Skew rule measured (r06): one token in
+    17% of a 20k-doc corpus makes plain 2.3x slower than prefix, 33%
+    makes it 7x — the quadratic hot-key blowup auto exists to avoid.
     True/False stay as explicit overrides."""
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
@@ -291,23 +295,42 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     toks = toks.withColumn("__n", F.size(F.col("__t")))
 
     # Plan choice: {"prefix": True/False} is an explicit override; the
-    # default "auto" estimates the token-index size and switches to the
-    # prefix-filtered plan once it crosses ``auto_threshold`` postings
-    # (default 50M — the regime where the df pass + verify join
-    # amortize; measured slower below it, see the docstring's sf0.1
-    # numbers). The estimate costs one LIMIT-sample job (a single input
-    # split), never a full pass: row count comes from Catalyst plan
-    # statistics, not count() — plan construction must not silently scan
-    # a corpus. Streaming rels can't sample, so auto resolves to the
-    # plain plan there.
+    # default "auto" estimates the token index from a LIMIT-sample (a
+    # single input split — plan construction must not silently scan a
+    # corpus; row count comes from Catalyst plan statistics, not
+    # count()) and switches to the prefix-filtered plan when EITHER
+    #   * the index is big: estimated postings >= ``auto_threshold``
+    #     (default 50M — the regime where the df pass + verify join
+    #     amortize even without skew), OR
+    #   * the index is SKEWED: the hottest (block, token) join key's
+    #     estimated pair-row output (f_max·rows)²/2 exceeds
+    #     ``hot_ratio`` x postings (and the absolute ``hot_min_pairs``
+    #     floor, so tiny corpora never flip on ratio alone).
+    # The skew rule is pinned from measurement (r06, local[32], 20k-doc
+    # synthetic, 200k vocab, one hot token): plain/prefix = 6.4/6.7s at
+    # 0% hot, 10.8/4.7s with the hot token in 17% of docs (ratio 6.8x),
+    # 32.9/4.6s at 33% — plain degrades quadratically in the hot count
+    # while prefix stays flat because the hot token (max df) drops out
+    # of every prefix. Measured break-even ~1x postings; the 4x default
+    # + 2M floor biases toward plain at toy scale where the prefix
+    # overhead is the larger term. Streaming rels can't sample, so auto
+    # resolves to the plain plan there.
     if thr > 0:
         prefix_opt = opts.get("prefix", "auto")
         if prefix_opt == "auto":
-            use_prefix = (
-                not rel.df.isStreaming
-                and _estimated_postings(rel.df, F.col(col), tok_ids)
-                >= int(opts.get("auto_threshold", 50_000_000))
-            )
+            if rel.df.isStreaming:
+                use_prefix = False
+            else:
+                postings, hot_pairs = _index_estimate(
+                    rel.df, F.col(col), tok_ids,
+                    [F.expr(b) for b in blocks],
+                )
+                use_prefix = postings >= int(
+                    opts.get("auto_threshold", 50_000_000)
+                ) or hot_pairs >= max(
+                    float(opts.get("hot_ratio", 4.0)) * postings,
+                    float(opts.get("hot_min_pairs", 2_000_000)),
+                )
         else:
             use_prefix = bool(prefix_opt)
         if use_prefix:
@@ -372,52 +395,79 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
 
 
-def _estimated_postings(df: DataFrame, text_col, tok_ids, sample: int = 2048) -> float:
-    """Estimated inverted-index size (total postings = sum of per-doc
-    distinct tokens) WITHOUT a full pass over the corpus — this runs at
-    plan-construction time, where silently executing a count() over an
-    arbitrary upstream pipeline would mean minutes of surprise cluster
-    work per ksml() call. Inputs: one LIMIT-``sample`` job over a single
-    input split (mean tokens/doc + mean row bytes), combined with
-    Catalyst's plan statistics (rowCount when available, else
-    sizeInBytes / mean row bytes). File-source sizeInBytes is compressed
-    bytes, so the row estimate can undershoot by the compression ratio
-    (~3x) — order-of-magnitude accuracy, which is all a 50M-postings
-    threshold needs; {"prefix": True/False} overrides when it matters."""
-    s = (
-        df.select(
-            F.octet_length(text_col).alias("__b"),
-            F.size(tok_ids).alias("__n"),
-        )
-        .limit(sample)
-        .agg(F.avg("__b").alias("b"), F.avg("__n").alias("n"),
-             F.count(F.lit(1)).alias("c"))
-        .first()
-    )
+def _index_estimate(
+    df: DataFrame, text_col, tok_ids, block_exprs, sample: int = 2048
+) -> tuple[float, float]:
+    """(estimated postings, estimated hot-join-key pair rows) WITHOUT a
+    full pass over the corpus — this runs at plan-construction time,
+    where silently executing a count() over an arbitrary upstream
+    pipeline would mean minutes of surprise cluster work per ksml()
+    call. Inputs: two LIMIT-``sample`` jobs over a single input split
+    (mean tokens/doc + mean row bytes; max per-(block, token) sample
+    frequency), combined with Catalyst's plan statistics (rowCount when
+    available, else sizeInBytes / mean row bytes). File-source
+    sizeInBytes is compressed bytes, so the row estimate can undershoot
+    by the compression ratio (~3x) — order-of-magnitude accuracy, which
+    is all the thresholds need; {"prefix": True/False} overrides when
+    it matters.
+
+    The hot estimate keys on (block..., token) because that IS the
+    self-join key: a globally hot token split across many blocks is not
+    a hot join key (the bundled documents corpus: 31-token vocabulary,
+    hottest token in ~78% of docs, yet blocked by (lang, length-bucket)
+    no key is hot and the plain plan measures faster). f_max from a
+    2048-doc sample resolves hot fractions down to ~0.1%; rarer-but-
+    still-hot keys at extreme corpus sizes are the postings rule's job.
+    Sample collisions (unrelated tokens hitting 2-3 of 2048 docs) give
+    f_max ~1.5e-3, whose pair estimate stays below the hot_min_pairs
+    floor until the corpus is large enough that the estimate is real."""
+    base = df.select(
+        F.octet_length(text_col).alias("__b"),
+        tok_ids.alias("__t"),
+        *[e.alias(f"__eb{i}") for i, e in enumerate(block_exprs)],
+    ).limit(sample)
+    s = base.agg(
+        F.avg("__b").alias("b"), F.avg(F.size("__t")).alias("n"),
+        F.count(F.lit(1)).alias("c"),
+    ).first()
     if not s["c"]:
-        return 0.0
+        return 0.0, 0.0
     mean_n = float(s["n"] or 0.0)
     if s["c"] < sample:  # the whole input fit in the sample: exact enough
-        return float(s["c"]) * mean_n
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    rc = stats.rowCount()
-    if rc.isDefined():
-        rows_est = float(str(rc.get()))
+        rows_est = float(s["c"])
     else:
-        size = float(str(stats.sizeInBytes()))
-        if size >= float(1 << 60):
-            # Catalyst reports defaultSizeInBytes (Long.MaxValue-ish) for
-            # leaves it can't size — LogicalRDD (createDataFrame,
-            # localCheckpoint outputs). Dividing that is a ~1e16-row
-            # hallucination that would force the prefix plan on tiny
-            # data; treat stats as unavailable and fall back to the
-            # sample count (=> plain plan unless overridden — the safe
-            # default, since unsized inputs are typically small/local).
-            rows_est = float(s["c"])
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            rows_est = float(str(rc.get()))
         else:
-            mean_b = float(s["b"] or 1.0)
-            rows_est = size / max(mean_b, 1.0)
-    return max(rows_est, float(s["c"])) * mean_n
+            size = float(str(stats.sizeInBytes()))
+            if size >= float(1 << 60):
+                # Catalyst reports defaultSizeInBytes (Long.MaxValue-ish)
+                # for leaves it can't size — LogicalRDD (createDataFrame,
+                # localCheckpoint outputs). Dividing that is a ~1e16-row
+                # hallucination that would force the prefix plan on tiny
+                # data; treat stats as unavailable and fall back to the
+                # sample count (=> plain plan unless overridden — the safe
+                # default, since unsized inputs are typically small/local).
+                rows_est = float(s["c"])
+            else:
+                mean_b = float(s["b"] or 1.0)
+                rows_est = size / max(mean_b, 1.0)
+        rows_est = max(rows_est, float(s["c"]))
+    hot = (
+        base.select(
+            *[f"__eb{i}" for i in range(len(block_exprs))],
+            F.explode("__t").alias("__tok"),
+        )
+        .groupBy(*[f"__eb{i}" for i in range(len(block_exprs))], "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.max("__c").alias("m"))
+        .first()
+    )
+    f_max = float(hot["m"] or 0) / float(s["c"])
+    hot_docs = f_max * rows_est
+    return rows_est * mean_n, hot_docs * hot_docs / 2.0
 
 
 def _jaccard_prefix(toks: DataFrame, idc: str, blocks: list, thr: float) -> KStreamRel:

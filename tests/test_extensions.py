@@ -957,3 +957,42 @@ def test_kmeans_assign_string_ids_ties_and_zero_norm(spark):
     assert got["vz"] == (None, None)
     # centroids assign to themselves (sim 1.0, smallest id on the tie)
     assert got["c_a"] == ("c_a", 1.0) and got["c_b"] == ("c_a", 1.0)
+
+
+def test_jaccard_prefix_auto_switch_on_skew(spark):
+    """{"prefix": "auto"} flips to the prefix plan when the sampled
+    token index is SKEWED (one hot (block, token) join key whose pair
+    output would dominate), even though postings are far below the 50M
+    size threshold — and stays plain on the same corpus without the hot
+    token. Measured r06: the hot corpus runs 2-7x faster under prefix."""
+    from pyspark.sql import functions as F
+
+    n, vocab, toks = 4000, 50_000, 30
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(toks)),
+                        lambda j: F.concat(F.lit("tok"), F.pmod(
+                            F.xxhash64(F.col("id") * toks + j), F.lit(vocab)))),
+            " ").alias("text"))
+    hot = base.select(
+        "doc_id",
+        F.when(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0,
+               F.concat("text", F.lit(" hotskewtok")))
+        .otherwise(F.col("text")).alias("text"))
+
+    def plan(df, extra=None):
+        out = pipe(["stream", df, {"key": "doc_id"}],
+                   ["jaccard-pairs", {"col": "text", "id": "doc_id",
+                                      "threshold": 0.5,
+                                      "hot_min_pairs": 100_000,
+                                      **(extra or {})}], spark=spark).df
+        return out._jdf.queryExecution().optimizedPlan().toString()
+
+    # hot token in 50% of docs: est pairs (2000^2/2 = 2M) >> 4x postings
+    # (~120k) -> prefix (identified by its df-ranking window)
+    assert "row_number" in plan(hot)
+    # same corpus, no hot token: uniform df -> plain
+    assert "row_number" not in plan(base)
+    # explicit override still beats the skew rule
+    assert "row_number" not in plan(hot, {"prefix": False})

@@ -90,3 +90,9 @@ def test_bench_output_lines_stay_driver_parseable():
     # small suites pass through un-degraded at full precision
     m2 = js.loads(format_output_lines(1.0, {"q1": 1.234}, {}, 0.01)[-1])
     assert m2["queries"]["q1"] == 1.234
+    # skew section rides on its own compact line; the metric line stays LAST
+    lines3 = format_output_lines(1.0, {"q1": 1.234}, streaming, 0.01,
+                                 skew={"jaccard_plain": 10.2, "agg_plain": 0.3})
+    assert len(lines3) == 3
+    assert js.loads(lines3[1])["skew"]["jaccard_plain"] == 10.2
+    assert js.loads(lines3[-1])["metric"] == "suite_seconds"
