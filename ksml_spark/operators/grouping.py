@@ -379,12 +379,32 @@ def _session_fold_apply(
     )
     numeric = value_type.split("(")[0].strip().lower() in _NUMERIC_FOLD_TYPES
 
-    def fold_records(sessions: list, pdf: pd.DataFrame, k1) -> list:
+    gap_ns = gap.value
+
+    def batch_columns(pdf: pd.DataFrame) -> tuple[list, list]:
+        """(int64-ns timestamps, values) as plain Python lists, sorted
+        by arrival — zip iteration over pre-extracted columns is ~5x
+        cheaper than per-row dict materialization (to_dict('records')),
+        the sort is skipped entirely when the batch is already ordered
+        (the common case: event-time order off a time-ordered source),
+        and int-ns session bounds make the per-record containment test
+        integer comparisons instead of ~5us pd.Timestamp arithmetic —
+        the term that scales with per-key velocity."""
+        sortc = arrival or time_col
+        if not pdf[sortc].is_monotonic_increasing:
+            pdf = pdf.sort_values(sortc, kind="stable")
+        ts = pdf[time_col].astype("datetime64[ns]").astype("int64").tolist()
+        if len(value_cols) == 1:
+            vs = list(pdf[value_cols[0]])
+        else:
+            vs = list(zip(*[list(pdf[c]) for c in value_cols]))
+        return ts, vs
+
+    def fold_records(sessions: list, ts: list, vs: list, k1) -> list:
         """Fold one arrival-ordered batch into the live-session list
-        ([start, end, acc] triples), merging bridged sessions."""
-        for rec in pdf.to_dict("records"):
-            t = rec[time_col]
-            v = rec[value_cols[0]] if len(value_cols) == 1 else tuple(rec[c] for c in value_cols)
+        ([start_ns, end_ns, acc] triples), merging bridged sessions."""
+        gap = gap_ns
+        for t, v in zip(ts, vs):
             hits = [s for s in sessions if (s[0] - gap) <= t <= (s[1] + gap)]
             if not hits:
                 acc = step(k1, v, init() if callable(init) else init)
@@ -407,16 +427,18 @@ def _session_fold_apply(
             target[2] = step(k1, v, target[2])
         return sessions
 
+    def out_value(acc):
+        if acc is None:
+            return None
+        return float(acc) if numeric else acc
+
     def session_rows(sessions: list, key: tuple) -> list[dict]:
         rows = []
         for start, end, acc in sessions:
             row = dict(zip(key_cols, key))
-            row["window_start"] = start
-            row["window_end"] = end
-            if acc is None:
-                row["value"] = None
-            else:
-                row["value"] = float(acc) if numeric else acc
+            row["window_start"] = pd.Timestamp(start)
+            row["window_end"] = pd.Timestamp(end)
+            row["value"] = out_value(acc)
             rows.append(row)
         return rows
 
@@ -445,10 +467,10 @@ def _session_fold_apply(
             # oldest session — fall through to eviction with no fold.
             chunks = [p for p in pdfs if len(p)]
             if chunks:
-                pdf = pd.concat(chunks, ignore_index=True)
-                pdf = pdf.sort_values(arrival or time_col, kind="stable")
+                pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
                 k1 = key[0] if len(key) == 1 else key
-                sessions = fold_records(sessions, pdf, k1)
+                ts, vs = batch_columns(pdf)
+                sessions = fold_records(sessions, ts, vs, k1)
             seq += 1
             # Watermark eviction — the state bound a 100 TB stream needs.
             # A session whose end sits more than ``gap`` behind the
@@ -465,7 +487,7 @@ def _session_fold_apply(
                 wm_ms = 0
             closed = []
             if wm_ms > 0:
-                bound = pd.Timestamp(wm_ms, unit="ms") - gap
+                bound = wm_ms * 1_000_000 - gap_ns  # int ns, like s[1]
                 closed = [s for s in sessions if s[1] < bound]
                 sessions = [s for s in sessions if not (s[1] < bound)]
             # The cursor (empty list + seq) is kept, never state.remove()d:
@@ -479,15 +501,21 @@ def _session_fold_apply(
                 # arm a timer for the moment the watermark closes the
                 # oldest live session, so eviction fires even if the key
                 # never receives another record (dormant-key bound)
-                min_end_ms = min(s[1] for s in sessions).value // 1_000_000
+                min_end_ms = min(s[1] for s in sessions) // 1_000_000
                 state.setTimeoutTimestamp(min_end_ms + gap_ms + 1)
-            rows = session_rows(sessions, key)
-            for r in rows:
-                r["__seq"], r["__closed"] = seq, False
-            final_rows = session_rows(closed, key)
-            for r in final_rows:
-                r["__seq"], r["__closed"] = seq, True
-            yield pd.DataFrame(rows + final_rows, columns=out_cols)
+            # columnar frame build (one dict-of-lists, not per-row dicts):
+            # this runs once per key per micro-batch, so its constant
+            # factor IS the throughput floor at high key cardinality
+            alls = sessions + closed
+            data = {c: [kv] * len(alls) for c, kv in zip(key_cols, key)}
+            data["window_start"] = pd.Series(
+                [s[0] for s in alls], dtype="int64").astype("datetime64[ns]")
+            data["window_end"] = pd.Series(
+                [s[1] for s in alls], dtype="int64").astype("datetime64[ns]")
+            data["value"] = [out_value(s[2]) for s in alls]
+            data["__seq"] = [seq] * len(alls)
+            data["__closed"] = [False] * len(sessions) + [True] * len(closed)
+            yield pd.DataFrame(data, columns=out_cols)
 
         agged = df.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
             fold_stream,
@@ -505,10 +533,10 @@ def _session_fold_apply(
     out_schema = ", ".join(out_fields)
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(arrival or time_col, kind="stable")
         key = tuple(pdf[c].iloc[0] for c in key_cols)
         k1 = key[0] if len(key) == 1 else key
-        rows = session_rows(fold_records([], pdf, k1), key)
+        ts, vs = batch_columns(pdf)
+        rows = session_rows(fold_records([], ts, vs, k1), key)
         return pd.DataFrame(rows, columns=key_cols + ["window_start", "window_end", "value"])
 
     agged = df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(fold, out_schema)
