@@ -80,10 +80,32 @@ def op_stores(ctx: Ctx, which, *args) -> StoreSpec:
         raise UnknownOperatorError(f":stores {which!r}")
     kind, persistent = norm
     name = next((a for a in args if isinstance(a, str)), None)
-    spec = StoreSpec(kind, persistent, name)
+    opts = {}
     for a in args:
         if isinstance(a, dict):
-            spec.retention = a.get("retention", spec.retention)
+            opts.update(a)
+    if kind == "lru" and not opts.get("unbounded_ok"):
+        # Stores.lruMap(name, maxEntries) (eval.clj:222) is a BOUNDED kv
+        # store: past maxEntries, Kafka Streams silently evicts the
+        # least-recently-used key — reads of an evicted key restart from
+        # the initializer. Spark's state store has no per-access
+        # eviction; pretending otherwise would either lie about the
+        # memory bound (unbounded state sold as bounded) or about the
+        # data (we don't drop keys). So the op refuses with the honest
+        # mapping spelled out instead of silently accepting.
+        from ..errors import TypeDispatchError
+
+        raise TypeDispatchError(
+            ":stores :lruMap is a bounded store with silent LRU key "
+            "eviction — Spark state stores are unbounded per key and "
+            "bound state by TIME, not access recency. Either bound by "
+            "time: [:with-retention m [:duration ...]] (watermark/TTL, "
+            "the Spark-native bound), or accept unbounded-kv superset "
+            "semantics (no key ever evicted) explicitly: "
+            '[:stores :lruMap name {"unbounded_ok": true}]'
+        )
+    spec = StoreSpec(kind, persistent, name)
+    spec.retention = opts.get("retention", spec.retention)
     return spec
 
 

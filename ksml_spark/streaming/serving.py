@@ -16,7 +16,8 @@ materialized table:
 
 Storage backends:
 
-* ``storage: "memory"`` (default) — batch rels register a temp view;
+* ``storage: "memory"`` (default) — batch rels register a temp view
+  (NO driver copy: lookups are filtered scans, Catalyst prunes);
   streaming rels run a memory-sink query: "complete" output for
   aggregated tables (each trigger replaces the snapshot, so lookups
   always see a consistent latest state), "append" for plain streams,
@@ -24,7 +25,13 @@ Storage backends:
   (``KTableRel.update_only`` — e.g. the streaming changelog join, whose
   applyInPandasWithState plan Spark refuses to run in complete mode).
   The memory sink collects the view to the driver — O(keys), not
-  O(events), which is what a serving copy of an aggregate is.
+  O(events), which is what a serving copy of an aggregate is — but
+  O(keys) still has a driver-RAM ceiling: a streaming memory-sink
+  handle GUARDS it, counting the served snapshot after each refresh
+  and warning (``overflow: "warn"``, default) or raising
+  (``overflow: "error"``) once it exceeds ``max_memory_rows``
+  (default 1,000,000) with instructions to switch to
+  ``storage: "table"``, the beyond-driver-memory path.
 * ``storage: "table"`` — the beyond-driver-memory path: the view is
   written to a catalog table BUCKETED by the key columns
   (operators/sinks.py bucketed sink layout), and ``lookup()`` prunes the
@@ -58,6 +65,95 @@ class ServeHandle:
     query: Any = None  # StreamingQuery when the rel was streaming
     latest_by_seq: bool = False  # update-mode sink: dedup to max __seq/key
     bucketed: bool = False  # storage="table": key lookups prune to 1 bucket
+    # streaming memory-sink guard: snapshot row ceiling (0 = no guard —
+    # batch temp views and bucketed tables have no driver copy to bound)
+    memory_rows_cap: int = 0
+    overflow: str = "warn"  # "warn" | "error" when the cap is exceeded
+    buckets: int = 0  # storage="table": bucket count of the catalog table
+
+    def host_for(self, key) -> dict:
+        """Metadata for where a key's state is served — the ring.clj
+        parity surface: the reference's ring handler resolves a lookup
+        via find-host (ring.clj:15-18) and either answers locally or
+        proxies to the owning Kafka Streams instance (remote?,
+        ring.clj:20-53). Spark has one serving endpoint (the driver
+        querying the materialized view), so ``host`` is always the local
+        driver and ``remote`` is always False; the within-cluster
+        routing analog is the BUCKET: for ``storage="table"`` handles
+        the returned ``bucket`` is the one bucket file-group a
+        ``lookup(key)`` scan reads (Murmur3 pmod, Spark's
+        HashPartitioning.partitionIdExpression — computed with the same
+        F.hash the bucketed write used), i.e. "which shard owns this
+        key". ``store`` mirrors find-host's store-name argument."""
+        items = self._key_items(key)
+        bucket = None
+        # the bucket hash is ORDER-SENSITIVE: only computable from a
+        # full key, taken in key-column order (partial-key dicts filter
+        # fine in lookup() but name no single bucket)
+        if dict(items).keys() == set(self.key_cols):
+            items = [(c, dict(items)[c]) for c in self.key_cols]
+        else:
+            items = None
+        if items is not None and self.bucketed and self.buckets:
+            # literals must carry the EXACT column types — Murmur3 hashes
+            # an int32 and an int64 of the same value differently, and
+            # the write hashed the table's types
+            types = {f.name: f.dataType for f in self.spark.table(self.name).schema}
+            lits = [F.lit(v).cast(types[c]) for c, v in items]
+            row = (
+                self.spark.range(1)
+                .select(F.pmod(F.hash(*lits), F.lit(self.buckets)).alias("b"))
+                .collect()
+            )
+            bucket = row[0].b
+        return {
+            "host": self.spark.conf.get("spark.driver.host", "localhost"),
+            "remote": False,  # single serving endpoint: always local
+            "store": self.name,
+            "bucket": bucket,
+            "buckets": self.buckets or None,
+        }
+
+    def _key_items(self, key) -> list:
+        """Normalize a lookup key (scalar | tuple | dict) to
+        [(col, value), ...] in key-column order."""
+        if isinstance(key, dict):
+            return list(key.items())
+        if isinstance(key, (list, tuple)):
+            if len(key) != len(self.key_cols):
+                raise ArityError(
+                    f"lookup expects {len(self.key_cols)} key parts, got {len(key)}"
+                )
+            return list(zip(self.key_cols, key))
+        if len(self.key_cols) != 1:
+            raise ArityError(f"composite key {self.key_cols}: pass a dict or tuple")
+        return [(self.key_cols[0], key)]
+
+    def _check_memory_ceiling(self) -> None:
+        """The memory sink holds the full served snapshot in driver RAM.
+        Count it (driver-local, cheap) and warn/refuse past the cap so a
+        growing keyspace surfaces as a clear signal — with the fix named
+        (storage="table", the bucketed beyond-driver-memory path) —
+        instead of an eventual driver OOM. Re-checked after every
+        refresh(); lookups between refreshes see an unchanged snapshot,
+        so they skip the count."""
+        if not self.memory_rows_cap:
+            return
+        n = self.spark.table(self.name).count()
+        if n <= self.memory_rows_cap:
+            return
+        msg = (
+            f"serve handle {self.name!r}: memory-sink snapshot holds {n:,} "
+            f"rows (> max_memory_rows={self.memory_rows_cap:,}) in driver "
+            "RAM. Re-serve with {'storage': 'table'} (bucketed catalog "
+            "table, lookups prune to one bucket) or raise "
+            "{'max_memory_rows': N} if the driver is sized for it."
+        )
+        if self.overflow == "error":
+            raise ArityError(msg)
+        import warnings
+
+        warnings.warn(msg, ResourceWarning, stacklevel=3)
 
     def df(self) -> DataFrame:
         df = self.spark.table(self.name)
@@ -113,17 +209,7 @@ class ServeHandle:
         """Rows for one key. ``key``: a scalar (single-column key), a
         tuple (positional composite), or a {col: value} dict."""
         df = self.df()
-        if isinstance(key, dict):
-            items = key.items()
-        elif isinstance(key, (list, tuple)):
-            if len(key) != len(self.key_cols):
-                raise ArityError(f"lookup expects {len(self.key_cols)} key parts, got {len(key)}")
-            items = zip(self.key_cols, key)
-        else:
-            if len(self.key_cols) != 1:
-                raise ArityError(f"composite key {self.key_cols}: pass a dict or tuple")
-            items = [(self.key_cols[0], key)]
-        for col, val in items:
+        for col, val in self._key_items(key):
             df = df.filter(df[col] == val)
         if not self.bucketed:
             return df.collect()
@@ -153,6 +239,7 @@ class ServeHandle:
                     "['serve', ...] to snapshot new data"
                 )
             self.query.processAllAvailable()
+            self._check_memory_ceiling()
         return self
 
     def stop(self) -> None:
@@ -214,6 +301,9 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
         raise ArityError("serve needs key columns (keyed rel or {'key': cols})")
     storage = opts.get("storage", "memory")
     buckets = int(opts.get("buckets", 8))
+    if str(opts.get("overflow", "warn")) not in ("warn", "error"):
+        raise ArityError(
+            f"serve overflow must be 'warn' or 'error', got {opts['overflow']!r}")
     update_only = bool(getattr(rel, "update_only", False))
 
     if not rel.df.isStreaming:
@@ -221,7 +311,9 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
             _bucketed_write(rel.df, name, key_cols, buckets)
         else:
             rel.df.createOrReplaceTempView(name)
-        return ServeHandle(ctx.spark, name, key_cols, bucketed=storage == "table")
+        return ServeHandle(ctx.spark, name, key_cols,
+                           bucketed=storage == "table",
+                           buckets=buckets if storage == "table" else 0)
 
     # streaming: aggregated tables serve a full consistent snapshot per
     # trigger (complete); stateful-processor tables (changelog join) are
@@ -301,6 +393,15 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
     q = w.start()
     if trig == "available_now":
         q.awaitTermination(float(opts.get("timeout", 120.0)))
-    return ServeHandle(ctx.spark, name, key_cols, query=q,
-                       bucketed=storage == "table",
-                       latest_by_seq=update_only)
+    handle = ServeHandle(
+        ctx.spark, name, key_cols, query=q,
+        bucketed=storage == "table",
+        buckets=buckets if storage == "table" else 0,
+        latest_by_seq=update_only,
+        memory_rows_cap=(0 if storage == "table"
+                         else int(opts.get("max_memory_rows", 1_000_000))),
+        overflow=str(opts.get("overflow", "warn")),
+    )
+    if trig == "available_now":
+        handle._check_memory_ceiling()
+    return handle

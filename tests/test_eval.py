@@ -96,3 +96,25 @@ def test_wordcount_end_to_end(spark, tables):
     for r in tables["documents"].select("text").collect():
         expected.update(w for w in re.split(r"[^a-z0-9]+", r["text"].lower()) if w)
     assert rows == dict(expected)
+
+
+def test_lru_map_refuses_with_honest_mapping(spark):
+    """:lruMap (Stores.lruMap, eval.clj:222) is a BOUNDED kv store that
+    silently evicts least-recently-used KEYS past maxEntries. Spark
+    state is unbounded per key and bounds by time (watermark/TTL), not
+    access recency — so the op refuses by default, naming both honest
+    alternatives, instead of silently accepting bounded-store syntax
+    with unbounded semantics."""
+    from ksml_spark.errors import TypeDispatchError
+
+    with pytest.raises(TypeDispatchError, match="with-retention"):
+        ksml(["stores", ":lruMap", "my-store"], spark=spark)
+    # camelCase alias normalizes identically
+    with pytest.raises(TypeDispatchError, match="unbounded_ok"):
+        ksml(["stores", "lru-map", "my-store"], spark=spark)
+    # explicit opt-in accepts: unbounded-kv SUPERSET semantics (no key
+    # ever evicted — strictly more data than the reference store keeps)
+    spec = ksml(["stores", ":lruMap", "my-store", {"unbounded_ok": True}],
+                spark=spark)
+    assert spec.kind == "lru" and spec.name == "my-store"
+    assert spec.persistent is False

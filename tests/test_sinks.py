@@ -6,6 +6,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from ksml_spark import ksml, pipe
 from ksml_spark.plans import explain_str, scan_summary
 
@@ -295,3 +297,93 @@ def test_serve_compaction_crash_recovery_restores_tmp(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+
+def test_serve_memory_ceiling_guard(spark, tables, tmp_path):
+    """The streaming memory sink holds the served snapshot in driver
+    RAM. Past max_memory_rows the handle warns (default) or raises
+    (overflow='error'), naming storage='table' as the fix — the
+    driver-memory ceiling surfaces as a signal, not an eventual OOM."""
+    import warnings
+
+    from ksml_spark import pipe
+    from ksml_spark.errors import ArityError
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    p = str(tmp_path / "events")
+    tables["events"].write.parquet(p)
+
+    def serve(name, **extra):
+        counts = pipe(
+            ["stream", file_stream_source(spark, p),
+             {"key": "user_id", "time": "ts"}],
+            ["group-by-key"], ["count"], spark=spark)
+        return ksml(["serve", counts, {"name": name, **extra}], spark=spark)
+
+    nkeys = tables["events"].select("user_id").distinct().count()
+    assert nkeys > 3  # the tiny cap below must actually be exceeded
+
+    with pytest.warns(ResourceWarning, match="storage.*table"):
+        h = serve("served_capped", max_memory_rows=3)
+    h.stop()
+
+    with pytest.raises(ArityError, match="max_memory_rows"):
+        serve("served_capped_err", max_memory_rows=3, overflow="error")
+
+    # a cap sized for the snapshot stays silent (availableNow queries
+    # check once post-drain; refresh() re-checks for live triggers)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ResourceWarning)
+        h = serve("served_uncapped", max_memory_rows=nkeys)
+    h.stop()
+
+    with pytest.raises(ArityError, match="warn.*error"):
+        serve("served_badopt", overflow="sometimes")
+
+
+def test_serve_host_for_metadata(spark, tables):
+    """ring.clj parity shim (find-host ring.clj:15-18, remote?/proxy
+    ring.clj:20-53): host_for(key) names the serving endpoint and the
+    shard. Spark has ONE serving endpoint (the driver), so remote is
+    always False; the routing analog is the bucket — asserted against
+    where the bucketed write actually placed the key's row (the bucket
+    id embedded in the parquet file name)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ksml_spark import pipe
+
+    counts = pipe(
+        ["stream", tables["events"], {"key": "user_id", "time": "ts"}],
+        ["group-by-key"], ["count"], spark=spark)
+    h = ksml(["serve", counts,
+              {"name": "served_hostfor", "storage": "table", "buckets": 4}],
+             spark=spark)
+    try:
+        probe = tables["events"].select("user_id").first()["user_id"]
+        info = h.host_for(probe)
+        assert info["remote"] is False
+        assert info["store"] == "served_hostfor"
+        assert info["buckets"] == 4
+        assert info["bucket"] in range(4)
+        assert isinstance(info["host"], str) and info["host"]
+        # ground truth: bucketed parquet file names carry the bucket id
+        # as the _NNNNN suffix — the key's row must live in the bucket
+        # host_for computed (same Murmur3-pmod the write used)
+        fname = (
+            spark.table("served_hostfor")
+            .withColumn("f", F.input_file_name())
+            .filter(F.col("user_id") == probe)
+            .first()["f"]
+        )
+        m = re.search(r"_(\d{5})\.", fname)
+        assert m, f"no bucket suffix in {fname}"
+        assert int(m.group(1)) == info["bucket"]
+
+        # memory-storage handle: endpoint metadata, no shard to name
+        h2 = ksml(["serve", counts, {"name": "served_hostfor_mem"}], spark=spark)
+        info2 = h2.host_for(probe)
+        assert info2["remote"] is False and info2["bucket"] is None
+    finally:
+        spark.sql("DROP TABLE IF EXISTS served_hostfor")
