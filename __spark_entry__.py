@@ -1712,17 +1712,97 @@ SELECT doc_id,
 FROM documents"""
 
 
+def _q_containment_pairs(spark, sf):
+    """Containment (overlap-coefficient) near-dup pairs — catches the
+    snippet-inside-page inclusion Jaccard misses; same inverted-index
+    plan family as jaccard_pairs."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["containment-pairs", {"col": "text", "id": "doc_id",
+                               "block": ["lang", "n_chars div 100"],
+                               "threshold": 0.8}],
+        spark=spark,
+    ).df
+
+
+_CONTAINMENT_ORACLE = """
+WITH d AS (SELECT doc_id, lang, n_chars // 100 AS nb,
+           list_distinct(list_transform(string_split(text, ' '),
+             x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS t FROM documents),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.t, b.t)) AS c, len(a.t) AS na, len(b.t) AS nb2
+  FROM d a JOIN d b ON a.lang = b.lang AND a.nb = b.nb AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(c::DOUBLE / na, 6) AS containment_a,
+       round(c::DOUBLE / nb2, 6) AS containment_b
+FROM p
+WHERE round(c::DOUBLE / na, 6) >= 0.8 OR round(c::DOUBLE / nb2, 6) >= 0.8"""
+
+
+def _q_bm25(spark, sf):
+    """BM25 relevance of every document against a fixed query (Lucene
+    idf variant) — corpus-curation lexical retrieval; postings reduce to
+    query-term matches before any shuffle."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["bm25", {"col": "text", "id": "doc_id", "query": "the model data"}],
+        spark=spark,
+    ).df
+
+
+_BM25_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+d AS (SELECT doc_id, w, len(w) AS dl FROM w),
+s AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM d),
+tf AS (SELECT doc_id, dl, t.term, count(*) AS tf
+       FROM d, unnest(list_filter(w, x -> x IN ('data', 'model', 'the')))
+       AS t(term)
+       GROUP BY 1, 2, 3),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, round(sum(
+    ln(1 + (s.N - dfq.df + 0.5) / (dfq.df + 0.5))
+    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 6)
+  AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN s GROUP BY 1"""
+
+
+def _q_quantile_summary(spark, sf):
+    """Per-group exact percentile profile (linear interpolation, the
+    quantile_cont definition); {"approx": N} is the documented sketch
+    path at scale."""
+    return pipe(
+        ["stream", _t(sf, "orders"), {"key": "o_orderkey"}],
+        ["quantiles", {"col": "o_totalprice", "by": "o_orderpriority",
+                       "ps": [0.25, 0.5, 0.75, 0.95]}],
+        spark=spark,
+    ).df
+
+
+_QUANTILE_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+FROM orders GROUP BY o_orderpriority"""
+
+
 # ---------------------------------------------------------------------------
 
 # Registry order matters: the correctness driver records only the FIRST 50
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
 # of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
 # queries count as "never recorded" and go first of all; ties keep relative
-# order).  With 72 queries and a 50-row window, 22 fall outside each round
+# order).  With 75 queries and a 50-row window, 25 fall outside each round
 # and re-enter the window the next round — so every query has a driver-green
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
+    # --- brand-new in r06 (never driver-recorded): first of all ---
+    "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
+    "bm25_scores": (_q_bm25, _BM25_ORACLE),
+    "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),
     # --- outside the r05 window (last driver-green r02/r04): record in r06 ---
     "jaccard_pairs_prefix": (_q_jaccard_prefix, _JACCARD_PAIRS_ORACLE),
     "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),

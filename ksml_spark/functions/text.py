@@ -433,6 +433,96 @@ def _gram_ids(col: Column, n: int) -> Column:
     return F.array_distinct(F.transform(grams, lambda g: md5_long_col(g)))
 
 
+@defop("bm25")
+def op_bm25(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """BM25 relevance scoring of every document against a fixed query —
+    the lexical-retrieval half of corpus curation (nearest-to-seed
+    selection, quality probes against a topic, dedup-cluster
+    representative picking):
+
+        ["bm25", rel, {"col": "text", "id": "doc_id",
+                       "query": "gradient descent optimizer",
+                       "k1": 1.2, "b": 0.75}]
+        -> (doc id, score) for every document containing >= 1 query
+           term (docs matching nothing score 0 and are not emitted),
+           Okapi BM25 with the Lucene idf variant
+           ln(1 + (N - df + 0.5) / (df + 0.5)) — non-negative for
+           hyper-frequent terms, so scores are monotone in matches.
+
+    Plan, and why it scales: the corpus reduces to postings for the
+    QUERY terms only — explode the word array pre-filtered to the
+    query's term set (array_intersect semantics via F.filter, so the
+    explode emits O(matches), not O(corpus tokens)) — then one hash agg
+    for per-doc term frequencies, one tiny agg for (N, avgdl) and one
+    per-term df agg, both BROADCAST back. The 100 TB side is touched
+    once, shuffles only its matching postings, and every expression is
+    codegen'd; nothing Python touches a row.
+
+    Reference: no analog (§2.10 extension surface)."""
+    col, opts = _col_opts(rest)
+    idc = opts.get("id", "doc_id")
+    query = opts.get("query")
+    if not query:
+        from ..errors import ArityError
+
+        raise ArityError('bm25 needs {"query": "terms ..."}')
+    k1 = float(opts.get("k1", 1.2))
+    b = float(opts.get("b", 0.75))
+    # normalize the query exactly like the document side (words()):
+    # lowercase, alnum runs, deduped — term order never matters
+    import re as _re
+
+    terms = sorted({t for t in _re.split(r"[^a-z0-9]+", str(query).lower()) if t})
+    if not terms:
+        from ..errors import ArityError
+
+        raise ArityError(f"bm25 query has no terms after normalization: {query!r}")
+    term_arr = F.array(*[F.lit(t) for t in terms])
+
+    df = rel.df
+    w = words(F.col(col))
+    docs = df.select(F.col(idc), w.alias("__w"), F.size(w).alias("__dl"))
+    # corpus stats: one row (N, avgdl) — broadcast join, no shuffle of
+    # the corpus side
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    # postings: only query-term occurrences survive BEFORE the explode
+    hits = docs.select(
+        F.col(idc),
+        F.col("__dl"),
+        F.explode(
+            F.filter(F.col("__w"), lambda t: F.array_contains(term_arr, t))
+        ).alias("__term"),
+    )
+    tf = hits.groupBy(idc, "__dl", "__term").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__N") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("__tf") * (k1 + 1))
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (F.lit(1 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+    )
+    out = scored.groupBy(idc).agg(F.round(F.sum("__s"), 6).alias("score"))
+    return rel.with_df(out, key_cols=(idc,), time_col=None)
+
+
 @defop("decontaminate")
 def op_decontaminate(ctx: Ctx, corpus: Rel, bench: Rel, *rest) -> Rel:
     """Benchmark decontamination for training corpora: find corpus

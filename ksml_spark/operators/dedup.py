@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..errors import ArityError
+from ..errors import ArityError, TypeDispatchError
 from ..eval import Ctx, defop
 from ..model import KStreamRel, Rel
 
@@ -391,6 +391,99 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     pairs = (
         counted.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= thr)
+    )
+    return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
+
+
+@defop("containment-pairs")
+def op_containment_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Token-set CONTAINMENT pairs — the near-dup relation Jaccard
+    misses: a 50-word snippet pasted inside a 5,000-word page has
+    Jaccard ~0.01 but containment ~1.0 (Broder's resemblance vs
+    containment distinction; the "quote/boilerplate inclusion" case a
+    training-corpus dedup actually needs).
+
+        ["containment-pairs", rel, {"col": "text", "id": "doc_id",
+                                    "block": "lang", "threshold": 0.9}]
+        -> (doc_a, doc_b, containment_a, containment_b) where
+           containment_a = |A∩B| / |A| (fraction of A inside B),
+           containment_b = |A∩B| / |B|, kept when EITHER side's
+           containment >= threshold (max-containment = the overlap
+           coefficient |A∩B| / min(|A|,|B|)).
+
+    Same inverted-index plan as jaccard-pairs (work ∝ shared tokens,
+    codegen hash join + hash agg, never all-pairs): explode distinct
+    60-bit token hashes, self-equi-join on (block, token), count shared
+    per pair with both set sizes riding the grouping key. threshold
+    must be > 0 — a zero threshold is every co-blocked pair; use
+    jaccard-pairs' documented threshold<=0 cross-join fallback for
+    that. AllPairs prefix filtering does NOT port: its bound assumes
+    the symmetric Jaccard overlap constraint, while containment admits
+    pairs with arbitrarily small Jaccard (the snippet case above), so
+    a prefix index would drop true pairs; skew in the token index is
+    handled by AQE skew-split, as in the plain jaccard plan.
+
+    Reference: no analog (§2.10 extension surface)."""
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    block = opts.get("block")
+    thr = float(opts.get("threshold", 0.9))
+    col = opts.get("col", "text")
+    if thr <= 0:
+        raise TypeDispatchError(
+            "containment-pairs needs threshold > 0 (the inverted index "
+            "only materializes pairs sharing a token); for every "
+            "co-blocked pair use jaccard-pairs with threshold <= 0"
+        )
+    blocks = [block] if isinstance(block, str) else list(block or [])
+    from .util import md5_long_col, shuffle_partitions
+
+    tok_ids = F.array_distinct(
+        F.transform(tokens_col(F.col(col)), lambda x: md5_long_col(x))
+    )
+    toks = rel.df.select(
+        F.col(idc),
+        *[F.expr(b).alias(f"__b{i}") for i, b in enumerate(blocks)],
+        tok_ids.alias("__t"),
+    ).withColumn("__n", F.size(F.col("__t")))
+    ex = toks.select(
+        F.col(idc),
+        *[f"__b{i}" for i in range(len(blocks))],
+        F.col("__n"),
+        F.explode(F.col("__t")).alias("__tok"),
+    )
+    # same exchange-reuse rationale as jaccard-pairs: pin the partition
+    # count so AQE (sized on the small map output, blind to the pair
+    # rows the join emits) can't coalesce the quadratic stage to 1 task
+    ex = ex.repartition(
+        shuffle_partitions(ex), *[f"__b{i}" for i in range(len(blocks))], "__tok"
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.__tok") == F.col("b.__tok")) & (F.col(f"a.{idc}") < F.col(f"b.{idc}"))
+    for i in range(len(blocks)):
+        cond = (F.col(f"a.__b{i}") == F.col(f"b.__b{i}")) & cond
+    counted = (
+        a.join(b, cond, "inner")
+        .select(
+            F.col(f"a.{idc}").alias("doc_a"),
+            F.col(f"b.{idc}").alias("doc_b"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .groupBy("doc_a", "doc_b", "__na", "__nb")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    c_a = F.col("__c") / F.col("__na")
+    c_b = F.col("__c") / F.col("__nb")
+    pairs = (
+        counted.select(
+            "doc_a", "doc_b",
+            F.round(c_a, 6).alias("containment_a"),
+            F.round(c_b, 6).alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= thr) | (F.col("containment_b") >= thr)
+        )
     )
     return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
 

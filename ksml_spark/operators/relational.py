@@ -346,3 +346,63 @@ def op_histogram(ctx: Ctx, rel: Rel, *rest) -> Rel:
         )
     )
     return rel.with_df(out, key_cols=("bin",), time_col=None)
+
+
+@defop("quantiles")
+def op_quantiles(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Per-group percentile summary of a numeric column:
+
+        ["quantiles", rel, {"col": "o_totalprice", "by": "o_orderpriority",
+                            "ps": [0.25, 0.5, 0.75, 0.95]}]
+        -> one row per group: (by-cols..., p25, p50, p75, p95), linear
+           interpolation between order statistics (the quantile_cont /
+           numpy-linear definition), NULLs skipped, column names derived
+           from the percentile (0.25 -> p25, 0.999 -> p99_9).
+
+    Two engines behind one surface:
+
+    * default (exact) — Spark's ``percentile`` aggregate: ONE pass, one
+      hash agg, but it buffers each group's values to sort, so per-group
+      memory is O(group rows). Right for profile/QA summaries over
+      bounded groups; hash-exact against the SQL oracle.
+    * {"approx": N} — ``percentile_approx`` with accuracy N (e.g.
+      10000): a mergeable quantile sketch with map-side partial
+      aggregation and O(accuracy) memory per group REGARDLESS of group
+      size. This is the 100 TB path — at a billion rows per group the
+      exact buffer is an executor OOM, the sketch is a few KB — at the
+      cost of rank error <= 1/N (and no oracle hash-exactness, so the
+      registry query pins the exact form and a test bounds
+      approx-vs-exact drift).
+
+    Reference: no analog (§2.10 extension surface)."""
+    rel = _as_rel(rel)
+    opts: dict = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    col = opts.get("col")
+    if not col:
+        raise ArityError("quantiles needs {'col': ...}")
+    ps = [float(p) for p in opts.get("ps", [0.25, 0.5, 0.75])]
+    if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+        raise ArityError(f"quantiles ps must be fractions in [0, 1], got {ps!r}")
+    by = opts.get("by") or []
+    by = [by] if isinstance(by, str) else list(by)
+    approx = opts.get("approx")
+
+    def pname(p: float) -> str:
+        return "p" + ("%g" % (p * 100)).replace(".", "_")
+
+    c = to_col(col)
+    parr = F.array(*[F.lit(p) for p in ps])
+    if approx:
+        agg = F.percentile_approx(c, parr, F.lit(int(approx)))
+    else:
+        agg = F.percentile(c, parr)
+    grouped = rel.df.groupBy(*[to_col(g).alias(g) for g in by])
+    out = grouped.agg(agg.alias("__q")).select(
+        *by,
+        *[F.round(F.col("__q").getItem(i), 6).alias(pname(p))
+          for i, p in enumerate(ps)],
+    )
+    return rel.with_df(out, key_cols=tuple(by), time_col=None)

@@ -996,3 +996,142 @@ def test_jaccard_prefix_auto_switch_on_skew(spark):
     assert "row_number" not in plan(base)
     # explicit override still beats the skew rule
     assert "row_number" not in plan(hot, {"prefix": False})
+
+
+def test_containment_pairs_values_and_inclusion_case(spark, tables):
+    """Containment against a Python reference; plus the case the op
+    exists for — a snippet fully inside a larger doc has containment
+    1.0 on the snippet side even when Jaccard is far below any dedup
+    threshold."""
+    out = pipe(
+        docs_stream(tables),
+        ["containment-pairs", {"col": "text", "id": "doc_id",
+                               "block": ["lang"], "threshold": 0.9}],
+        spark=spark,
+    ).df
+    texts = {r["doc_id"]: (r["lang"], set(r["text"].split(" ")))
+             for r in tables["documents"].collect()}
+    got = {(r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+           for r in out.collect()}
+    assert got, "corpus contains exact dupes, so pairs must exist"
+    for (a, b), (ca, cb) in got.items():
+        la, ta = texts[a]
+        lb, tb = texts[b]
+        assert la == lb
+        inter = len(ta & tb)
+        assert abs(inter / len(ta) - ca) < 1e-6
+        assert abs(inter / len(tb) - cb) < 1e-6
+        assert max(ca, cb) >= 0.9
+
+    # inclusion: synthesize a snippet contained in a page; Jaccard tiny,
+    # containment_b (snippet side) = 1.0
+    page_words = " ".join(f"w{i}" for i in range(200))
+    snippet = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, page_words), (2, snippet)], "doc_id long, text string")
+    pairs = pipe(
+        ["stream", df, {"key": "doc_id"}],
+        ["containment-pairs", {"col": "text", "id": "doc_id",
+                               "threshold": 0.95}],
+        spark=spark,
+    ).df.collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment_b"] == 1.0  # snippet fully inside the page
+    assert abs(r["containment_a"] - 10 / 200) < 1e-6  # jaccard-sized: tiny
+    # zero threshold is refused: the inverted index cannot emit
+    # no-overlap pairs
+    from ksml_spark.errors import TypeDispatchError
+    with pytest.raises(TypeDispatchError, match="jaccard-pairs"):
+        pipe(["stream", df, {"key": "doc_id"}],
+             ["containment-pairs", {"col": "text", "threshold": 0}],
+             spark=spark)
+
+
+def test_bm25_reference_scores(spark, tables):
+    """BM25 against a straight Python implementation of the Lucene-idf
+    Okapi formula over the same word normalization."""
+    import math
+    import re
+
+    out = pipe(
+        docs_stream(tables),
+        ["bm25", {"col": "text", "id": "doc_id", "query": "The Data; MODEL"}],
+        spark=spark,
+    ).df
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+
+    docs = {r["doc_id"]: [w for w in re.split(r"[^a-z0-9]+", r["text"].lower()) if w]
+            for r in tables["documents"].collect()}
+    terms = {"the", "data", "model"}
+    N = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / N
+    dfreq = {t: sum(1 for w in docs.values() if t in w) for t in terms}
+    k1, b = 1.2, 0.75
+    expected = {}
+    for did, w in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        if s > 0:
+            expected[did] = s
+    assert set(got) == set(expected)  # only matching docs are emitted
+    for did, s in expected.items():
+        assert abs(got[did] - s) < 1e-5
+    # query normalization: punctuation/case/duplicates don't change terms
+    out2 = pipe(
+        docs_stream(tables),
+        ["bm25", {"col": "text", "id": "doc_id", "query": "model the data the"}],
+        spark=spark,
+    ).df
+    assert {r["doc_id"]: r["score"] for r in out2.collect()} == got
+
+
+def test_quantiles_exact_and_approx(spark, tables):
+    """Exact percentiles against numpy's linear interpolation; the
+    {"approx": N} sketch path (the 100 TB memory-bounded engine) must
+    land within its documented rank-error bound of exact."""
+    import numpy as np
+
+    out = pipe(
+        ["stream", tables["orders"], {"key": "o_orderkey"}],
+        ["quantiles", {"col": "o_totalprice", "by": "o_orderpriority",
+                       "ps": [0.25, 0.5, 0.9]}],
+        spark=spark,
+    ).df
+    rows = {r["o_orderpriority"]: (r["p25"], r["p50"], r["p90"])
+            for r in out.collect()}
+    vals: dict = {}
+    for r in tables["orders"].select("o_orderpriority", "o_totalprice").collect():
+        vals.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    for g, xs in vals.items():
+        exp = np.percentile(np.array(xs), [25, 50, 90], method="linear")
+        for got_v, exp_v in zip(rows[g], exp):
+            assert abs(got_v - exp_v) < 1e-4, (g, got_v, exp_v)
+
+    # approx path: rank error <= 1/accuracy; with accuracy 10000 on a
+    # few-thousand-row group the sketch answer must sit within the
+    # values adjacent to the exact rank — bound loosely by value gap
+    appr = pipe(
+        ["stream", tables["orders"], {"key": "o_orderkey"}],
+        ["quantiles", {"col": "o_totalprice", "by": "o_orderpriority",
+                       "ps": [0.5], "approx": 10000}],
+        spark=spark,
+    ).df
+    for r in appr.collect():
+        xs = np.sort(np.array(vals[r["o_orderpriority"]]))
+        # within 1% of the rank neighborhood around the true median
+        k = len(xs) // 2
+        lo, hi = xs[max(0, k - max(1, len(xs) // 100))], xs[min(len(xs) - 1, k + max(1, len(xs) // 100))]
+        assert lo <= r["p50"] <= hi
+
+    from ksml_spark.errors import ArityError
+    with pytest.raises(ArityError, match="fractions"):
+        pipe(["stream", tables["orders"], {"key": "o_orderkey"}],
+             ["quantiles", {"col": "o_totalprice", "ps": [25, 50]}],
+             spark=spark)

@@ -325,10 +325,12 @@ def test_no_query_plans_a_cartesian_or_stray_nested_loop(spark):
     CartesianProduct anywhere; BroadcastNestedLoopJoin only where the
     broadcast fan-out IS the algorithm (ANN brute-force / IVF and
     k-means assignment score every vector against a tiny broadcast
-    centroid/query set — the documented vector-x-K shape)."""
+    centroid/query set — the documented vector-x-K shape; bm25 joins
+    every matching posting against the broadcast ONE-ROW (N, avgdl)
+    corpus-stats relation, a conditionless scalar attach)."""
     import __spark_entry__ as m
 
-    bnlj_ok = {"kmeans_assign", "ann_topk", "ann_ivf_topk"}
+    bnlj_ok = {"kmeans_assign", "ann_topk", "ann_ivf_topk", "bm25_scores"}
     bad = []
     for name, fn in m.queries().items():
         p = (fn(spark, "/root/testdata/sf0.001")
