@@ -1788,13 +1788,67 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority"""
 
 
+def _q_entropy(spark, sf):
+    """Char- and word-level Shannon entropy per document — the
+    garbage-text / spam signal."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["entropy", {"col": "text", "unit": "char", "as": "ent_char"}],
+        ["entropy", {"col": "text", "unit": "word", "as": "ent_word"}],
+        ["select", {"doc_id": "doc_id", "ent_char": "round(ent_char, 6)",
+                    "ent_word": "round(ent_word, 6)"}],
+        spark=spark,
+    ).df
+
+
+_ENTROPY_ORACLE = f"""
+WITH ch AS (
+  SELECT doc_id,
+         unnest([substr(text, i, 1) for i in generate_series(1, len(text))]) AS u
+  FROM documents),
+cc AS (SELECT doc_id, u, count(*) AS c FROM ch GROUP BY 1, 2),
+ce AS (SELECT doc_id, log2(sum(c)) - sum(c * log2(c)) / sum(c) AS ent
+       FROM cc GROUP BY 1),
+wd AS (SELECT doc_id, unnest({_WORDS_DUCK}) AS u FROM documents),
+wc AS (SELECT doc_id, u, count(*) AS c FROM wd GROUP BY 1, 2),
+we AS (SELECT doc_id, log2(sum(c)) - sum(c * log2(c)) / sum(c) AS ent
+       FROM wc GROUP BY 1)
+SELECT d.doc_id, round(coalesce(ce.ent, 0), 6) AS ent_char,
+       round(coalesce(we.ent, 0), 6) AS ent_word
+FROM documents d LEFT JOIN ce USING (doc_id) LEFT JOIN we USING (doc_id)"""
+
+
+def _q_mix_sources(spark, sf):
+    """Deterministic 3:1:1 source mixture (binding group keeps all its
+    rows; others subsample by the shared md5 cutoff)."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["mix", {"by": "source", "weights": {"src0": 3, "src1": 1, "src2": 1},
+                 "id": "doc_id", "salt": "v1"}],
+        ["select", {"doc_id": "doc_id", "source": "source"}],
+        spark=spark,
+    ).df
+
+
+_MIX_ORACLE = """
+WITH c AS (SELECT source, count(*) AS n,
+        CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0
+                    WHEN 'src2' THEN 1.0 END AS w
+      FROM documents WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+t AS (SELECT min(n / w) AS tmin FROM c),
+cuts AS (SELECT source, CAST(floor(t.tmin * c.w / c.n * 4294967296) AS BIGINT)
+         AS cut FROM c CROSS JOIN t)
+SELECT d.doc_id, d.source FROM documents d JOIN cuts USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT < cut"""
+
+
 # ---------------------------------------------------------------------------
 
 # Registry order matters: the correctness driver records only the FIRST 50
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
 # of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
 # queries count as "never recorded" and go first of all; ties keep relative
-# order).  With 75 queries and a 50-row window, 25 fall outside each round
+# order).  With 77 queries and a 50-row window, 27 fall outside each round
 # and re-enter the window the next round — so every query has a driver-green
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
@@ -1803,6 +1857,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
     "bm25_scores": (_q_bm25, _BM25_ORACLE),
     "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),
+    "doc_entropy": (_q_entropy, _ENTROPY_ORACLE),
+    "mix_sources": (_q_mix_sources, _MIX_ORACLE),
     # --- outside the r05 window (last driver-green r02/r04): record in r06 ---
     "jaccard_pairs_prefix": (_q_jaccard_prefix, _JACCARD_PAIRS_ORACLE),
     "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),

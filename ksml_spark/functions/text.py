@@ -355,6 +355,67 @@ def op_repetition_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
     return rel.with_df(out.drop("__nw", "__nd", "__top"))
 
 
+@defop("entropy")
+def op_entropy(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Adds the Shannon entropy of a document's character or word
+    distribution — the standard garbage-text signal (random strings and
+    encoding junk sit far above natural-language character entropy;
+    single-token spam sits near 0):
+
+        ["entropy", rel, {"col": "text", "unit": "char", "as": "ent"}]
+        -> every column + ``ent`` (double, bits): -sum p_u * log2(p_u)
+           over the doc's distinct units u; 0.0 for empty docs, NULL for
+           NULL text.
+
+    ``unit: "char"`` measures the raw character stream (1-char
+    substrings, whitespace included); ``unit: "word"`` the normalized
+    word distribution (words()).
+
+    Batch plan (same shape as repetition-score): explode units ->
+    per-(id, unit) count -> per-id [sum, sum(c*log2 c)] — two narrow
+    hash aggregations with map-side partials, join back on id; entropy
+    = log2(n) - sum(c*log2 c)/n, one expression. Streaming sources are
+    refused (agg + join-back against the same stream)."""
+    col, opts = _col_opts(rest)
+    if rel.df.isStreaming:
+        from ..errors import TypeDispatchError
+
+        raise TypeDispatchError(
+            "entropy is batch-only (per-unit frequency needs an "
+            "aggregation joined back to the stream)"
+        )
+    unit = opts.get("unit", "char")
+    out_name = opts.get("as", "ent")
+    idc = opts.get("id") or (rel.key_cols[0] if rel.key_cols else "doc_id")
+    c = F.col(col)
+    if unit == "word":
+        units = words(c)
+    elif unit == "char":
+        # portable 1-char substrings (NOT split(col, '') — empty-pattern
+        # split behavior differs across engines); sequence(1, 0) would
+        # count DOWN in Spark, so empty strings short-circuit
+        units = F.when(F.length(c) > 0, F.transform(
+            F.sequence(F.lit(1), F.length(c)), lambda i: c.substr(i, F.lit(1))
+        )).otherwise(F.array().cast("array<string>"))
+    else:
+        from ..errors import ArityError
+
+        raise ArityError(f"entropy unit must be 'char' or 'word', got {unit!r}")
+    ex = rel.df.select(F.col(idc), F.explode(units).alias("__u"))
+    per_unit = ex.groupBy(idc, "__u").agg(F.count(F.lit(1)).alias("__c"))
+    sig = per_unit.groupBy(idc).agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.col("__c") * F.log2("__c")).alias("__clc"),
+    )
+    joined = rel.df.join(sig, idc, "left")
+    ent = F.when(
+        c.isNull(), F.lit(None).cast("double")
+    ).when(
+        F.col("__n").isNull(), F.lit(0.0)  # no units: zero entropy
+    ).otherwise(F.log2("__n") - F.col("__clc") / F.col("__n"))
+    return rel.with_df(joined.withColumn(out_name, ent).drop("__n", "__clc"))
+
+
 @defop("scrub")
 def op_scrub(ctx: Ctx, rel: Rel, *rest) -> Rel:
     """["scrub", rel, {"col": "text", "patterns": ["url", "email"],

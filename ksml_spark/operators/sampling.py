@@ -238,3 +238,74 @@ def op_pack_chunks(ctx: Ctx, rel: Rel, *rest) -> Rel:
         .drop("__bkt", "__in_off", "__bkt_off", "__start")
     )
     return rel.with_df(out)
+
+
+@defop("mix")
+def op_mix(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Deterministic source-weighted corpus mixing — subsample groups so
+    the surviving rows follow target mixture WEIGHTS while keeping the
+    maximum possible data (the "2 parts web : 1 part code" step every
+    pretraining mixture needs):
+
+        ["mix", rel, {"by": "source", "weights": {"web": 2, "code": 1},
+                      "id": "doc_id", "salt": "v1"}]
+
+    The binding group is the one with the least data per unit weight:
+    T = min_g(n_g / w_g); group g keeps ~T * w_g rows via the same
+    engine-portable md5 integer-cutoff row selection as sample-hash
+    (fraction f_g = T * w_g / n_g, always <= 1) — so the kept set is
+    identical on every run/engine/partitioning, and re-running with a
+    higher-weighted group ADDS rows without re-drawing the others
+    (nested, same salt). Counts are cutoff-expected, not exact-integer
+    quotas (deterministic hash thresholding, not sorting — no global
+    order, no shuffle of the data side). Groups absent from ``weights``
+    (or weighted 0) are DROPPED; weighted groups absent from the data
+    don't constrain T (proportions hold among present groups).
+
+    Scale: one count aggregation over the corpus (map-side partials,
+    |groups| rows out), a one-row min attach, and a broadcast join of
+    the |groups|-row cutoff table back onto the corpus — the data side
+    is never shuffled. Reference: no analog (§2.10 extension
+    surface)."""
+    opts = _opts(rest)
+    by = opts.get("by")
+    weights = opts.get("weights")
+    if not by or not isinstance(weights, dict) or not weights:
+        raise ArityError("mix needs {'by': col, 'weights': {group: w, ...}}")
+    idc = opts.get("id", "doc_id")
+    salt = str(opts.get("salt", ""))
+    w_map = {g: float(w) for g, w in weights.items() if float(w) > 0}
+    if not w_map:
+        raise ArityError("mix weights must include at least one group with w > 0")
+
+    wexpr = None
+    for g, w in w_map.items():
+        cond = F.col(by) == F.lit(g)
+        wexpr = F.when(cond, F.lit(w)) if wexpr is None else wexpr.when(cond, F.lit(w))
+    counts = (
+        rel.df.filter(F.col(by).isin(*w_map))
+        .groupBy(by)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", wexpr)
+    )
+    tmin = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__tmin"))
+    # integer cutoff floor(((tmin * w) / n) * 2^32): identical
+    # left-associated double arithmetic in the DuckDB oracle, so the
+    # kept set is bit-reproducible across engines
+    cuts = counts.crossJoin(F.broadcast(tmin)).select(
+        F.col(by),
+        F.floor(
+            F.col("__tmin") * F.col("__w") / F.col("__n") * F.lit(4294967296.0)
+        ).cast("long").alias("__cut"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(idc).cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    out = (
+        rel.df.join(F.broadcast(cuts), by, "inner")
+        .filter(bucket < F.col("__cut"))
+        .drop("__cut")
+    )
+    return rel.with_df(out)

@@ -1135,3 +1135,78 @@ def test_quantiles_exact_and_approx(spark, tables):
         pipe(["stream", tables["orders"], {"key": "o_orderkey"}],
              ["quantiles", {"col": "o_totalprice", "ps": [25, 50]}],
              spark=spark)
+
+
+def test_entropy_reference_and_edges(spark, tables):
+    """Shannon entropy against a Python reference; empty -> 0.0,
+    NULL -> NULL, streaming refused, bad unit refused."""
+    import math
+    import re
+    from collections import Counter
+
+    out = pipe(
+        docs_stream(tables),
+        ["entropy", {"col": "text", "unit": "char", "as": "ec"}],
+        ["entropy", {"col": "text", "unit": "word", "as": "ew"}],
+        spark=spark,
+    ).df
+    got = {r["doc_id"]: (r["ec"], r["ew"]) for r in out.collect()}
+
+    def ent(units):
+        if not units:
+            return 0.0
+        n = len(units)
+        return -sum((c / n) * math.log2(c / n) for c in Counter(units).values())
+
+    for r in tables["documents"].collect():
+        ec, ew = got[r["doc_id"]]
+        t = r["text"]
+        assert abs(ec - ent(list(t))) < 1e-6
+        assert abs(ew - ent([w for w in re.split(r"[^a-z0-9]+", t.lower()) if w])) < 1e-6
+
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "aaaa"), (4, "abab")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r["e"] for r in pipe(
+        ["stream", df, {"key": "doc_id"}],
+        ["entropy", {"col": "text", "unit": "char", "as": "e"}],
+        spark=spark).df.collect()}
+    assert rows[1] == 0.0          # empty: no units
+    assert rows[2] is None         # NULL text propagates
+    assert rows[3] == 0.0          # single symbol: zero bits
+    assert abs(rows[4] - 1.0) < 1e-12  # two equiprobable symbols: 1 bit
+
+    from ksml_spark.errors import ArityError
+    with pytest.raises(ArityError, match="char.*word|word.*char"):
+        pipe(["stream", df, {"key": "doc_id"}],
+             ["entropy", {"col": "text", "unit": "byte"}], spark=spark)
+
+
+def test_mix_deterministic_weighted_proportions(spark, tables):
+    """mix: kept set is deterministic, groups follow the target weights
+    with the binding group kept whole, unlisted groups drop, and raising
+    one group's weight only ADDS rows (nested at the same salt)."""
+    form = lambda w: ["mix", docs_stream(tables),
+                      {"by": "source", "weights": w,
+                       "id": "doc_id", "salt": "t1"}]
+    w0 = {"src0": 2, "src1": 1}
+    a = {r["doc_id"] for r in ksml(form(w0), spark=spark).df.collect()}
+    b = {r["doc_id"] for r in ksml(form(w0), spark=spark).df.collect()}
+    assert a == b and a  # deterministic, non-empty
+
+    rows = ksml(form(w0), spark=spark).df.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in rows}
+    assert set(by_src) == {"src0", "src1"}  # unlisted sources dropped
+    n0 = tables["documents"].filter("source = 'src0'").count()
+    # equal-sized groups, weights 2:1 -> src0 binds (kept whole), src1
+    # keeps ~half (hash-expected count, not an exact quota)
+    assert by_src["src0"] == n0
+    assert 0.25 * n0 <= by_src["src1"] <= 0.75 * n0
+
+    # nested: raising src1's weight to parity keeps everything previous
+    w1 = {"src0": 2, "src1": 2}
+    c = {r["doc_id"] for r in ksml(form(w1), spark=spark).df.collect()}
+    assert a <= c
+
+    from ksml_spark.errors import ArityError
+    with pytest.raises(ArityError, match="weights"):
+        ksml(["mix", docs_stream(tables), {"by": "source"}], spark=spark)

@@ -327,10 +327,13 @@ def test_no_query_plans_a_cartesian_or_stray_nested_loop(spark):
     k-means assignment score every vector against a tiny broadcast
     centroid/query set — the documented vector-x-K shape; bm25 joins
     every matching posting against the broadcast ONE-ROW (N, avgdl)
-    corpus-stats relation, a conditionless scalar attach)."""
+    corpus-stats relation, and mix attaches the one-row binding-group
+    minimum to the |groups|-row cutoff table — conditionless scalar
+    attaches between tiny aggregates)."""
     import __spark_entry__ as m
 
-    bnlj_ok = {"kmeans_assign", "ann_topk", "ann_ivf_topk", "bm25_scores"}
+    bnlj_ok = {"kmeans_assign", "ann_topk", "ann_ivf_topk", "bm25_scores",
+               "mix_sources"}
     bad = []
     for name, fn in m.queries().items():
         p = (fn(spark, "/root/testdata/sf0.001")
