@@ -355,6 +355,12 @@ def op_repetition_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
     return rel.with_df(out.drop("__nw", "__nd", "__top"))
 
 
+def _count_log(units: Column, x: Column) -> Column:
+    """c*log2(c) for x's occurrence count c within units (HOF path)."""
+    cnt = F.size(F.filter(units, lambda e: e == x)).cast("double")
+    return cnt * F.log2(cnt)
+
+
 @defop("entropy")
 def op_entropy(ctx: Ctx, rel: Rel, *rest) -> Rel:
     """Adds the Shannon entropy of a document's character or word
@@ -374,16 +380,12 @@ def op_entropy(ctx: Ctx, rel: Rel, *rest) -> Rel:
     Batch plan (same shape as repetition-score): explode units ->
     per-(id, unit) count -> per-id [sum, sum(c*log2 c)] — two narrow
     hash aggregations with map-side partials, join back on id; entropy
-    = log2(n) - sum(c*log2 c)/n, one expression. Streaming sources are
-    refused (agg + join-back against the same stream)."""
+    = log2(n) - sum(c*log2 c)/n, one expression. Streaming sources
+    switch to the per-row HOF path (distinct units counted via
+    size(filter) — O(alphabet x len) per row, shuffle-free, same
+    result; the agg+join-back would join a stream to its own
+    aggregation, which Spark refuses)."""
     col, opts = _col_opts(rest)
-    if rel.df.isStreaming:
-        from ..errors import TypeDispatchError
-
-        raise TypeDispatchError(
-            "entropy is batch-only (per-unit frequency needs an "
-            "aggregation joined back to the stream)"
-        )
     unit = opts.get("unit", "char")
     out_name = opts.get("as", "ent")
     idc = opts.get("id") or (rel.key_cols[0] if rel.key_cols else "doc_id")
@@ -401,6 +403,22 @@ def op_entropy(ctx: Ctx, rel: Rel, *rest) -> Rel:
         from ..errors import ArityError
 
         raise ArityError(f"entropy unit must be 'char' or 'word', got {unit!r}")
+    if rel.df.isStreaming:
+        # streaming-legal per-row path (an agg joined back to its own
+        # stream is refused by Spark): distinct units, count each via
+        # size(filter(...)) — O(alphabet x len) per row, shuffle-free.
+        # Same result as the batch plan; parity pinned by test.
+        d = F.array_distinct(units)
+        n = F.size(units)
+        csum = F.aggregate(
+            d,
+            F.lit(0.0),
+            lambda acc, x: acc + _count_log(units, x),
+        )
+        ent = F.when(c.isNull(), F.lit(None).cast("double")).when(
+            n == 0, F.lit(0.0)
+        ).otherwise(F.log2(n.cast("double")) - csum / n)
+        return rel.with_df(rel.df.withColumn(out_name, ent))
     ex = rel.df.select(F.col(idc), F.explode(units).alias("__u"))
     per_unit = ex.groupBy(idc, "__u").agg(F.count(F.lit(1)).alias("__c"))
     sig = per_unit.groupBy(idc).agg(
@@ -519,6 +537,20 @@ def op_bm25(ctx: Ctx, rel: Rel, *rest) -> Rel:
     once, shuffles only its matching postings, and every expression is
     codegen'd; nothing Python touches a row.
 
+    FROZEN-STATS mode — {"stats": {"n_docs": N, "avgdl": ..., "df":
+    {term: df}}} — scores against PRECOMPUTED corpus statistics instead
+    of aggregating them from the input: the whole op becomes one
+    shuffle-free per-row expression (per-term counts via size(filter)),
+    which makes it STREAMING-legal (score a live stream against a
+    frozen reference corpus — the deployed-retrieval shape) and lets a
+    batch sweep reuse one stats pass across many queries. Shape
+    difference: frozen mode appends ``score`` to EVERY input row (0.0
+    for non-matching docs, all columns kept) instead of returning the
+    (id, score) matching set. Terms missing from "df" get df=0
+    (maximal idf). Streaming input without stats is refused — corpus
+    aggregation over the scored stream itself is not meaningful
+    incrementally.
+
     Reference: no analog (§2.10 extension surface)."""
     col, opts = _col_opts(rest)
     idc = opts.get("id", "doc_id")
@@ -539,6 +571,34 @@ def op_bm25(ctx: Ctx, rel: Rel, *rest) -> Rel:
 
         raise ArityError(f"bm25 query has no terms after normalization: {query!r}")
     term_arr = F.array(*[F.lit(t) for t in terms])
+
+    stats = opts.get("stats")
+    if stats is not None:
+        import math
+
+        n_docs = float(stats["n_docs"])
+        avgdl = float(stats["avgdl"])
+        dfs = {t: float((stats.get("df") or {}).get(t, 0.0)) for t in terms}
+        w = words(F.col(col))
+        dl = F.size(w).cast("double")
+        score = F.lit(0.0)
+        for t in terms:
+            idf = math.log(1 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            tf = F.size(F.filter(w, lambda x: x == F.lit(t))).cast("double")
+            score = score + F.when(tf > 0, F.lit(idf) * (tf * (k1 + 1)) / (
+                tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * dl / F.lit(avgdl))
+            )).otherwise(F.lit(0.0))
+        out = rel.df.withColumn("score", F.round(score, 6))
+        return rel.with_df(out)
+    if rel.df.isStreaming:
+        from ..errors import TypeDispatchError
+
+        raise TypeDispatchError(
+            "bm25 on a stream needs frozen corpus statistics — pass "
+            '{"stats": {"n_docs": N, "avgdl": ..., "df": {term: df}}} '
+            "(aggregating idf over the scored stream itself is not "
+            "meaningful incrementally)"
+        )
 
     df = rel.df
     w = words(F.col(col))

@@ -1210,3 +1210,90 @@ def test_mix_deterministic_weighted_proportions(spark, tables):
     from ksml_spark.errors import ArityError
     with pytest.raises(ArityError, match="weights"):
         ksml(["mix", docs_stream(tables), {"by": "source"}], spark=spark)
+
+
+def test_entropy_streaming_hof_parity(spark, tables, tmp_path):
+    """The streaming per-row HOF entropy path must equal the batch
+    agg+join-back plan value-for-value."""
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    batch = {r["doc_id"]: (round(r["ec"], 9), round(r["ew"], 9)) for r in pipe(
+        docs_stream(tables),
+        ["entropy", {"col": "text", "unit": "char", "as": "ec"}],
+        ["entropy", {"col": "text", "unit": "word", "as": "ew"}],
+        spark=spark).df.collect()}
+
+    p = str(tmp_path / "docs")
+    tables["documents"].write.parquet(p)
+    s = pipe(
+        ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+        ["entropy", {"col": "text", "unit": "char", "as": "ec"}],
+        ["entropy", {"col": "text", "unit": "word", "as": "ew"}],
+        spark=spark).df
+    assert s.isStreaming
+    q = (s.writeStream.format("memory").queryName("ent_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (round(r["ec"], 9), round(r["ew"], 9))
+           for r in spark.sql("select * from ent_stream").collect()}
+    assert got == batch
+
+
+def test_bm25_frozen_stats_and_streaming(spark, tables, tmp_path):
+    """Frozen-stats bm25 equals aggregate-mode scores when fed the
+    corpus's own statistics; a stream scores with stats and is refused
+    without."""
+    import re
+
+    from ksml_spark.errors import TypeDispatchError
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    query = "the model data"
+    agg = {r["doc_id"]: r["score"] for r in pipe(
+        docs_stream(tables),
+        ["bm25", {"col": "text", "id": "doc_id", "query": query}],
+        spark=spark).df.collect()}
+
+    docs = {r["doc_id"]: [w for w in re.split(r"[^a-z0-9]+", r["text"].lower()) if w]
+            for r in tables["documents"].collect()}
+    terms = ["data", "model", "the"]
+    stats = {
+        "n_docs": len(docs),
+        "avgdl": sum(len(w) for w in docs.values()) / len(docs),
+        "df": {t: sum(1 for w in docs.values() if t in w) for t in terms},
+    }
+    frozen = {r["doc_id"]: r["score"] for r in pipe(
+        docs_stream(tables),
+        ["bm25", {"col": "text", "id": "doc_id", "query": query,
+                  "stats": stats}],
+        spark=spark).df.collect()}
+    # frozen mode keeps every row; non-matching docs carry 0.0
+    assert len(frozen) == len(docs)
+    for did, s in agg.items():
+        assert abs(frozen[did] - s) < 2e-6, (did, frozen[did], s)
+    for did in set(frozen) - set(agg):
+        assert frozen[did] == 0.0
+
+    p = str(tmp_path / "docs")
+    tables["documents"].write.parquet(p)
+    s = pipe(
+        ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+        ["bm25", {"col": "text", "id": "doc_id", "query": query,
+                  "stats": stats}],
+        spark=spark).df
+    assert s.isStreaming
+    q = (s.writeStream.format("memory").queryName("bm25_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["score"]
+           for r in spark.sql("select * from bm25_stream").collect()}
+    assert got == frozen
+
+    with pytest.raises(TypeDispatchError, match="stats"):
+        pipe(["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+             ["bm25", {"col": "text", "id": "doc_id", "query": query}],
+             spark=spark)
