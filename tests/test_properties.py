@@ -246,3 +246,73 @@ def test_expect_matches_pandas_reference(spark, data):
     assert got["unique(k)"] == len(ks) - len(set(ks))
     assert got["between(v)"] == sum(1 for v in vs if v is not None and not (0 <= v <= 3))
     assert got["min_rows(10)"] == max(0, 10 - len(data))
+
+
+ent_texts = st.lists(
+    st.one_of(st.none(), st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=122),
+        max_size=60)),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=ent_texts)
+def test_entropy_matches_python_reference(spark, texts):
+    import math
+    from collections import Counter
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["e"] for r in pipe(
+        ["stream", df, {"key": "doc_id"}],
+        ["entropy", {"col": "text", "unit": "char", "as": "e"}],
+        spark=spark).df.collect()}
+
+    def ent(t):
+        if t is None:
+            return None
+        if not t:
+            return 0.0
+        n = len(t)
+        return -sum((c / n) * math.log2(c / n) for c in Counter(t).values())
+
+    for i, t in rows:
+        e = ent(t)
+        if e is None:
+            assert got[i] is None
+        else:
+            assert abs(got[i] - e) < 1e-9, (t, got[i], e)
+
+
+mix_weights = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.floats(min_value=0.1, max_value=5, allow_nan=False),
+    min_size=1, max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(weights=mix_weights, seed=st.integers(min_value=0, max_value=3))
+def test_mix_binding_group_kept_whole_and_subset(spark, weights, seed):
+    """Laws: (1) output is a subset of input rows with unlisted groups
+    dropped; (2) at least one group — the binding one — keeps ALL its
+    rows; (3) kept counts never exceed group size."""
+    rows = [(i, ["a", "b", "c", "d", "e"][(i * 7 + seed) % 5]) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = ksml(["mix", ["stream", df, {"key": "doc_id"}],
+                {"by": "source", "weights": weights,
+                 "id": "doc_id", "salt": f"s{seed}"}], spark=spark).df
+    got = [(r["doc_id"], r["source"]) for r in out.collect()]
+    inp = dict(rows)
+    assert all(inp[d] == s and s in weights for d, s in got)
+    from collections import Counter
+    kept = Counter(s for _, s in got)
+    full = Counter(s for _, s in rows if s in weights)
+    assert all(kept[g] <= full[g] for g in kept)
+    # the binding group (min n/w among groups present) keeps every row:
+    # its fraction is exactly 1 by construction
+    present = {g: full[g] for g in weights if full[g] > 0}
+    if present:
+        binding = min(present, key=lambda g: present[g] / weights[g])
+        assert kept[binding] == present[binding]
