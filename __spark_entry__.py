@@ -1712,6 +1712,39 @@ SELECT doc_id,
 FROM documents"""
 
 
+def _q_jaccard_ngram(spark, sf):
+    """n-gram (3-word-shingle) Jaccard pairs — the word-order-sensitive
+    resemblance measure minhash approximates, verified exactly; same
+    inverted-index plan with shingle ids as the set elements."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["jaccard-pairs", {"col": "text", "id": "doc_id", "shingle": 3,
+                           "block": ["lang", "n_chars div 100"],
+                           "threshold": 0.5}],
+        spark=spark,
+    ).df
+
+
+_JACCARD_NGRAM_ORACLE = """
+WITH tok AS (SELECT doc_id, lang, n_chars // 100 AS nb,
+             string_split(text, ' ') AS t, text FROM documents),
+sh AS (SELECT doc_id, lang, nb,
+       CASE WHEN len(t) < 3 THEN [text]
+            ELSE [array_to_string(t[i:i+2], ' ')
+                  for i in generate_series(1, len(t) - 2)] END AS s
+       FROM tok),
+d AS (SELECT doc_id, lang, nb,
+      list_distinct(list_transform(s,
+        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS t FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.t, b.t)) AS c, len(a.t) + len(b.t) AS n
+  FROM d a JOIN d b ON a.lang = b.lang AND a.nb = b.nb AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(c::DOUBLE / (n - c), 6) AS jaccard
+FROM pairs WHERE c::DOUBLE / (n - c) >= 0.5"""
+
+
 def _q_containment_pairs(spark, sf):
     """Containment (overlap-coefficient) near-dup pairs — catches the
     snippet-inside-page inclusion Jaccard misses; same inverted-index
@@ -1848,7 +1881,7 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT < cut"""
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
 # of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
 # queries count as "never recorded" and go first of all; ties keep relative
-# order).  With 77 queries and a 50-row window, 27 fall outside each round
+# order).  With 78 queries and a 50-row window, 28 fall outside each round
 # and re-enter the window the next round — so every query has a driver-green
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
@@ -1859,6 +1892,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),
     "doc_entropy": (_q_entropy, _ENTROPY_ORACLE),
     "mix_sources": (_q_mix_sources, _MIX_ORACLE),
+    "jaccard_ngram_pairs": (_q_jaccard_ngram, _JACCARD_NGRAM_ORACLE),
     # --- outside the r05 window (last driver-green r02/r04): record in r06 ---
     "jaccard_pairs_prefix": (_q_jaccard_prefix, _JACCARD_PAIRS_ORACLE),
     "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),

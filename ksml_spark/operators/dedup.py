@@ -232,7 +232,8 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """Exact token-set Jaccard similarity pairs within blocking groups:
 
         ["jaccard-pairs", rel, {"col": "text", "id": "doc_id",
-                                "block": "lang", "threshold": 0.5}]
+                                "block": "lang", "threshold": 0.5,
+                                "shingle": None}]  # k => n-gram Jaccard
 
     Inverted-index plan (threshold > 0): explode distinct token hashes,
     self-equi-join on (block, token), count matches per candidate pair.
@@ -281,11 +282,18 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # md5_long_col) up front: join/agg work on longs is far cheaper than
     # on strings, the hash runs once per doc occurrence (not per pair),
     # and 60 bits keeps birthday collisions negligible at corpus-scale
-    # vocabularies where a 32-bit slice would merge unrelated tokens
+    # vocabularies where a 32-bit slice would merge unrelated tokens.
+    # {"shingle": k} switches the set elements from single tokens to
+    # k-word shingles (n-gram Jaccard — word-order-sensitive, the
+    # resemblance measure minhash approximates; same shingles_col
+    # construction, so exact-verify composes with lsh-candidates).
+    shingle = opts.get("shingle")
+    units = (shingles_col(F.col(col), int(shingle)) if shingle
+             else tokens_col(F.col(col)))
     from .util import md5_long_col
 
     tok_ids = F.array_distinct(
-        F.transform(tokens_col(F.col(col)), lambda x: md5_long_col(x))
+        F.transform(units, lambda x: md5_long_col(x))
     )
     toks = rel.df.select(
         F.col(idc),
@@ -438,8 +446,11 @@ def op_containment_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     blocks = [block] if isinstance(block, str) else list(block or [])
     from .util import md5_long_col, shuffle_partitions
 
+    shingle = opts.get("shingle")  # {"shingle": k}: n-gram containment
+    units = (shingles_col(F.col(col), int(shingle)) if shingle
+             else tokens_col(F.col(col)))
     tok_ids = F.array_distinct(
-        F.transform(tokens_col(F.col(col)), lambda x: md5_long_col(x))
+        F.transform(units, lambda x: md5_long_col(x))
     )
     toks = rel.df.select(
         F.col(idc),

@@ -1297,3 +1297,51 @@ def test_bm25_frozen_stats_and_streaming(spark, tables, tmp_path):
         pipe(["stream", file_stream_source(spark, p), {"key": "doc_id"}],
              ["bm25", {"col": "text", "id": "doc_id", "query": query}],
              spark=spark)
+
+
+def test_jaccard_shingle_order_sensitive(spark):
+    """{"shingle": k} makes jaccard-pairs order-sensitive (n-gram
+    Jaccard): the same bag of words reordered has token-Jaccard 1.0 but
+    near-zero shingle-Jaccard; values check against a Python
+    reference."""
+    a = "the quick brown fox jumps over the lazy dog again today"
+    b = "today again dog lazy the over jumps fox brown quick the"
+    c = a  # exact dup of a
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)],
+                               "doc_id long, text string")
+    tok = pipe(["stream", df, {"key": "doc_id"}],
+               ["jaccard-pairs", {"col": "text", "threshold": 0.9}],
+               spark=spark).df.collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in tok} == {(1, 2), (1, 3), (2, 3)}
+
+    sh = pipe(["stream", df, {"key": "doc_id"}],
+              ["jaccard-pairs", {"col": "text", "threshold": 0.9,
+                                 "shingle": 3}],
+              spark=spark).df.collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in sh} == {(1, 3)}  # only the dup
+
+    def shingles(t, k=3):
+        w = t.split(" ")
+        return set(" ".join(w[i:i + k]) for i in range(len(w) - k + 1)) if len(w) >= k else {t}
+
+    sa, sb = shingles(a), shingles(b)
+    low = pipe(["stream", df, {"key": "doc_id"}],
+               ["jaccard-pairs", {"col": "text", "threshold": 0.01,
+                                  "shingle": 3}],
+               spark=spark).df.collect()
+    vals = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in low}
+    exp12 = len(sa & sb) / len(sa | sb)
+    if exp12 >= 0.01:
+        assert abs(vals[(1, 2)] - exp12) < 1e-6
+    else:
+        assert (1, 2) not in vals
+    assert vals[(1, 3)] == 1.0
+
+    # containment composes with shingles too: a 3-gram-contained prefix
+    pref = "the quick brown fox jumps over"
+    df2 = spark.createDataFrame([(1, a), (2, pref)], "doc_id long, text string")
+    cp = pipe(["stream", df2, {"key": "doc_id"}],
+              ["containment-pairs", {"col": "text", "threshold": 0.99,
+                                     "shingle": 3}],
+              spark=spark).df.collect()
+    assert len(cp) == 1 and cp[0]["containment_b"] == 1.0
