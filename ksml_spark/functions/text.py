@@ -377,6 +377,12 @@ def op_entropy(ctx: Ctx, rel: Rel, *rest) -> Rel:
     substrings, whitespace included); ``unit: "word"`` the normalized
     word distribution (words()).
 
+    ``id`` must identify rows UNIQUELY (default: the rel's key /
+    doc_id, same precondition as dedup-paragraphs): the batch plan
+    aggregates unit counts per id and joins back, so rows sharing an id
+    would all receive their COMBINED distribution's entropy — while the
+    streaming per-row path scores each row alone.
+
     Batch plan (same shape as repetition-score): explode units ->
     per-(id, unit) count -> per-id [sum, sum(c*log2 c)] — two narrow
     hash aggregations with map-side partials, join back on id; entropy

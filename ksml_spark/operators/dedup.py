@@ -530,6 +530,12 @@ def _index_estimate(
         tok_ids.alias("__t"),
         *[e.alias(f"__eb{i}") for i, e in enumerate(block_exprs)],
     ).limit(sample)
+    # materialize the sample ONCE: the size/avg agg and the hot-key agg
+    # below would otherwise each re-run the limit (two scan+tokenize
+    # jobs at plan time — measured as jaccard-pairs' auto-mode overhead)
+    # over two potentially DIFFERENT non-deterministic samples, making
+    # f_max inconsistent with the count it divides by
+    base = base.localCheckpoint(eager=True)
     s = base.agg(
         F.avg("__b").alias("b"), F.avg(F.size("__t")).alias("n"),
         F.count(F.lit(1)).alias("c"),

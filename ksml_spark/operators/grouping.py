@@ -331,6 +331,23 @@ def _fold_apply(grouped: GroupedRel, init, step, value_type: str = "double") -> 
     return KTableRel(agged, key_cols=tuple(key_cols), time_col=None)
 
 
+def _sessions_to_ns(sessions: list) -> list:
+    """Coerce a recovered live-session list to int64-ns bounds in place.
+
+    The state blob format changed from pd.Timestamp bounds to int-ns
+    (r06, for integer containment tests); a checkpoint written by the
+    older code would otherwise crash every micro-batch of a restarted
+    query on ``Timestamp - int`` arithmetic — the one failure mode a
+    streaming upgrade must not have. Anything exposing ``.value``
+    (pd.Timestamp) converts; ints pass through untouched."""
+    for s in sessions:
+        if not isinstance(s[0], int):
+            s[0] = s[0].value
+        if not isinstance(s[1], int):
+            s[1] = s[1].value
+    return sessions
+
+
 def _session_fold_apply(
     grouped: GroupedRel, init, step, merge, value_type: str = "double",
     arrival: Optional[str] = None,
@@ -464,7 +481,7 @@ def _session_fold_apply(
                 # GroupState.get is a property (calling it would invoke the
                 # returned tuple and crash on the 2nd micro-batch per key)
                 blob, seq = state.get
-                sessions = pickle.loads(base64.b64decode(blob))
+                sessions = _sessions_to_ns(pickle.loads(base64.b64decode(blob)))
             else:
                 sessions, seq = [], 0
             # pdfs is empty on a timer-only invocation (state.hasTimedOut):

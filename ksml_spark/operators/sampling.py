@@ -32,6 +32,18 @@ from ..model import Rel
 from .util import opts_of as _opts
 
 
+def _bucket32(idc: str, salt: str):
+    """32-bit md5(id + salt) bucket — the shared engine-portable cutoff
+    domain for hash-split / sample-hash / mix (util.md5_long_col with 8
+    hex chars; DuckDB: ('0x' || substr(md5(id || salt), 1, 8))::BIGINT).
+    NULL ids hash to NULL: every cutoff comparison is then NULL — each
+    op documents whether that labels (hash-split) or drops (sample-hash,
+    mix) the row."""
+    from .util import md5_long_col
+
+    return md5_long_col(F.concat(F.col(idc).cast("string"), F.lit(salt)), 8)
+
+
 @defop("hash-split")
 def op_hash_split(ctx: Ctx, rel: Rel, *rest) -> Rel:
     """Adds a split-label column from an md5 hash of (id, salt).
@@ -53,11 +65,7 @@ def op_hash_split(ctx: Ctx, rel: Rel, *rest) -> Rel:
     if total <= 0:
         raise ArityError("hash-split fractions must sum to > 0")
 
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.col(idc).cast("string"), F.lit(salt))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    bucket = _bucket32(idc, salt)
     # NULL ids get a NULL split, explicitly: md5(NULL) is NULL, every
     # cutoff comparison is NULL/false, and without this guard the CASE
     # would silently dump all malformed rows into the LAST split
@@ -130,11 +138,7 @@ def op_sample_hash(ctx: Ctx, rel: Rel, *rest) -> Rel:
     idc = opts.get("id", "doc_id")
     salt = str(opts.get("salt", ""))
     by = opts.get("by")
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.col(idc).cast("string"), F.lit(salt))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    bucket = _bucket32(idc, salt)
 
     def cut(frac) -> int:
         f = float(frac)
@@ -254,13 +258,22 @@ def op_mix(ctx: Ctx, rel: Rel, *rest) -> Rel:
     T = min_g(n_g / w_g); group g keeps ~T * w_g rows via the same
     engine-portable md5 integer-cutoff row selection as sample-hash
     (fraction f_g = T * w_g / n_g, always <= 1) — so the kept set is
-    identical on every run/engine/partitioning, and re-running with a
-    higher-weighted group ADDS rows without re-drawing the others
-    (nested, same salt). Counts are cutoff-expected, not exact-integer
-    quotas (deterministic hash thresholding, not sorting — no global
-    order, no shuffle of the data side). Groups absent from ``weights``
-    (or weighted 0) are DROPPED; weighted groups absent from the data
-    don't constrain T (proportions hold among present groups).
+    identical on every run/engine/partitioning. Counts are
+    cutoff-expected, not exact-integer quotas (deterministic hash
+    thresholding, not sorting — no global order, no shuffle of the data
+    side). Groups absent from ``weights`` (or weighted 0) are DROPPED,
+    as are NULL-``id`` rows (their hash bucket is NULL); weighted
+    groups absent from the data don't constrain T (proportions hold
+    among present groups).
+
+    Nesting caveat: at a fixed salt each GROUP's kept set is nested in
+    its own larger-fraction supersets (the sample-hash property), so a
+    weight change only ADDS rows **while the binding group stays the
+    same** — e.g. raising a non-binding group's weight. A change that
+    moves the min (raising the binding group's weight, or shrinking
+    another group's data) lowers T and REMOVES rows from every other
+    group; downstream caches keyed on the previous mixture are then
+    invalid.
 
     Scale: one count aggregation over the corpus (map-side partials,
     |groups| rows out), a one-row min attach, and a broadcast join of
@@ -298,11 +311,7 @@ def op_mix(ctx: Ctx, rel: Rel, *rest) -> Rel:
             F.col("__tmin") * F.col("__w") / F.col("__n") * F.lit(4294967296.0)
         ).cast("long").alias("__cut"),
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.col(idc).cast("string"), F.lit(salt))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    bucket = _bucket32(idc, salt)
     out = (
         rel.df.join(F.broadcast(cuts), by, "inner")
         .filter(bucket < F.col("__cut"))

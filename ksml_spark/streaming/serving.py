@@ -70,6 +70,7 @@ class ServeHandle:
     memory_rows_cap: int = 0
     overflow: str = "warn"  # "warn" | "error" when the cap is exceeded
     buckets: int = 0  # storage="table": bucket count of the catalog table
+    _key_types: Optional[dict] = None  # host_for: cached key-column types
 
     def host_for(self, key) -> dict:
         """Metadata for where a key's state is served — the ring.clj
@@ -97,9 +98,15 @@ class ServeHandle:
         if items is not None and self.bucketed and self.buckets:
             # literals must carry the EXACT column types — Murmur3 hashes
             # an int32 and an int64 of the same value differently, and
-            # the write hashed the table's types
-            types = {f.name: f.dataType for f in self.spark.table(self.name).schema}
-            lits = [F.lit(v).cast(types[c]) for c, v in items]
+            # the write hashed the table's types. Types are cached on
+            # first use: host_for is a routing-metadata call, so the
+            # per-call cost is one local one-row job, not a repeated
+            # catalog schema fetch.
+            if self._key_types is None:
+                self._key_types = {
+                    f.name: f.dataType for f in self.spark.table(self.name).schema
+                }
+            lits = [F.lit(v).cast(self._key_types[c]) for c, v in items]
             row = (
                 self.spark.range(1)
                 .select(F.pmod(F.hash(*lits), F.lit(self.buckets)).alias("b"))
@@ -168,9 +175,19 @@ class ServeHandle:
         sessions, see grouping.py) plus all rows carrying the max
         ``__seq`` per key. Markers are KEPT — ``_latest`` drops them for
         reads; table compaction persists them so later reads still
-        dedup correctly."""
+        dedup correctly.
+
+        Full-row duplicates are dropped first: in an update-mode
+        emission log an identical (key, __seq, window, value) row can
+        only be a REPLAY of the same emission — the non-transactional
+        foreachBatch retry hazard (a crash after an append/compaction
+        commits but before the streaming checkpoint commits replays the
+        batch; the log then holds that batch twice). An emission is a
+        snapshot, so dedup is semantically a no-op on clean logs and
+        makes both reads and compaction retry-idempotent."""
         from pyspark.sql import Window
 
+        df = df.dropDuplicates()
         w = Window.partitionBy(*key_cols)
         df = df.withColumn("__maxseq", F.max("__seq").over(w))
         if "__closed" in df.columns:
@@ -260,7 +277,7 @@ def _bucketed_write(df: DataFrame, name: str, key_cols, buckets: int) -> None:
 
 
 def _seed_or_recover(sp: SparkSession, bdf: DataFrame, name: str,
-                     key_cols, buckets: int) -> None:
+                     key_cols, buckets: int, batch_id: int) -> None:
     """Seed the serving table from the first batch — UNLESS a previous
     compaction swap crashed between ``DROP TABLE name`` and
     ``RENAME tmp TO name``, in which case ``<name>__compact_tmp`` holds
@@ -269,16 +286,27 @@ def _seed_or_recover(sp: SparkSession, bdf: DataFrame, name: str,
     then-current table with THIS batch (foreachBatch retries the
     uncommitted batch with the same data on restart), so recovery is a
     plain rename-back with NO re-append — appending the retried batch
-    again would duplicate rows at the max ``__seq`` and corrupt reads."""
+    again would duplicate rows at the max ``__seq`` and corrupt reads.
+
+    Recovery only applies when THIS RUN could have produced the tmp:
+    compaction first fires at batch compact_every - 1 >= 1, so on
+    ``batch_id == 0`` (a fresh checkpoint — new query, or the user
+    deleted the old one) any existing tmp is a LEFTOVER of an abandoned
+    run. Renaming it in would resurrect dead state whose higher
+    per-key ``__seq`` would permanently win the latest-emission dedup
+    over the new run's emissions (which restart at 1) — so a stale tmp
+    is dropped, not recovered."""
     tmp = f"{name}__compact_tmp"
     try:
         tmp_exists = sp.catalog.tableExists(tmp)
     except Exception:
         tmp_exists = False
-    if tmp_exists:
+    if tmp_exists and batch_id > 0:
         sp.sql(f"ALTER TABLE `{tmp}` RENAME TO `{name}`")
-    else:
-        _bucketed_write(bdf, name, key_cols, buckets)
+        return
+    if tmp_exists:  # batch 0: stale tmp from a previous, abandoned run
+        sp.sql(f"DROP TABLE `{tmp}`")
+    _bucketed_write(bdf, name, key_cols, buckets)
 
 
 @defop("serve")
@@ -349,9 +377,16 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
                 except Exception:
                     exists = False
                 if not exists:
-                    _seed_or_recover(bdf.sparkSession, bdf, name, key_cols, buckets)
+                    _seed_or_recover(bdf.sparkSession, bdf, name, key_cols,
+                                     buckets, batch_id)
                 elif compact_every > 0 and batch_id % compact_every == compact_every - 1:
                     sp = bdf.sparkSession
+                    # current_rows dedups full-row duplicates, so a
+                    # REPLAYED compaction batch (crash after the rename
+                    # committed but before the checkpoint did — the
+                    # table then already contains bdf) merges to the
+                    # same result instead of doubling bdf's rows;
+                    # likewise replayed plain appends compact away.
                     merged = sp.table(name).unionByName(bdf)
                     # Write the compacted truth to a TEMP table first,
                     # then swap — an in-place overwrite deletes the old

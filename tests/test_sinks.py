@@ -285,15 +285,26 @@ def test_serve_compaction_crash_recovery_restores_tmp(spark):
             [("a", 1, 5), ("b", 7, 5), ("c", 3, 4)], "key string, v int, __seq int")
         _bucketed_write(full, tmp, ("key",), 4)
         retried = spark.createDataFrame([("b", 7, 5)], "key string, v int, __seq int")
-        _seed_or_recover(spark, retried, name, ("key",), 4)
+        _seed_or_recover(spark, retried, name, ("key",), 4, batch_id=31)
         got = {r["key"]: r["v"] for r in spark.table(name).collect()}
         assert got == {"a": 1, "b": 7, "c": 3}, got  # full state, no dup of b
         assert spark.table(name).count() == 3
         assert not spark.catalog.tableExists(tmp)
         # fresh-seed path: no tmp -> seed from the batch
         spark.sql(f"DROP TABLE {name}")
-        _seed_or_recover(spark, retried, name, ("key",), 4)
+        _seed_or_recover(spark, retried, name, ("key",), 4, batch_id=0)
         assert [r["key"] for r in spark.table(name).collect()] == ["b"]
+        # STALE tmp: batch 0 of a FRESH run (new checkpoint) cannot have
+        # produced a tmp (first compaction fires at batch >= 1), so a
+        # leftover tmp from an abandoned run must be dropped, not
+        # resurrected — its higher __seq rows would permanently win the
+        # latest-emission dedup over the new run's (seq restarts at 1)
+        spark.sql(f"DROP TABLE {name}")
+        _bucketed_write(full, tmp, ("key",), 4)
+        fresh = spark.createDataFrame([("z", 9, 1)], "key string, v int, __seq int")
+        _seed_or_recover(spark, fresh, name, ("key",), 4, batch_id=0)
+        assert [r["key"] for r in spark.table(name).collect()] == ["z"]
+        assert not spark.catalog.tableExists(tmp)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
@@ -387,3 +398,40 @@ def test_serve_host_for_metadata(spark, tables):
         assert info2["remote"] is False and info2["bucket"] is None
     finally:
         spark.sql("DROP TABLE IF EXISTS served_hostfor")
+
+
+def test_current_rows_dedups_replayed_batch(spark):
+    """A crash after an append/compaction commits but before the
+    streaming checkpoint commits replays the batch into the emission
+    log. Full-row duplicates can ONLY be such replays (an emission is a
+    snapshot), so current_rows drops them — reads and compaction are
+    retry-idempotent."""
+    from ksml_spark.streaming.serving import ServeHandle
+
+    log = spark.createDataFrame(
+        [("a", 1.0, 1, False), ("a", 2.0, 2, False),
+         ("a", 2.0, 2, False),                       # replayed max-seq row
+         ("b", 5.0, 1, True), ("b", 5.0, 1, True)],  # replayed __closed final
+        "key string, value double, __seq int, __closed boolean")
+    got = sorted(
+        (r["key"], r["value"], r["__seq"], r["__closed"])
+        for r in ServeHandle.current_rows(log, ("key",)).collect())
+    assert got == [("a", 2.0, 2, False), ("b", 5.0, 1, True)]
+
+
+def test_session_state_blob_migrates_from_timestamp_format(spark):
+    """A checkpoint written by the pre-int-ns session fold stores
+    pd.Timestamp bounds; the loader must coerce them so a restarted
+    query doesn't crash on Timestamp-minus-int arithmetic."""
+    import pandas as pd
+
+    from ksml_spark.operators.grouping import _sessions_to_ns
+
+    old = [[pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-01 00:10:00"), 7.5],
+           [1700000000000000000, 1700000003000000000, 1.0]]  # mixed: new rows pass through
+    out = _sessions_to_ns(old)
+    assert out[0][0] == pd.Timestamp("2024-01-01").value
+    assert out[0][1] == pd.Timestamp("2024-01-01 00:10:00").value
+    assert isinstance(out[0][0], int) and isinstance(out[0][1], int)
+    assert out[1] == [1700000000000000000, 1700000003000000000, 1.0]
+    assert out[0][2] == 7.5
