@@ -1745,6 +1745,37 @@ SELECT doc_a, doc_b, round(c::DOUBLE / (n - c), 6) AS jaccard
 FROM pairs WHERE c::DOUBLE / (n - c) >= 0.5"""
 
 
+def _q_sessionize(spark, sf):
+    """Per-event session labels (gap 1h) — the row-level complement of
+    session-window aggregation; lag + running-sum windows, one shuffle
+    on the key."""
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+        ["sessionize", {"gap": 3600000}],
+        ["select", {"user_id": "user_id", "event_id": "event_id",
+                    "session_id": "session_id",
+                    "session_start": "session_start"}],
+        spark=spark,
+    ).df
+
+
+_SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+         THEN 1 ELSE 0 END AS nw
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, event_id, ts,
+    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT)
+      AS session_id
+  FROM e)
+SELECT user_id, event_id, session_id,
+       min(ts) OVER (PARTITION BY user_id, session_id) AS session_start
+FROM s"""
+
+
 def _q_containment_pairs(spark, sf):
     """Containment (overlap-coefficient) near-dup pairs — catches the
     snippet-inside-page inclusion Jaccard misses; same inverted-index
@@ -1881,7 +1912,7 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT < cut"""
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
 # of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
 # queries count as "never recorded" and go first of all; ties keep relative
-# order).  With 78 queries and a 50-row window, 28 fall outside each round
+# order).  With 79 queries and a 50-row window, 29 fall outside each round
 # and re-enter the window the next round — so every query has a driver-green
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
@@ -1893,6 +1924,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "doc_entropy": (_q_entropy, _ENTROPY_ORACLE),
     "mix_sources": (_q_mix_sources, _MIX_ORACLE),
     "jaccard_ngram_pairs": (_q_jaccard_ngram, _JACCARD_NGRAM_ORACLE),
+    "sessionize_events": (_q_sessionize, _SESSIONIZE_ORACLE),
     # --- outside the r05 window (last driver-green r02/r04): record in r06 ---
     "jaccard_pairs_prefix": (_q_jaccard_prefix, _JACCARD_PAIRS_ORACLE),
     "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),

@@ -569,3 +569,58 @@ def _session_fold_apply(
 
     agged = df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(fold, out_schema)
     return KTableRel(agged, key_cols=tuple(["window_start"] + key_cols), time_col=None)
+
+
+@defop("sessionize")
+def op_sessionize(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Tag every EVENT with its session — the per-row complement of
+    session-window aggregation (which yields one row per session;
+    per-session feature extraction, funnel analysis, and sequence
+    modeling need the events themselves labeled):
+
+        ["sessionize", rel, {"gap": 1800000}]
+        -> every column + ``session_id`` (0-based per key, in time
+           order) + ``session_start`` (the session's first event time).
+
+    A session breaks when the gap to the key's previous event exceeds
+    ``gap`` ms — identical bounds to Kafka Streams SessionWindows /
+    the session fold in this module, so labels agree with the
+    aggregate ops.
+
+    Plan: one shuffle on the key; lag + two running sums over the same
+    (key, time) window frame — a single sort per partition, no state,
+    no Python. Batch-only (running windows over a non-time frame are
+    not supported on streams; the streaming analog IS the session
+    aggregation above, or tag per micro-batch via foreach-batch)."""
+    from pyspark.sql import Window
+
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    if rel.df.isStreaming:
+        raise TypeDispatchError(
+            "sessionize is batch-only (running windows over a non-time "
+            "frame are unsupported on streams) — use session-window "
+            "aggregation for streaming sessions, or foreach-batch"
+        )
+    if not rel.key_cols or rel.time_col is None:
+        raise ArityError("sessionize needs a keyed rel with a time column")
+    gap = opts.get("gap")
+    if gap is None or isinstance(gap, str):
+        raise ArityError('sessionize needs {"gap": ms} (numeric milliseconds)')
+    gap_us = int(gap) * 1000  # integer microseconds: no float compare,
+    # bit-identical to the DuckDB oracle's epoch_us arithmetic
+    key_cols = list(rel.key_cols)
+    tcol = rel.time_col
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(F.col(tcol))
+    prev = F.lag(F.col(tcol)).over(w)
+    boundary = (F.unix_micros(F.col(tcol)) - F.unix_micros(prev)) > F.lit(gap_us)
+    is_new = F.when(prev.isNull() | boundary, F.lit(1)).otherwise(F.lit(0))
+    df = rel.df.withColumn("__new", is_new)
+    df = df.withColumn(
+        "session_id", (F.sum("__new").over(w) - F.lit(1)).cast("long")
+    )
+    ws = Window.partitionBy(*[F.col(c) for c in key_cols], F.col("session_id"))
+    df = df.withColumn("session_start", F.min(F.col(tcol)).over(ws)).drop("__new")
+    return rel.with_df(df)

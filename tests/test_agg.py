@@ -336,3 +336,47 @@ def test_session_aggregate_without_merger_raises_on_bridge(spark):
     )
     with pytest.raises(Exception, match="merger"):
         out.df.collect()
+
+
+def test_sessionize_labels_match_session_window_aggregation(spark, tables):
+    """Per-event session labels must reconstruct exactly the sessions
+    the session-window AGGREGATION reports (same gap): one label per
+    (key, window_start), event counts equal the windowed counts, and
+    session_start equals the window's start."""
+    from ksml_spark import pipe
+    from ksml_spark.errors import ArityError, TypeDispatchError
+
+    gap = 3600000
+    labeled = pipe(
+        ["stream", tables["events"], {"key": "user_id", "time": "ts"}],
+        ["sessionize", {"gap": gap}],
+        spark=spark,
+    ).df
+    agg = pipe(
+        ["stream", tables["events"], {"key": "user_id", "time": "ts"}],
+        ["group-by-key"],
+        ["windowed-by", ["session-window", gap]],
+        ["count"],
+        spark=spark,
+    ).df
+    got = {}
+    for r in labeled.collect():
+        got.setdefault((r["user_id"], r["session_start"]), []).append(r)
+    # Kafka-Streams-style session bounds in this engine report
+    # [earliest, latest] via _finish on F.session_window (start = first
+    # event); counts per (key, start) must match exactly
+    exp = {(r["user_id"], r["window_start"]): r["count"] for r in agg.collect()}
+    assert {k: len(v) for k, v in got.items()} == exp
+    # session ids are 0-based consecutive per key in time order
+    per_key = {}
+    for (uid, start), rows in sorted(got.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        sids = {r["session_id"] for r in rows}
+        assert len(sids) == 1
+        per_key.setdefault(uid, []).append(sids.pop())
+    for uid, sids in per_key.items():
+        assert sids == list(range(len(sids)))
+
+    import pytest as _pytest
+    with _pytest.raises(ArityError, match="gap"):
+        pipe(["stream", tables["events"], {"key": "user_id", "time": "ts"}],
+             ["sessionize", {}], spark=spark)
