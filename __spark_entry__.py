@@ -1906,18 +1906,130 @@ SELECT d.doc_id, d.source FROM documents d JOIN cuts USING (source)
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT < cut"""
 
 
+def _q_lm_score(spark, sf):
+    """Per-document bigram-LM perplexity (add-0.1 smoothing, self-
+    trained) — the KenLM-style fluency/quality filter, fully
+    relational: two model hash-aggs + a long-key model join."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["lm-score", {"col": "text", "id": "doc_id", "n": 2, "k": 0.1}],
+        spark=spark,
+    ).df
+
+
+_LM_SCORE_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+d AS (SELECT doc_id, w, len(w) AS l FROM w),
+uni AS (SELECT unnest(w) AS u FROM d),
+cp AS (SELECT u, count(*) AS c FROM uni GROUP BY 1),
+vv AS (SELECT count(*) AS v FROM cp),
+g AS (SELECT doc_id,
+        unnest([{{'p': w[i], 'g': array_to_string(w[i:i+1], ' ')}}
+                for i in generate_series(1, l - 1)]) AS s
+      FROM d WHERE l >= 2),
+gg AS (SELECT s.g AS g, count(*) AS c FROM g GROUP BY 1),
+occ AS (SELECT doc_id, s.g AS g, s.p AS p, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+sc AS (SELECT occ.doc_id,
+         sum(occ.tf * ln((coalesce(gg.c, 0) + 0.1) / (coalesce(cp.c, 0) + 0.1 * vv.v))) AS lp,
+         sum(occ.tf) AS np
+       FROM occ LEFT JOIN gg USING (g) LEFT JOIN cp ON occ.p = cp.u CROSS JOIN vv
+       GROUP BY 1)
+SELECT doc_id, CAST(np AS BIGINT) AS n_scored,
+       round(-lp / np, 6) AS nll, round(exp(-lp / np), 6) AS ppl
+FROM sc"""
+
+
+def _q_pmi(spark, sf):
+    """Top-50 collocations by PMI among bigrams seen >= 5 times — the
+    count threshold bounds the model join, so the unigram table joins a
+    capped relation."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["pmi", {"col": "text", "min_count": 5, "top": 50}],
+        spark=spark,
+    ).df
+
+
+_PMI_ORACLE = f"""
+WITH w AS (SELECT {_WORDS_DUCK} AS w FROM documents),
+uni AS (SELECT unnest(w) AS u FROM w),
+c1 AS (SELECT u, count(*) AS c FROM uni GROUP BY 1),
+t1 AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM c1),
+b AS (SELECT unnest([{{'w1': w[i], 'w2': w[i+1]}}
+                     for i in generate_series(1, len(w) - 1)]) AS s
+      FROM w WHERE len(w) >= 2),
+c12 AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c FROM b GROUP BY 1, 2),
+t2 AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM c12)
+SELECT w1, w2, CAST(c12.c AS BIGINT) AS pair_count,
+       round(ln((c12.c / t2.t) / ((a.c / t1.t) * (bb.c / t1.t))), 6) AS pmi
+FROM c12 JOIN c1 a ON c12.w1 = a.u JOIN c1 bb ON c12.w2 = bb.u
+CROSS JOIN t1 CROSS JOIN t2
+WHERE c12.c >= 5
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50"""
+
+
+def _q_bpe_pairs(spark, sf):
+    """Top-50 BPE merge candidates: within-word adjacent char pairs
+    weighted by word frequency; the char explode runs on the vocabulary
+    table, the corpus is scanned once."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["bpe-pairs", {"col": "text", "top": 50}],
+        spark=spark,
+    ).df
+
+
+_BPE_PAIRS_ORACLE = f"""
+WITH w AS (SELECT {_WORDS_DUCK} AS w FROM documents),
+uni AS (SELECT unnest(w) AS u FROM w),
+wc AS (SELECT u, count(*) AS c FROM uni GROUP BY 1),
+p AS (SELECT unnest([substr(u, i, 2) for i in generate_series(1, len(u) - 1)]) AS pair, c
+      FROM wc WHERE len(u) >= 2)
+SELECT pair, CAST(sum(c) AS BIGINT) AS count FROM p GROUP BY 1
+ORDER BY count DESC, pair ASC LIMIT 50"""
+
+
+def _q_tfidf_topk(spark, sf):
+    """Per-document top-3 keywords by smooth tf-idf (ties broken by
+    term asc) — cluster labeling / doc features."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["tfidf-topk", {"col": "text", "id": "doc_id", "k": 3}],
+        spark=spark,
+    ).df
+
+
+_TFIDF_TOPK_ORACLE = f"""
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+w AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+tf AS (SELECT doc_id, t.term, count(*) AS tf
+       FROM w, unnest(w) AS t(term) GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+s AS (SELECT doc_id, term, tf, tf * (ln((1 + n.n) / (1 + dfq.df)) + 1) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, tf, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM s)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, round(tfidf, 6) AS tfidf, rank
+FROM r WHERE rank <= 3"""
+
+
 # ---------------------------------------------------------------------------
 
 # Registry order matters: the correctness driver records only the FIRST 50
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
 # of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
 # queries count as "never recorded" and go first of all; ties keep relative
-# order).  With 79 queries and a 50-row window, 29 fall outside each round
+# order).  With 83 queries and a 50-row window, 33 fall outside each round
 # and re-enter the window the next round — so every query has a driver-green
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     # --- brand-new in r06 (never driver-recorded): first of all ---
+    "lm_ppl_bigram": (_q_lm_score, _LM_SCORE_ORACLE),
+    "pmi_collocations": (_q_pmi, _PMI_ORACLE),
+    "bpe_pair_counts": (_q_bpe_pairs, _BPE_PAIRS_ORACLE),
+    "tfidf_topk_terms": (_q_tfidf_topk, _TFIDF_TOPK_ORACLE),
     "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
     "bm25_scores": (_q_bm25, _BM25_ORACLE),
     "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),

@@ -1,0 +1,394 @@
+"""Corpus-statistics operators for LLM-data pipelines (SURVEY.md §2.10).
+
+The reference has no analog (cddr/ksml wraps the Kafka Streams DSL —
+`/root/reference/src/cddr/ksml/eval.clj` exposes no scalar/corpus
+function surface); these are the corpus-curation extensions a
+training-data engine provides as first-class operators:
+
+    ["lm-score", rel, {"col": "text", "id": "doc_id", "n": 2, "k": 0.1}]
+        per-document perplexity under an add-k-smoothed word n-gram LM
+        trained on the corpus itself (or a second relation) — the
+        KenLM-style quality filter.
+    ["pmi", rel, {"col": "text", "min_count": 5, "top": 50}]
+        top collocations by pointwise mutual information.
+    ["bpe-pairs", rel, {"col": "text", "top": 50}]
+        corpus-weighted adjacent character-pair frequencies — the count
+        step of one BPE merge iteration (tokenizer training).
+    ["tfidf-topk", rel, {"col": "text", "id": "doc_id", "k": 5}]
+        per-document top-k keywords by smoothed tf-idf.
+
+All four are CORPUS-GLOBAL statistics: their model/normalizer terms are
+aggregates over the whole input, so they are batch-only and refuse
+streaming input with a curated error (score a stream against a frozen
+model via bm25's frozen-stats pattern instead, or re-train per batch
+with foreach-batch).
+
+Every row-path expression is a built-in Column function — JVM-side,
+whole-stage-codegen'd, zero Python. n-grams join on 60-bit md5 longs
+(`util.md5_long_col`), never on raw strings, so the model-join shuffle
+moves 8-byte keys at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import ArityError, TypeDispatchError
+from ..eval import Ctx, defop
+from ..model import Rel
+from ..operators.util import md5_long_col, opts_of, spread
+from .text import words
+
+
+def word_ngrams(w: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array; ``[]`` when the doc
+    has fewer than ``n`` tokens."""
+    if n <= 1:
+        return w
+    # coalesce: size(NULL) is NULL, which would fall through the `when`
+    # into the otherwise-branch (greatest() skips NULLs) and fabricate a
+    # gram of "" for NULL documents
+    return F.when(F.coalesce(F.size(w), F.lit(0)) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def _hashed(grams: Column) -> Column:
+    return F.transform(grams, lambda g: md5_long_col(g))
+
+
+def _refuse_streaming(rel: Rel, op: str) -> None:
+    if rel.df.isStreaming:
+        raise TypeDispatchError(
+            f"{op} aggregates corpus-global statistics and is batch-only; "
+            "score a stream against a frozen model (bm25-style stats dict) "
+            "or run per micro-batch via foreach-batch"
+        )
+
+
+@defop("lm-score")
+def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Per-document n-gram language-model score — the perplexity-based
+    quality filter (the role KenLM plays in CCNet/RedPajama-style
+    pipelines), expressed fully relationally:
+
+        ["lm-score", rel, {"col": "text", "id": "doc_id",
+                           "n": 2, "k": 0.1}]
+        ["lm-score", corpus, train_rel, {...}]   # train on a 2nd rel
+        -> (id, n_scored, nll, ppl) for every document with >= n
+           tokens; nll = mean negative natural-log add-k probability
+           per scored position, ppl = exp(nll). Lower = more fluent
+           under the training corpus.
+
+    Model: P(w | prefix) = (c(ngram) + k) / (c(prefix) + k·V) where
+    c(·) are training-corpus occurrence counts (prefix = the
+    (n-1)-gram counted at EVERY position, the standard MLE
+    denominator), V = training unigram vocabulary size, k > 0 the
+    add-k smoothing constant. Unseen n-grams/prefixes coalesce to 0
+    and stay finite through the smoothing.
+
+    Plan, and why it scales: training reduces to two hash aggs over
+    exploded 60-bit gram hashes (n-grams and (n-1)-grams; for n=2 the
+    vocab size V falls out of the prefix agg for free, no third scan).
+    The scored side aggregates per (doc, gram, prefix) BEFORE the model
+    join, so the join input is per-doc-distinct grams, not raw token
+    positions; both model joins are long-key equi-joins that AQE can
+    broadcast when the trained model is small — force that with
+    {"broadcast": true} (model tables are vocab-sized, often far
+    smaller than the corpus being scored). V rides in as a broadcast
+    one-row aggregate. Nothing Python touches a row.
+
+    Self-training traverses the input lineage three times (two model
+    aggs + the scored side); pass {"persist": true} to cache the input
+    when it is an expensive pipeline rather than a stored table.
+
+    Reference: no analog (§2.10 extension surface).
+    """
+    train = None
+    opts: dict = {}
+    for r in rest:
+        if isinstance(r, Rel):
+            train = r
+        elif isinstance(r, dict):
+            opts.update(r)
+    n = int(opts.get("n", 2))
+    k = float(opts.get("k", 0.1))
+    if n < 2:
+        raise ArityError("lm-score needs n >= 2 (unigram scoring has no prefix)")
+    if k <= 0:
+        raise ArityError("lm-score needs k > 0 (unsmoothed counts divide by zero)")
+    idc = opts.get("id", "doc_id")
+    colc = opts.get("col", "text")
+    tcolc = opts.get("train_col", colc)
+    _refuse_streaming(rel, "lm-score")
+    if train is not None:
+        _refuse_streaming(train, "lm-score (training relation)")
+    tdf = (train or rel).df
+    if opts.get("persist"):
+        tdf = tdf.persist()
+        if train is None:
+            rel = rel.with_df(tdf)
+
+    tw = words(F.col(tcolc))
+    # training: (n-1)-gram occurrence counts (the conditional denominator)
+    cp = (
+        spread(tdf)
+        .select(F.explode(_hashed(word_ngrams(tw, n - 1))).alias("__p"))
+        .groupBy("__p")
+        .agg(F.count(F.lit(1)).alias("__cp"))
+    )
+    # vocabulary size: for n=2 the prefix agg IS the unigram vocab
+    if n == 2:
+        vdf = cp.agg(F.count(F.lit(1)).alias("__v"))
+    else:
+        vdf = (
+            spread(tdf)
+            .select(F.explode(_hashed(tw)).alias("__u"))
+            .agg(F.count_distinct("__u").alias("__v"))
+        )
+    cg = (
+        spread(tdf)
+        .select(F.explode(_hashed(word_ngrams(tw, n))).alias("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__cg"))
+    )
+    if opts.get("broadcast"):
+        cp = F.broadcast(cp)
+        cg = F.broadcast(cg)
+
+    sw = words(F.col(colc))
+    pos = F.when(
+        F.coalesce(F.size(sw), F.lit(0)) < n,
+        F.array().cast("array<struct<g:bigint,p:bigint>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(sw) - (n - 1), F.lit(1))),
+            lambda i: F.struct(
+                md5_long_col(F.concat_ws(" ", F.slice(sw, i, n))).alias("g"),
+                md5_long_col(F.concat_ws(" ", F.slice(sw, i, n - 1))).alias("p"),
+            ),
+        )
+    )
+    occ = (
+        spread(rel.df)
+        .select(F.col(idc), F.explode(pos).alias("__gp"))
+        .select(idc, F.col("__gp.g").alias("__g"), F.col("__gp.p").alias("__p"))
+        .groupBy(idc, "__g", "__p")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("__cg"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("__cp"), F.lit(0)) + F.lit(k) * F.col("__v"))
+    )
+    per_doc = (
+        occ.join(cg, "__g", "left")
+        .join(cp, "__p", "left")
+        .crossJoin(F.broadcast(vdf))
+        .groupBy(idc)
+        .agg(
+            F.sum("__tf").cast("long").alias("n_scored"),
+            (-F.sum(F.col("__tf") * logp) / F.sum("__tf")).alias("__nll"),
+        )
+    )
+    out = per_doc.select(
+        idc,
+        "n_scored",
+        F.round("__nll", 6).alias("nll"),
+        F.round(F.exp("__nll"), 6).alias("ppl"),
+    )
+    return rel.with_df(out, key_cols=(idc,), time_col=None)
+
+
+@defop("pmi")
+def op_pmi(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Corpus collocations by pointwise mutual information:
+
+        ["pmi", rel, {"col": "text", "min_count": 5, "top": 50}]
+        -> (w1, w2, pair_count, pmi): adjacent word pairs seen at least
+           ``min_count`` times, scored
+           pmi = ln( P(w1,w2) / (P(w1)·P(w2)) ) with P from corpus
+           bigram/unigram relative frequencies, ordered pmi desc then
+           (w1, w2) asc, limited to ``top`` when given.
+
+    ``min_count`` is a REQUIREMENT of the statistic, not just a knob:
+    hapax bigrams of rare words otherwise dominate PMI (the classic
+    sparse-count pathology), and it is also what bounds the join — the
+    unigram model joins against the FILTERED bigram relation, whose
+    size is capped by the count threshold, so AQE broadcast-picks it
+    naturally at scale. Totals (token and bigram-position counts)
+    attach as broadcast one-row aggregates. Everything is hash aggs
+    over exploded tokens — no Python, no cartesian.
+
+    Reference: no analog (§2.10 extension surface)."""
+    opts = opts_of(rest)
+    colc = opts.get("col", "text")
+    min_count = int(opts.get("min_count", 5))
+    top = opts.get("top")
+    if min_count < 1:
+        raise ArityError("pmi needs min_count >= 1")
+    _refuse_streaming(rel, "pmi")
+
+    w = words(F.col(colc))
+    uni = spread(rel.df).select(F.explode(w).alias("__w"))
+    c1 = uni.groupBy("__w").agg(F.count(F.lit(1)).alias("__c1"))
+    t1 = F.broadcast(c1.agg(F.sum("__c1").cast("double").alias("__t1")))
+    pairs = F.when(
+        F.coalesce(F.size(w), F.lit(0)) < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        )
+    )
+    big = (
+        spread(rel.df)
+        .select(F.explode(pairs).alias("__b"))
+        .select(F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    t2 = F.broadcast(big.agg(F.sum("pair_count").cast("double").alias("__t2")))
+    filtered = big.filter(F.col("pair_count") >= min_count)
+    scored = (
+        filtered.join(c1.withColumnRenamed("__w", "w1"), "w1")
+        .withColumnRenamed("__c1", "__ca")
+        .join(c1.withColumnRenamed("__w", "w2"), "w2")
+        .withColumnRenamed("__c1", "__cb")
+        .crossJoin(t1)
+        .crossJoin(t2)
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("__t2"))
+                    / ((F.col("__ca") / F.col("__t1")) * (F.col("__cb") / F.col("__t1")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    )
+    if top:
+        scored = scored.limit(int(top))
+    return rel.with_df(scored, key_cols=("w1", "w2"), time_col=None)
+
+
+@defop("bpe-pairs")
+def op_bpe_pairs(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Adjacent character-pair frequencies over the corpus vocabulary —
+    the count step of one BPE merge iteration (the primitive a
+    distributed tokenizer trainer loops on):
+
+        ["bpe-pairs", rel, {"col": "text", "top": 50}]
+        -> (pair, count): every within-word adjacent character pair,
+           weighted by corpus word frequency, ordered count desc then
+           pair asc, limited to ``top`` when given.
+
+    The classic BPE-at-scale move is built in: the corpus first
+    collapses to its (distinct word, frequency) vocabulary table — one
+    hash agg over exploded tokens — and the quadratic-ish character
+    explode runs over the VOCABULARY (≪ corpus tokens; Heaps' law),
+    with each pair weighted by the word's count. An iterating trainer
+    re-runs this op on a re-segmented vocab table; the 100 TB corpus is
+    touched exactly once.
+
+    Reference: no analog (§2.10 extension surface)."""
+    opts = opts_of(rest)
+    colc = opts.get("col", "text")
+    top = opts.get("top")
+    _refuse_streaming(rel, "bpe-pairs")
+
+    wc = (
+        spread(rel.df)
+        .select(F.explode(words(F.col(colc))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    char_pairs = F.when(
+        F.length("__w") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("__w") - 1, F.lit(1))),
+            lambda i: F.col("__w").substr(i, F.lit(2)),
+        )
+    )
+    out = (
+        wc.select(F.explode(char_pairs).alias("pair"), "__c")
+        .groupBy("pair")
+        .agg(F.sum("__c").cast("long").alias("count"))
+        .orderBy(F.col("count").desc(), F.col("pair").asc())
+    )
+    if top:
+        out = out.limit(int(top))
+    return rel.with_df(out, key_cols=("pair",), time_col=None)
+
+
+@defop("tfidf-topk")
+def op_tfidf_topk(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Per-document top-k keywords by smoothed tf-idf (cluster labeling,
+    doc summarization, retrieval features):
+
+        ["tfidf-topk", rel, {"col": "text", "id": "doc_id", "k": 5}]
+        -> (id, term, tf, tfidf, rank): each document's k highest
+           tf-idf terms, tfidf = tf · (ln((1+N)/(1+df)) + 1) (the
+           smooth-idf form — well-defined for terms in every doc),
+           rank 1..k ordered tfidf desc with the term string as the
+           deterministic tiebreak.
+
+    Plan: one explode → (doc, term) hash agg for tf; df is a second agg
+    over the DISTINCT (doc, term) relation (vocab-sized, not
+    corpus-sized) joined back on the term; N attaches as a broadcast
+    one-row count. The top-k is a row_number window partitioned by the
+    doc id — one keyed shuffle, rank state only, never a global sort.
+
+    Reference: no analog (§2.10 extension surface)."""
+    from pyspark.sql import Window
+
+    opts = opts_of(rest)
+    colc = opts.get("col", "text")
+    idc = opts.get("id", "doc_id")
+    kk = int(opts.get("k", 5))
+    if kk < 1:
+        raise ArityError("tfidf-topk needs k >= 1")
+    _refuse_streaming(rel, "tfidf-topk")
+
+    ndf = F.broadcast(rel.df.agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    tf = (
+        spread(rel.df)
+        .select(F.col(idc), F.explode(words(F.col(colc))).alias("term"))
+        .groupBy(idc, "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(ndf)
+        .withColumn(
+            "__tfidf",
+            F.col("__tf")
+            * (F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("__df"))) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(idc).orderBy(F.col("__tfidf").desc(), F.col("term").asc())
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(
+            idc,
+            "term",
+            F.col("__tf").cast("long").alias("tf"),
+            F.round("__tfidf", 6).alias("tfidf"),
+            "rank",
+        )
+    )
+    return rel.with_df(out, key_cols=(idc, "term"), time_col=None)

@@ -485,7 +485,9 @@ def op_ngrams(ctx: Ctx, rel: Rel, *rest) -> Rel:
             "full streaming distribution"
         )
     w = words(F.col(col))
-    grams = F.when(F.size(w) < n, F.array()).otherwise(
+    # coalesce: size(NULL) is NULL -> the when falls through and the
+    # otherwise-branch fabricates a "" gram for NULL documents
+    grams = F.when(F.coalesce(F.size(w), F.lit(0)) < n, F.array()).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(w, i, n)),
@@ -509,7 +511,9 @@ def _gram_ids(col: Column, n: int) -> Column:
     from ..operators.util import md5_long_col
 
     w = words(col)
-    grams = F.when(F.size(w) < n, F.array()).otherwise(
+    # coalesce: size(NULL) is NULL -> the when falls through and the
+    # otherwise-branch fabricates a "" gram for NULL documents
+    grams = F.when(F.coalesce(F.size(w), F.lit(0)) < n, F.array()).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(w, i, n)),

@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     stateless,
     stores,
 )
+from ..functions import corpus  # noqa: F401  (lm-score / pmi / bpe-pairs / tfidf-topk)
 from ..functions import text  # noqa: F401  (tokenize / lang-id / quality ops)
 from ..streaming import runtime  # noqa: F401  (with-watermark, latest_by)
 from ..streaming import serving  # noqa: F401  (serve / key lookup)

@@ -1,0 +1,259 @@
+"""Corpus-statistics operators (lm-score / pmi / bpe-pairs / tfidf-topk):
+value checks against tiny hand-computable corpora and pure-Python
+references, edge cases (short/NULL docs, unseen grams, ties), streaming
+refusal, and the plan shapes the 100 TB posture claims."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ksml_spark import pipe
+from ksml_spark.errors import ArityError, TypeDispatchError
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pipe(spark, df, *forms):
+    return pipe(["stream", df, {"key": "doc_id"}], *forms, spark=spark).df
+
+
+# ---------------------------------------------------------------------------
+# lm-score
+
+
+def _py_lm(rows, n=2, k=0.1):
+    """Pure-Python reference of the add-k bigram LM (natural log)."""
+    import re
+
+    toks = {
+        i: [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+        for i, t in rows
+    }
+    cp: dict = {}
+    cg: dict = {}
+    for w in toks.values():
+        for u in w:
+            cp[u] = cp.get(u, 0) + 1
+        for a, b in zip(w, w[1:]):
+            cg[(a, b)] = cg.get((a, b), 0) + 1
+    v = len(cp)
+    out = {}
+    for i, w in toks.items():
+        if len(w) < n:
+            continue
+        lp = sum(
+            math.log((cg.get((a, b), 0) + k) / (cp.get(a, 0) + k * v))
+            for a, b in zip(w, w[1:])
+        )
+        np_ = len(w) - 1
+        out[i] = (np_, round(-lp / np_, 6), round(math.exp(-lp / np_), 6))
+    return out
+
+
+def test_lm_score_matches_python_reference(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat again"),
+        (3, "colorless green ideas sleep furiously"),
+        (4, "the the the the"),
+        (5, "one"),          # < n tokens: not scored
+        (6, None),           # NULL text: not scored
+        (7, ""),             # empty: not scored
+    ]
+    got = {
+        r["doc_id"]: (r["n_scored"], r["nll"], r["ppl"])
+        for r in _pipe(
+            spark, _docs(spark, rows), ["lm-score", {"n": 2, "k": 0.1}]
+        ).collect()
+    }
+    assert got == _py_lm(rows)
+
+
+def test_lm_score_fluent_beats_shuffled(spark):
+    """Documents made of corpus-frequent bigrams score lower perplexity
+    than a bag of unseen transitions — the quality-filter contract."""
+    corpus = [(i, "the model learns from data") for i in range(20)]
+    corpus += [(100, "data the from learns model")]  # same words, novel bigrams
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in _pipe(spark, _docs(spark, corpus), ["lm-score", {}]).collect()
+    }
+    assert got[0] < got[100]
+
+
+def test_lm_score_separate_train_rel_and_broadcast(spark):
+    """Scoring against a second training relation: unseen-corpus docs
+    still score (smoothing keeps probabilities finite), and the
+    {"broadcast": true} model hint changes the plan, not the values."""
+    train = _docs(spark, [(i, "a b c a b") for i in range(10)])
+    score = _docs(spark, [(1, "a b c"), (2, "z q")])
+    base = pipe(
+        ["lm-score",
+         ["stream", score, {"key": "doc_id"}],
+         ["stream", train, {"key": "doc_id"}],
+         {"n": 2, "k": 0.5}],
+        spark=spark,
+    ).df
+    rows = {r["doc_id"]: r for r in base.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["ppl"] < rows[2]["ppl"]  # in-domain beats unseen
+    bc = pipe(
+        ["lm-score",
+         ["stream", score, {"key": "doc_id"}],
+         ["stream", train, {"key": "doc_id"}],
+         {"n": 2, "k": 0.5, "broadcast": True}],
+        spark=spark,
+    ).df
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, base.collect()))
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_score_trigram_order(spark):
+    """n=3: prefixes are bigrams counted at every position; only docs
+    with >= 3 tokens score, n_scored = len - 2."""
+    rows = [(1, "a b c d"), (2, "a b")]
+    got = {r["doc_id"]: r["n_scored"]
+           for r in _pipe(spark, _docs(spark, rows),
+                          ["lm-score", {"n": 3}]).collect()}
+    assert got == {1: 2}
+
+
+def test_lm_score_rejects_bad_params(spark):
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(ArityError, match="n >= 2"):
+        _pipe(spark, df, ["lm-score", {"n": 1}])
+    with pytest.raises(ArityError, match="k > 0"):
+        _pipe(spark, df, ["lm-score", {"k": 0}])
+
+
+# ---------------------------------------------------------------------------
+# pmi
+
+
+def test_pmi_hand_computed(spark):
+    """4x 'strong coffee' + filler: PMI of the collocation equals the
+    closed-form ln((c12/T2) / ((c1/T1)^2-ish)) and the count filter
+    drops singletons."""
+    rows = [(i, "strong coffee") for i in range(4)]
+    rows += [(10, "strong opinions beat weak coffee today")]
+    got = _pipe(
+        spark, _docs(spark, rows), ["pmi", {"min_count": 4}]
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["w1"], r["w2"], r["pair_count"]) == ("strong", "coffee", 4)
+    t1, t2 = 14.0, 9.0  # tokens, bigram positions
+    expect = math.log((4 / t2) / ((5 / t1) * (5 / t1)))
+    assert r["pmi"] == round(expect, 6)
+
+
+def test_pmi_ordering_and_top(spark):
+    rows = [(i, "x y") for i in range(3)] + [(i + 50, "p q") for i in range(5)]
+    got = _pipe(spark, _docs(spark, rows),
+                ["pmi", {"min_count": 2, "top": 1}]).collect()
+    assert len(got) == 1  # top caps after the deterministic order
+    with pytest.raises(ArityError, match="min_count"):
+        _pipe(spark, _docs(spark, rows), ["pmi", {"min_count": 0}])
+
+
+# ---------------------------------------------------------------------------
+# bpe-pairs
+
+
+def test_bpe_pairs_weighted_by_word_frequency(spark):
+    """'ab' twice and 'abc' once: pair 'ab' counts 3 (2 from 'ab', 1
+    from 'abc'), 'bc' counts 1; single-char words contribute nothing."""
+    rows = [(1, "ab ab abc"), (2, "a")]
+    got = {r["pair"]: r["count"]
+           for r in _pipe(spark, _docs(spark, rows), ["bpe-pairs", {}]).collect()}
+    assert got == {"ab": 3, "bc": 1}
+
+
+def test_bpe_pairs_runs_on_vocab_not_corpus(spark):
+    """The char explode's input is the aggregated vocabulary: the plan
+    aggregates tokens BEFORE the pair Generate (explode) node."""
+    df = _docs(spark, [(i, "hello world hello") for i in range(5)])
+    out = _pipe(spark, df, ["bpe-pairs", {}])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    gen = plan.index("Generate explode")  # outermost = pair explode
+    agg = plan.index("HashAggregate")
+    assert agg < gen or plan.count("HashAggregate") >= 2
+    got = {r["pair"]: r["count"] for r in out.collect()}
+    assert got["he"] == 10 and got["wo"] == 5
+
+
+# ---------------------------------------------------------------------------
+# tfidf-topk
+
+
+def test_tfidf_topk_values_and_ties(spark):
+    """3 docs: 'rare' appears only in doc 1 and outscores the
+    everywhere-word 'common' (whose smooth idf is ln(4/4)+1 = 1);
+    ties broken by term asc; k caps the rank."""
+    rows = [
+        (1, "common rare rare"),
+        (2, "common common"),
+        (3, "common"),
+    ]
+    out = _pipe(spark, _docs(spark, rows),
+                ["tfidf-topk", {"k": 2}]).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert [r["term"] for r in d1] == ["rare", "common"]
+    idf_rare = math.log((1 + 3) / (1 + 1)) + 1
+    assert d1[0]["tfidf"] == round(2 * idf_rare, 6)
+    assert all(r["rank"] <= 2 for r in out)
+    with pytest.raises(ArityError, match="k >= 1"):
+        _pipe(spark, _docs(spark, rows), ["tfidf-topk", {"k": 0}])
+
+
+def test_tfidf_scan_prunes_to_id_and_text(spark, tables):
+    out = _pipe(spark, tables["documents"],
+                ["tfidf-topk", {"col": "text", "id": "doc_id", "k": 3}])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    reads = set(re.findall(r"ReadSchema: (struct<[^>]*>)", plan))
+    assert all(
+        s in ("struct<doc_id:bigint,text:string>", "struct<>") for s in reads
+    ), reads
+
+
+# ---------------------------------------------------------------------------
+# NULL-document regression (shared ngram guard)
+
+
+def test_ngrams_null_text_contributes_nothing(spark):
+    """size(NULL) is NULL: without the coalesce guard a NULL document
+    fabricates one "" n-gram (the lm-score bug, also latent in ngrams)."""
+    rows = [(1, "a b c"), (2, None)]
+    got = {r["ngram"]: r["count"]
+           for r in _pipe(spark, _docs(spark, rows), ["ngrams", {"n": 2}]).collect()}
+    assert got == {"a b": 1, "b c": 1}
+
+
+# ---------------------------------------------------------------------------
+# streaming refusal (corpus-global statistics)
+
+
+def test_corpus_ops_refuse_streaming(spark, tmp_path):
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    p = str(tmp_path / "docs")
+    _docs(spark, [(1, "a b")]).write.parquet(p)
+    src = file_stream_source(spark, p)
+    for form in (
+        ["lm-score", {}],
+        ["pmi", {}],
+        ["bpe-pairs", {}],
+        ["tfidf-topk", {}],
+    ):
+        with pytest.raises(TypeDispatchError, match="batch-only"):
+            pipe(["stream", src, {"key": "doc_id"}], form, spark=spark)

@@ -333,7 +333,11 @@ def test_no_query_plans_a_cartesian_or_stray_nested_loop(spark):
     import __spark_entry__ as m
 
     bnlj_ok = {"kmeans_assign", "ann_topk", "ann_ivf_topk", "bm25_scores",
-               "mix_sources"}
+               "mix_sources",
+               # corpus-stats ops attach broadcast ONE-ROW normalizer
+               # aggregates (vocab size V, token/bigram totals, doc count N)
+               # via conditionless cross joins — scalar attach, not fan-out
+               "lm_ppl_bigram", "pmi_collocations", "tfidf_topk_terms"}
     bad = []
     for name, fn in m.queries().items():
         p = (fn(spark, "/root/testdata/sf0.001")
