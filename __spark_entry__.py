@@ -2014,13 +2014,57 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, round(tfidf, 6) AS tfidf, rank
 FROM r WHERE rank <= 3"""
 
 
+def _q_lsh_join(spark, sf):
+    """Incremental dedup: MinHash band-bucket candidates between the
+    corpus (doc_id % 41 <> 0) and a reference set (doc_id % 41 = 0) —
+    a two-relation equi-join on (band, bucket), no self-pairs."""
+    return pipe(
+        ["lsh-join",
+         ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+          "doc_id % 41 <> 0"],
+         ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+          "doc_id % 41 = 0"],
+         {}],
+        spark=spark,
+    ).df
+
+
+_LSH_JOIN_ORACLE = _minhash_cte(with_long=True) + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM long a JOIN long b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id % 41 <> 0 AND b.doc_id % 41 = 0"""
+
+
+def _q_cooccurrence(spark, sf):
+    """Window-3 term co-occurrence counts (GloVe-style matrix), pairs
+    stored sorted, hapax tail pruned at 5, top-100."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["cooccurrence", {"col": "text", "window": 3, "min_count": 5,
+                          "top": 100}],
+        spark=spark,
+    ).df
+
+
+_COOCCURRENCE_ORACLE = f"""
+WITH w AS (SELECT {_WORDS_DUCK} AS w FROM documents),
+p AS (SELECT unnest(flatten([[{{'w1': least(w[i], w[j]),
+                               'w2': greatest(w[i], w[j])}}
+                              for j in generate_series(i + 1, least(i + 3, len(w)))]
+                             for i in generate_series(1, len(w) - 1)])) AS s
+      FROM w WHERE len(w) >= 2)
+SELECT s.w1 AS w1, s.w2 AS w2, CAST(count(*) AS BIGINT) AS count
+FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+ORDER BY count DESC, w1 ASC, w2 ASC LIMIT 100"""
+
+
 # ---------------------------------------------------------------------------
 
 # Registry order matters: the correctness driver records only the FIRST 50
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
 # of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
 # queries count as "never recorded" and go first of all; ties keep relative
-# order).  With 83 queries and a 50-row window, 33 fall outside each round
+# order).  With 85 queries and a 50-row window, 35 fall outside each round
 # and re-enter the window the next round — so every query has a driver-green
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
@@ -2030,6 +2074,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "pmi_collocations": (_q_pmi, _PMI_ORACLE),
     "bpe_pair_counts": (_q_bpe_pairs, _BPE_PAIRS_ORACLE),
     "tfidf_topk_terms": (_q_tfidf_topk, _TFIDF_TOPK_ORACLE),
+    "lsh_join_incremental": (_q_lsh_join, _LSH_JOIN_ORACLE),
+    "cooccurrence_window": (_q_cooccurrence, _COOCCURRENCE_ORACLE),
     "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
     "bm25_scores": (_q_bm25, _BM25_ORACLE),
     "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),

@@ -333,6 +333,73 @@ def op_bpe_pairs(ctx: Ctx, rel: Rel, *rest) -> Rel:
     return rel.with_df(out, key_cols=("pair",), time_col=None)
 
 
+@defop("cooccurrence")
+def op_cooccurrence(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Windowed term co-occurrence counts — the GloVe/word2vec-style
+    corpus matrix (also the input to second-order collocation/PMI over
+    a context window instead of strict adjacency):
+
+        ["cooccurrence", rel, {"col": "text", "window": 3,
+                               "min_count": 2, "top": 100}]
+        -> (w1, w2, count): unordered token pairs co-occurring within
+           ``window`` positions (pair stored sorted so (a,b) and (b,a)
+           accumulate together; same-token pairs at different positions
+           DO count), ordered count desc then (w1, w2) asc, limited to
+           ``top`` when given.
+
+    Plan: the pair fan-out is a nested array transform (per doc:
+    positions × at most ``window`` neighbors, all codegen'd) exploded
+    once, then a single hash agg with map-side partials. Output volume
+    is corpus tokens × window — linear, never quadratic in document
+    length; ``min_count`` prunes the hapax tail before any downstream
+    join a caller composes. Batch-only (corpus-global statistic).
+
+    Reference: no analog (§2.10 extension surface)."""
+    opts = opts_of(rest)
+    colc = opts.get("col", "text")
+    win = int(opts.get("window", 3))
+    min_count = int(opts.get("min_count", 1))
+    top = opts.get("top")
+    if win < 1:
+        raise ArityError("cooccurrence needs window >= 1")
+    _refuse_streaming(rel, "cooccurrence")
+
+    w = words(F.col(colc))
+    pairs = F.when(
+        F.coalesce(F.size(w), F.lit(0)) < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.least(i + win, F.size(w))),
+                    lambda j: F.struct(
+                        F.least(
+                            F.element_at(w, i), F.element_at(w, j)
+                        ).alias("w1"),
+                        F.greatest(
+                            F.element_at(w, i), F.element_at(w, j)
+                        ).alias("w2"),
+                    ),
+                ),
+            )
+        )
+    )
+    out = (
+        spread(rel.df)
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.col("count").desc(), F.col("w1").asc(), F.col("w2").asc())
+    )
+    if top:
+        out = out.limit(int(top))
+    return rel.with_df(out, key_cols=("w1", "w2"), time_col=None)
+
+
 @defop("tfidf-topk")
 def op_tfidf_topk(ctx: Ctx, rel: Rel, *rest) -> Rel:
     """Per-document top-k keywords by smoothed tf-idf (cluster labeling,

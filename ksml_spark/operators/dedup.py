@@ -227,6 +227,57 @@ def op_lsh_candidates(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     return KStreamRel(pairs, key_cols=("doc_a", "doc_b"))
 
 
+@defop("lsh-join")
+def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
+    """Cross-corpus near-duplicate candidates — the incremental-dedup
+    shape (a new crawl against an existing reference corpus, a fresh
+    dump against the training set):
+
+        ["lsh-join", new_rel, reference_rel,
+         {"col": "text", "id": "doc_id",
+          "right_col": "text", "right_id": "doc_id",
+          "as": ["doc_a", "doc_b"]}]
+        -> (doc_a from left, doc_b from right): pairs sharing >= 1
+           MinHash band bucket. Compose with the anti-join to drop
+           left-side docs that near-duplicate the reference, or with
+           jaccard verification on the candidate set.
+
+    Same banded construction as lsh-candidates (band_signatures — the
+    hash family is shared with the DuckDB oracle), but a two-relation
+    equi-join on (band, bucket) instead of a self-join: no self-pairs,
+    no id-ordering constraint, and each side's signature relation is
+    built once (no persist needed — unlike the self-join, nothing is
+    read twice). The shuffle key is the bucket, so cost scales with
+    rows·bands per side; a small reference set broadcasts with
+    {"broadcast": true}. Reference: no analog (§2.10 extension)."""
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    ridc = opts.get("right_id", idc)
+    colc = opts.get("col", "text")
+    rcolc = opts.get("right_col", colc)
+    out_a, out_b = opts.get("as", ["doc_a", "doc_b"])
+
+    def _long(df, id_col, text_col, out):
+        sigs = band_signatures(df, id_col, text_col)
+        return sigs.select(
+            F.col(id_col).alias(out),
+            F.posexplode(
+                F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])
+            ).alias("band", "bucket"),
+        )
+
+    la = _long(left.df, idc, colc, out_a)
+    rb = _long(right.df, ridc, rcolc, out_b)
+    if opts.get("broadcast"):
+        rb = F.broadcast(rb)
+    pairs = (
+        la.join(rb, ["band", "bucket"], "inner")
+        .select(out_a, out_b)
+        .distinct()
+    )
+    return KStreamRel(pairs, key_cols=(out_a, out_b))
+
+
 @defop("jaccard-pairs")
 def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """Exact token-set Jaccard similarity pairs within blocking groups:

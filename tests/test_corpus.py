@@ -227,6 +227,86 @@ def test_tfidf_scan_prunes_to_id_and_text(spark, tables):
 
 
 # ---------------------------------------------------------------------------
+# cooccurrence
+
+
+def test_cooccurrence_hand_computed(spark):
+    """'a b c a': window 2 pairs (sorted) = (a,b)@1-2, (a,c)@1-3,
+    (b,c)@2-3, (a,b)@2-4, (a,c)@3-4 -> ab:2 ac:2 bc:1."""
+    got = {(r["w1"], r["w2"]): r["count"]
+           for r in _pipe(spark, _docs(spark, [(1, "a b c a")]),
+                          ["cooccurrence", {"window": 2, "min_count": 1}]).collect()}
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
+
+
+def test_cooccurrence_window_and_min_count(spark):
+    """window=1 degrades to adjacency; same-token pairs count; the
+    min_count filter prunes."""
+    rows = [(1, "x x y"), (2, "x y z")]
+    got = {(r["w1"], r["w2"]): r["count"]
+           for r in _pipe(spark, _docs(spark, rows),
+                          ["cooccurrence", {"window": 1, "min_count": 2}]).collect()}
+    assert got == {("x", "y"): 2}
+    with pytest.raises(ArityError, match="window"):
+        _pipe(spark, _docs(spark, rows), ["cooccurrence", {"window": 0}])
+
+
+# ---------------------------------------------------------------------------
+# lsh-join (cross-corpus candidates)
+
+
+def test_lsh_join_finds_cross_corpus_dup_only(spark):
+    """A left doc near-duplicating a right doc pairs up; identical docs
+    WITHIN one side never pair (no self-join); the broadcast hint
+    changes the plan, not the values."""
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the observer takes careful structured notes")
+    left = _docs(spark, [(1, base), (2, base), (3, "completely different "
+                 "text about spark physical plans and shuffle exchanges "
+                 "nothing shared with the fox corpus at all today")])
+    right = _docs(spark, [(100, base + " extra"), (101, "unrelated "
+                  "reference document mentioning neither foxes nor dogs "
+                  "but plenty of parquet statistics and bloom filters")])
+    got = pipe(
+        ["lsh-join", ["stream", left, {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {}],
+        spark=spark,
+    ).df.collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert (1, 100) in pairs and (2, 100) in pairs
+    assert all(b == 100 for _, b in pairs)  # 101 shares nothing
+    assert all(a in (1, 2) for a, _ in pairs)
+    bc = pipe(
+        ["lsh-join", ["stream", left, {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {"broadcast": True}],
+        spark=spark,
+    ).df
+    assert {(r["doc_a"], r["doc_b"]) for r in bc.collect()} == pairs
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_join_composes_with_anti_join(spark):
+    """The incremental-dedup flow: drop left docs with any reference
+    candidate via anti-join on the candidate ids."""
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen seventeen")
+    left = _docs(spark, [(1, base), (2, "fresh unseen writing with no "
+                 "overlap whatsoever in any shingle of this sentence here")])
+    right = _docs(spark, [(9, base)])
+    cands = pipe(
+        ["lsh-join", ["stream", left, {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {}],
+        spark=spark,
+    )
+    kept = pipe(
+        ["anti-join", ["stream", left, {"key": "doc_id"}],
+         ["select-key", cands, ["key-value-mapper", {"doc_id": "doc_a"}]]],
+        spark=spark,
+    ).df
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
 # NULL-document regression (shared ngram guard)
 
 
@@ -237,6 +317,52 @@ def test_ngrams_null_text_contributes_nothing(spark):
     got = {r["ngram"]: r["count"]
            for r in _pipe(spark, _docs(spark, rows), ["ngrams", {"n": 2}]).collect()}
     assert got == {"a b": 1, "b c": 1}
+
+
+# ---------------------------------------------------------------------------
+# property tests vs pure-Python references (random corpora)
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts, k=st.floats(min_value=0.05, max_value=2.0, allow_nan=False))
+def test_lm_score_random_corpora_match_python(spark, texts, k):
+    """Tiny alphabet forces shared/unseen grams, short docs, empties."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = {
+        r["doc_id"]: (r["n_scored"], r["nll"], r["ppl"])
+        for r in _pipe(
+            spark, _docs(spark, rows), ["lm-score", {"n": 2, "k": k}]
+        ).collect()
+    }
+    assert got == _py_lm(rows, n=2, k=k)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts)
+def test_bpe_pairs_random_corpora_match_python(spark, texts):
+    import re
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    exp: dict = {}
+    wc: dict = {}
+    for _, t in rows:
+        for w in re.split(r"[^a-z0-9]+", (t or "").lower()):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            exp[w[i : i + 2]] = exp.get(w[i : i + 2], 0) + c
+    got = {r["pair"]: r["count"]
+           for r in _pipe(spark, _docs(spark, rows), ["bpe-pairs", {}]).collect()}
+    assert got == exp
 
 
 # ---------------------------------------------------------------------------
