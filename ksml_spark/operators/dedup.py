@@ -128,8 +128,17 @@ def band_signatures(df: DataFrame, idc: str, textc: str) -> DataFrame:
     here) -> hash-aggregate min() per id with map-side partial aggregation.
     Shuffle volume is rows x 16 short hex strings — independent of shingle
     count. mh_j = min over shingles of substr(md5('m#'+shingle), p*8+1, 8)
-    is the engine-portable hash family shared with the DuckDB oracle."""
-    sh = df.select(F.col(idc), F.explode(shingles_col(F.col(textc))).alias("__s"))
+    is the engine-portable hash family shared with the DuckDB oracle.
+
+    spread(): the shingle explosion + 16 md5s is the compute-heavy part
+    and a small parquet source scans as ONE split — without spreading it
+    runs single-task (measured 16s vs <1s on 32 cores at sf0.1; the
+    lsh-candidates self-join masked this behind its persist, lsh-join
+    paid it in full). At 100 TB the source has thousands of files and
+    spread is a no-op."""
+    from .util import spread
+
+    sh = spread(df).select(F.col(idc), F.explode(shingles_col(F.col(textc))).alias("__s"))
     hashed = sh.select(
         F.col(idc),
         *[
