@@ -425,7 +425,12 @@ def op_entropy(ctx: Ctx, rel: Rel, *rest) -> Rel:
             n == 0, F.lit(0.0)
         ).otherwise(F.log2(n.cast("double")) - csum / n)
         return rel.with_df(rel.df.withColumn(out_name, ent))
-    ex = rel.df.select(F.col(idc), F.explode(units).alias("__u"))
+    from ..operators.util import spread
+
+    # spread: the unit explode + per-unit count is the heavy stage and a
+    # small parquet source scans as one split (single-task at toy SF;
+    # no-op at scale — see band_signatures)
+    ex = spread(rel.df).select(F.col(idc), F.explode(units).alias("__u"))
     per_unit = ex.groupBy(idc, "__u").agg(F.count(F.lit(1)).alias("__c"))
     sig = per_unit.groupBy(idc).agg(
         F.sum("__c").alias("__n"),

@@ -119,6 +119,38 @@ def shingles_col(col: Column, k: int = SHINGLE_K) -> Column:
     return F.when(F.size(t) < k, F.array(col)).otherwise(gen)
 
 
+def _pin_tokens(toks: DataFrame, opts: dict) -> DataFrame:
+    """Persist the tokenized (id, blocks, token-array, n) relation for
+    the pair operators (jaccard / containment), batch only.
+
+    Two reasons, both measured (r06, sf0.1):
+
+    1. The self-join reads ``toks`` twice — without a persist the
+       per-token md5 tokenize runs once per branch.
+    2. Catalyst infers ``size(__t) > 0 AND isnotnull(__t)`` below the
+       postings explode and pushes it through the tokenize projection
+       AND the spread exchange into the parquet scan as a DataFilter —
+       so the ENTIRE md5 tokenize re-evaluates inside the single-split
+       scan task (4.4s of a 6s query ran single-task). A persisted
+       relation is a pushdown barrier: the filter stays above the
+       cache, the scan reads only raw columns.
+
+    DISK_ONLY by default for the same reason as lsh-candidates
+    (dedup.py:199): at 100 TB the token arrays evict / thrash executor
+    storage memory; {"storage": "memory"} opts into MEMORY_AND_DISK
+    for small interactive runs."""
+    if toks.isStreaming:
+        return toks
+    from pyspark import StorageLevel
+
+    level = (
+        StorageLevel.MEMORY_AND_DISK
+        if opts.get("storage") == "memory"
+        else StorageLevel.DISK_ONLY
+    )
+    return toks.persist(level)
+
+
 def band_signatures(df: DataFrame, idc: str, textc: str) -> DataFrame:
     """(id, band_0..band_{B-1}) MinHash band buckets.
 
@@ -350,17 +382,20 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     shingle = opts.get("shingle")
     units = (shingles_col(F.col(col), int(shingle)) if shingle
              else tokens_col(F.col(col)))
-    from .util import md5_long_col
+    from .util import md5_long_col, spread
 
     tok_ids = F.array_distinct(
         F.transform(units, lambda x: md5_long_col(x))
     )
-    toks = rel.df.select(
+    # spread: the per-token md5 tokenize is the compute-heavy stage and a
+    # small parquet source scans as one split (see band_signatures)
+    toks = spread(rel.df).select(
         F.col(idc),
         *[F.expr(b).alias(f"__b{i}") for i, b in enumerate(blocks)],
         tok_ids.alias("__t"),
     )
     toks = toks.withColumn("__n", F.size(F.col("__t")))
+    toks = _pin_tokens(toks, opts)
 
     # Plan choice: {"prefix": True/False} is an explicit override; the
     # default "auto" estimates the token index from a LIMIT-sample (a
@@ -504,7 +539,7 @@ def op_containment_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             "co-blocked pair use jaccard-pairs with threshold <= 0"
         )
     blocks = [block] if isinstance(block, str) else list(block or [])
-    from .util import md5_long_col, shuffle_partitions
+    from .util import md5_long_col, shuffle_partitions, spread
 
     shingle = opts.get("shingle")  # {"shingle": k}: n-gram containment
     units = (shingles_col(F.col(col), int(shingle)) if shingle
@@ -512,11 +547,12 @@ def op_containment_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     tok_ids = F.array_distinct(
         F.transform(units, lambda x: md5_long_col(x))
     )
-    toks = rel.df.select(
+    toks = spread(rel.df).select(
         F.col(idc),
         *[F.expr(b).alias(f"__b{i}") for i, b in enumerate(blocks)],
         tok_ids.alias("__t"),
     ).withColumn("__n", F.size(F.col("__t")))
+    toks = _pin_tokens(toks, opts)
     ex = toks.select(
         F.col(idc),
         *[f"__b{i}" for i in range(len(blocks))],
