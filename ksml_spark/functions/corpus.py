@@ -70,6 +70,60 @@ def _refuse_streaming(rel: Rel, op: str) -> None:
         )
 
 
+def lm_train_stats(df, col: str = "text", n: int = 2, max_entries: int = 100_000) -> dict:
+    """Collect a SMALL n-gram LM model as the frozen-stats dict for
+    streaming `lm-score` — the bm25 frozen-stats pattern: train once in
+    batch on a (domain-sized) reference corpus, score a live stream
+    against it as a pure per-row expression.
+
+    Returns {"n": n, "v": vocab, "gram": {gram: count},
+    "prefix": {(n-1)-gram: count}} with raw space-joined word grams as
+    keys. Refuses models over ``max_entries`` distinct grams — this is
+    a DRIVER-side collect by design (the dict ships inside the plan as
+    a map literal); frozen scoring is for small domain models, not a
+    100 TB-trained LM (use the relational lm-score for that)."""
+    w = words(F.col(col))
+    gram_counts = (
+        spread(df)
+        .select(F.explode(word_ngrams(w, n)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    prefix_counts = (
+        spread(df)
+        .select(F.explode(word_ngrams(w, n - 1)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = gram_counts.count(), prefix_counts.count()
+    if max(sizes) > max_entries:
+        raise ArityError(
+            f"lm_train_stats: model has {max(sizes)} distinct grams > "
+            f"max_entries={max_entries}; a model this size belongs in the "
+            "relational lm-score (train rel), not a driver-side dict"
+        )
+    gram = {r["g"]: r["c"] for r in gram_counts.collect()}
+    prefix = {r["g"]: r["c"] for r in prefix_counts.collect()}
+    if n == 2:
+        v = len(prefix)
+    else:
+        v = (
+            spread(df)
+            .select(F.explode(w).alias("u"))
+            .agg(F.count_distinct("u"))
+            .collect()[0][0]
+        )
+    return {"n": n, "v": v, "gram": gram, "prefix": prefix}
+
+
+def _lit_map(d: dict) -> Column:
+    if not d:
+        return F.create_map().cast("map<string,double>")
+    return F.create_map(
+        *[x for kk, vv in d.items() for x in (F.lit(kk), F.lit(float(vv)))]
+    )
+
+
 @defop("lm-score")
 def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
     """Per-document n-gram language-model score — the perplexity-based
@@ -106,6 +160,15 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
     aggs + the scored side); pass {"persist": true} to cache the input
     when it is an expensive pipeline rather than a stored table.
 
+    FROZEN-STATS mode — {"stats": lm_train_stats(ref_df)} — scores
+    against a PRECOMPUTED small model (raw-gram count dicts shipped as
+    map literals) as one shuffle-free per-row expression, which makes
+    the op STREAMING-legal: train once on a domain reference corpus,
+    score the live stream (the bm25 frozen-stats pattern). Shape
+    difference: appends (n_scored, nll, ppl) to EVERY row, NULL for
+    docs with < n tokens. For corpus-scale models use the relational
+    train path — lm_train_stats refuses models over max_entries.
+
     Reference: no analog (§2.10 extension surface).
     """
     train = None
@@ -124,6 +187,52 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
     idc = opts.get("id", "doc_id")
     colc = opts.get("col", "text")
     tcolc = opts.get("train_col", colc)
+
+    stats = opts.get("stats")
+    if stats is not None:
+        # FROZEN-STATS mode (the bm25 pattern): score every row against a
+        # precomputed small model as ONE shuffle-free per-row expression —
+        # STREAMING-legal. Shape difference: appends (n_scored, nll, ppl)
+        # to EVERY input row, NULL for docs with < n tokens; batch mode
+        # returns only the scored (id, n_scored, nll, ppl) set.
+        sn = int(stats.get("n", n))
+        v = float(stats["v"])
+        cg_map = _lit_map(stats.get("gram") or {})
+        cp_map = _lit_map(stats.get("prefix") or {})
+        w = words(F.col(colc))
+        pos = F.when(
+            F.coalesce(F.size(w), F.lit(0)) < sn,
+            F.array().cast("array<struct<g:string,p:string>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - (sn - 1), F.lit(1))),
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.slice(w, i, sn)).alias("g"),
+                    F.concat_ws(" ", F.slice(w, i, sn - 1)).alias("p"),
+                ),
+            )
+        )
+        logp_sum = F.aggregate(
+            pos,
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.log(
+                (F.coalesce(F.element_at(cg_map, s.getField("g")), F.lit(0.0)) + F.lit(k))
+                / (
+                    F.coalesce(F.element_at(cp_map, s.getField("p")), F.lit(0.0))
+                    + F.lit(k) * F.lit(v)
+                )
+            ),
+        )
+        np_ = F.size(pos)
+        nll = F.when(np_ > 0, -logp_sum / np_)
+        out = (
+            rel.df.withColumn("n_scored", F.when(np_ > 0, np_.cast("long")))
+            .withColumn("nll", F.round(nll, 6))
+            .withColumn("ppl", F.round(F.exp(nll), 6))
+        )
+        return rel.with_df(out)
+
     _refuse_streaming(rel, "lm-score")
     if train is not None:
         _refuse_streaming(train, "lm-score (training relation)")

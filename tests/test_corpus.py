@@ -131,6 +131,70 @@ def test_lm_score_rejects_bad_params(spark):
         _pipe(spark, df, ["lm-score", {"k": 0}])
 
 
+def test_lm_score_frozen_stats_matches_batch(spark):
+    """Frozen-stats mode with stats trained on the same corpus equals
+    the relational self-train for scored docs; short/NULL docs appear
+    with NULL score columns (append shape) instead of being dropped."""
+    from ksml_spark.functions.corpus import lm_train_stats
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the mat sat"),
+        (3, "one"),
+        (4, None),
+    ]
+    df = _docs(spark, rows)
+    stats = lm_train_stats(df, "text", n=2)
+    assert stats["v"] == 6  # the cat sat on mat one
+    batch = {
+        r["doc_id"]: (r["n_scored"], r["nll"], r["ppl"])
+        for r in _pipe(spark, df, ["lm-score", {"n": 2, "k": 0.1}]).collect()
+    }
+    frozen = _pipe(spark, df, ["lm-score", {"k": 0.1, "stats": stats}]).collect()
+    got = {r["doc_id"]: (r["n_scored"], r["nll"], r["ppl"]) for r in frozen}
+    assert len(frozen) == 4  # every row kept
+    assert got[3] == (None, None, None) and got[4] == (None, None, None)
+    assert {i: got[i] for i in (1, 2)} == batch
+    # original columns survive
+    assert {"doc_id", "text", "n_scored", "nll", "ppl"} == set(frozen[0].asDict())
+
+
+def test_lm_score_frozen_stats_streams(spark, tmp_path):
+    """The frozen path is streaming-legal end-to-end: a file stream
+    scored against a batch-trained model produces the batch answer."""
+    from ksml_spark.functions.corpus import lm_train_stats
+
+    ref = _docs(spark, [(i, "alpha beta gamma alpha beta") for i in range(5)])
+    stats = lm_train_stats(ref, "text", n=2)
+    rows = [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "x")]
+    df = _docs(spark, rows)
+    p = str(tmp_path / "lm_docs")
+    df.write.parquet(p)
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    src = file_stream_source(spark, p)
+    out = pipe(["stream", src, {"key": "doc_id"}],
+               ["lm-score", {"k": 0.1, "stats": stats}], spark=spark).df
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("lm_frozen")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["doc_id"]: (r["n_scored"], r["nll"], r["ppl"])
+           for r in spark.sql("SELECT * FROM lm_frozen").collect()}
+    exp = {r["doc_id"]: (r["n_scored"], r["nll"], r["ppl"])
+           for r in _pipe(spark, df, ["lm-score", {"k": 0.1, "stats": stats}]).collect()}
+    assert got == exp
+    assert got[1][1] < got[2][1]  # in-order beats reversed transitions
+
+
+def test_lm_train_stats_refuses_oversized_model(spark):
+    from ksml_spark.functions.corpus import lm_train_stats
+
+    df = _docs(spark, [(i, f"w{i}a w{i}b w{i}c") for i in range(40)])
+    with pytest.raises(ArityError, match="max_entries"):
+        lm_train_stats(df, "text", n=2, max_entries=10)
+
+
 # ---------------------------------------------------------------------------
 # pmi
 
