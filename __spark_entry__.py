@@ -2058,13 +2058,55 @@ FROM p GROUP BY 1, 2 HAVING count(*) >= 5
 ORDER BY count DESC, w1 ASC, w2 ASC LIMIT 100"""
 
 
+def _q_chunk(spark, sf):
+    """200-char chunks with 50-char overlap (RAG/context chunker);
+    pure per-row fan-out, no shuffle, tail chunks never pure overlap."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["chunk", {"col": "text", "size": 200, "overlap": 50}],
+        spark=spark,
+    ).df
+
+
+_CHUNK_ORACLE = """
+WITH c AS (SELECT doc_id, lang, source, n_chars,
+  unnest([{'i': CAST((s - 1) // 150 + 1 AS INT), 'c': substr(text, s, 200)}
+          for s in generate_series(1, greatest(len(text) - 50, 1), 150)]) AS u
+  FROM documents WHERE len(text) > 0)
+SELECT doc_id, lang, source, n_chars, u.i AS chunk_idx, u.c AS chunk FROM c"""
+
+
+def _q_sentence_split(spark, sf):
+    """Sentence segmentation (terminator+space heuristic, sentinel
+    construction shared with the oracle); indexes survive the
+    min-chars filter."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["sentence-split", {"col": "text", "min_chars": 1}],
+        spark=spark,
+    ).df
+
+
+_SENTENCE_SPLIT_ORACLE = r"""
+WITH p AS (SELECT doc_id, lang, source, n_chars,
+   string_split(regexp_replace(text, '([.?!])\s+', '\1' || chr(30), 'g'),
+                chr(30)) AS l
+   FROM documents),
+u AS (SELECT doc_id, lang, source, n_chars,
+   unnest([{'i': CAST(i AS INT), 's': trim(l[i])}
+           for i in generate_series(1, len(l))]) AS s
+   FROM p)
+SELECT doc_id, lang, source, n_chars, s.i AS sent_idx, s.s AS sentence
+FROM u WHERE length(s.s) >= 1"""
+
+
 # ---------------------------------------------------------------------------
 
 # Registry order matters: the correctness driver records only the FIRST 50
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
 # of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
 # queries count as "never recorded" and go first of all; ties keep relative
-# order).  With 85 queries and a 50-row window, 35 fall outside each round
+# order).  With 87 queries and a 50-row window, 37 fall outside each round
 # and re-enter the window the next round — so every query has a driver-green
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
@@ -2076,6 +2118,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "tfidf_topk_terms": (_q_tfidf_topk, _TFIDF_TOPK_ORACLE),
     "lsh_join_incremental": (_q_lsh_join, _LSH_JOIN_ORACLE),
     "cooccurrence_window": (_q_cooccurrence, _COOCCURRENCE_ORACLE),
+    "chunk_overlap": (_q_chunk, _CHUNK_ORACLE),
+    "sentence_split": (_q_sentence_split, _SENTENCE_SPLIT_ORACLE),
     "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
     "bm25_scores": (_q_bm25, _BM25_ORACLE),
     "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),

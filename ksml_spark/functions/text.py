@@ -803,3 +803,94 @@ def op_dedup_paragraphs(ctx: Ctx, rel: Rel, *rest) -> Rel:
         .select(*df.columns)
     )
     return rel.with_df(out)
+
+
+@defop("chunk")
+def op_chunk(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Fixed-size character chunking with overlap — the RAG /
+    context-window chunker (and the per-document half of sequence
+    packing; compose with pack-chunks to bin the output):
+
+        ["chunk", rel, {"col": "text", "id": "doc_id",
+                        "size": 512, "overlap": 64, "as": "chunk"}]
+        -> one row per chunk with (other columns..., chunk_idx
+           starting at 1, chunk): substrings of length ``size``
+           starting every ``size - overlap`` characters. The final
+           chunk may be shorter; every chunk starts within the text,
+           so no chunk is pure overlap. NULL and empty documents emit
+           no rows (a filter decision upstream, not this op's).
+
+    Pure per-row expression fan-out (sequence + substring + posexplode)
+    — no shuffle, no state, streaming-legal; output rows ≈ chars/stride
+    per doc, the downstream partition-sizing number to plan around.
+
+    Reference: no analog (§2.10 extension surface)."""
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    colc = opts.get("col", "text")
+    out = opts.get("as", "chunk")
+    size = int(opts.get("size", 512))
+    overlap = int(opts.get("overlap", 0))
+    if size < 1 or overlap < 0 or overlap >= size:
+        from ..errors import ArityError
+
+        raise ArityError("chunk needs size >= 1 and 0 <= overlap < size")
+    stride = size - overlap
+    ln = F.length(F.col(colc))
+    # last start capped at length - overlap: a later start would produce
+    # a chunk fully contained in the previous one (pure-overlap tail)
+    starts = F.when(
+        F.coalesce(ln, F.lit(0)) == 0, F.array().cast("array<int>")
+    ).otherwise(
+        F.sequence(F.lit(1), F.greatest(ln - overlap, F.lit(1)), F.lit(stride))
+    )
+    chunks = F.transform(starts, lambda s: F.col(colc).substr(s, F.lit(size)))
+    other = [c for c in rel.df.columns if c != colc]
+    ex = rel.df.select(
+        *other, F.posexplode(chunks).alias("__pos", out)
+    ).select(*other, (F.col("__pos") + 1).alias("chunk_idx"), out)
+    return rel.with_df(ex)
+
+
+@defop("sentence-split")
+def op_sentence_split(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Sentence segmentation (regex terminator heuristic) to one row
+    per sentence — the unit step before per-sentence filtering,
+    chunk assembly, or parallel-corpus alignment:
+
+        ["sentence-split", rel, {"col": "text", "as": "sentence",
+                                 "min_chars": 1}]
+        -> (other columns..., sent_idx starting at 1, sentence):
+           trimmed segments split after a [.?!] terminator followed by
+           whitespace (the terminator stays with its sentence; a
+           terminator with NO following space — decimals,
+           abbreviations, "3.5" — does not split); segments shorter
+           than ``min_chars`` (after trim) are dropped but never
+           renumber later sentences. NULL/empty documents emit no rows.
+
+    Pure per-row split + posexplode — no shuffle, streaming-legal.
+    The boundary is marked with a capture-group regexp_replace to a
+    \\x1e sentinel and then split on the literal sentinel — the same
+    construction the DuckDB oracle runs (RE2 has no lookbehind), so
+    segmentation is engine-identical by construction.
+
+    Reference: no analog (§2.10 extension surface)."""
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    colc = opts.get("col", "text")
+    out = opts.get("as", "sentence")
+    min_chars = int(opts.get("min_chars", 1))
+    marked = F.regexp_replace(F.col(colc), r"([.?!])\s+", "$1\u001e")
+    parts = F.split(marked, "\u001e", -1)
+    other = [c for c in rel.df.columns if c != colc]
+    ex = (
+        rel.df.select(*other, F.posexplode(parts).alias("__pos", out))
+        .withColumn(out, F.trim(F.col(out)))
+        .filter(F.length(F.col(out)) >= F.lit(max(min_chars, 1)))
+        .select(*other, (F.col("__pos") + 1).alias("sent_idx"), out)
+    )
+    return rel.with_df(ex)

@@ -384,6 +384,58 @@ def test_ngrams_null_text_contributes_nothing(spark):
 
 
 # ---------------------------------------------------------------------------
+# chunk / sentence-split
+
+
+def test_chunk_overlap_semantics(spark):
+    """size 10 / overlap 3: starts every 7 chars, capped at len-overlap
+    so the tail chunk is never pure overlap; NULL/empty docs vanish."""
+    text = "abcdefghijklmnopq"  # 17 chars
+    rows = [(1, text), (2, ""), (3, None), (4, "short")]
+    got = {}
+    for r in _pipe(spark, _docs(spark, rows),
+                   ["chunk", {"size": 10, "overlap": 3}]).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    assert got == {
+        1: [(1, "abcdefghij"), (2, "hijklmnopq")],  # start 15 > 17-3: no tail
+        4: [(1, "short")],
+    }
+    with pytest.raises(ArityError, match="overlap"):
+        _pipe(spark, _docs(spark, rows), ["chunk", {"size": 5, "overlap": 5}])
+
+
+def test_chunk_composes_with_pack_chunks(spark):
+    """The RAG flow: chunk -> token-count -> pack-chunks runs end to
+    end and every chunk gets a bin."""
+    rows = [(i, "word " * 40) for i in range(6)]
+    out = _pipe(
+        spark, _docs(spark, rows),
+        ["chunk", {"size": 60, "overlap": 10, "as": "piece"}],
+        ["token-count", {"col": "piece"}],
+        ["with-column", "chunk_id", "doc_id * 1000 + chunk_idx"],
+        ["pack-chunks", {"id": "chunk_id", "order": "chunk_id",
+                         "tokens": "n_tokens_ws", "budget": 50}],
+    ).collect()
+    assert len(out) > 6  # fan-out happened
+    assert all(r["chunk"] is not None and r["offset"] >= 0 for r in out)
+
+
+def test_sentence_split_indexes_and_heuristic(spark):
+    """Terminator+space splits; '3.5' (no space after dot) does not;
+    min_chars drops short segments without renumbering."""
+    rows = [(1, "Hello world. How are you? Fine! Version 3.5 rocks."),
+            (2, "no terminator here"), (3, None), (4, "")]
+    got = {}
+    for r in _pipe(spark, _docs(spark, rows),
+                   ["sentence-split", {"min_chars": 6}]).collect():
+        got.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"]))
+    assert got == {
+        1: [(1, "Hello world."), (2, "How are you?"), (4, "Version 3.5 rocks.")],
+        2: [(1, "no terminator here")],
+    }  # "Fine!" (5 chars) dropped, index 4 kept for the next sentence
+
+
+# ---------------------------------------------------------------------------
 # property tests vs pure-Python references (random corpora)
 
 from hypothesis import HealthCheck, given, settings, strategies as st

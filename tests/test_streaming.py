@@ -160,6 +160,12 @@ def test_hash_split_streaming_matches_batch(spark, events_path, tables):
 
 
 def _has_protobuf() -> bool:
+    # r06 audit: the sandbox has NO google.protobuf anywhere (pip
+    # download fails — no network; a filesystem sweep finds only
+    # typeshed stubs and pyspark's own .proto wrappers/jars) and
+    # vendoring the full pure-Python runtime is out of scope, so the
+    # execution probe below stays environment-skipped; the plan/shim
+    # coverage runs regardless.
     try:
         from google.protobuf import descriptor  # noqa: F401
 
