@@ -151,8 +151,48 @@ def _pin_tokens(toks: DataFrame, opts: dict) -> DataFrame:
     return toks.persist(level)
 
 
+def band_signature_cols(textc: str) -> dict:
+    """Per-row EXPRESSION form of band_signatures: {band_i: Column}.
+
+    array_min over the transformed shingle array — higher-order
+    functions, so interpreted (~10x slower per row than the explode +
+    codegen-agg path) but SHUFFLE-FREE and therefore legal on streaming
+    sources, where the per-doc min aggregation would be a stateful agg.
+    Values are bit-identical to the agg path (min over the same md5
+    piece set; parity pinned by test). NULL text yields NULL bands."""
+    sh = shingles_col(F.col(textc))
+
+    def _piece(j: int):
+        # factory closure: a 2-arg lambda would make F.transform pass the
+        # element INDEX as the second argument, clobbering a j=j default
+        m, p = minhash_slice(j)
+
+        def fn(s):
+            return F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{m}#"), s)), p, 8), 16, 10
+            ).cast("long")
+
+        return fn
+
+    mins = [F.array_min(F.transform(sh, _piece(j))) for j in range(N_HASHES)]
+    return {
+        f"band_{b}": F.md5(
+            F.concat(
+                *[mins[b * ROWS_PER_BAND + r].cast("string") for r in range(ROWS_PER_BAND)]
+            )
+        )
+        for b in range(N_BANDS)
+    }
+
+
 def band_signatures(df: DataFrame, idc: str, textc: str) -> DataFrame:
     """(id, band_0..band_{B-1}) MinHash band buckets.
+
+    STREAMING inputs take the per-row expression path
+    (band_signature_cols — shuffle-free, no stateful agg; rows with
+    NULL text are dropped, matching the batch path where they produce
+    no shingle rows). Batch inputs take the explode + codegen hash-agg
+    path below.
 
     Plan shape chosen for codegen: explode shingles -> 4 salted md5 columns
     sliced into 16 32-bit hex pieces (whole-stage codegen; Spark's
@@ -169,6 +209,12 @@ def band_signatures(df: DataFrame, idc: str, textc: str) -> DataFrame:
     paid it in full). At 100 TB the source has thousands of files and
     spread is a no-op."""
     from .util import spread
+
+    if df.isStreaming:
+        bands = band_signature_cols(textc)
+        return df.filter(F.col(textc).isNotNull()).select(
+            F.col(idc), *[c.alias(n) for n, c in bands.items()]
+        )
 
     sh = spread(df).select(F.col(idc), F.explode(shingles_col(F.col(textc))).alias("__s"))
     hashed = sh.select(
@@ -213,10 +259,20 @@ def band_signatures(df: DataFrame, idc: str, textc: str) -> DataFrame:
 
 @defop("minhash")
 def op_minhash(ctx: Ctx, rel: Rel, *rest) -> Rel:
-    """Adds MinHash band-bucket columns (join back on the id column)."""
+    """Adds MinHash band-bucket columns (batch: codegen agg + join back
+    on the id; streaming: per-row expression columns — shuffle-free,
+    identical values; NULL-text rows are dropped on both paths,
+    matching the batch inner join)."""
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
-    sigs = band_signatures(rel.df, idc, opts.get("col", "text"))
+    colc = opts.get("col", "text")
+    if rel.df.isStreaming:
+        bands = band_signature_cols(colc)
+        out = rel.df.filter(F.col(colc).isNotNull())
+        for n, c in bands.items():
+            out = out.withColumn(n, c)
+        return rel.with_df(out)
+    sigs = band_signatures(rel.df, idc, colc)
     return rel.with_df(rel.df.join(sigs, idc, "inner"))
 
 

@@ -53,7 +53,13 @@ def op_hash_split(ctx: Ctx, rel: Rel, *rest) -> Rel:
     the assignment is bit-identical across engines (the DuckDB oracle
     uses the same md5 prefix and the same integer cutoffs). Changing
     ``salt`` re-draws the whole assignment; fractions are normalized to
-    sum to 1."""
+    sum to 1.
+
+    LEAKAGE-FREE GROUP SPLITS fall out of the id choice: pass the GROUP
+    column as ``id`` (e.g. {"id": "source"} or a domain expression
+    materialized with with-column) and every row of a group lands in
+    the same split — the train/test-contamination guard for
+    near-duplicate-heavy groups (same-domain pages, same-source docs)."""
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     out = opts.get("as", "split")

@@ -370,6 +370,66 @@ def test_lsh_join_composes_with_anti_join(spark):
     assert [r["doc_id"] for r in kept.collect()] == [2]
 
 
+def test_band_signature_cols_match_agg_path(spark, tables):
+    """The per-row HOF signature expressions produce bit-identical band
+    buckets to the explode + codegen-agg path (incl. the short-doc
+    whole-text fallback shingle)."""
+    from ksml_spark.operators.dedup import band_signature_cols, band_signatures
+
+    docs = tables["documents"].limit(50)
+    agg = {r["doc_id"]: tuple(r[c] for c in r.asDict() if c.startswith("band_"))
+           for r in band_signatures(docs, "doc_id", "text").collect()}
+    bands = band_signature_cols("text")
+    from pyspark.sql import functions as F
+
+    hof = {r["doc_id"]: tuple(r[n] for n in bands)
+           for r in docs.select(F.col("doc_id"),
+                                *[c.alias(n) for n, c in bands.items()]).collect()}
+    assert agg == hof and len(agg) == 50
+    short = _docs(spark, [(1, "tiny doc"), (2, None)])
+    agg_s = {r["doc_id"]: r["band_0"]
+             for r in band_signatures(short, "doc_id", "text").collect()}
+    hof_s = {r["doc_id"]: r["band_0"]
+             for r in short.select("doc_id",
+                                   bands["band_0"].alias("band_0")).collect()}
+    assert agg_s[1] == hof_s[1]
+    assert 2 not in agg_s and hof_s[2] is None  # NULL text: dropped vs NULL
+
+
+def test_lsh_join_streaming_left_matches_batch(spark, tmp_path):
+    """Incremental dedup in real time: a STREAMING new-docs side
+    lsh-joined against a static reference (stream-static equi-join on
+    (band, bucket), per-row HOF signatures) equals the batch answer."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    left_rows = [(1, base), (2, "totally different words in this one "
+                  "about storage engines and page caches and buffers"),
+                 (3, base + " phi")]
+    right = _docs(spark, [(100, base)])
+    left = _docs(spark, left_rows)
+    p = str(tmp_path / "lsh_stream")
+    left.write.parquet(p)
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    src = file_stream_source(spark, p)
+    out = pipe(
+        ["lsh-join", ["stream", src, {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {}],
+        spark=spark,
+    ).df
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("lsh_stream_join")
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(60)
+    got = {(r["doc_a"], r["doc_b"])
+           for r in spark.sql("SELECT * FROM lsh_stream_join").collect()}
+    exp = {(r["doc_a"], r["doc_b"]) for r in pipe(
+        ["lsh-join", ["stream", left, {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {}],
+        spark=spark).df.collect()}
+    assert got == exp and (1, 100) in got and 2 not in {a for a, _ in got}
+
+
 # ---------------------------------------------------------------------------
 # NULL-document regression (shared ngram guard)
 
@@ -418,6 +478,29 @@ def test_chunk_composes_with_pack_chunks(spark):
     ).collect()
     assert len(out) > 6  # fan-out happened
     assert all(r["chunk"] is not None and r["offset"] >= 0 for r in out)
+
+
+def test_chunk_and_sentence_split_stream(spark, tmp_path):
+    """Both segmenters are pure per-row fan-outs — legal and identical
+    on a streaming source."""
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    rows = [(1, "First one. Second one. " + "x" * 30), (2, "only here")]
+    df = _docs(spark, rows)
+    p = str(tmp_path / "seg_docs")
+    df.write.parquet(p)
+    src = file_stream_source(spark, p)
+    for i, form in enumerate((["chunk", {"size": 20, "overlap": 5}],
+                              ["sentence-split", {}])):
+        out = pipe(["stream", src, {"key": "doc_id"}], form, spark=spark).df
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName(f"seg_{i}")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM seg_{i}").collect()))
+        exp = sorted(map(tuple,
+                         _pipe(spark, df, form).collect()))
+        assert got == exp and got
 
 
 def test_sentence_split_indexes_and_heuristic(spark):
