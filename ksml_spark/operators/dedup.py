@@ -954,6 +954,42 @@ def op_near_dedup(ctx: Ctx, rel: Rel, *rest) -> Rel:
 # ---------------------------------------------------------------------------
 # SimHash
 
+def simhash_col(textc: str, bits: int = 64) -> Column:
+    """Per-row EXPRESSION form of simhash_signatures: the 64-bit SimHash
+    as one Column — higher-order folds over the token array (interpreted,
+    so slower per row than the codegen agg path) but SHUFFLE-FREE and
+    streaming-legal. Bit-identical values (same md5 halves, same
+    tie-exact ``2*s_j > n`` vote; parity pinned by test). NULL text
+    yields NULL."""
+    toks = tokens_col(F.col(textc))
+    # hash each token once; folds below reuse the hashed array
+    hs = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("lo"),
+        ),
+    )
+    n = F.size(toks)
+
+    def _bit_sum(j: int):
+        half = "lo" if j < 32 else "hi"
+        sh = j % 32
+
+        def fn(acc, s):
+            return acc + F.shiftright(s.getField(half), sh).bitwiseAND(F.lit(1))
+
+        return fn
+
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        s_j = F.aggregate(hs, F.lit(0).cast("long"), _bit_sum(j))
+        sim = sim + F.when(
+            s_j * 2 > n, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return F.when(F.col(textc).isNull(), F.lit(None).cast("long")).otherwise(sim)
+
+
 def simhash_signatures(df: DataFrame, idc: str, textc: str, bits: int = 64) -> DataFrame:
     """(id, simhash) — 64-bit SimHash per document: per-token 64-bit hash,
     per-bit +1/-1 vote, sign of each vote -> bit.
@@ -1084,11 +1120,21 @@ def op_simhash_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
 
 @defop("simhash")
 def op_simhash(ctx: Ctx, rel: Rel, *rest) -> Rel:
-    """Adds a 64-bit "simhash" column (join back on the id column)."""
+    """Adds a 64-bit "simhash" column (batch: codegen bit-sum agg +
+    join back on the id; streaming: the per-row HOF expression —
+    shuffle-free, bit-identical, so a live stream gets near-dup
+    signatures with no stateful agg; NULL-text rows dropped on both
+    paths, matching the batch inner join)."""
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
+    colc = opts.get("col", "text")
     out = opts.get("as", "simhash")
-    sigs = simhash_signatures(rel.df, idc, opts.get("col", "text"))
+    if rel.df.isStreaming:
+        return rel.with_df(
+            rel.df.filter(F.col(colc).isNotNull())
+            .withColumn(out, simhash_col(colc))
+        )
+    sigs = simhash_signatures(rel.df, idc, colc)
     if out != "simhash":
         sigs = sigs.withColumnRenamed("simhash", out)
     return rel.with_df(rel.df.join(sigs, idc, "inner"))

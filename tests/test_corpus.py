@@ -396,6 +396,39 @@ def test_band_signature_cols_match_agg_path(spark, tables):
     assert 2 not in agg_s and hof_s[2] is None  # NULL text: dropped vs NULL
 
 
+def test_simhash_col_matches_agg_path(spark, tables):
+    """Per-row HOF simhash equals the codegen bit-sum agg path
+    bit-for-bit, and the streaming op path runs end to end."""
+    from ksml_spark.operators.dedup import simhash_col, simhash_signatures
+
+    docs = tables["documents"].limit(40)
+    agg = {r["doc_id"]: r["simhash"]
+           for r in simhash_signatures(docs, "doc_id", "text").collect()}
+    hof = {r["doc_id"]: r["sh"]
+           for r in docs.select("doc_id", simhash_col("text").alias("sh")).collect()}
+    assert agg == hof and len(agg) == 40
+
+
+def test_simhash_streaming_matches_batch(spark, tmp_path):
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    df = _docs(spark, [(1, "near duplicate text body one"),
+                       (2, "near duplicate text body two"), (3, None)])
+    p = str(tmp_path / "sh_docs")
+    df.write.parquet(p)
+    out = pipe(["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+               ["simhash", {}], spark=spark).df
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("sh_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["doc_id"]: r["simhash"]
+           for r in spark.sql("SELECT * FROM sh_stream").collect()}
+    exp = {r["doc_id"]: r["simhash"]
+           for r in _pipe(spark, df, ["simhash", {}]).collect()}
+    assert got == exp and 3 not in got and len(got) == 2
+
+
 def test_lsh_join_streaming_left_matches_batch(spark, tmp_path):
     """Incremental dedup in real time: a STREAMING new-docs side
     lsh-joined against a static reference (stream-static equi-join on
