@@ -333,11 +333,14 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         ["lsh-join", new_rel, reference_rel,
          {"col": "text", "id": "doc_id",
           "right_col": "text", "right_id": "doc_id",
-          "as": ["doc_a", "doc_b"]}]
+          "as": ["doc_a", "doc_b"], "verify": 0.7}]
         -> (doc_a from left, doc_b from right): pairs sharing >= 1
-           MinHash band bucket. Compose with the anti-join to drop
-           left-side docs that near-duplicate the reference, or with
-           jaccard verification on the candidate set.
+           MinHash band bucket. With ``verify``, each candidate is
+           checked with EXACT shingle-set Jaccard and the output
+           becomes (doc_a, doc_b, jaccard) filtered >= the threshold —
+           the complete incremental-dedup probe (banded recall, exact
+           precision). Compose with the anti-join to drop left-side
+           docs that near-duplicate the reference.
 
     Same banded construction as lsh-candidates (band_signatures — the
     hash family is shared with the DuckDB oracle), but a two-relation
@@ -372,6 +375,54 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         .select(out_a, out_b)
         .distinct()
     )
+
+    verify = opts.get("verify")
+    if verify is not None:
+        # exact-precision pass: attach each side's distinct shingle hash
+        # set and compute exact Jaccard on the CANDIDATES only — work ∝
+        # candidate pairs, never all-pairs. On a streaming left the
+        # token set rides inline with the per-row signature explode
+        # (joining the candidate stream back to the left stream would be
+        # an illegal stream-stream self join); the batch left joins back
+        # the deduped candidate set instead, so tokenize runs once per
+        # doc, not per candidate row.
+        from .util import md5_long_col
+
+        thr = float(verify)
+
+        def _tok_ids(text_col):
+            return F.array_distinct(
+                F.transform(shingles_col(F.col(text_col)), lambda s: md5_long_col(s))
+            )
+
+        if left.df.isStreaming:
+            bands = band_signature_cols(colc)
+            cand = (
+                left.df.filter(F.col(colc).isNotNull())
+                .select(
+                    F.col(idc).alias(out_a),
+                    _tok_ids(colc).alias("__ta"),
+                    F.posexplode(
+                        F.array(*[bands[f"band_{b}"] for b in range(N_BANDS)])
+                    ).alias("band", "bucket"),
+                )
+                .join(rb, ["band", "bucket"], "inner")
+                .select(out_a, "__ta", out_b)
+            )
+        else:
+            lt = left.df.select(F.col(idc).alias(out_a), _tok_ids(colc).alias("__ta"))
+            cand = pairs.join(lt, out_a)
+        rt = right.df.select(F.col(ridc).alias(out_b), _tok_ids(rcolc).alias("__tb"))
+        if opts.get("broadcast"):
+            rt = F.broadcast(rt)
+        common = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+        jac = common / (F.size("__ta") + F.size("__tb") - common)
+        pairs = (
+            cand.join(rt, out_b)
+            .select(out_a, out_b, F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= thr)
+            .dropDuplicates([out_a, out_b])
+        )
     return KStreamRel(pairs, key_cols=(out_a, out_b))
 
 

@@ -349,6 +349,59 @@ def test_lsh_join_finds_cross_corpus_dup_only(spark):
     assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
 
 
+def test_lsh_join_verify_exact_jaccard(spark, tmp_path):
+    """{"verify": t}: candidates get exact shingle-Jaccard; sub-threshold
+    candidates drop; values match a Python shingle-set reference; the
+    streaming-left path returns the same verified pairs."""
+    import re as _re
+
+    base = ("the quick brown fox jumps over the lazy dog while careful "
+            "observers take structured notes about every single motion")
+    near = base.replace("structured notes", "detailed records")
+    left = _docs(spark, [(1, base), (2, near)])
+    right = _docs(spark, [(100, base)])
+
+    def shingle_set(t):  # SHINGLE_K = 3 word shingles, whole-text fallback
+        toks = t.split(" ")
+        if len(toks) < 3:
+            return {t}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    def jac(a, b):
+        sa, sb = shingle_set(a), shingle_set(b)
+        return round(len(sa & sb) / len(sa | sb), 6)
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pipe(
+        ["lsh-join", ["stream", left, {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {"verify": 0.5}],
+        spark=spark).df.collect()}
+    assert got[(1, 100)] == 1.0
+    if (2, 100) in got:
+        assert got[(2, 100)] == jac(near, base) >= 0.5
+    strict = {(r["doc_a"], r["doc_b"]) for r in pipe(
+        ["lsh-join", ["stream", left, {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {"verify": 0.99}],
+        spark=spark).df.collect()}
+    assert strict == {(1, 100)}  # the near-dup fails the strict threshold
+
+    p = str(tmp_path / "lshv_docs")
+    left.write.parquet(p)
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    out = pipe(
+        ["lsh-join",
+         ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {"verify": 0.5}],
+        spark=spark).df
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("lshv")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    sgot = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in spark.sql("SELECT * FROM lshv").collect()}
+    assert sgot == got
+
+
 def test_lsh_join_composes_with_anti_join(spark):
     """The incremental-dedup flow: drop left docs with any reference
     candidate via anti-join on the candidate ids."""
