@@ -2016,14 +2016,16 @@ FROM r WHERE rank <= 3"""
 
 def _q_lsh_join(spark, sf):
     """Incremental dedup: MinHash band-bucket candidates between the
-    corpus (doc_id % 41 <> 0) and a reference set (doc_id % 41 = 0) —
-    a two-relation equi-join on (band, bucket), no self-pairs."""
+    corpus (odd doc ids) and a reference set (even ids) — a
+    two-relation equi-join on (band, bucket), no self-pairs. The %2
+    split is chosen so the testdata's planted near-dup pairs straddle
+    it (non-empty at sf0.01, unlike a sparser split)."""
     return pipe(
         ["lsh-join",
          ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
-          "doc_id % 41 <> 0"],
+          "doc_id % 2 <> 0"],
          ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
-          "doc_id % 41 = 0"],
+          "doc_id % 2 = 0"],
          {}],
         spark=spark,
     ).df
@@ -2032,7 +2034,39 @@ def _q_lsh_join(spark, sf):
 _LSH_JOIN_ORACLE = _minhash_cte(with_long=True) + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM long a JOIN long b ON a.band = b.band AND a.bucket = b.bucket
-WHERE a.doc_id % 41 <> 0 AND b.doc_id % 41 = 0"""
+WHERE a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0"""
+
+
+def _q_lsh_join_verified(spark, sf):
+    """Same candidates with the exact shingle-Jaccard precision pass
+    ({"verify": 0.3}): (doc_a, doc_b, jaccard >= 0.3)."""
+    return pipe(
+        ["lsh-join",
+         ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+          "doc_id % 2 <> 0"],
+         ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+          "doc_id % 2 = 0"],
+         {"verify": 0.3}],
+        spark=spark,
+    ).df
+
+
+_LSH_JOIN_VERIFIED_ORACLE = _minhash_cte(with_long=True) + """,
+ts AS (SELECT doc_id,
+        list_distinct(list_transform(s,
+            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS t
+       FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM long a JOIN long b
+         ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0),
+j AS (SELECT doc_a, doc_b,
+        CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) AS c,
+        CAST(len(ta.t) AS DOUBLE) AS na, CAST(len(tb.t) AS DOUBLE) AS nb
+      FROM cand JOIN ts ta ON cand.doc_a = ta.doc_id
+                JOIN ts tb ON cand.doc_b = tb.doc_id)
+SELECT doc_a, doc_b, round(c / (na + nb - c), 6) AS jaccard
+FROM j WHERE round(c / (na + nb - c), 6) >= 0.3"""
 
 
 def _q_cooccurrence(spark, sf):
@@ -2106,7 +2140,7 @@ FROM u WHERE length(s.s) >= 1"""
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
 # of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
 # queries count as "never recorded" and go first of all; ties keep relative
-# order).  With 87 queries and a 50-row window, 37 fall outside each round
+# order).  With 88 queries and a 50-row window, 38 fall outside each round
 # and re-enter the window the next round — so every query has a driver-green
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
@@ -2120,6 +2154,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "cooccurrence_window": (_q_cooccurrence, _COOCCURRENCE_ORACLE),
     "chunk_overlap": (_q_chunk, _CHUNK_ORACLE),
     "sentence_split": (_q_sentence_split, _SENTENCE_SPLIT_ORACLE),
+    "lsh_join_verified": (_q_lsh_join_verified, _LSH_JOIN_VERIFIED_ORACLE),
     "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
     "bm25_scores": (_q_bm25, _BM25_ORACLE),
     "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),
