@@ -96,3 +96,27 @@ def test_bench_output_lines_stay_driver_parseable():
     assert len(lines3) == 3
     assert js.loads(lines3[1])["skew"]["jaccard_plain"] == 10.2
     assert js.loads(lines3[-1])["metric"] == "suite_seconds"
+
+
+def test_every_oracle_nonempty_at_driver_sf():
+    """A 0-row oracle result makes the driver's hash compare trivially
+    green (caught live: lsh_join's first %41 split produced zero
+    candidate pairs at sf0.01) — every oracle must return >= 1 row at
+    the driver's correctness SF. DuckDB-only, so cheap."""
+    import os
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 testdata not present")
+    from ksml_spark.sources.files import TABLE_NAMES
+
+    c = duckdb.connect()
+    for t in TABLE_NAMES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    empty = []
+    for name, sql in m.oracle_sql().items():
+        if c.sql(f"SELECT count(*) FROM ({sql})").fetchone()[0] == 0:
+            empty.append(name)
+    assert not empty, f"trivially-green empty oracles at sf0.01: {empty}"
