@@ -2092,6 +2092,45 @@ FROM p GROUP BY 1, 2 HAVING count(*) >= 5
 ORDER BY count DESC, w1 ASC, w2 ASC LIMIT 100"""
 
 
+def _q_dist_shift(spark, sf):
+    """Token-distribution KL shift between the src0 sub-corpus and the
+    rest — the drift probe; tokens driving KL(A||B), add-0.5 smoothed
+    on the shared vocabulary."""
+    return pipe(
+        ["dist-shift",
+         ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+          "source = 'src0'"],
+         ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+          "source <> 'src0'"],
+         {"k": 0.5, "min_count": 5, "top": 100}],
+        spark=spark,
+    ).df
+
+
+_DIST_SHIFT_ORACLE = f"""
+WITH wa AS (SELECT unnest({_WORDS_DUCK}) AS token FROM documents
+            WHERE source = 'src0'),
+wb AS (SELECT unnest({_WORDS_DUCK}) AS token FROM documents
+       WHERE source <> 'src0'),
+ca AS (SELECT token, count(*) AS cnt_a FROM wa GROUP BY 1),
+cb AS (SELECT token, count(*) AS cnt_b FROM wb GROUP BY 1),
+j AS (SELECT coalesce(ca.token, cb.token) AS token,
+             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+t AS (SELECT CAST(sum(cnt_a) AS DOUBLE) AS ta,
+             CAST(sum(cnt_b) AS DOUBLE) AS tb,
+             CAST(count(*) AS DOUBLE) AS v FROM j)
+SELECT token, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+       round((cnt_a + 0.5) / (t.ta + 0.5 * t.v), 9) AS p_a,
+       round((cnt_b + 0.5) / (t.tb + 0.5 * t.v), 9) AS p_b,
+       round(((cnt_a + 0.5) / (t.ta + 0.5 * t.v))
+             * ln(((cnt_a + 0.5) / (t.ta + 0.5 * t.v))
+                  / ((cnt_b + 0.5) / (t.tb + 0.5 * t.v))), 9) AS kl_term
+FROM j CROSS JOIN t
+WHERE cnt_a >= 5 OR cnt_b >= 5
+ORDER BY kl_term DESC, token ASC LIMIT 100"""
+
+
 def _q_chunk(spark, sf):
     """200-char chunks with 50-char overlap (RAG/context chunker);
     pure per-row fan-out, no shuffle, tail chunks never pure overlap."""
@@ -2140,7 +2179,7 @@ FROM u WHERE length(s.s) >= 1"""
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
 # of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
 # queries count as "never recorded" and go first of all; ties keep relative
-# order).  With 88 queries and a 50-row window, 38 fall outside each round
+# order).  With 89 queries and a 50-row window, 39 fall outside each round
 # and re-enter the window the next round — so every query has a driver-green
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
@@ -2155,6 +2194,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "chunk_overlap": (_q_chunk, _CHUNK_ORACLE),
     "sentence_split": (_q_sentence_split, _SENTENCE_SPLIT_ORACLE),
     "lsh_join_verified": (_q_lsh_join_verified, _LSH_JOIN_VERIFIED_ORACLE),
+    "dist_shift_sources": (_q_dist_shift, _DIST_SHIFT_ORACLE),
     "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
     "bm25_scores": (_q_bm25, _BM25_ORACLE),
     "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),

@@ -442,6 +442,89 @@ def op_bpe_pairs(ctx: Ctx, rel: Rel, *rest) -> Rel:
     return rel.with_df(out, key_cols=("pair",), time_col=None)
 
 
+@defop("dist-shift")
+def op_dist_shift(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
+    """Token-distribution shift between two corpora — the train-vs-eval
+    / old-crawl-vs-new-crawl drift probe:
+
+        ["dist-shift", corpus_a, corpus_b,
+         {"col": "text", "right_col": "text",
+          "k": 0.5, "min_count": 5, "top": 100}]
+        -> (token, cnt_a, cnt_b, p_a, p_b, kl_term): per-token add-k
+           smoothed probabilities under each corpus and the token's
+           KL(A||B) contribution p_a·ln(p_a/p_b), for tokens seen at
+           least ``min_count`` times in EITHER corpus, ordered kl_term
+           desc then token asc, limited to ``top`` when given. Sum of
+           kl_term over the FULL (un-thresholded) vocabulary is the
+           corpus KL divergence; the thresholded relation surfaces the
+           tokens driving the shift (what a pipeline operator actually
+           reads).
+
+    Smoothing: p_x = (c_x + k) / (T_x + k·V) with V = |union vocab|,
+    so tokens absent from one side stay finite — the standard add-k
+    estimate on a shared support.
+
+    Plan: one hash agg per side over exploded tokens, a FULL OUTER join
+    on the token (vocab-sized inputs, not corpus-sized), totals and V
+    as broadcast one-row aggregates. Batch-only (corpus-global).
+
+    Reference: no analog (§2.10 extension surface)."""
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    colc = opts.get("col", "text")
+    rcolc = opts.get("right_col", colc)
+    k = float(opts.get("k", 0.5))
+    min_count = int(opts.get("min_count", 5))
+    top = opts.get("top")
+    if k <= 0:
+        raise ArityError("dist-shift needs k > 0 (unsmoothed zero counts)")
+    _refuse_streaming(left, "dist-shift")
+    _refuse_streaming(right, "dist-shift")
+
+    def _counts(df, text_col, cname):
+        return (
+            spread(df)
+            .select(F.explode(words(F.col(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    ca = _counts(left.df, colc, "cnt_a")
+    cb = _counts(right.df, rcolc, "cnt_b")
+    joined = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+    )
+    totals = F.broadcast(
+        joined.agg(
+            F.sum("cnt_a").cast("double").alias("__ta"),
+            F.sum("cnt_b").cast("double").alias("__tb"),
+            F.count(F.lit(1)).cast("double").alias("__v"),
+        )
+    )
+    p_a = (F.col("cnt_a") + F.lit(k)) / (F.col("__ta") + F.lit(k) * F.col("__v"))
+    p_b = (F.col("cnt_b") + F.lit(k)) / (F.col("__tb") + F.lit(k) * F.col("__v"))
+    out = (
+        joined.crossJoin(totals)
+        .filter((F.col("cnt_a") >= min_count) | (F.col("cnt_b") >= min_count))
+        .select(
+            "token",
+            F.col("cnt_a").cast("long").alias("cnt_a"),
+            F.col("cnt_b").cast("long").alias("cnt_b"),
+            F.round(p_a, 9).alias("p_a"),
+            F.round(p_b, 9).alias("p_b"),
+            F.round(p_a * F.log(p_a / p_b), 9).alias("kl_term"),
+        )
+        .orderBy(F.col("kl_term").desc(), F.col("token").asc())
+    )
+    if top:
+        out = out.limit(int(top))
+    return left.with_df(out, key_cols=("token",), time_col=None)
+
+
 @defop("cooccurrence")
 def op_cooccurrence(ctx: Ctx, rel: Rel, *rest) -> Rel:
     """Windowed term co-occurrence counts — the GloVe/word2vec-style

