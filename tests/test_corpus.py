@@ -678,6 +678,71 @@ def test_bpe_pairs_random_corpora_match_python(spark, texts):
 
 
 # ---------------------------------------------------------------------------
+# streaming-parity matrix: every per-row §2.10 op produces the batch
+# answer on a file stream (one source write, one stream per op)
+
+_PER_ROW_FORMS = [
+    ("tokenize", ["tokenize", {"col": "text", "as": "toks"}]),
+    ("token_count", ["token-count", {"col": "text"}]),
+    ("lang_id", ["lang-id", {"col": "text"}]),
+    ("quality", ["quality-score", {"col": "text"}]),
+    ("fingerprint", ["fingerprint", {"col": "text", "as": "fp"}]),
+    ("scrub", ["scrub", {"col": "text"}]),
+    # repetition-score is a documented batch-only refusal (per-word
+    # frequency aggregation joined back to the stream)
+    ("entropy", ["entropy", {"col": "text", "unit": "char", "as": "ent"}]),
+    ("hash_split", ["hash-split", {"id": "doc_id", "salt": "v1"}]),
+    ("sample_hash", ["sample-hash", {"id": "doc_id", "salt": "s", "fraction": 0.5}]),
+    ("chunk", ["chunk", {"size": 25, "overlap": 5}]),
+    ("sentence", ["sentence-split", {}]),
+    ("simhash", ["simhash", {}]),
+    ("minhash", ["minhash", {}]),
+]
+
+
+def test_per_row_ops_streaming_parity_matrix(spark, tmp_path):
+    """One parametrized sweep: each streaming-legal per-row operator,
+    applied to the same file stream, returns exactly its batch answer.
+    This is the §2.10 batch/streaming-unification contract in one
+    table — a new per-row op added without streaming parity shows up
+    here, not in production."""
+    rows = [
+        (1, "The quick brown fox. It jumps over lazy dogs! More text here."),
+        (2, "the the the repeated repeated words words words"),
+        (3, "short"),
+        (4, "Visit https://example.com or mail a@b.co for details today."),
+    ]
+    df = _docs(spark, rows)
+    p = str(tmp_path / "matrix_docs")
+    df.write.parquet(p)
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    failures = []
+    for i, (name, form) in enumerate(_PER_ROW_FORMS):
+        src = file_stream_source(spark, p)
+        out = pipe(["stream", src, {"key": "doc_id"}], form, spark=spark).df
+        assert out.isStreaming, name
+        q = (out.writeStream.format("memory").queryName(f"mx_{i}")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(90)
+
+        def norm(rows_):
+            # floats rounded: HOF folds and explode-agg sums may differ
+            # in the last ulp (summation order), which is within the
+            # ops' round-6 oracle contract
+            return sorted(
+                tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+                for r in map(tuple, rows_)
+            )
+
+        got = norm(spark.sql(f"SELECT * FROM mx_{i}").collect())
+        exp = norm(_pipe(spark, df, form).collect())
+        if got != exp:
+            failures.append((name, got[:2], exp[:2]))
+    assert not failures, failures
+
+
+# ---------------------------------------------------------------------------
 # streaming refusal (corpus-global statistics)
 
 
