@@ -1939,6 +1939,48 @@ SELECT doc_id, CAST(np AS BIGINT) AS n_scored,
 FROM sc"""
 
 
+def _q_lm_frozen(spark, sf):
+    """Frozen-stats lm-score: the model is batch-trained into a dict
+    (lm_train_stats) and scoring is one shuffle-free per-row expression
+    — the streaming-deployable path, oracle-checked on batch. Appends
+    NULL scores for docs with < 2 tokens (shape difference vs the
+    relational mode, which omits them)."""
+    from ksml_spark.functions.corpus import lm_train_stats
+    from ksml_spark.sources.files import load_table
+
+    stats = lm_train_stats(load_table(spark, sf, "documents"), "text", n=2)
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["lm-score", {"col": "text", "id": "doc_id", "k": 0.1,
+                      "stats": stats}],
+        ["select", {"doc_id": "doc_id", "n_scored": "n_scored",
+                    "nll": "nll", "ppl": "ppl"}],
+        spark=spark,
+    ).df
+
+
+_LM_FROZEN_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+d AS (SELECT doc_id, w, len(w) AS l FROM w),
+uni AS (SELECT unnest(w) AS u FROM d),
+cp AS (SELECT u, count(*) AS c FROM uni GROUP BY 1),
+vv AS (SELECT count(*) AS v FROM cp),
+g AS (SELECT doc_id,
+        unnest([{{'p': w[i], 'g': array_to_string(w[i:i+1], ' ')}}
+                for i in generate_series(1, l - 1)]) AS s
+      FROM d WHERE l >= 2),
+gg AS (SELECT s.g AS g, count(*) AS c FROM g GROUP BY 1),
+occ AS (SELECT doc_id, s.g AS g, s.p AS p, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+sc AS (SELECT occ.doc_id,
+         sum(occ.tf * ln((coalesce(gg.c, 0) + 0.1) / (coalesce(cp.c, 0) + 0.1 * vv.v))) AS lp,
+         sum(occ.tf) AS np
+       FROM occ LEFT JOIN gg USING (g) LEFT JOIN cp ON occ.p = cp.u CROSS JOIN vv
+       GROUP BY 1)
+SELECT d.doc_id, CAST(sc.np AS BIGINT) AS n_scored,
+       round(-sc.lp / sc.np, 6) AS nll, round(exp(-sc.lp / sc.np), 6) AS ppl
+FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
+
+
 def _q_pmi(spark, sf):
     """Top-50 collocations by PMI among bigrams seen >= 5 times — the
     count threshold bounds the model join, so the unigram table joins a
@@ -2179,7 +2221,7 @@ FROM u WHERE length(s.s) >= 1"""
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
 # of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
 # queries count as "never recorded" and go first of all; ties keep relative
-# order).  With 89 queries and a 50-row window, 39 fall outside each round
+# order).  With 90 queries and a 50-row window, 40 fall outside each round
 # and re-enter the window the next round — so every query has a driver-green
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
@@ -2195,6 +2237,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "sentence_split": (_q_sentence_split, _SENTENCE_SPLIT_ORACLE),
     "lsh_join_verified": (_q_lsh_join_verified, _LSH_JOIN_VERIFIED_ORACLE),
     "dist_shift_sources": (_q_dist_shift, _DIST_SHIFT_ORACLE),
+    "lm_ppl_frozen": (_q_lm_frozen, _LM_FROZEN_ORACLE),
     "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
     "bm25_scores": (_q_bm25, _BM25_ORACLE),
     "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),

@@ -74,13 +74,13 @@ def lm_train_stats(df, col: str = "text", n: int = 2, max_entries: int = 100_000
     """Collect a SMALL n-gram LM model as the frozen-stats dict for
     streaming `lm-score` — the bm25 frozen-stats pattern: train once in
     batch on a (domain-sized) reference corpus, score a live stream
-    against it as a pure per-row expression.
+    against it row-at-a-time (Arrow-batched UDF, O(1) dict lookups).
 
     Returns {"n": n, "v": vocab, "gram": {gram: count},
     "prefix": {(n-1)-gram: count}} with raw space-joined word grams as
     keys. Refuses models over ``max_entries`` distinct grams — this is
-    a DRIVER-side collect by design (the dict ships inside the plan as
-    a map literal); frozen scoring is for small domain models, not a
+    a DRIVER-side collect by design (the dict ships inside the scoring
+    UDF's closure); frozen scoring is for small domain models, not a
     100 TB-trained LM (use the relational lm-score for that)."""
     w = words(F.col(col))
     gram_counts = (
@@ -114,14 +114,6 @@ def lm_train_stats(df, col: str = "text", n: int = 2, max_entries: int = 100_000
             .collect()[0][0]
         )
     return {"n": n, "v": v, "gram": gram, "prefix": prefix}
-
-
-def _lit_map(d: dict) -> Column:
-    if not d:
-        return F.create_map().cast("map<string,double>")
-    return F.create_map(
-        *[x for kk, vv in d.items() for x in (F.lit(kk), F.lit(float(vv)))]
-    )
 
 
 @defop("lm-score")
@@ -161,13 +153,15 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
     when it is an expensive pipeline rather than a stored table.
 
     FROZEN-STATS mode — {"stats": lm_train_stats(ref_df)} — scores
-    against a PRECOMPUTED small model (raw-gram count dicts shipped as
-    map literals) as one shuffle-free per-row expression, which makes
-    the op STREAMING-legal: train once on a domain reference corpus,
-    score the live stream (the bm25 frozen-stats pattern). Shape
-    difference: appends (n_scored, nll, ppl) to EVERY row, NULL for
-    docs with < n tokens. For corpus-scale models use the relational
-    train path — lm_train_stats refuses models over max_entries.
+    against a PRECOMPUTED small model shipped in an Arrow-batched
+    pandas UDF's closure (O(1) dict lookups; a map-LITERAL expression
+    was measured O(model × tokens) — Spark's GetMapValue linear-scans
+    literal maps — and stalled at sf0.1). Shuffle-free and
+    STREAMING-legal: train once on a domain reference corpus, score
+    the live stream (the bm25 frozen-stats pattern). Shape difference:
+    appends (n_scored, nll, ppl) to EVERY row, NULL for docs with < n
+    tokens. For corpus-scale models use the relational train path —
+    lm_train_stats refuses models over max_entries.
 
     Reference: no analog (§2.10 extension surface).
     """
@@ -191,45 +185,58 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
     stats = opts.get("stats")
     if stats is not None:
         # FROZEN-STATS mode (the bm25 pattern): score every row against a
-        # precomputed small model as ONE shuffle-free per-row expression —
-        # STREAMING-legal. Shape difference: appends (n_scored, nll, ppl)
-        # to EVERY input row, NULL for docs with < n tokens; batch mode
+        # precomputed small model — shuffle-free and STREAMING-legal.
+        # Implemented as an Arrow-batched scalar pandas UDF, NOT map-
+        # literal expressions: Spark's GetMapValue on a literal map is a
+        # LINEAR scan, so the expression form is O(model entries ×
+        # corpus tokens) — measured as a multi-minute stall at sf0.1
+        # with a 931-entry model, where the dict-lookup UDF is O(tokens).
+        # This is the documented Python-at-the-edge trade (same contract
+        # as opaque lambdas): one vectorized UDF over exactly one input
+        # column. Shape difference: appends (n_scored, nll, ppl) to
+        # EVERY input row, NULL for docs with < n tokens; batch mode
         # returns only the scored (id, n_scored, nll, ppl) set.
+        import math
+        import re as _re
+
+        from pyspark.sql.functions import pandas_udf
+
         sn = int(stats.get("n", n))
         v = float(stats["v"])
-        cg_map = _lit_map(stats.get("gram") or {})
-        cp_map = _lit_map(stats.get("prefix") or {})
-        w = words(F.col(colc))
-        pos = F.when(
-            F.coalesce(F.size(w), F.lit(0)) < sn,
-            F.array().cast("array<struct<g:string,p:string>>"),
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(w) - (sn - 1), F.lit(1))),
-                lambda i: F.struct(
-                    F.concat_ws(" ", F.slice(w, i, sn)).alias("g"),
-                    F.concat_ws(" ", F.slice(w, i, sn - 1)).alias("p"),
-                ),
-            )
-        )
-        logp_sum = F.aggregate(
-            pos,
-            F.lit(0.0),
-            lambda acc, s: acc
-            + F.log(
-                (F.coalesce(F.element_at(cg_map, s.getField("g")), F.lit(0.0)) + F.lit(k))
-                / (
-                    F.coalesce(F.element_at(cp_map, s.getField("p")), F.lit(0.0))
-                    + F.lit(k) * F.lit(v)
+        cg = {kk: float(vv) for kk, vv in (stats.get("gram") or {}).items()}
+        cp = {kk: float(vv) for kk, vv in (stats.get("prefix") or {}).items()}
+        kv = k * v
+
+        @pandas_udf("n_scored long, nll double, ppl double")
+        def _score(texts):
+            import pandas as pd
+
+            ns, nll, ppl = [], [], []
+            for t in texts:
+                toks = (
+                    [w for w in _re.split(r"[^a-z0-9]+", t.lower()) if w]
+                    if isinstance(t, str)
+                    else []
                 )
-            ),
-        )
-        np_ = F.size(pos)
-        nll = F.when(np_ > 0, -logp_sum / np_)
+                npos = len(toks) - sn + 1
+                if npos < 1:
+                    ns.append(None), nll.append(None), ppl.append(None)
+                    continue
+                lp = 0.0
+                for i in range(npos):
+                    g = " ".join(toks[i : i + sn])
+                    p = " ".join(toks[i : i + sn - 1])
+                    lp += math.log((cg.get(g, 0.0) + k) / (cp.get(p, 0.0) + kv))
+                m = -lp / npos
+                ns.append(npos), nll.append(round(m, 6)), ppl.append(round(math.exp(m), 6))
+            return pd.DataFrame({"n_scored": ns, "nll": nll, "ppl": ppl})
+
         out = (
-            rel.df.withColumn("n_scored", F.when(np_ > 0, np_.cast("long")))
-            .withColumn("nll", F.round(nll, 6))
-            .withColumn("ppl", F.round(F.exp(nll), 6))
+            rel.df.withColumn("__lm", _score(F.col(colc)))
+            .withColumn("n_scored", F.col("__lm.n_scored"))
+            .withColumn("nll", F.col("__lm.nll"))
+            .withColumn("ppl", F.col("__lm.ppl"))
+            .drop("__lm")
         )
         return rel.with_df(out)
 
