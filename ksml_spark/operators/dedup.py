@@ -386,7 +386,7 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         # an illegal stream-stream self join); the batch left joins back
         # the deduped candidate set instead, so tokenize runs once per
         # doc, not per candidate row.
-        from .util import md5_long_col
+        from .util import md5_long_col, spread
 
         thr = float(verify)
 
@@ -410,9 +410,16 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
                 .select(out_a, "__ta", out_b)
             )
         else:
-            lt = left.df.select(F.col(idc).alias(out_a), _tok_ids(colc).alias("__ta"))
+            # spread: the per-shingle md5 token-set build is the heavy
+            # stage and a small parquet source scans as one split (the
+            # stage audit flagged both sides running single-task)
+            lt = spread(left.df).select(
+                F.col(idc).alias(out_a), _tok_ids(colc).alias("__ta")
+            )
             cand = pairs.join(lt, out_a)
-        rt = right.df.select(F.col(ridc).alias(out_b), _tok_ids(rcolc).alias("__tb"))
+        rt = spread(right.df).select(
+            F.col(ridc).alias(out_b), _tok_ids(rcolc).alias("__tb")
+        )
         if opts.get("broadcast"):
             rt = F.broadcast(rt)
         common = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
