@@ -7,6 +7,21 @@ one-split scan or an AQE-coalesced quadratic stage. These are exactly
 the shapes that waste a 32-core local box and signal a lost
 parallelism contract at scale.
 
+KNOWN FALSE-POSITIVE CLASS (r06 adjudication): at toy SF, AQE
+legitimately coalesces a SMALL final model/total aggregate (vocab-sized
+hash aggs in lm-score/pmi, the one-row V aggregate, tiny broadcast
+builds) down to one partition — that single task is the right plan for
+kilobytes of post-partial data and would fan back out at real scale
+where the partial outputs are large. Symptom: the flag set varies
+between back-to-back runs (lm_ppl_bigram / pmi_collocations /
+lsh_join_incremental drift in and out around the 1s threshold) while
+genuine lost-parallelism cases (a fat compute on a one-split SCAN of
+the raw input) flag deterministically. Adjudicate a flag by asking
+whether the stage reads the INPUT lineage (real problem — fix with
+operators.util.spread) or post-aggregation kilobytes (AQE working as
+designed; the one pinned example is vec_quantize, whose no-spread
+choice is a measured docstring'd trade in operators/similarity.py).
+
 Usage: python scripts/stage_audit.py [sf_dir] [query ...]
 """
 
