@@ -31,10 +31,12 @@ from .model import (
     Rel,
     WindowSpec,
 )
+from .operators.util import release_pinned
 from .session import get_spark
 
 __all__ = [
     "ksml",
+    "release_pinned",
     "pipe",
     "vthread",
     "keval",

@@ -31,6 +31,7 @@ moves 8-byte keys at 100 TB.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -82,28 +83,38 @@ def lm_train_stats(df, col: str = "text", n: int = 2, max_entries: int = 100_000
     a DRIVER-side collect by design (the dict ships inside the scoring
     UDF's closure); frozen scoring is for small domain models, not a
     100 TB-trained LM (use the relational lm-score for that)."""
-    w = words(F.col(col))
-    gram_counts = (
-        spread(df)
-        .select(F.explode(word_ngrams(w, n)).alias("g"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    prefix_counts = (
-        spread(df)
-        .select(F.explode(word_ngrams(w, n - 1)).alias("g"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sizes = gram_counts.count(), prefix_counts.count()
-    if max(sizes) > max_entries:
-        raise ArityError(
-            f"lm_train_stats: model has {max(sizes)} distinct grams > "
-            f"max_entries={max_entries}; a model this size belongs in the "
-            "relational lm-score (train rel), not a driver-side dict"
+    if df.isStreaming:
+        raise TypeDispatchError(
+            "lm_train_stats aggregates corpus-global statistics and is "
+            "batch-only; train on a batch reference corpus, then score the "
+            "stream with lm-score {'stats': ...}"
         )
-    gram = {r["g"]: r["c"] for r in gram_counts.collect()}
-    prefix = {r["g"]: r["c"] for r in prefix_counts.collect()}
+    w = words(F.col(col))
+
+    def _bounded(grams: Column, what: str) -> dict:
+        # ONE computation per aggregation, driver memory hard-bounded:
+        # LIMIT max_entries+1 caps the collect, and getting more than
+        # max_entries rows back proves the model is over-size without
+        # ever materializing the full result on the driver (the old
+        # count()-then-collect() form recomputed the lineage twice)
+        rows = (
+            spread(df)
+            .select(F.explode(grams).alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .limit(max_entries + 1)
+            .collect()
+        )
+        if len(rows) > max_entries:
+            raise ArityError(
+                f"lm_train_stats: model has > max_entries={max_entries} "
+                f"distinct {what}; a model this size belongs in the "
+                "relational lm-score (train rel), not a driver-side dict"
+            )
+        return {r["g"]: r["c"] for r in rows}
+
+    gram = _bounded(word_ngrams(w, n), f"{n}-grams")
+    prefix = _bounded(word_ngrams(w, n - 1), f"{n - 1}-gram prefixes")
     if n == 2:
         v = len(prefix)
     else:
@@ -228,14 +239,18 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
                     p = " ".join(toks[i : i + sn - 1])
                     lp += math.log((cg.get(g, 0.0) + k) / (cp.get(p, 0.0) + kv))
                 m = -lp / npos
-                ns.append(npos), nll.append(round(m, 6)), ppl.append(round(math.exp(m), 6))
+                ns.append(npos), nll.append(m), ppl.append(math.exp(m))
             return pd.DataFrame({"n_scored": ns, "nll": nll, "ppl": ppl})
 
+        # rounding happens OUTSIDE the UDF with F.round so both modes of
+        # the op (and the DuckDB oracle) share the same HALF_UP rule —
+        # Python's round() is banker's (half-to-even) and diverges on
+        # rare last-digit ties
         out = (
             rel.df.withColumn("__lm", _score(F.col(colc)))
             .withColumn("n_scored", F.col("__lm.n_scored"))
-            .withColumn("nll", F.col("__lm.nll"))
-            .withColumn("ppl", F.col("__lm.ppl"))
+            .withColumn("nll", F.round(F.col("__lm.nll"), 6))
+            .withColumn("ppl", F.round(F.col("__lm.ppl"), 6))
             .drop("__lm")
         )
         return rel.with_df(out)
@@ -245,7 +260,9 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
         _refuse_streaming(train, "lm-score (training relation)")
     tdf = (train or rel).df
     if opts.get("persist"):
-        tdf = tdf.persist()
+        from ..operators.util import pin
+
+        tdf = pin(tdf, StorageLevel.MEMORY_AND_DISK)
         if train is None:
             rel = rel.with_df(tdf)
 
@@ -561,6 +578,17 @@ def op_cooccurrence(ctx: Ctx, rel: Rel, *rest) -> Rel:
     top = opts.get("top")
     if win < 1:
         raise ArityError("cooccurrence needs window >= 1")
+    # Fan-out is linear in tokens × window, but "linear" with window=512
+    # is still a silent 512x row explosion of the whole corpus. Soft cap:
+    # refuse implausible windows unless explicitly overridden (GloVe-style
+    # pipelines use 5-15; 64 is already generous).
+    if win > 64 and not opts.get("unbounded_window_ok"):
+        raise ArityError(
+            f"cooccurrence window={win} multiplies every corpus token into "
+            f"~{win} pair rows — at corpus scale that is a {win}x shuffle "
+            "explosion. Pass {'unbounded_window_ok': true} if you really "
+            "mean it (typical embedding-context windows are 5-15)."
+        )
     _refuse_streaming(rel, "cooccurrence")
 
     w = words(F.col(colc))

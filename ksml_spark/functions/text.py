@@ -805,6 +805,25 @@ def op_dedup_paragraphs(ctx: Ctx, rel: Rel, *rest) -> Rel:
     return rel.with_df(out)
 
 
+def _check_segment_names(op: str, in_cols, colc: str, out: str, idx: str) -> None:
+    """chunk / sentence-split append (idx, out) columns; an input that
+    already carries either name would yield a duplicate-column DataFrame
+    that fails ambiguously downstream — curate the error here instead.
+    The source text column itself is consumed (dropped), so ``out ==
+    colc`` is fine."""
+    from ..errors import ArityError
+
+    taken = {c for c in in_cols if c != colc}
+    for name, what in ((out, '"as"'), (idx, '"idx"')):
+        if name in taken:
+            raise ArityError(
+                f"{op}: output column {name!r} ({what}) already exists on the "
+                f"input; rename it upstream or pass a different {what} name"
+            )
+    if out == idx:
+        raise ArityError(f'{op}: "as" and "idx" must differ, both are {out!r}')
+
+
 @defop("chunk")
 def op_chunk(ctx: Ctx, rel: Rel, *rest) -> Rel:
     """Fixed-size character chunking with overlap — the RAG /
@@ -837,6 +856,8 @@ def op_chunk(ctx: Ctx, rel: Rel, *rest) -> Rel:
         from ..errors import ArityError
 
         raise ArityError("chunk needs size >= 1 and 0 <= overlap < size")
+    idx = opts.get("idx", "chunk_idx")
+    _check_segment_names("chunk", rel.df.columns, colc, out, idx)
     stride = size - overlap
     ln = F.length(F.col(colc))
     # last start capped at length - overlap: a later start would produce
@@ -850,7 +871,7 @@ def op_chunk(ctx: Ctx, rel: Rel, *rest) -> Rel:
     other = [c for c in rel.df.columns if c != colc]
     ex = rel.df.select(
         *other, F.posexplode(chunks).alias("__pos", out)
-    ).select(*other, (F.col("__pos") + 1).alias("chunk_idx"), out)
+    ).select(*other, (F.col("__pos") + 1).alias(idx), out)
     return rel.with_df(ex)
 
 
@@ -883,6 +904,8 @@ def op_sentence_split(ctx: Ctx, rel: Rel, *rest) -> Rel:
             opts.update(r)
     colc = opts.get("col", "text")
     out = opts.get("as", "sentence")
+    idx = opts.get("idx", "sent_idx")
+    _check_segment_names("sentence-split", rel.df.columns, colc, out, idx)
     min_chars = int(opts.get("min_chars", 1))
     marked = F.regexp_replace(F.col(colc), r"([.?!])\s+", "$1\u001e")
     parts = F.split(marked, "\u001e", -1)
@@ -891,6 +914,6 @@ def op_sentence_split(ctx: Ctx, rel: Rel, *rest) -> Rel:
         rel.df.select(*other, F.posexplode(parts).alias("__pos", out))
         .withColumn(out, F.trim(F.col(out)))
         .filter(F.length(F.col(out)) >= F.lit(max(min_chars, 1)))
-        .select(*other, (F.col("__pos") + 1).alias("sent_idx"), out)
+        .select(*other, (F.col("__pos") + 1).alias(idx), out)
     )
     return rel.with_df(ex)

@@ -138,17 +138,23 @@ def _pin_tokens(toks: DataFrame, opts: dict) -> DataFrame:
     DISK_ONLY by default for the same reason as lsh-candidates
     (dedup.py:199): at 100 TB the token arrays evict / thrash executor
     storage memory; {"storage": "memory"} opts into MEMORY_AND_DISK
-    for small interactive runs."""
+    for small interactive runs.
+
+    Registered in util._PINNED (bounded, oldest-evicted) so repeated
+    invocations in a long-lived session can't accumulate cache blocks;
+    ``ksml_spark.release_pinned()`` frees them all."""
     if toks.isStreaming:
         return toks
     from pyspark import StorageLevel
+
+    from .util import pin
 
     level = (
         StorageLevel.MEMORY_AND_DISK
         if opts.get("storage") == "memory"
         else StorageLevel.DISK_ONLY
     )
-    return toks.persist(level)
+    return pin(toks, level)
 
 
 def band_signature_cols(textc: str) -> dict:
@@ -297,12 +303,14 @@ def op_lsh_candidates(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         # for small interactive runs)
         from pyspark import StorageLevel
 
+        from .util import pin
+
         level = (
             StorageLevel.MEMORY_AND_DISK
             if opts.get("storage") == "memory"
             else StorageLevel.DISK_ONLY
         )
-        sigs = sigs.persist(level)
+        sigs = pin(sigs, level)
     long = sigs.select(
         F.col(idc),
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias(
@@ -355,7 +363,17 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     ridc = opts.get("right_id", idc)
     colc = opts.get("col", "text")
     rcolc = opts.get("right_col", colc)
-    out_a, out_b = opts.get("as", ["doc_a", "doc_b"])
+    out_as = opts.get("as", ["doc_a", "doc_b"])
+    if (
+        not isinstance(out_as, (list, tuple))
+        or len(out_as) != 2
+        or not all(isinstance(c, str) and c for c in out_as)
+    ):
+        raise ArityError(
+            'lsh-join {"as": ...} must be a 2-element list of output column '
+            f"names like ['doc_a', 'doc_b'], got {out_as!r}"
+        )
+    out_a, out_b = out_as
 
     def _long(df, id_col, text_col, out):
         sigs = band_signatures(df, id_col, text_col)

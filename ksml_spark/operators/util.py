@@ -82,6 +82,43 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+# Bounded registry of operator-pinned (persisted) DataFrames.  The pair
+# operators (jaccard / containment), lsh-candidates, and lm-score's
+# {"persist": true} path persist intermediate relations that the CALLER's
+# later action materializes — the operator can't unpersist them eagerly
+# without defeating the pin (Spark is lazy).  In a long-lived session,
+# repeated invocations would otherwise accumulate DISK_ONLY cache blocks
+# until the driver GCs the refs.  The registry gives that a hard bound:
+# pins beyond the cap evict oldest-first (correctness-neutral — an evicted
+# pin just recomputes), and ``release_pinned()`` frees everything, for
+# callers that know a batch of pair queries is done.
+_PINNED: list[DataFrame] = []
+_PIN_CAP = 8
+
+
+def pin(df: DataFrame, level) -> DataFrame:
+    """persist() with bounded-registry bookkeeping (see _PINNED above)."""
+    p = df.persist(level)
+    _PINNED.append(p)
+    while len(_PINNED) > _PIN_CAP:
+        try:
+            _PINNED.pop(0).unpersist(blocking=False)
+        except Exception:
+            pass  # a stopped session can't unpersist; dropping the ref is enough
+    return p
+
+
+def release_pinned() -> int:
+    """Unpersist every operator-pinned relation; returns how many."""
+    n = len(_PINNED)
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+    return n
+
+
 def md5_long_col(col, hex_chars: int = 15):
     """Engine-portable long hash: the first ``hex_chars`` hex digits of
     md5(col) as a non-negative BIGINT. DuckDB reproduces it exactly as

@@ -760,3 +760,93 @@ def test_corpus_ops_refuse_streaming(spark, tmp_path):
     ):
         with pytest.raises(TypeDispatchError, match="batch-only"):
             pipe(["stream", src, {"key": "doc_id"}], form, spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# round-7 hardening: curated errors and guards (ADVICE r06)
+
+
+def test_cooccurrence_window_soft_cap(spark):
+    """window > 64 is a curated refusal (silent 512x fan-out otherwise),
+    overridable with unbounded_window_ok."""
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ArityError, match="unbounded_window_ok"):
+        _pipe(spark, df, ["cooccurrence", {"window": 512}])
+    got = {(r["w1"], r["w2"]): r["count"]
+           for r in _pipe(spark, df, ["cooccurrence",
+                                      {"window": 512,
+                                       "unbounded_window_ok": True}]).collect()}
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_lm_train_stats_refuses_streaming(spark, tmp_path):
+    from ksml_spark.functions.corpus import lm_train_stats
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    p = str(tmp_path / "lmdocs")
+    _docs(spark, [(1, "a b")]).write.parquet(p)
+    with pytest.raises(TypeDispatchError, match="batch-only"):
+        lm_train_stats(file_stream_source(spark, p), "text", n=2)
+
+
+def test_lsh_join_as_option_validated(spark):
+    left = _docs(spark, [(1, "a b c")])
+    right = _docs(spark, [(2, "a b c")])
+    from ksml_spark import ksml
+
+    for bad in ("ab", ["only_one"], ["a", "b", "c"], [1, 2], ["", "b"]):
+        with pytest.raises(ArityError, match="2-element list"):
+            ksml(["lsh-join",
+                  ["stream", left, {"key": "doc_id"}],
+                  ["stream", right, {"key": "doc_id"}],
+                  {"as": bad}], spark=spark)
+    # the happy path still renames
+    out = ksml(["lsh-join",
+                ["stream", left, {"key": "doc_id"}],
+                ["stream", right, {"key": "doc_id"}],
+                {"as": ["new_id", "ref_id"]}], spark=spark)
+    assert out.df.columns == ["new_id", "ref_id"]
+
+
+def test_chunk_and_sentence_split_collision_guard(spark):
+    """Output names colliding with surviving input columns are a curated
+    error; {'idx': ...} renames the index column; out == source col is
+    legal (the source column is consumed)."""
+    df = spark.createDataFrame(
+        [(1, "one two. three four.", 9)], "doc_id long, text string, chunk_idx long"
+    )
+    with pytest.raises(ArityError, match="chunk_idx"):
+        _pipe(spark, df, ["chunk", {"size": 8}])
+    ok = _pipe(spark, df, ["chunk", {"size": 8, "idx": "part_idx"}])
+    assert set(ok.columns) == {"doc_id", "chunk_idx", "part_idx", "chunk"}
+
+    df2 = spark.createDataFrame(
+        [(1, "A b. C d.", "x")], "doc_id long, text string, sentence string"
+    )
+    with pytest.raises(ArityError, match="sentence"):
+        _pipe(spark, df2, ["sentence-split", {}])
+    ok2 = _pipe(spark, df2, ["sentence-split", {"as": "sent"}])
+    assert set(ok2.columns) == {"doc_id", "sentence", "sent_idx", "sent"}
+    with pytest.raises(ArityError, match="must differ"):
+        _pipe(spark, _docs(spark, [(1, "a. b.")]),
+              ["sentence-split", {"as": "s", "idx": "s"}])
+    # out == consumed source column: legal
+    ok3 = _pipe(spark, _docs(spark, [(1, "one two. three.")]),
+                ["chunk", {"size": 6, "as": "text"}])
+    assert set(ok3.columns) == {"doc_id", "chunk_idx", "text"}
+
+
+def test_pinned_persist_registry_bounded(spark):
+    """Repeated pair-operator invocations must not accumulate unbounded
+    cache blocks: the pin registry caps live pins and release_pinned()
+    frees the rest (ADVICE r06: _pin_tokens leak)."""
+    from ksml_spark import release_pinned
+    from ksml_spark.operators import util as _u
+
+    release_pinned()
+    df = _docs(spark, [(i, f"tok{i} tok{i+1} tok{i+2}") for i in range(8)])
+    for _ in range(_u._PIN_CAP + 3):
+        _pipe(spark, df, ["jaccard-pairs", {"threshold": 0.1}]).count()
+    assert len(_u._PINNED) <= _u._PIN_CAP
+    assert release_pinned() <= _u._PIN_CAP
+    assert len(_u._PINNED) == 0
