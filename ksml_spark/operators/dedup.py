@@ -191,14 +191,95 @@ def band_signature_cols(textc: str) -> dict:
     }
 
 
-def band_signatures(df: DataFrame, idc: str, textc: str) -> DataFrame:
+def _sig_struct_udf(with_toks: bool, shingle_k: int = SHINGLE_K):
+    """Arrow-batched per-row MinHash band signatures (and optionally the
+    distinct shingle-hash token set) — bit-identical to the
+    band_signature_cols / _tok_ids expression construction (parity
+    pinned by test), but vectorized Python instead of interpreted
+    Catalyst higher-order functions.
+
+    Why it exists: Spark's HOF transform/array_min exprs don't codegen,
+    and the per-row signature costs ~4 salted md5 evals per shingle —
+    measured 5000 docs at 754 rows/s on the expression path vs ~4x that
+    here. Used on STREAMING inputs (shuffle-free, no stateful agg); the
+    batch path keeps the explode + codegen hash-agg plan, which beats
+    both."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ret = (
+        "bands array<string>, toks array<bigint>"
+        if with_toks
+        else "bands array<string>"
+    )
+    salts = [f"{m}#".encode() for m in range(N_MD5)]
+
+    def _one(text):
+        if text is None:
+            return (None, None) if with_toks else (None,)
+        t = text.split(" ")
+        sh = (
+            [text]
+            if len(t) < shingle_k
+            else [" ".join(t[i : i + shingle_k]) for i in range(len(t) - shingle_k + 1)]
+        )
+        mins = [None] * N_HASHES
+        tokset = set() if with_toks else None
+        for s in sh:
+            b = s.encode("utf-8")
+            if with_toks:
+                # md5_long_col: first 15 hex chars as BIGINT
+                tokset.add(int(hashlib.md5(b).hexdigest()[:15], 16))
+            for m in range(N_MD5):
+                h = hashlib.md5(salts[m] + b).hexdigest()
+                for p in range(PIECES_PER_MD5):
+                    v = int(h[p * 8 : (p + 1) * 8], 16)
+                    j = m * PIECES_PER_MD5 + p
+                    if mins[j] is None or v < mins[j]:
+                        mins[j] = v
+        bands = [
+            hashlib.md5(
+                "".join(
+                    str(mins[b * ROWS_PER_BAND + r]) for r in range(ROWS_PER_BAND)
+                ).encode()
+            ).hexdigest()
+            for b in range(N_BANDS)
+        ]
+        return (bands, sorted(tokset)) if with_toks else (bands,)
+
+    if with_toks:
+
+        @pandas_udf(ret)
+        def _sig(texts):
+            rows = [_one(t) for t in texts]
+            return pd.DataFrame(
+                {"bands": [r[0] for r in rows], "toks": [r[1] for r in rows]}
+            )
+
+    else:
+
+        @pandas_udf(ret)
+        def _sig(texts):
+            return pd.DataFrame({"bands": [_one(t)[0] for t in texts]})
+
+    return _sig
+
+
+def band_signatures(
+    df: DataFrame, idc: str, textc: str, impl: str = "auto"
+) -> DataFrame:
     """(id, band_0..band_{B-1}) MinHash band buckets.
 
-    STREAMING inputs take the per-row expression path
-    (band_signature_cols — shuffle-free, no stateful agg; rows with
-    NULL text are dropped, matching the batch path where they produce
-    no shingle rows). Batch inputs take the explode + codegen hash-agg
-    path below.
+    STREAMING inputs take a shuffle-free per-row path (no stateful agg;
+    rows with NULL text are dropped, matching the batch path where they
+    produce no shingle rows): the Arrow-vectorized _sig_struct_udf by
+    default, or the pure-expression band_signature_cols with
+    impl="expr" (both bit-identical to the batch construction; the
+    vectorized form measured ~4x faster — interpreted HOF exprs don't
+    codegen). Batch inputs take the explode + codegen hash-agg path
+    below, which beats both.
 
     Plan shape chosen for codegen: explode shingles -> 4 salted md5 columns
     sliced into 16 32-bit hex pieces (whole-stage codegen; Spark's
@@ -217,9 +298,17 @@ def band_signatures(df: DataFrame, idc: str, textc: str) -> DataFrame:
     from .util import spread
 
     if df.isStreaming:
-        bands = band_signature_cols(textc)
-        return df.filter(F.col(textc).isNotNull()).select(
-            F.col(idc), *[c.alias(n) for n, c in bands.items()]
+        nn = df.filter(F.col(textc).isNotNull())
+        if impl == "expr":
+            bands = band_signature_cols(textc)
+            return nn.select(F.col(idc), *[c.alias(n) for n, c in bands.items()])
+        sig = _sig_struct_udf(with_toks=False)
+        return nn.select(F.col(idc), sig(F.col(textc)).alias("__sig")).select(
+            F.col(idc),
+            *[
+                F.element_at("__sig.bands", b + 1).alias(f"band_{b}")
+                for b in range(N_BANDS)
+            ],
         )
 
     sh = spread(df).select(F.col(idc), F.explode(shingles_col(F.col(textc))).alias("__s"))
@@ -386,6 +475,16 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
 
     la = _long(left.df, idc, colc, out_a)
     rb = _long(right.df, ridc, rcolc, out_b)
+    if left.df.isStreaming and not right.df.isStreaming:
+        # stream-static: every micro-batch re-executes the static side's
+        # plan; without a persist the reference corpus re-tokenizes and
+        # re-hashes per batch — at a real reference-corpus size that is
+        # the whole job, per trigger. Pin it once (bounded registry).
+        from pyspark import StorageLevel
+
+        from .util import pin
+
+        rb = pin(rb, StorageLevel.MEMORY_AND_DISK)
     if opts.get("broadcast"):
         rb = F.broadcast(rb)
     pairs = (
@@ -414,17 +513,36 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
             )
 
         if left.df.isStreaming:
-            bands = band_signature_cols(colc)
-            cand = (
-                left.df.filter(F.col(colc).isNotNull())
-                .select(
-                    F.col(idc).alias(out_a),
+            if opts.get("impl") == "expr":
+                bands = band_signature_cols(colc)
+                sigsel = [
                     _tok_ids(colc).alias("__ta"),
                     F.posexplode(
                         F.array(*[bands[f"band_{b}"] for b in range(N_BANDS)])
                     ).alias("band", "bucket"),
+                ]
+                base = left.df.filter(F.col(colc).isNotNull()).select(
+                    F.col(idc).alias(out_a), *sigsel
                 )
-                .join(rb, ["band", "bucket"], "inner")
+            else:
+                # vectorized: ONE Arrow UDF eval per row yields bands AND
+                # the token set (the expression form re-walks the shingle
+                # array per hash function, interpreted — ~4x slower).
+                # Two select steps so the struct is projected once;
+                # CollapseProject won't inline (and so duplicate) a
+                # non-cheap Python UDF expression.
+                sig = _sig_struct_udf(with_toks=True)
+                base = (
+                    left.df.filter(F.col(colc).isNotNull())
+                    .select(F.col(idc).alias(out_a), sig(F.col(colc)).alias("__sig"))
+                    .select(
+                        out_a,
+                        F.col("__sig.toks").alias("__ta"),
+                        F.posexplode("__sig.bands").alias("band", "bucket"),
+                    )
+                )
+            cand = (
+                base.join(rb, ["band", "bucket"], "inner")
                 .select(out_a, "__ta", out_b)
             )
         else:
@@ -438,6 +556,13 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         rt = spread(right.df).select(
             F.col(ridc).alias(out_b), _tok_ids(rcolc).alias("__tb")
         )
+        if left.df.isStreaming and not right.df.isStreaming:
+            # same per-micro-batch recompute hazard as rb above
+            from pyspark import StorageLevel
+
+            from .util import pin
+
+            rt = pin(rt, StorageLevel.MEMORY_AND_DISK)
         if opts.get("broadcast"):
             rt = F.broadcast(rt)
         common = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))

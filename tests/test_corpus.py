@@ -850,3 +850,43 @@ def test_pinned_persist_registry_bounded(spark):
     assert len(_u._PINNED) <= _u._PIN_CAP
     assert release_pinned() <= _u._PIN_CAP
     assert len(_u._PINNED) == 0
+
+
+def test_sig_struct_udf_matches_expression_paths(spark, tables):
+    """The Arrow-vectorized streaming signature UDF is bit-identical to
+    the batch agg path (bands) and the expression token-set build
+    (toks), including the short-doc whole-text fallback and NULL text."""
+    from pyspark.sql import functions as F
+
+    from ksml_spark.operators.dedup import (
+        _sig_struct_udf,
+        band_signatures,
+        shingles_col,
+    )
+    from ksml_spark.operators.util import md5_long_col
+
+    docs = tables["documents"].select("doc_id", "text").limit(50).unionByName(
+        _docs(spark, [(90001, "tiny doc"), (90002, None), (90003, "")]))
+    sig = _sig_struct_udf(with_toks=True)
+    got = {r["doc_id"]: (tuple(r["s"]["bands"]) if r["s"]["bands"] else None,
+                         tuple(r["s"]["toks"]) if r["s"]["toks"] else None)
+           for r in docs.select("doc_id", sig(F.col("text")).alias("s")).collect()}
+    agg = {r["doc_id"]: tuple(r[f"band_{b}"] for b in range(4))
+           for r in band_signatures(docs, "doc_id", "text").collect()}
+    toks_expr = {
+        r["doc_id"]: tuple(sorted(r["t"])) if r["t"] is not None else None
+        for r in docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingles_col(F.col("text")), lambda s: md5_long_col(s))
+            ).alias("t"),
+        ).collect()
+    }
+    for did, (bands, toks) in got.items():
+        if did == 90002:
+            assert bands is None and toks is None
+            assert did not in agg  # batch path drops NULL-text rows
+            continue
+        assert bands == agg[did], did
+        assert toks == toks_expr[did], did
+    assert len(got) == 53

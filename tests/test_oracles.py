@@ -87,6 +87,9 @@ def test_bench_output_lines_stay_driver_parseable():
     # the failed query must survive every degradation rung
     assert "broken_query" in m["queries"]
     assert m["queries"]["broken_query"] is None
+    # a degraded (slowest-N) line must point at the full per-query artifact
+    assert m["qfull"] == "docs/BENCH_FULL_LATEST.json"
+    assert m["n_queries"] == 121
     # small suites pass through un-degraded at full precision
     m2 = js.loads(format_output_lines(1.0, {"q1": 1.234}, {}, 0.01)[-1])
     assert m2["queries"]["q1"] == 1.234
