@@ -2226,63 +2226,10 @@ FROM u WHERE length(s.s) >= 1"""
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
-    # --- brand-new in r06 (never driver-recorded): first of all ---
-    "lm_ppl_bigram": (_q_lm_score, _LM_SCORE_ORACLE),
-    "pmi_collocations": (_q_pmi, _PMI_ORACLE),
-    "bpe_pair_counts": (_q_bpe_pairs, _BPE_PAIRS_ORACLE),
-    "tfidf_topk_terms": (_q_tfidf_topk, _TFIDF_TOPK_ORACLE),
-    "lsh_join_incremental": (_q_lsh_join, _LSH_JOIN_ORACLE),
-    "cooccurrence_window": (_q_cooccurrence, _COOCCURRENCE_ORACLE),
-    "chunk_overlap": (_q_chunk, _CHUNK_ORACLE),
-    "sentence_split": (_q_sentence_split, _SENTENCE_SPLIT_ORACLE),
-    "lsh_join_verified": (_q_lsh_join_verified, _LSH_JOIN_VERIFIED_ORACLE),
-    "dist_shift_sources": (_q_dist_shift, _DIST_SHIFT_ORACLE),
-    "lm_ppl_frozen": (_q_lm_frozen, _LM_FROZEN_ORACLE),
-    "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
-    "bm25_scores": (_q_bm25, _BM25_ORACLE),
-    "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),
-    "doc_entropy": (_q_entropy, _ENTROPY_ORACLE),
-    "mix_sources": (_q_mix_sources, _MIX_ORACLE),
-    "jaccard_ngram_pairs": (_q_jaccard_ngram, _JACCARD_NGRAM_ORACLE),
-    "sessionize_events": (_q_sessionize, _SESSIONIZE_ORACLE),
-    # --- outside the r05 window (last driver-green r02/r04): record in r06 ---
-    "jaccard_pairs_prefix": (_q_jaccard_prefix, _JACCARD_PAIRS_ORACLE),
-    "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),
-    "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
-    "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
-    "simhash_docs": (_q_simhash, _SIMHASH_ORACLE),
-    "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
-    "q3_segment_revenue": (_q_q3, _Q3_ORACLE),
-    "q5_local_supplier_revenue": (_q_q5, _Q5_ORACLE),
-    "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
-    "filter_highqty": (_q_filter, _FILTER_ORACLE),
-    "filter_not_returns": (_q_filter_not, _FILTER_NOT_ORACLE),
-    "map_values_net": (_q_map_values, _MAP_VALUES_ORACLE),
-    "select_key_count": (_q_select_key, _SELECT_KEY_ORACLE),
-    "flat_map_pairs": (_q_flat_map, _FLAT_MAP_ORACLE),
-    "branch_orders": (_q_branch, _BRANCH_ORACLE),
-    "merge_event_types": (_q_merge, _MERGE_ORACLE),
-    "table_latest_event": (_q_table_latest, _TABLE_LATEST_ORACLE),
-    "table_filter_mapvalues": (_q_table_ops, _TABLE_OPS_ORACLE),
-    "table_regroup": (_q_table_regroup, _TABLE_REGROUP_ORACLE),
-    "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
-    "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
-    "agg_salted_user_totals": (_q_agg_salted, _AGG_SALTED_ORACLE),
-    # --- green in r05, mid-window: stay inside the r06 window ---
-    "windowed_count": (_q_windowed_count, _WINDOWED_COUNT_ORACLE),
-    "hopping_count": (_q_hopping_count, _HOPPING_COUNT_ORACLE),
-    "session_count": (_q_session_count, _SESSION_COUNT_ORACLE),
-    "anomaly_detection": (_q_anomaly, _ANOMALY_ORACLE),
-    # joins (SURVEY.md §2.3)
-    "join_stream_table": (_q_join_stream_table, _JOIN_STREAM_TABLE_ORACLE),
-    "left_join_counts": (_q_left_join, _LEFT_JOIN_ORACLE),
-    "outer_join_nations": (_q_outer_join, _OUTER_JOIN_ORACLE),
-    "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
-    "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
-    "anti_join_customers": (_q_anti_join, _ANTI_JOIN_ORACLE),
+    # --- last driver-green in r05 (window tail of r06): first, so every
+    # one lands in CORRECTNESS_r07 and staleness stays <= 2 rounds ---
     "interval_join_click_error": (_q_interval_join, _INTERVAL_JOIN_ORACLE),
     "asof_join_click_error": (_q_asof_join, _ASOF_JOIN_ORACLE),
-    # relational extensions + serde
     "rollup_revenue": (_q_rollup, _ROLLUP_ORACLE),
     "window_rank_orders": (_q_window_rank, _WINDOW_RANK_ORACLE),
     "exact_distinct_users": (_q_exact_distinct_users, _EXACT_DISTINCT_ORACLE),
@@ -2292,7 +2239,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "topn_orders": (_q_topn, _TOPN_ORACLE),
     "sql_revenue_by_nation": (_q_sql, _SQL_ORACLE),
     "json_props_agg": (_q_json_props, _JSON_PROPS_ORACLE),
-    # training-data extensions (SURVEY.md §2.10)
     "token_counts": (_q_token_counts, _TOKEN_COUNTS_ORACLE),
     "lang_id": (_q_lang_id, _lang_id_oracle()),
     "quality_scores": (_q_quality, _quality_oracle()),
@@ -2300,8 +2246,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "minhash_signatures": (_q_minhash_sig, _MINHASH_SIG_ORACLE),
     "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
     "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
-    # --- freshest driver evidence (r05 window head): rotate past the 50-row
-    # window this round; they re-enter in r07 per the invariant above ---
     "kmeans_assign": (_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
@@ -2324,6 +2268,59 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
     "kmeans_centroids": (_q_kmeans_centroids, None),
     "scrub_text": (_q_scrub, _SCRUB_ORACLE),
+    # --- green in r06 (freshest evidence): behind the rotation head; the
+    # first 10 of these re-enter the 50-row window this round, the other
+    # 40 re-enter in r08 ---
+    "lm_ppl_bigram": (_q_lm_score, _LM_SCORE_ORACLE),
+    "pmi_collocations": (_q_pmi, _PMI_ORACLE),
+    "bpe_pair_counts": (_q_bpe_pairs, _BPE_PAIRS_ORACLE),
+    "tfidf_topk_terms": (_q_tfidf_topk, _TFIDF_TOPK_ORACLE),
+    "lsh_join_incremental": (_q_lsh_join, _LSH_JOIN_ORACLE),
+    "cooccurrence_window": (_q_cooccurrence, _COOCCURRENCE_ORACLE),
+    "chunk_overlap": (_q_chunk, _CHUNK_ORACLE),
+    "sentence_split": (_q_sentence_split, _SENTENCE_SPLIT_ORACLE),
+    "lsh_join_verified": (_q_lsh_join_verified, _LSH_JOIN_VERIFIED_ORACLE),
+    "dist_shift_sources": (_q_dist_shift, _DIST_SHIFT_ORACLE),
+    "lm_ppl_frozen": (_q_lm_frozen, _LM_FROZEN_ORACLE),
+    "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
+    "bm25_scores": (_q_bm25, _BM25_ORACLE),
+    "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),
+    "doc_entropy": (_q_entropy, _ENTROPY_ORACLE),
+    "mix_sources": (_q_mix_sources, _MIX_ORACLE),
+    "jaccard_ngram_pairs": (_q_jaccard_ngram, _JACCARD_NGRAM_ORACLE),
+    "sessionize_events": (_q_sessionize, _SESSIONIZE_ORACLE),
+    "jaccard_pairs_prefix": (_q_jaccard_prefix, _JACCARD_PAIRS_ORACLE),
+    "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),
+    "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
+    "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
+    "simhash_docs": (_q_simhash, _SIMHASH_ORACLE),
+    "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
+    "q3_segment_revenue": (_q_q3, _Q3_ORACLE),
+    "q5_local_supplier_revenue": (_q_q5, _Q5_ORACLE),
+    "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
+    "filter_highqty": (_q_filter, _FILTER_ORACLE),
+    "filter_not_returns": (_q_filter_not, _FILTER_NOT_ORACLE),
+    "map_values_net": (_q_map_values, _MAP_VALUES_ORACLE),
+    "select_key_count": (_q_select_key, _SELECT_KEY_ORACLE),
+    "flat_map_pairs": (_q_flat_map, _FLAT_MAP_ORACLE),
+    "branch_orders": (_q_branch, _BRANCH_ORACLE),
+    "merge_event_types": (_q_merge, _MERGE_ORACLE),
+    "table_latest_event": (_q_table_latest, _TABLE_LATEST_ORACLE),
+    "table_filter_mapvalues": (_q_table_ops, _TABLE_OPS_ORACLE),
+    "table_regroup": (_q_table_regroup, _TABLE_REGROUP_ORACLE),
+    "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
+    "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
+    "agg_salted_user_totals": (_q_agg_salted, _AGG_SALTED_ORACLE),
+    "windowed_count": (_q_windowed_count, _WINDOWED_COUNT_ORACLE),
+    "hopping_count": (_q_hopping_count, _HOPPING_COUNT_ORACLE),
+    "session_count": (_q_session_count, _SESSION_COUNT_ORACLE),
+    "anomaly_detection": (_q_anomaly, _ANOMALY_ORACLE),
+    "join_stream_table": (_q_join_stream_table, _JOIN_STREAM_TABLE_ORACLE),
+    "left_join_counts": (_q_left_join, _LEFT_JOIN_ORACLE),
+    "outer_join_nations": (_q_outer_join, _OUTER_JOIN_ORACLE),
+    "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
+    "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
+    "anti_join_customers": (_q_anti_join, _ANTI_JOIN_ORACLE),
 }
 
 

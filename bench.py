@@ -254,6 +254,31 @@ def _skew_bench(spark, sf_dir: str) -> dict:
     finally:
         corpus.unpersist()
 
+    # dup-clusters adversarial shapes (seconds, single pass): the giant
+    # near-dup component cases that stress contraction rounds. The chain
+    # (diameter = node count) is the killer — it pinned the r07 fix that
+    # made convergence logarithmic via in-round pointer doubling.
+    def _cc(label, edges):
+        e = edges.persist()
+        e.count()
+        try:
+            t0 = time.time()
+            out_rel = ksml(["dup-clusters", ["stream", e, {"key": "doc_a"}], {}],
+                           spark=spark)
+            out_rel.df.write.mode("overwrite").format("noop").save()
+            out[label] = round(time.time() - t0, 2)
+        finally:
+            e.unpersist()
+
+    _cc("cc_star_60k", spark.range(60_000).select(
+        F.lit(0).alias("doc_a"), (F.col("id") + 1).alias("doc_b")))
+    _cc("cc_chain_30k", spark.range(29_999).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")))
+    _cc("cc_random_giant", spark.range(90_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(60_000)).alias("doc_a"),
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(60_000)).alias("doc_b"),
+    ).filter("doc_a != doc_b"))
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     big = (
         ev.crossJoin(spark.range(10).withColumnRenamed("id", "__r"))

@@ -1081,28 +1081,46 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         if cedges.count() == 0:  # no cross-cluster edges: converged
             converged = True
             break
-        # label-space step: l -> min(l, min neighbor), composed with one
-        # pointer jump (m2 = m . m) — labels only decrease toward the
-        # component min, so composition compresses paths
+        # label-space step: l -> min(l, min neighbor), then POINTER
+        # DOUBLING to the map's fixpoint. The min-neighbor map is a
+        # functional forest with strictly-decreasing pointers (roots =
+        # local-min labels); each composition m := m . m halves the
+        # remaining tree depth, so the inner loop runs
+        # ceil(log2(diameter)) times, and the outer rounds only pay for
+        # contracting local minima against each other. A SINGLE jump per
+        # round (the r06 shape) reduced a path graph's diameter by a
+        # constant per round — linear rounds in diameter, found by the
+        # r07 CC stress (a 2000-node chain blew max_iter=40).
         m = (
             cedges.groupBy("__src")
             .agg(F.least(F.first("__src"), F.min("__dst")).alias("__to"))
             .select(F.col("__src").alias("__from"), "__to")
+            .localCheckpoint()
         )
-        m2 = (
-            m.alias("x")
-            .join(
-                m.select(F.col("__from").alias("__f2"), F.col("__to").alias("__t2")),
-                F.col("x.__to") == F.col("__f2"),
-                "left",
+        for _ in range(64):  # 2^64 tree depth is unreachable; breaks on fixpoint
+            nxt = (
+                m.alias("x")
+                .join(
+                    m.select(F.col("__from").alias("__f2"), F.col("__to").alias("__t2")),
+                    F.col("x.__to") == F.col("__f2"),
+                    "left",
+                )
+                .select(
+                    F.col("x.__from").alias("__from"),
+                    F.least(
+                        F.col("x.__to"), F.coalesce(F.col("__t2"), F.col("x.__to"))
+                    ).alias("__to"),
+                    # NULL-safe: __t2 is NULL at roots -> FALSE (no change)
+                    (F.col("__t2") < F.col("x.__to")).alias("__chg"),
+                )
+                .localCheckpoint()
             )
-            .select(
-                F.col("x.__from").alias("__from"),
-                F.least(
-                    F.col("x.__to"), F.coalesce(F.col("__t2"), F.col("x.__to"))
-                ).alias("__to"),
-            )
-        )
+            changed = nxt.filter("__chg").limit(1).count() > 0
+            prev_m, m = m, nxt.drop("__chg")
+            prev_m.unpersist()
+            if not changed:
+                break
+        m2 = m
         prev_labels, prev_cedges = labels, cedges
         labels = (
             labels.join(m2, labels["__label"] == m2["__from"], "left")

@@ -184,6 +184,24 @@ def test_dup_clusters_long_chain_converges(spark):
     assert got == {i: 0 for i in range(13)}
 
 
+def test_dup_clusters_high_diameter_converges_logarithmically(spark):
+    """r07 CC-stress regression: a 5000-node path has diameter 5000, so
+    any per-round constant diameter reduction blows the default
+    max_iter=15 — convergence must be logarithmic (pointer doubling to
+    the label-map fixpoint inside each contraction round). Before the
+    fix even a 2000-node chain failed at max_iter=40."""
+    pairs = spark.range(4999).selectExpr("id as doc_a", "id + 1 as doc_b")
+    out = ksml(
+        ["dup-clusters", ["stream", pairs, {"key": "doc_a"}], {}], spark=spark
+    ).df
+    from pyspark.sql import functions as F
+
+    agg = out.agg(F.count("*").alias("n"),
+                  F.countDistinct("cluster").alias("k"),
+                  F.min("cluster").alias("m")).collect()[0]
+    assert (agg["n"], agg["k"], agg["m"]) == (5000, 1, 0)
+
+
 def test_simhash_pairs_equals_bruteforce_hamming(spark, tables):
     out = pipe(
         docs_stream(tables),

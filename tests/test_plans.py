@@ -348,3 +348,41 @@ def test_no_query_plans_a_cartesian_or_stray_nested_loop(spark):
         if "BroadcastNestedLoopJoin" in p and name not in bnlj_ok:
             bad.append((name, "nested-loop join"))
     assert not bad, bad
+
+
+def test_lm_score_model_joins_broadcast_and_preagg(spark):
+    """lm-score's docstring promises vocab-sized model joins are
+    broadcast-able ({"broadcast": true}) and that the scored side
+    pre-aggregates per (doc, gram, prefix) BEFORE joining the model —
+    so the join input is distinct grams per doc, not every token
+    position (corpus.py). Asserted here: both model joins become
+    BroadcastHashJoin, the vocab scalar rides a broadcast too, and a
+    partial_count aggregate sits below the first model join."""
+    out = pipe(
+        ["stream", ["parquet", f"{SF}/documents.parquet"], {"key": "doc_id"}],
+        ["lm-score", {"col": "text", "id": "doc_id", "n": 2, "k": 0.1,
+                      "broadcast": True}],
+        spark=spark,
+    )
+    p = plan(out.df)
+    # gram-count join + prefix-count join + vocab scalar: all broadcast
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "BroadcastNestedLoopJoin" in p or p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+    # the scored side is a hash agg over (doc, gram, prefix) with
+    # map-side partials, planned below the model joins
+    assert "partial_count" in p
+    first_join = p.find("BroadcastHashJoin")
+    assert "HashAggregate" in p[first_join:], "no pre-agg below the model joins"
+
+
+def test_lm_score_default_plan_has_no_cartesian(spark):
+    """Without the broadcast hint the model joins are shuffle joins —
+    fine — but the vocab scalar must still not plan a cartesian."""
+    out = pipe(
+        ["stream", ["parquet", f"{SF}/documents.parquet"], {"key": "doc_id"}],
+        ["lm-score", {"col": "text", "id": "doc_id"}],
+        spark=spark,
+    )
+    p = plan(out.df)
+    assert "CartesianProduct" not in p
