@@ -406,3 +406,224 @@ def op_quantiles(ctx: Ctx, rel: Rel, *rest) -> Rel:
           for i, p in enumerate(ps)],
     )
     return rel.with_df(out, key_cols=tuple(by), time_col=None)
+
+
+@defop("pivot")
+def op_pivot(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
+    """Wide one-column-per-category matrix (DSL extension; the reference
+    has no pivot surface):
+
+        ["pivot", rel, {"group": ["o_orderpriority"],
+                        "on": "o_orderstatus", "values": ["O", "F", "P"],
+                        "aggs": {"total": "sum(o_totalprice)"}}]
+        -> group cols + one column per (value[, agg name]) cell.
+
+    ``values`` is REQUIRED: inferring the pivot domain is a full
+    distinct scan of the pivot column before the real job can even be
+    planned — the wrong default at 100 TB, and non-deterministic output
+    schemas break downstream contracts. With the domain given, the plan
+    is ONE hash aggregation (each cell an independent partial agg), no
+    extra pass. Single-agg output columns are named exactly
+    ``str(value)``; multi-agg cells are ``{value}_{aggname}`` (Spark's
+    convention, pinned by test)."""
+    rel = _as_rel(rel)
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    group = opts.get("group")
+    on = opts.get("on")
+    values = opts.get("values")
+    aggs = opts.get("aggs")
+    if not (group and on and aggs):
+        raise ArityError("pivot needs {'group': cols, 'on': col, 'aggs': {...}}")
+    if not values:
+        raise ArityError(
+            "pivot needs the explicit category domain {'values': [...]} — "
+            "inferring it scans the whole pivot column before planning "
+            "(and makes the output schema data-dependent)"
+        )
+    if isinstance(group, str):
+        group = [group]
+    exprs = [to_col(v).alias(k) for k, v in aggs.items()]
+    df = rel.df.groupBy(*group).pivot(on, list(values)).agg(*exprs)
+    return KTableRel(df, key_cols=tuple(group))
+
+
+@defop("unpivot")
+def op_unpivot(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Long form of a wide relation (melt; inverse of pivot):
+
+        ["unpivot", rel, {"ids": ["l_orderkey", "l_linenumber"],
+                          "cols": ["l_quantity", "l_discount"],
+                          "var": "metric", "value": "val"}]
+        -> (ids..., metric string, val): one row per id x measure.
+
+    Pure per-row expansion (Spark Expand node — no shuffle, no Python,
+    streaming-legal); output rows = input rows x len(cols). Measure
+    columns must share a least-common type (Spark's unpivot contract —
+    cast upstream otherwise; the error is curated here)."""
+    rel = _as_rel(rel)
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    ids = opts.get("ids")
+    cols = opts.get("cols")
+    if not ids or not cols:
+        raise ArityError("unpivot needs {'ids': cols, 'cols': measure_cols}")
+    if isinstance(ids, str):
+        ids = [ids]
+    if isinstance(cols, str):
+        cols = [cols]
+    var = opts.get("var", "metric")
+    val = opts.get("value", "value")
+    clash = set(ids) & {var, val}
+    if clash:
+        raise ArityError(f"unpivot output names collide with id columns: {clash}")
+    try:
+        df = rel.df.unpivot(list(ids), list(cols), var, val)
+    except Exception as e:  # Spark's incompatible-type error, curated
+        raise ArityError(
+            f"unpivot: measure columns {cols} need a common type "
+            f"(cast upstream): {e}"
+        ) from None
+    return rel.with_df(df, key_cols=tuple(ids), time_col=None)
+
+
+@defop("corr")
+def op_corr(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
+    """Pairwise Pearson correlation matrix in long form — the numeric
+    QA probe (feature drift, redundant-measure detection):
+
+        ["corr", rel, {"cols": ["l_quantity", "l_extendedprice",
+                                "l_discount"], "round": 6}]
+        -> (col_a, col_b, corr) for every unordered pair, col_a < col_b
+           positionally.
+
+    ONE aggregation pass computes all n*(n-1)/2 cells (each corr is an
+    algebraic aggregate with map-side partials); the wide single row is
+    then unpivoted to long form with a stack expression — no second
+    scan, no Python."""
+    rel = _as_rel(rel)
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    cols = opts.get("cols")
+    if not cols or len(cols) < 2:
+        raise ArityError("corr needs {'cols': [2+ numeric columns]}")
+    nd = int(opts.get("round", 6))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    wide = rel.df.agg(
+        *[F.round(F.corr(a, b), nd).alias(f"__c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack = ", ".join(
+        f"'{a}', '{b}', __c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    out = wide.selectExpr(
+        f"stack({len(pairs)}, {stack}) as (col_a, col_b, corr)"
+    )
+    return KTableRel(out, key_cols=("col_a", "col_b"))
+
+
+@defop("collect-ordered")
+def op_collect_ordered(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
+    """Deterministic per-key sequence assembly — the step that turns an
+    event/turn/chunk relation into one training record per key:
+
+        ["collect-ordered", rel, {"by": "user_id",
+                                  "order": ["ts", "event_id"],
+                                  "col": "event_type", "as": "seq",
+                                  "limit": 20}]
+        -> (by..., seq array): ``col`` values ordered by the ``order``
+           columns (ascending; ties broken by later order columns —
+           make the ordering total or the result is nondeterministic).
+
+    ONE hash aggregation: collect_list of (order..., value) structs with
+    map-side partials, sorted per group with array_sort (struct
+    lexicographic order), then projected down to the values. ``limit``
+    truncates AFTER the sort — state is still the full group, so cap
+    heavy groups upstream (cap-per-group) when a bound matters."""
+    rel = _as_rel(rel)
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    by = opts.get("by")
+    order = opts.get("order")
+    col = opts.get("col")
+    if not by or not order or not col:
+        raise ArityError("collect-ordered needs {'by', 'order', 'col'}")
+    if isinstance(by, str):
+        by = [by]
+    if isinstance(order, str):
+        order = [order]
+    if any(isinstance(o, str) and o.startswith("-") for o in order):
+        raise ArityError(
+            "collect-ordered orders ascending only (struct sort); "
+            "negate a numeric column upstream for descending"
+        )
+    out_name = opts.get("as", "seq")
+    limit = opts.get("limit")
+    st = F.struct(
+        *[to_col(o).alias(f"__o{i}") for i, o in enumerate(order)],
+        to_col(col).alias("__v"),
+    )
+    arr = F.array_sort(F.collect_list(st))
+    if limit:
+        arr = F.slice(arr, 1, int(limit))
+    seq = F.transform(arr, lambda s: s["__v"])
+    df = rel.df.groupBy(*by).agg(seq.alias(out_name))
+    return KTableRel(df, key_cols=tuple(by))
+
+
+@defop("rolling")
+def op_rolling(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Per-key event-time rolling aggregates (trailing window), the
+    moving-average / rate probe:
+
+        ["rolling", rel, {"by": "user_id", "time": "ts",
+                          "range": 3600,
+                          "aggs": {"roll_sum": "sum(value)",
+                                   "roll_n": "count(1)"}}]
+        -> input columns + one column per agg over the trailing
+           ``range``-second frame [t - range, t] (inclusive), per key.
+
+    SECOND granularity by contract: the frame is defined on the
+    event-time cast to epoch seconds (documented truncation — the
+    DuckDB oracle reproduces it exactly with epoch_us//1e6). One
+    shuffle on the key + per-partition sort; rows with equal (key,
+    second) are frame peers, so the result is insensitive to intra-key
+    row order. Batch-only (a RANGE window frame needs the sorted
+    history; streaming trailing aggregates belong to windowed-by /
+    sessionize)."""
+    rel = _as_rel(rel)
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    by = opts.get("by")
+    time_c = opts.get("time") or rel.time_col
+    rng = opts.get("range")
+    aggs = opts.get("aggs")
+    if not by or not time_c or rng is None or not aggs:
+        raise ArityError("rolling needs {'by', 'time', 'range', 'aggs'}")
+    if rel.df.isStreaming:
+        raise ArityError(
+            "rolling is batch-only (RANGE frame over sorted history); "
+            "use windowed-by or sessionize on streams"
+        )
+    if isinstance(by, str):
+        by = [by]
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(time_c).cast("long"))
+        .rangeBetween(-int(rng), 0)
+    )
+    df = rel.df
+    for name, expr in aggs.items():
+        df = df.withColumn(name, to_col(expr).over(w))
+    return rel.with_df(df)

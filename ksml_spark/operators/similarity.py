@@ -529,3 +529,82 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     )
     vecs.unpersist()
     return KStreamRel(out, key_cols=("cluster",))
+
+
+@defop("vec-norm")
+def op_vec_norm(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """L2 norm + unit-normalized embedding columns — the step before any
+    cosine-based ANN / neardup pass (and the cheap NULL/zero-vector QA):
+
+        ["vec-norm", rel, {"col": "embedding", "as": "unit",
+                           "norm_as": "norm", "dim": 64}]
+        -> input + norm double + unit array<double> (NULL when the
+           norm is 0 or the vector is NULL — flag, don't divide).
+
+    Pure per-row expressions (streaming-legal, no shuffle, no Python).
+    The norm uses the same sequential-order dot chain as ann-topk
+    (dot_col), so values are bit-comparable with DuckDB's
+    list_dot_product on identical inputs; with "dim" the chain is
+    unrolled into codegen (see dot_col)."""
+    opts = _opts(rest)
+    colc = opts.get("col", "embedding")
+    dim = opts.get("dim")
+    out = opts.get("as", "unit")
+    norm_as = opts.get("norm_as", "norm")
+    n = norm_col(F.col(colc), int(dim) if dim else None)
+    unit = F.when(
+        n > 0, F.transform(F.col(colc), lambda x: x.cast("double") / n)
+    )
+    df = rel.df.withColumn(norm_as, n.cast("double")).withColumn(out, unit)
+    return rel.with_df(df)
+
+
+@defop("vec-pool")
+def op_vec_pool(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Element-wise mean/sum pooling of embeddings per group — chunk
+    embeddings -> document embedding, doc embeddings -> class centroid:
+
+        ["vec-pool", rel, {"col": "embedding", "by": "label",
+                           "mode": "mean", "as": "pooled"}]
+        -> (by..., pooled array<double>, n bigint).
+
+    Plan: posexplode to (group, position, value) rows, ONE hash
+    aggregation per (group, position) with map-side partials, then
+    re-assemble each group's array with a sorted collect over exactly
+    ``dim`` rows per group. Shuffle volume is rows x dim scalar values —
+    linear, and two orders of magnitude below any pairwise op; the
+    re-assembly collect is bounded by the dimension, never by group
+    size. Batch-only (corpus-global statistic; a streaming mean needs a
+    windowed-by agg)."""
+    from ..errors import ArityError
+
+    opts = _opts(rest)
+    colc = opts.get("col", "embedding")
+    by = opts.get("by")
+    if not by:
+        raise ArityError("vec-pool needs {'by': group cols}")
+    if isinstance(by, str):
+        by = [by]
+    if rel.df.isStreaming:
+        raise ArityError("vec-pool is batch-only (use windowed-by on streams)")
+    mode = opts.get("mode", "mean")
+    if mode not in ("mean", "sum"):
+        raise ArityError(f"vec-pool mode must be 'mean' or 'sum', got {mode!r}")
+    out = opts.get("as", "pooled")
+    agg = (F.avg if mode == "mean" else F.sum)(F.col("__v").cast("double"))
+    per_pos = (
+        rel.df.select(*by, F.posexplode(F.col(colc)).alias("__p", "__v"))
+        .groupBy(*by, "__p")
+        .agg(agg.alias("__m"), F.count(F.lit(1)).alias("__n"))
+    )
+    assembled = (
+        per_pos.groupBy(*by)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__m"))),
+                lambda s: s["__m"],
+            ).alias(out),
+            F.max("__n").alias("n"),
+        )
+    )
+    return KStreamRel(assembled, key_cols=tuple(by))

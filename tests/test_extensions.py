@@ -1363,3 +1363,133 @@ def test_jaccard_shingle_order_sensitive(spark):
                                      "shingle": 3}],
               spark=spark).df.collect()
     assert len(cp) == 1 and cp[0]["containment_b"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# r07 additions: pivot / unpivot / corr / collect-ordered / rolling /
+# vec-norm / vec-pool
+
+
+def test_pivot_values_and_required_domain(spark):
+    from ksml_spark.errors import ArityError
+
+    df = spark.createDataFrame(
+        [("hi", "O", 10.0), ("hi", "F", 2.0), ("lo", "O", 5.0), ("hi", "O", 1.0)],
+        "prio string, status string, price double",
+    )
+    out = ksml(["pivot", ["stream", df, {}],
+                {"group": "prio", "on": "status", "values": ["O", "F", "P"],
+                 "aggs": {"t": "sum(price)"}}], spark=spark).df
+    got = {r["prio"]: (r["O"], r["F"], r["P"]) for r in out.collect()}
+    assert got == {"hi": (11.0, 2.0, None), "lo": (5.0, None, None)}
+    with pytest.raises(ArityError, match="values"):
+        ksml(["pivot", ["stream", df, {}],
+              {"group": "prio", "on": "status", "aggs": {"t": "sum(price)"}}],
+             spark=spark)
+    # multi-agg cells follow Spark's {value}_{agg} convention
+    out2 = ksml(["pivot", ["stream", df, {}],
+                 {"group": "prio", "on": "status", "values": ["O"],
+                  "aggs": {"t": "sum(price)", "n": "count(1)"}}], spark=spark).df
+    assert set(out2.columns) == {"prio", "O_t", "O_n"}
+
+
+def test_unpivot_roundtrip_and_collision(spark):
+    from ksml_spark.errors import ArityError
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 3.0), (2, 4.0, 5.0)], "k long, a double, b double"
+    )
+    out = ksml(["unpivot", ["stream", df, {}],
+                {"ids": "k", "cols": ["a", "b"]}], spark=spark).df
+    got = {(r["k"], r["metric"]): r["value"] for r in out.collect()}
+    assert got == {(1, "a"): 2.0, (1, "b"): 3.0, (2, "a"): 4.0, (2, "b"): 5.0}
+    with pytest.raises(ArityError, match="collide"):
+        ksml(["unpivot", ["stream", df, {}],
+              {"ids": "k", "cols": ["a"], "var": "k"}], spark=spark)
+    with pytest.raises(ArityError, match="common type"):
+        ksml(["unpivot", ["stream", df.withColumn("s", F.lit("x")), {}],
+              {"ids": "k", "cols": ["a", "s"]}], spark=spark)
+
+
+def test_corr_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.5)],
+        "x double, y double, z double",
+    )
+    out = ksml(["corr", ["stream", df, {}], {"cols": ["x", "y", "z"]}],
+               spark=spark).df
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in out.collect()}
+    assert got[("x", "y")] == 1.0  # exactly linear
+    assert got[("x", "z")] < -0.99
+    assert len(got) == 3
+
+
+def test_collect_ordered_sequence_and_limit(spark):
+    from ksml_spark.errors import ArityError
+
+    df = spark.createDataFrame(
+        [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 9, "z")],
+        "k long, pos long, v string",
+    )
+    out = ksml(["collect-ordered", ["stream", df, {}],
+                {"by": "k", "order": "pos", "col": "v", "limit": 2}],
+               spark=spark).df
+    got = {r["k"]: r["seq"] for r in out.collect()}
+    assert got == {1: ["a", "b"], 2: ["z"]}
+    with pytest.raises(ArityError, match="ascending"):
+        ksml(["collect-ordered", ["stream", df, {}],
+              {"by": "k", "order": "-pos", "col": "v"}], spark=spark)
+
+
+def test_rolling_trailing_frame(spark):
+    import datetime
+
+    from ksml_spark.errors import ArityError
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [(1, t0 + datetime.timedelta(seconds=s), float(v))
+            for s, v in [(0, 1.0), (30, 2.0), (61, 4.0), (200, 8.0)]]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = ksml(["rolling", ["stream", df, {}],
+                {"by": "k", "time": "ts", "range": 60,
+                 "aggs": {"s": "sum(v)", "n": "count(1)"}}], spark=spark).df
+    got = {int(r["v"]): (r["s"], r["n"]) for r in out.collect()}
+    # frame = [t-60, t]: @0 -> {1}; @30 -> {1,2}; @61 -> {2,4} (0 is 61s back);
+    # @200 -> {8}
+    assert got == {1: (1.0, 1), 2: (3.0, 2), 4: (6.0, 2), 8: (8.0, 1)}
+    with pytest.raises(ArityError, match="rolling needs"):
+        ksml(["rolling", ["stream", df, {}], {"by": "k"}], spark=spark)
+
+
+def test_vec_norm_values_and_zero_guard(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None)],
+        "id long, embedding array<float>",
+    )
+    out = ksml(["vec-norm", ["stream", df, {}], {"col": "embedding"}],
+               spark=spark).df
+    got = {r["id"]: (r["norm"], r["unit"]) for r in out.collect()}
+    assert got[1][0] == 5.0 and got[1][1] == [0.6, 0.8]
+    assert got[2] == (0.0, None)  # zero vector: flagged, not divided
+    assert got[3] == (None, None)
+
+
+def test_vec_pool_mean_sum_and_streaming_refusal(spark, tmp_path):
+    from ksml_spark.errors import ArityError
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 3.0]), ("a", [3.0, 5.0]), ("b", [10.0, 0.0])],
+        "g string, embedding array<float>",
+    )
+    out = ksml(["vec-pool", ["stream", df, {}], {"by": "g"}], spark=spark).df
+    got = {r["g"]: (r["pooled"], r["n"]) for r in out.collect()}
+    assert got == {"a": ([2.0, 4.0], 2), "b": ([10.0, 0.0], 1)}
+    summed = ksml(["vec-pool", ["stream", df, {}], {"by": "g", "mode": "sum"}],
+                  spark=spark).df
+    assert {r["g"]: r["pooled"] for r in summed.collect()}["a"] == [4.0, 8.0]
+    p = str(tmp_path / "vp")
+    df.write.parquet(p)
+    with pytest.raises(ArityError, match="batch-only"):
+        ksml(["vec-pool", ["stream", file_stream_source(spark, p), {}],
+              {"by": "g"}], spark=spark)
