@@ -2216,6 +2216,188 @@ FROM u WHERE length(s.s) >= 1"""
 
 
 # ---------------------------------------------------------------------------
+# r07 additions: pivot / unpivot / corr / collect-ordered / rolling /
+# vec-norm / vec-pool (+ a cube query for the existing op)
+
+
+def _q_pivot_status(spark, sf):
+    """Order totals pivoted to one column per order status (explicit
+    category domain — no inference scan; multi-agg cells follow Spark's
+    {value}_{agg} naming)."""
+    return pipe(
+        ["stream", _t(sf, "orders"), {"key": "o_orderkey"}],
+        ["pivot", {"group": "o_orderpriority", "on": "o_orderstatus",
+                   "values": ["O", "F", "P"],
+                   "aggs": {"total": "sum(cast(round(o_totalprice * 100) as bigint))"
+                                     " / cast(100 as double)",
+                            "n": "count(1)"}}],
+        spark=spark,
+    ).df
+
+
+_PIVOT_STATUS_ORACLE = """
+SELECT o_orderpriority,
+  SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) / CAST(100 AS DOUBLE) AS "O_total",
+  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O_n",
+  SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) / CAST(100 AS DOUBLE) AS "F_total",
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F_n",
+  SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) / CAST(100 AS DOUBLE) AS "P_total",
+  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P_n"
+FROM orders GROUP BY o_orderpriority"""
+
+
+def _q_unpivot_lineitem(spark, sf):
+    """Lineitem measures melted to long form (Expand node — per-row, no
+    shuffle); sampled by orderkey to keep the compare set small."""
+    return pipe(
+        ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
+        ["where", "l_orderkey % 50 = 0"],
+        ["unpivot", {"ids": ["l_orderkey", "l_linenumber"],
+                     "cols": ["l_quantity", "l_discount", "l_tax"],
+                     "var": "metric", "value": "val"}],
+        spark=spark,
+    ).df
+
+
+_UNPIVOT_LINEITEM_ORACLE = """
+WITH s AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM s
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM s
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM s"""
+
+
+def _q_corr_lineitem(spark, sf):
+    """Pairwise Pearson correlations of the lineitem measures in one
+    aggregation pass (long form via stack)."""
+    return pipe(
+        ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
+        ["corr", {"cols": ["l_quantity", "l_extendedprice", "l_discount"],
+                  "round": 6}],
+        spark=spark,
+    ).df
+
+
+_CORR_LINEITEM_ORACLE = """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem"""
+
+
+def _q_collect_user_events(spark, sf):
+    """Per-user event-type sequence (first 10 by (ts, event_id)) — the
+    training-record assembly shape; joined to one string for the
+    engine-portable compare."""
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "user_id"}],
+        ["collect-ordered", {"by": "user_id", "order": ["ts", "event_id"],
+                             "col": "event_type", "as": "seq", "limit": 10}],
+        ["select", {"user_id": "user_id", "seq_str": "concat_ws(' ', seq)",
+                    "n_first": "size(seq)"}],
+        spark=spark,
+    ).df
+
+
+_COLLECT_USER_EVENTS_ORACLE = """
+SELECT user_id,
+       array_to_string(list(event_type ORDER BY ts, event_id)[1:10], ' ') AS seq_str,
+       least(COUNT(1), 10) AS n_first
+FROM events GROUP BY user_id"""
+
+
+def _q_rolling_user(spark, sf):
+    """Per-user trailing-hour rolling sum/count over event time (RANGE
+    frame at second granularity, the contract the oracle reproduces
+    with epoch_us // 1e6)."""
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
+        ["rolling", {"by": "user_id", "time": "ts", "range": 3600,
+                     "aggs": {"roll_sum": "sum(value)", "roll_n": "count(1)"}}],
+        ["select", {"event_id": "event_id", "user_id": "user_id",
+                    "roll_sum": "round(roll_sum, 3)", "roll_n": "roll_n"}],
+        spark=spark,
+    ).df
+
+
+_ROLLING_USER_ORACLE = """
+SELECT event_id, user_id,
+       round(SUM(value) OVER w, 3) AS roll_sum,
+       COUNT(1) OVER w AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
+
+
+def _q_cube_revenue(spark, sf):
+    """All grouping-set combinations of (status, priority) — the cube
+    analog of rollup_revenue (penny-sum for engine-portable money)."""
+    return pipe(
+        ["stream", _t(sf, "orders"), {"key": "o_orderkey"}],
+        ["cube", ["o_orderstatus", "o_orderpriority"],
+         {"n": "count(1)",
+          "revenue": "sum(cast(round(o_totalprice * 100) as bigint))"
+                     " / cast(100 as double)"}],
+        spark=spark,
+    ).df
+
+
+_CUBE_REVENUE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+
+def _q_vec_norm(spark, sf):
+    """L2 norms + first unit components (double math end to end; the
+    dim-unrolled chain matches DuckDB list_dot_product bit-for-bit)."""
+    return pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["vec-norm", {"col": "embedding", "dim": 64}],
+        ["select", {"vec_id": "vec_id", "norm": "round(norm, 6)",
+                    "u0": "round(unit[0], 6)", "u1": "round(unit[1], 6)",
+                    "u2": "round(unit[2], 6)", "u3": "round(unit[3], 6)"}],
+        spark=spark,
+    ).df
+
+
+_VEC_NORM_ORACLE = """
+WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM p)
+SELECT vec_id, round(nm, 6) AS norm,
+       round(v[1] / nm, 6) AS u0, round(v[2] / nm, 6) AS u1,
+       round(v[3] / nm, 6) AS u2, round(v[4] / nm, 6) AS u3
+FROM n"""
+
+
+def _q_vec_pool(spark, sf):
+    """Per-label mean embedding (element-wise pooling), exploded to
+    scalar (label, pos, value) rows for the compare."""
+    from pyspark.sql import functions as F
+
+    rel = pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["vec-pool", {"col": "embedding", "by": "label", "mode": "mean",
+                      "as": "pooled"}],
+        spark=spark,
+    )
+    return rel.df.select(
+        "label", "n", F.posexplode("pooled").alias("pos", "v")
+    ).select("label", "n", "pos", F.round("v", 6).alias("v"))
+
+
+_VEC_POOL_ORACLE = """
+WITH x AS (SELECT label, unnest(embedding::DOUBLE[]) AS val,
+                  unnest(range(0, len(embedding))) AS pos
+           FROM embeddings)
+SELECT label, COUNT(1) AS n, pos, round(avg(val), 6) AS v
+FROM x GROUP BY label, pos"""
+
+
+# ---------------------------------------------------------------------------
 
 # Registry order matters: the correctness driver records only the FIRST 50
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
@@ -2226,6 +2408,15 @@ FROM u WHERE length(s.s) >= 1"""
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
+    # --- brand-new in r07 (never driver-recorded): first of all ---
+    "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
+    "unpivot_lineitem": (_q_unpivot_lineitem, _UNPIVOT_LINEITEM_ORACLE),
+    "corr_lineitem": (_q_corr_lineitem, _CORR_LINEITEM_ORACLE),
+    "collect_user_events": (_q_collect_user_events, _COLLECT_USER_EVENTS_ORACLE),
+    "rolling_user_hour": (_q_rolling_user, _ROLLING_USER_ORACLE),
+    "cube_revenue": (_q_cube_revenue, _CUBE_REVENUE_ORACLE),
+    "vec_norm_units": (_q_vec_norm, _VEC_NORM_ORACLE),
+    "vec_pool_label_mean": (_q_vec_pool, _VEC_POOL_ORACLE),
     # --- last driver-green in r05 (window tail of r06): first, so every
     # one lands in CORRECTNESS_r07 and staleness stays <= 2 rounds ---
     "interval_join_click_error": (_q_interval_join, _INTERVAL_JOIN_ORACLE),
