@@ -2397,6 +2397,72 @@ SELECT label, COUNT(1) AS n, pos, round(avg(val), 6) AS v
 FROM x GROUP BY label, pos"""
 
 
+def _q_dup_spans(spark, sf):
+    """Exact-substring-dup statistics: per-doc fraction of 3-token spans
+    that also occur in another document (the Lee-et-al. repeated-span
+    gate; postings joins, linear in tokens, never pairwise)."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["dup-spans", {"col": "text", "id": "doc_id", "k": 3}],
+        spark=spark,
+    ).df
+
+
+_DUP_SPANS_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t, text
+             FROM documents WHERE text IS NOT NULL),
+sh AS (SELECT doc_id,
+       CASE WHEN len(t) < 3 THEN [text]
+            ELSE [array_to_string(t[i:i+2], ' ')
+                  for i in generate_series(1, len(t) - 2)] END AS s
+       FROM tok),
+g AS (SELECT doc_id, ('0x' || substr(md5(x), 1, 15))::BIGINT AS gram
+      FROM (SELECT doc_id, unnest(s) AS x FROM sh)),
+pdg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+gd AS (SELECT gram FROM pdg GROUP BY gram HAVING count(*) >= 2),
+tot AS (SELECT doc_id, sum(cnt) AS n FROM pdg GROUP BY doc_id),
+dup AS (SELECT p.doc_id, sum(p.cnt) AS d
+        FROM pdg p JOIN gd USING (gram) GROUP BY p.doc_id)
+SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_spans,
+       CAST(coalesce(d.d, 0) AS BIGINT) AS dup_spans,
+       round(coalesce(d.d, 0)::DOUBLE / t.n, 6) AS dup_fraction
+FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id"""
+
+
+def _q_winnow(spark, sf):
+    """Robust-winnowing (MOSS) fingerprints, exploded to (doc, fp) rows —
+    substring-granularity near-dup sketch, pure per-row expressions.
+
+    explode_outer, NOT explode: a plain explode makes Catalyst infer
+    ``size(fp) > 0`` and push it below the fingerprint projections,
+    re-expanding the whole O(shingles x window) md5 chain inside the
+    filter (measured 33s -> ~1s at sf0.01). fp is never empty (>=1
+    shingle per non-NULL doc), so outer is value-identical."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["winnow", {"col": "text", "id": "doc_id", "k": 3, "window": 4}],
+        ["select", {"doc_id": "doc_id", "fp": "explode_outer(fp)"}],
+        spark=spark,
+    ).df
+
+
+_WINNOW_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t, text
+             FROM documents WHERE text IS NOT NULL),
+sh AS (SELECT doc_id,
+       CASE WHEN len(t) < 3 THEN [text]
+            ELSE [array_to_string(t[i:i+2], ' ')
+                  for i in generate_series(1, len(t) - 2)] END AS s
+       FROM tok),
+h AS (SELECT doc_id, list_transform(s,
+        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hh FROM sh),
+w AS (SELECT doc_id,
+      list_distinct([list_min(hh[j:j+3])
+                     for j in generate_series(1, greatest(len(hh) - 3, 1))])
+        AS fps FROM h)
+SELECT doc_id, unnest(fps) AS fp FROM w"""
+
+
 # ---------------------------------------------------------------------------
 
 # Registry order matters: the correctness driver records only the FIRST 50
@@ -2409,6 +2475,12 @@ FROM x GROUP BY label, pos"""
 # unrecorded tail to the front and push the freshest block to the back.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     # --- brand-new in r07 (never driver-recorded): first of all ---
+    # NOTE: 100 queries is the registry CAP — the 50-row driver window
+    # covers each query every 2nd round, so >100 entries would break the
+    # "driver-green evidence <= 2 rounds old" invariant. At 100, adding a
+    # new query requires retiring one.
+    "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
+    "winnow_fingerprints": (_q_winnow, _WINNOW_ORACLE),
     "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
     "unpivot_lineitem": (_q_unpivot_lineitem, _UNPIVOT_LINEITEM_ORACLE),
     "corr_lineitem": (_q_corr_lineitem, _CORR_LINEITEM_ORACLE),

@@ -1357,3 +1357,132 @@ def op_simhash(ctx: Ctx, rel: Rel, *rest) -> Rel:
     if out != "simhash":
         sigs = sigs.withColumnRenamed("simhash", out)
     return rel.with_df(rel.df.join(sigs, idc, "inner"))
+
+
+@defop("dup-spans")
+def op_dup_spans(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Duplicated-span statistics per document — the relational core of
+    exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": repeated >=k-token
+    spans across documents are the memorization-driving duplicates that
+    MinHash's whole-document granularity misses).
+
+        ["dup-spans", rel, {"col": "text", "id": "doc_id", "k": 3}]
+
+    Output: (id, n_spans, dup_spans, dup_fraction) where a span is a
+    positional k-token shingle (short docs fall back to the whole text
+    as one span, matching shingles_col) and a span is *duplicated* when
+    the identical shingle occurs in >= 2 distinct documents. A
+    downstream filter on dup_fraction is the standard "drop documents
+    that are mostly copied" gate; NULL-text rows are excluded, matching
+    the minhash family convention.
+
+    Plan (all hash aggregates + one equi-join, linear in total tokens —
+    never pairwise): explode 60-bit shingle hashes -> per-(doc, gram)
+    counts (also the per-doc span totals) -> per-gram distinct-doc
+    counts -> join grams seen in >=2 docs back to per-doc counts. The
+    per-(doc, gram) relation feeds three consumers, so it is pinned
+    (bounded registry, see _pin_tokens) instead of recomputing the
+    tokenize+md5 lineage per branch. Corpus-global statistic ->
+    batch-only, with the curated streaming error."""
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    colc = opts.get("col", "text")
+    k = int(opts.get("k", SHINGLE_K))
+    if k < 1:
+        raise ArityError("dup-spans needs k >= 1")
+    if rel.df.isStreaming:
+        raise TypeDispatchError(
+            "dup-spans aggregates corpus-global span counts and is "
+            "batch-only; run per micro-batch via foreach-batch, or use "
+            "minhash/lsh-join for incremental near-dup on streams"
+        )
+    from pyspark import StorageLevel
+
+    from .util import md5_long_col, pin, spread
+
+    grams = spread(rel.df.filter(F.col(colc).isNotNull())).select(
+        F.col(idc),
+        F.explode(
+            F.transform(shingles_col(F.col(colc), k), lambda s: md5_long_col(s))
+        ).alias("__g"),
+    )
+    per_doc_gram = pin(
+        grams.groupBy(idc, "__g").agg(F.count(F.lit(1)).alias("__cnt")),
+        StorageLevel.DISK_ONLY,
+    )
+    shared = (
+        per_doc_gram.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__g")
+    )
+    totals = per_doc_gram.groupBy(idc).agg(F.sum("__cnt").alias("n_spans"))
+    dups = (
+        per_doc_gram.join(shared, "__g", "inner")
+        .groupBy(idc)
+        .agg(F.sum("__cnt").alias("__dup"))
+    )
+    out = totals.join(dups, idc, "left").select(
+        F.col(idc),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("dup_spans"),
+        F.round(
+            F.coalesce(F.col("__dup"), F.lit(0)) / F.col("n_spans"), 6
+        ).alias("dup_fraction"),
+    )
+    return rel.with_df(out)
+
+
+@defop("winnow")
+def op_winnow(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Robust-winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): from the sequence of k-token shingle
+    hashes, keep the MINIMUM hash of every sliding window of ``window``
+    consecutive shingles. Guarantees: any shared run of window+k-1
+    tokens between two documents yields at least one shared
+    fingerprint, while storage is ~2/(window+1) of the shingle count —
+    the classic substring-granularity near-dup sketch, cheaper than
+    dup-spans' full postings and joinable like minhash bands.
+
+        ["winnow", rel, {"col": "text", "id": "doc_id",
+                         "k": 3, "window": 4, "as": "fp"}]
+
+    Adds ``as`` = array<bigint> of DISTINCT selected fingerprints (set
+    semantics, so the min-tie rule of the original algorithm is moot).
+    Pure per-row expression chain (shingles -> md5 longs -> sliding
+    array_min -> array_distinct): shuffle-free, whole-stage codegen,
+    streaming-legal unchanged — a live crawl gets fingerprints with no
+    state. Short docs (< k tokens) hash the whole text as one shingle;
+    NULL-text rows are dropped (minhash family convention)."""
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    colc = opts.get("col", "text")
+    k = int(opts.get("k", SHINGLE_K))
+    w = int(opts.get("window", 4))
+    out = opts.get("as", "fp")
+    if k < 1 or w < 1:
+        raise ArityError("winnow needs k >= 1 and window >= 1")
+    if not isinstance(out, str):
+        raise ArityError('winnow {"as": ...} must be a column-name string')
+    if out in rel.df.columns:
+        raise ArityError(
+            f"winnow: output column {out!r} already exists on the input; "
+            'rename it upstream or pass a different "as" name'
+        )
+    from .util import md5_long_col, spread
+
+    hashes = F.transform(
+        shingles_col(F.col(colc), k), lambda s: md5_long_col(s)
+    )
+    src = rel.df if rel.df.isStreaming else spread(rel.df)
+    df = src.filter(F.col(colc).isNotNull()).withColumn("__h", hashes)
+    windows = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(F.col("__h")) - (w - 1), F.lit(1))
+        ),
+        lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+    )
+    return rel.with_df(
+        df.withColumn(out, F.array_distinct(windows)).drop("__h")
+    )

@@ -1493,3 +1493,121 @@ def test_vec_pool_mean_sum_and_streaming_refusal(spark, tmp_path):
     with pytest.raises(ArityError, match="batch-only"):
         ksml(["vec-pool", ["stream", file_stream_source(spark, p), {}],
               {"by": "g"}], spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# dup-spans / winnow (substring-granularity dedup)
+
+def _py_shingle_hashes(text: str, k: int = 3) -> list:
+    toks = text.split(" ")
+    grams = [text] if len(toks) < k else [
+        " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+    ]
+    return [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+
+
+def test_dup_spans_matches_python_reference(spark, tables):
+    from collections import Counter
+
+    out = {r["doc_id"]: (r["n_spans"], r["dup_spans"], r["dup_fraction"])
+           for r in pipe(
+               docs_stream(tables),
+               ["dup-spans", {"col": "text", "id": "doc_id", "k": 3}],
+               spark=spark).df.collect()}
+    docs = {r["doc_id"]: r["text"]
+            for r in tables["documents"].select("doc_id", "text").collect()
+            if r["text"] is not None}
+    per_doc = {d: Counter(_py_shingle_hashes(t)) for d, t in docs.items()}
+    gram_docs = Counter()
+    for c in per_doc.values():
+        for g in c:
+            gram_docs[g] += 1
+    assert set(out) == set(per_doc)
+    for d, c in per_doc.items():
+        n = sum(c.values())
+        dup = sum(cnt for g, cnt in c.items() if gram_docs[g] >= 2)
+        assert out[d][0] == n and out[d][1] == dup
+        assert abs(out[d][2] - dup / n) < 1e-6
+    # the synthetic corpus must actually exercise both branches
+    assert any(v[1] > 0 for v in out.values())
+    assert any(v[1] < v[0] for v in out.values())
+
+
+def test_dup_spans_streaming_refused_and_arity(spark, tables, tmp_path):
+    from ksml_spark.errors import ArityError, TypeDispatchError
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    with pytest.raises(ArityError, match="k >= 1"):
+        pipe(docs_stream(tables), ["dup-spans", {"k": 0}], spark=spark)
+    p = str(tmp_path / "docs")
+    tables["documents"].write.parquet(p)
+    with pytest.raises(TypeDispatchError, match="batch-only"):
+        pipe(["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+             ["dup-spans", {"col": "text"}], spark=spark)
+
+
+def test_winnow_matches_python_reference(spark, tables):
+    w = 4
+    got = {r["doc_id"]: set(r["fp"]) for r in pipe(
+        docs_stream(tables),
+        ["winnow", {"col": "text", "id": "doc_id", "k": 3, "window": w}],
+        spark=spark).df.select("doc_id", "fp").collect()}
+    docs = {r["doc_id"]: r["text"]
+            for r in tables["documents"].select("doc_id", "text").collect()
+            if r["text"] is not None}
+    for d, t in docs.items():
+        h = _py_shingle_hashes(t)
+        fps = {min(h[j:j + w]) for j in range(max(len(h) - w + 1, 1))}
+        assert got[d] == fps
+    assert set(got) == set(docs)
+
+
+def test_winnow_guarantee_and_short_doc(spark):
+    # any shared run of window + k - 1 = 6 tokens yields one identical
+    # full window of shingle hashes in both docs -> a shared fingerprint
+    a = "q1 q2 s1 s2 s3 s4 s5 s6 q3"
+    b = "r1 s1 s2 s3 s4 s5 s6 r2 r3"
+    short = "one two"  # < k tokens: whole text is the single shingle
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, short)], "doc_id long, text string")
+    got = {r["doc_id"]: set(r["fp"]) for r in pipe(
+        ["stream", df, {"key": "doc_id"}],
+        ["winnow", {"col": "text", "id": "doc_id", "k": 3, "window": 4}],
+        spark=spark).df.collect()}
+    assert got[1] & got[2], "shared 6-token run must share a fingerprint"
+    assert got[3] == {int(hashlib.md5(short.encode()).hexdigest()[:15], 16)}
+
+
+def test_winnow_errors(spark, tables):
+    from ksml_spark.errors import ArityError
+
+    with pytest.raises(ArityError, match="already exists"):
+        pipe(docs_stream(tables), ["winnow", {"as": "text"}], spark=spark)
+    with pytest.raises(ArityError, match="window >= 1"):
+        pipe(docs_stream(tables), ["winnow", {"window": 0}], spark=spark)
+
+
+def test_winnow_streaming_parity(spark, tables, tmp_path):
+    """winnow is a pure per-row expression chain, so the streaming plan
+    is the batch plan unchanged — values must match row for row."""
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    batch = {r["doc_id"]: sorted(r["fp"]) for r in pipe(
+        docs_stream(tables),
+        ["winnow", {"col": "text", "id": "doc_id"}],
+        spark=spark).df.select("doc_id", "fp").collect()}
+    p = str(tmp_path / "docs")
+    tables["documents"].write.parquet(p)
+    s = pipe(
+        ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+        ["winnow", {"col": "text", "id": "doc_id"}],
+        spark=spark).df.select("doc_id", "fp")
+    assert s.isStreaming
+    q = (s.writeStream.format("memory").queryName("winnow_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: sorted(r["fp"])
+           for r in spark.sql("select * from winnow_stream").collect()}
+    assert got == batch

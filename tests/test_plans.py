@@ -386,3 +386,34 @@ def test_lm_score_default_plan_has_no_cartesian(spark):
     )
     p = plan(out.df)
     assert "CartesianProduct" not in p
+
+
+def test_winnow_query_no_filter_reexpansion(spark):
+    """The registry winnow query must not let Catalyst infer a
+    ``size(fp) > 0`` predicate from the explode and push the full
+    O(shingles x window) md5 chain into a Filter below the fingerprint
+    projections (33s -> ~1s at sf0.01 when this regressed during
+    development). explode_outer keeps the filter out entirely; the only
+    md5 evaluation sites must be Project nodes."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["winnow_fingerprints"](spark, SF)
+    p = (df._jdf.queryExecution().executedPlan().toString())
+    for line in p.splitlines():
+        if "Filter" in line and "md5" in line:
+            raise AssertionError(f"md5 chain re-expanded in a Filter: {line[:200]}")
+    assert "md5" in p  # the chain exists somewhere (a Project)
+
+
+def test_dup_spans_plan_hash_aggs_only(spark):
+    """dup-spans must be hash aggregates + one gram equi-join: no
+    cartesian/nested-loop pair generation, no sort aggregate, and no
+    Python workers (pure expression tokenize+md5)."""
+    out = pipe(
+        ["stream", ["parquet", f"{SF}/documents.parquet"], {"key": "doc_id"}],
+        ["dup-spans", {"col": "text", "id": "doc_id"}],
+        spark=spark)
+    p = plan(out.df, "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
