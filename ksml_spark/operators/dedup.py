@@ -1486,3 +1486,92 @@ def op_winnow(ctx: Ctx, rel: Rel, *rest) -> Rel:
     return rel.with_df(
         df.withColumn(out, F.array_distinct(windows)).drop("__h")
     )
+
+
+@defop("winnow-pairs")
+def op_winnow_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """Candidate near-dup pairs from shared winnowing fingerprints — the
+    pair-generation half of the MOSS pipeline (winnow gives the sketch;
+    this joins it):
+
+        ["winnow-pairs", rel, {"col": "text", "id": "doc_id",
+                               "k": 3, "window": 4, "min_shared": 2,
+                               "max_fp_docs": 1000,
+                               "as": ["doc_a", "doc_b"]}]
+        -> (doc_a, doc_b, n_shared): pairs sharing >= min_shared
+           fingerprints, doc_a < doc_b.
+
+    Plan: per-row fingerprint arrays -> explode to (id, fp) postings
+    (pinned: the self-join reads them twice) -> equi-join on fp with
+    id-ordering -> one hash agg counting shared fingerprints. Shuffle
+    is O(docs x fingerprints-per-doc) — winnowing keeps that at
+    ~2/(window+1) of the shingle count, cheaper than jaccard-pairs'
+    full postings. ``max_fp_docs`` drops fingerprints present in more
+    than that many documents (boilerplate phrases — the MOSS "too
+    common to be meaningful" rule, and the skewed-join-key relief: a
+    hot fingerprint's pair fan-out is quadratic in its document count).
+    Batch-only: incremental cross-corpus candidates belong to lsh-join."""
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    colc = opts.get("col", "text")
+    k = int(opts.get("k", SHINGLE_K))
+    w = int(opts.get("window", 4))
+    min_shared = int(opts.get("min_shared", 1))
+    max_fp_docs = opts.get("max_fp_docs", 1000)
+    out_as = opts.get("as", ["doc_a", "doc_b"])
+    if not (isinstance(out_as, (list, tuple)) and len(out_as) == 2
+            and all(isinstance(c, str) for c in out_as)):
+        raise ArityError(
+            'winnow-pairs {"as": ...} must be a 2-element list of output '
+            f"column names, got {out_as!r}"
+        )
+    if k < 1 or w < 1 or min_shared < 1:
+        raise ArityError(
+            "winnow-pairs needs k >= 1, window >= 1, min_shared >= 1"
+        )
+    if rel.df.isStreaming:
+        raise TypeDispatchError(
+            "winnow-pairs self-joins corpus-global postings and is "
+            "batch-only; use lsh-join for incremental stream-vs-corpus "
+            "candidates"
+        )
+    out_a, out_b = out_as
+    from pyspark import StorageLevel
+
+    from .util import md5_long_col, pin, spread
+
+    hashes = F.transform(
+        shingles_col(F.col(colc), k), lambda s: md5_long_col(s)
+    )
+    windows = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(F.col("__h")) - (w - 1), F.lit(1))
+        ),
+        lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+    )
+    postings = (
+        spread(rel.df.filter(F.col(colc).isNotNull()))
+        .select(F.col(idc), hashes.alias("__h"))
+        .select(F.col(idc), F.explode(F.array_distinct(windows)).alias("__fp"))
+    )
+    if max_fp_docs:
+        # per-fp doc counts are one hash agg over the postings; only
+        # fingerprints under the cap flow into the quadratic join
+        keep = (
+            postings.groupBy("__fp")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+            .filter(F.col("__nd") <= int(max_fp_docs))
+            .select("__fp")
+        )
+        postings = postings.join(keep, "__fp", "inner")
+    postings = pin(postings, StorageLevel.DISK_ONLY)
+    a = postings.select(F.col(idc).alias(out_a), "__fp")
+    b = postings.select(F.col(idc).alias(out_b), "__fp")
+    pairs = (
+        a.join(b, "__fp", "inner")
+        .filter(F.col(out_a) < F.col(out_b))
+        .groupBy(out_a, out_b)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return KStreamRel(pairs, key_cols=(out_a, out_b))

@@ -478,6 +478,10 @@ def op_unpivot(ctx: Ctx, rel: Rel, *rest) -> Rel:
         cols = [cols]
     var = opts.get("var", "metric")
     val = opts.get("value", "value")
+    if var == val:
+        raise ArityError(
+            f'unpivot: "var" and "value" must differ, both are {var!r}'
+        )
     clash = set(ids) & {var, val}
     if clash:
         raise ArityError(f"unpivot output names collide with id columns: {clash}")
@@ -566,6 +570,11 @@ def op_collect_ordered(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
         )
     out_name = opts.get("as", "seq")
     limit = opts.get("limit")
+    if limit is not None and int(limit) < 1:
+        raise ArityError(
+            f"collect-ordered limit must be >= 1, got {limit!r} "
+            "(omit it to keep whole groups)"
+        )
     st = F.struct(
         *[to_col(o).alias(f"__o{i}") for i, o in enumerate(order)],
         to_col(col).alias("__v"),
@@ -609,6 +618,8 @@ def op_rolling(ctx: Ctx, rel: Rel, *rest) -> Rel:
     aggs = opts.get("aggs")
     if not by or not time_c or rng is None or not aggs:
         raise ArityError("rolling needs {'by', 'time', 'range', 'aggs'}")
+    if int(rng) < 0:
+        raise ArityError(f"rolling range must be >= 0 seconds, got {rng!r}")
     if rel.df.isStreaming:
         raise ArityError(
             "rolling is batch-only (RANGE frame over sorted history); "

@@ -1611,3 +1611,84 @@ def test_winnow_streaming_parity(spark, tables, tmp_path):
     got = {r["doc_id"]: sorted(r["fp"])
            for r in spark.sql("select * from winnow_stream").collect()}
     assert got == batch
+
+
+def test_winnow_pairs_matches_python_reference(spark, tables):
+    from collections import Counter
+    from itertools import combinations
+
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in pipe(
+        docs_stream(tables),
+        ["winnow-pairs", {"col": "text", "id": "doc_id", "k": 3,
+                          "window": 4, "min_shared": 2}],
+        spark=spark).df.collect()}
+    docs = {r["doc_id"]: r["text"]
+            for r in tables["documents"].select("doc_id", "text").collect()
+            if r["text"] is not None}
+    w = 4
+    fps = {}
+    for d, t in docs.items():
+        h = _py_shingle_hashes(t)
+        fps[d] = {min(h[j:j + w]) for j in range(max(len(h) - w + 1, 1))}
+    # default max_fp_docs=1000 > corpus size: no fingerprint dropped
+    expected = {}
+    for a, b in combinations(sorted(fps), 2):
+        n = len(fps[a] & fps[b])
+        if n >= 2:
+            expected[(a, b)] = n
+    assert got == expected
+    assert expected, "synthetic corpus must produce shared-fp pairs"
+
+
+def test_winnow_pairs_max_fp_docs_drops_boilerplate(spark):
+    # fingerprint shared by all 4 docs is boilerplate; with the cap at 2
+    # only the pair sharing a RARE fingerprint run survives
+    boiler = "common common common common common common"
+    rows = [
+        (1, boiler + " aa bb cc dd ee ff"),
+        (2, boiler + " aa bb cc dd ee gg"),
+        (3, boiler + " zz yy xx ww vv uu"),
+        (4, boiler + " q1 q2 q3 q4 q5 q6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lambda cap: {(r["doc_a"], r["doc_b"]) for r in pipe(
+        ["stream", df, {"key": "doc_id"}],
+        ["winnow-pairs", {"col": "text", "id": "doc_id",
+                          "max_fp_docs": cap}],
+        spark=spark).df.collect()}
+    uncapped = out(1000)
+    assert (1, 2) in uncapped and len(uncapped) == 6  # boilerplate links all
+    capped = out(2)
+    assert capped == {(1, 2)}  # only the shared rare "aa bb cc dd ee" run
+
+
+def test_winnow_pairs_errors(spark, tables, tmp_path):
+    from ksml_spark.errors import ArityError, TypeDispatchError
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    with pytest.raises(ArityError, match="2-element"):
+        pipe(docs_stream(tables), ["winnow-pairs", {"as": "ab"}], spark=spark)
+    with pytest.raises(ArityError, match="min_shared >= 1"):
+        pipe(docs_stream(tables), ["winnow-pairs", {"min_shared": 0}],
+             spark=spark)
+    p = str(tmp_path / "docs")
+    tables["documents"].write.parquet(p)
+    with pytest.raises(TypeDispatchError, match="batch-only"):
+        pipe(["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+             ["winnow-pairs", {}], spark=spark)
+
+
+def test_relational_opts_curated_errors(spark, tables):
+    from ksml_spark.errors import ArityError
+
+    ev = ["stream", tables["events"], {"key": "user_id", "time": "ts"}]
+    with pytest.raises(ArityError, match='"var" and "value" must differ'):
+        pipe(ev, ["unpivot", {"ids": ["user_id"], "cols": ["value"],
+                              "var": "m", "value": "m"}], spark=spark)
+    with pytest.raises(ArityError, match="limit must be >= 1"):
+        pipe(ev, ["collect-ordered", {"by": "user_id", "order": "ts",
+                                      "col": "event_type", "limit": 0}],
+             spark=spark)
+    with pytest.raises(ArityError, match="range must be >= 0"):
+        pipe(ev, ["rolling", {"by": "user_id", "time": "ts", "range": -5,
+                              "aggs": {"s": "sum(value)"}}], spark=spark)
