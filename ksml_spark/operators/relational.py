@@ -638,3 +638,59 @@ def op_rolling(ctx: Ctx, rel: Rel, *rest) -> Rel:
     for name, expr in aggs.items():
         df = df.withColumn(name, to_col(expr).over(w))
     return rel.with_df(df)
+
+
+def _set_op(op: str, left: Rel, right, rest, fn_all, fn_distinct):
+    right = _as_rel(right)
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    if left.df.isStreaming or right.df.isStreaming:
+        raise ArityError(
+            f"{op} is batch-only (Spark streaming has no set-operation "
+            "state); use join/anti-join forms on streams"
+        )
+    if set(left.df.columns) != set(right.df.columns):
+        raise ArityError(
+            f"{op}: relations must share a column set, got "
+            f"{left.df.columns} vs {right.df.columns}"
+        )
+    rdf = right.df.select(*left.df.columns)  # align order for positional op
+    df = (fn_all if opts.get("all") else fn_distinct)(left.df, rdf)
+    return left.with_df(df)
+
+
+@defop("intersect")
+def op_intersect(ctx: Ctx, left: Rel, right, *rest) -> Rel:
+    """Rows present in BOTH relations (DSL extension; the reference's
+    closest form is a stream-stream join on full records):
+
+        ["intersect", a, b]              set semantics (SQL INTERSECT)
+        ["intersect", a, b, {"all": 1}]  bag semantics (INTERSECT ALL)
+
+    Columns are matched by NAME (order-insensitive); both sides must
+    share a column set. One hash shuffle on all columns — the same cost
+    shape as distinct. Batch-only."""
+    left = _as_rel(left)
+    return _set_op(
+        "intersect", left, right, rest,
+        lambda a, b: a.intersectAll(b), lambda a, b: a.intersect(b),
+    )
+
+
+@defop("except")
+def op_except(ctx: Ctx, left: Rel, right, *rest) -> Rel:
+    """Rows of the first relation absent from the second (SQL EXCEPT):
+
+        ["except", a, b]              set semantics
+        ["except", a, b, {"all": 1}]  bag semantics (EXCEPT ALL)
+
+    Name-matched columns, shared column set required, one hash shuffle.
+    The whole-row complement of semi/anti-join (which compare by KEY).
+    Batch-only."""
+    left = _as_rel(left)
+    return _set_op(
+        "except", left, right, rest,
+        lambda a, b: a.exceptAll(b), lambda a, b: a.subtract(b),
+    )

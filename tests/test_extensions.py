@@ -1692,3 +1692,41 @@ def test_relational_opts_curated_errors(spark, tables):
     with pytest.raises(ArityError, match="range must be >= 0"):
         pipe(ev, ["rolling", {"by": "user_id", "time": "ts", "range": -5,
                               "aggs": {"s": "sum(value)"}}], spark=spark)
+
+
+def test_intersect_except_set_and_bag_semantics(spark):
+    a = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (3, "z")], "id long, v string")
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "y"), (9, "q")], "id long, v string")
+    sa, sb = ["stream", a, {}], ["stream", b, {}]
+    rows = lambda q: sorted(tuple(r) for r in q.df.collect())
+    assert rows(pipe(["intersect", sa, sb], spark=spark)) == [(1, "x"), (2, "y")]
+    # bag: min multiplicity — (1,x) once (b has 1), (2,y) once (a has 1)
+    assert rows(pipe(["intersect", sa, sb, {"all": 1}], spark=spark)) == [
+        (1, "x"), (2, "y")]
+    assert rows(pipe(["except", sa, sb], spark=spark)) == [(3, "z")]
+    # bag: multiplicity subtraction — one (1,x) survives
+    assert rows(pipe(["except", sa, sb, {"all": 1}], spark=spark)) == [
+        (1, "x"), (3, "z")]
+    # name-matched, order-insensitive columns
+    b_swapped = ["stream", b.select("v", "id"), {}]
+    assert rows(pipe(["intersect", sa, b_swapped], spark=spark)) == [
+        (1, "x"), (2, "y")]
+
+
+def test_intersect_except_errors(spark, tables, tmp_path):
+    from ksml_spark.errors import ArityError
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    a = spark.createDataFrame([(1, "x")], "id long, v string")
+    c = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ArityError, match="share a column set"):
+        pipe(["except", ["stream", a, {}], ["stream", c, {}]], spark=spark)
+    p = str(tmp_path / "docs")
+    tables["documents"].write.parquet(p)
+    with pytest.raises(ArityError, match="batch-only"):
+        pipe(["intersect",
+              ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+              ["stream", tables["documents"], {"key": "doc_id"}]],
+             spark=spark)

@@ -316,3 +316,50 @@ def test_mix_binding_group_kept_whole_and_subset(spark, weights, seed):
     if present:
         binding = min(present, key=lambda g: present[g] / weights[g])
         assert kept[binding] == present[binding]
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("ab cd ef gh ij kl mn op".split()),
+             min_size=1, max_size=30).map(" ".join),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=docs_strategy)
+def test_winnow_guarantee_property(spark, texts):
+    """For every pair of docs sharing a run of window+k-1 consecutive
+    tokens, winnow must emit at least one common fingerprint (the MOSS
+    detection guarantee); and every fingerprint must be the hash of an
+    actual k-shingle of its document."""
+    import hashlib as _h
+
+    k, w = 3, 4
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: set(r["fp"]) for r in pipe(
+        ["stream", df, {"key": "doc_id"}],
+        ["winnow", {"col": "text", "id": "doc_id", "k": k, "window": w}],
+        spark=spark).df.collect()}
+
+    def shingle_hashes(t):
+        toks = t.split(" ")
+        grams = [t] if len(toks) < k else [
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        return [int(_h.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+
+    hashes = {d: shingle_hashes(t) for d, t in enumerate(texts)}
+    for d, fps in got.items():
+        assert fps <= set(hashes[d]), "fingerprint not a real shingle hash"
+    run = w + k - 1
+    for a in range(len(texts)):
+        ta = texts[a].split(" ")
+        for b in range(a + 1, len(texts)):
+            tb = texts[b].split(" ")
+            shared_run = any(
+                " ".join(ta[i:i + run]) == " ".join(tb[j:j + run])
+                for i in range(len(ta) - run + 1)
+                for j in range(len(tb) - run + 1)
+            )
+            if shared_run:
+                assert got[a] & got[b], (
+                    f"docs {a},{b} share a {run}-token run but no fingerprint")
