@@ -87,6 +87,13 @@ def op_dedup(ctx: Ctx, rel: Rel, *rest) -> Rel:
         return rel.with_df(rel.df.dropDuplicates(list(by)))
     if isinstance(order, str):
         order = [order]
+    if rel.df.isStreaming:
+        raise TypeDispatchError(
+            "dedup with {'order': ...} needs the full group history "
+            "(analytic window) and is batch-only; on streams use "
+            "{'within_watermark': true} for arbitrary-representative "
+            "dedup, or ['table', ...] for latest-per-key"
+        )
     from pyspark.sql import Window
 
     desc = opts.get("keep", "first") == "last"

@@ -1730,3 +1730,14 @@ def test_intersect_except_errors(spark, tables, tmp_path):
               ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
               ["stream", tables["documents"], {"key": "doc_id"}]],
              spark=spark)
+
+
+def test_dedup_ordered_streaming_refused(spark, tables, tmp_path):
+    from ksml_spark.errors import TypeDispatchError
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    p = str(tmp_path / "ev")
+    tables["events"].write.parquet(p)
+    with pytest.raises(TypeDispatchError, match="batch-only"):
+        pipe(["stream", file_stream_source(spark, p), {"key": "user_id"}],
+             ["dedup", {"by": ["user_id"], "order": ["ts"]}], spark=spark)
