@@ -469,6 +469,10 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
             'lsh-join {"as": ...} must be a 2-element list of output column '
             f"names like ['doc_a', 'doc_b'], got {out_as!r}"
         )
+    if out_as[0] == out_as[1]:
+        raise ArityError(
+            f'lsh-join {{"as": ...}} names must differ, both are {out_as[0]!r}'
+        )
     out_a, out_b = out_as
 
     def _long(df, id_col, text_col, out):
@@ -1531,6 +1535,11 @@ def op_winnow_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         raise ArityError(
             'winnow-pairs {"as": ...} must be a 2-element list of output '
             f"column names, got {out_as!r}"
+        )
+    if out_as[0] == out_as[1]:
+        raise ArityError(
+            f'winnow-pairs {{"as": ...}} names must differ, both are '
+            f"{out_as[0]!r}"
         )
     if k < 1 or w < 1 or min_shared < 1:
         raise ArityError(

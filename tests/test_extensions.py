@@ -1741,3 +1741,14 @@ def test_dedup_ordered_streaming_refused(spark, tables, tmp_path):
     with pytest.raises(TypeDispatchError, match="batch-only"):
         pipe(["stream", file_stream_source(spark, p), {"key": "user_id"}],
              ["dedup", {"by": ["user_id"], "order": ["ts"]}], spark=spark)
+
+
+def test_pair_op_as_names_must_differ(spark, tables):
+    from ksml_spark.errors import ArityError
+
+    with pytest.raises(ArityError, match="names must differ"):
+        pipe(docs_stream(tables),
+             ["winnow-pairs", {"as": ["d", "d"]}], spark=spark)
+    with pytest.raises(ArityError, match="names must differ"):
+        ksml(["lsh-join", docs_stream(tables), docs_stream(tables),
+              {"as": ["d", "d"]}], spark=spark)
