@@ -254,6 +254,39 @@ def _skew_bench(spark, sf_dir: str) -> dict:
     finally:
         corpus.unpersist()
 
+    # winnow-pairs boilerplate stress: 1/4 of docs (~5k) share a
+    # 16-token boilerplate run, so its winnow fingerprints are hot join
+    # keys with quadratic pair fan-out (~12.5M pairs per shared fp).
+    # max_fp_docs (the MOSS too-common rule) must drop them BEFORE the
+    # self-join; the pair of numbers is the measured proof.
+    boiler = " ".join(f"bp{i}" for i in range(16))
+    wcorpus = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(toks)),
+                    lambda j: F.concat(F.lit("tok"), F.pmod(
+                        F.xxhash64(F.col("id") * toks + j), F.lit(vocab))),
+                ), " "),
+            F.when(F.pmod(F.xxhash64(F.col("id") + 13), F.lit(4)) == 0,
+                   F.lit(" " + boiler)).otherwise(F.lit("")),
+        ).alias("text"),
+    ).persist()
+    wcorpus.count()
+    try:
+        for label, cap in (("winnow_pairs_uncapped", 0),
+                           ("winnow_pairs_capped", 1000)):
+            t0 = time.time()
+            r = pipe(["stream", wcorpus, {"key": "doc_id"}],
+                     ["winnow-pairs", {"col": "text", "id": "doc_id",
+                                       "min_shared": 1, "max_fp_docs": cap}],
+                     spark=spark)
+            r.df.write.mode("overwrite").format("noop").save()
+            out[label] = round(time.time() - t0, 2)
+    finally:
+        wcorpus.unpersist()
+
     # dup-clusters adversarial shapes (seconds, single pass): the giant
     # near-dup component cases that stress contraction rounds. The chain
     # (diameter = node count) is the killer — it pinned the r07 fix that

@@ -1565,14 +1565,18 @@ def op_winnow_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         ),
         lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
     )
-    postings = (
+    # pin the RAW postings: the md5 shingle chain is the expensive part
+    # and every consumer below (cap agg, cap join, both join sides)
+    # would otherwise re-evaluate it
+    postings = pin(
         spread(rel.df.filter(F.col(colc).isNotNull()))
         .select(F.col(idc), hashes.alias("__h"))
-        .select(F.col(idc), F.explode(F.array_distinct(windows)).alias("__fp"))
+        .select(F.col(idc), F.explode(F.array_distinct(windows)).alias("__fp")),
+        StorageLevel.DISK_ONLY,
     )
     if max_fp_docs:
-        # per-fp doc counts are one hash agg over the postings; only
-        # fingerprints under the cap flow into the quadratic join
+        # per-fp doc counts are one hash agg over the pinned postings;
+        # only fingerprints under the cap flow into the quadratic join
         keep = (
             postings.groupBy("__fp")
             .agg(F.count(F.lit(1)).alias("__nd"))
@@ -1580,7 +1584,6 @@ def op_winnow_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             .select("__fp")
         )
         postings = postings.join(keep, "__fp", "inner")
-    postings = pin(postings, StorageLevel.DISK_ONLY)
     a = postings.select(F.col(idc).alias(out_a), "__fp")
     b = postings.select(F.col(idc).alias(out_b), "__fp")
     pairs = (
