@@ -157,6 +157,29 @@ def _do_join(ctx: Ctx, left: Rel, right: Rel, how: str, rest) -> Rel:
 
     ldf, rdf, lmap, rmap = _disambiguate(left, right)
 
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    hint = opts.get("hint")
+    if hint is not None:
+        # physical-strategy hint on the RIGHT side — the 100 TB tuning
+        # knob when Catalyst's size estimates are wrong (a dimension
+        # table behind a filter it can't estimate, a pre-shuffled side
+        # where sort-merge's sort is wasted). Catalyst still validates
+        # applicability; an inapplicable hint is ignored, never wrong.
+        allowed = {
+            "broadcast": "broadcast",
+            "merge": "merge",
+            "shuffle_hash": "shuffle_hash",
+            "shuffle_replicate_nl": "shuffle_replicate_nl",
+        }
+        if hint not in allowed:
+            raise ArityError(
+                f"join hint must be one of {sorted(allowed)}, got {hint!r}"
+            )
+        rdf = rdf.hint(allowed[hint])
+
     if isinstance(right, GlobalKTableRel):
         # stream⋈global-table: key-extractor on the stream side, broadcast
         # right (eval_test.clj:428-431). No shuffle of the stream at all.

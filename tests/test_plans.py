@@ -417,3 +417,32 @@ def test_dup_spans_plan_hash_aggs_only(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "HashAggregate" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_join_hint_controls_physical_strategy(spark):
+    """{"hint": ...} on a join must reach the physical plan: broadcast
+    forces BroadcastHashJoin where sizes would pick sort-merge, and
+    shuffle_hash forces ShuffledHashJoin; bad hints get the curated
+    error."""
+    from ksml_spark.errors import ArityError
+
+    li_rel = ["stream", ["parquet", f"{SF}/lineitem.parquet"],
+              {"key": "l_orderkey"}]
+    ord_rel = ["stream", ["parquet", f"{SF}/orders.parquet"],
+               {"key": "o_orderkey"}]
+    # disable auto-broadcast so only the hint can produce a BHJ
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = pipe(["join", li_rel, ord_rel], spark=spark)
+        assert "SortMergeJoin" in plan(base.df, "simple")
+        hinted = pipe(["join", li_rel, ord_rel, {"hint": "broadcast"}],
+                      spark=spark)
+        assert "BroadcastHashJoin" in plan(hinted.df, "simple")
+        sh = pipe(["join", li_rel, ord_rel, {"hint": "shuffle_hash"}],
+                  spark=spark)
+        assert "ShuffledHashJoin" in plan(sh.df, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    with pytest.raises(ArityError, match="join hint must be one of"):
+        pipe(["join", li_rel, ord_rel, {"hint": "nested_loop"}], spark=spark)
