@@ -271,9 +271,12 @@ def op_anti_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
 
 @defop("asof-join")
 def op_asof_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
-    """["asof-join", l, r, {"order": right-tiebreak-cols}] — for each left
-    record, the most recent right record with r.time <= l.time on the same
-    key (left-join semantics: right columns null when no prior record).
+    """["asof-join", l, r, {"order": right-tiebreak-cols,
+    "tolerance": seconds?}] — for each left record, the most recent right
+    record with r.time <= l.time on the same key (left-join semantics:
+    right columns null when no prior record). With "tolerance", matches
+    older than that many seconds are nulled atomically (the merge_asof
+    staleness bound — a quote from last week should not fill a trade).
 
     Not in the reference (its nearest analog is the stream⋈KTable lookup,
     SURVEY.md §2.3 note); this is the temporal-join extension a telemetry /
@@ -319,15 +322,27 @@ def op_asof_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     # ignorenulls) then picks the matched right row atomically. Filling
     # each column independently would back-fill a genuinely-NULL field of
     # the matched row from an older right row — a row that never existed.
-    rstruct_type = StructType([StructField(n, rschema[n]) for n in out_rvals])
+    tolerance = opts.get("tolerance")
+    if tolerance is not None and float(tolerance) < 0:
+        raise ArityError(f"asof-join tolerance must be >= 0 seconds, got {tolerance!r}")
+    # with a tolerance the matched right row's TIME must travel in the
+    # struct too, so the staleness check inspects the actual match
+    struct_fields = list(out_rvals) + (["__rt"] if tolerance is not None else [])
+    rstruct_type = StructType(
+        [StructField(n, rschema.get(n, rschema[lt]) if n != "__rt" else rschema[lt])
+         for n in struct_fields]
+    )
     l_tagged = left.df.select(
         *lk, F.col(lt), F.lit(1).alias("__side"), *lvals,
         F.lit(None).cast(rstruct_type).alias("__rvals"),
     )
+    r_struct_cols = [F.col(n) for n in out_rvals] + (
+        [F.col(lt).alias("__rt")] if tolerance is not None else []
+    )
     r_tagged = rdf.select(
         *lk, F.col(lt), F.lit(0).alias("__side"),
         *[F.lit(None).cast(lschema[c]).alias(c) for c in lvals],
-        F.struct(*[F.col(n) for n in out_rvals]).alias("__rvals"),
+        F.struct(*r_struct_cols).alias("__rvals"),
     )
     u = l_tagged.unionByName(r_tagged)
 
@@ -346,9 +361,21 @@ def op_asof_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         *lk, F.col(lt), F.col("__side"), *lvals,
         F.last("__rvals", ignorenulls=True).over(w).alias("__rvals"),
     )
+    if tolerance is not None:
+        # the match expires when the left record is more than `tolerance`
+        # seconds after it — null ALL right columns together (the struct
+        # is atomic, so a stale match can't leak single fields)
+        fresh = (
+            F.col(lt).cast("double")
+            - F.col("__rvals")["__rt"].cast("double")
+        ) <= float(tolerance)
+        rpick = [
+            F.when(fresh, F.col("__rvals")[n]).alias(n) for n in out_rvals
+        ]
+    else:
+        rpick = [F.col("__rvals")[n].alias(n) for n in out_rvals]
     out = filled.filter(F.col("__side") == 1).select(
-        *lk, F.col(lt), *lvals,
-        *[F.col("__rvals")[n].alias(n) for n in out_rvals],
+        *lk, F.col(lt), *lvals, *rpick,
     )
     return KStreamRel(out, key_cols=lk, time_col=lt)
 

@@ -153,3 +153,38 @@ def test_asof_join_null_column_not_backfilled(spark):
     row = out.df.collect()[0]
     assert row["rid"] == 2          # matched the latest right row...
     assert row["code"] is None      # ...and took its NULL, not old-code
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """{"tolerance": s} must null ALL right columns when the matched
+    right row is older than the bound — atomically, and without
+    falling back to an even older row."""
+    import pytest
+
+    from ksml_spark import ksml
+    from ksml_spark.errors import ArityError
+
+    left = spark.createDataFrame(
+        [("u", 1, dt.datetime(2024, 1, 1, 0, 0, 10)),   # 5s after rid=2: fresh
+         ("u", 2, dt.datetime(2024, 1, 1, 0, 2, 0)),    # 115s after: stale
+         ("v", 3, dt.datetime(2024, 1, 1, 0, 0, 30))],  # no right rows at all
+        "key string, lid long, event_time timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", "a", 1, dt.datetime(2024, 1, 1, 0, 0, 1)),
+         ("u", "b", 2, dt.datetime(2024, 1, 1, 0, 0, 5))],
+        "key string, code string, rid long, event_time timestamp",
+    )
+    l = ksml(["stream", left, {"key": "key", "time": "event_time"}], spark=spark)
+    r = ksml(["stream", right, {"key": "key", "time": "event_time"}], spark=spark)
+    rows = {r_["lid"]: (r_["code"], r_["rid"]) for r_ in ksml(
+        ["asof-join", l, r, {"tolerance": 30}], spark=spark).df.collect()}
+    assert rows[1] == ("b", 2)        # within 30s: matched normally
+    assert rows[2] == (None, None)    # stale: nulled, NOT re-matched to "a"
+    assert rows[3] == (None, None)    # never matched
+    # no tolerance: the stale match comes back
+    rows2 = {r_["lid"]: r_["rid"] for r_ in ksml(
+        ["asof-join", l, r], spark=spark).df.collect()}
+    assert rows2[2] == 2
+    with pytest.raises(ArityError, match="tolerance must be >= 0"):
+        ksml(["asof-join", l, r, {"tolerance": -1}], spark=spark)
