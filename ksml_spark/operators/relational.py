@@ -117,6 +117,12 @@ def op_over(ctx: Ctx, rel: Rel, cols: dict, *rest) -> Rel:
         ["over", rel, {"rnk": "row_number()", "prev": "lag(value, 1)"},
                  {"partition": ["k"], "order": ["ts", "-value"]}]
 
+    Optional explicit frame (trailing averages, running windows):
+    {"rows": [-9, 0]} = ROWS BETWEEN 9 PRECEDING AND CURRENT ROW;
+    {"range": [-3600, 0]} = RANGE over the (numeric) order expression.
+    null in either slot = UNBOUNDED on that side. Frames apply to the
+    aggregate columns; rank/lag/lead ignore them (Spark semantics).
+
     One shuffle on the partition keys + per-partition sort — at scale,
     partition on high-cardinality keys (a global order-by without
     "partition" is a single-reducer antipattern and is refused)."""
@@ -141,6 +147,21 @@ def op_over(ctx: Ctx, rel: Rel, cols: dict, *rest) -> Rel:
     w = Window.partitionBy(*[F.expr(p) for p in part])
     if oexprs:
         w = w.orderBy(*oexprs)
+    rows_f, range_f = opts.get("rows"), opts.get("range")
+    if rows_f is not None and range_f is not None:
+        raise ArityError('over takes "rows" OR "range", not both')
+    frame = rows_f if rows_f is not None else range_f
+    if frame is not None:
+        if not (isinstance(frame, (list, tuple)) and len(frame) == 2):
+            raise ArityError(
+                'over frame must be a 2-element [start, end] list '
+                "(null = unbounded on that side), got " + repr(frame)
+            )
+        if not oexprs:
+            raise ArityError("an over frame requires {'order': cols}")
+        lo = Window.unboundedPreceding if frame[0] is None else int(frame[0])
+        hi = Window.unboundedFollowing if frame[1] is None else int(frame[1])
+        w = w.rowsBetween(lo, hi) if rows_f is not None else w.rangeBetween(lo, hi)
     df = rel.df
     for name, expr in cols.items():
         df = df.withColumn(name, to_col(expr).over(w))

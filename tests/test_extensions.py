@@ -1752,3 +1752,36 @@ def test_pair_op_as_names_must_differ(spark, tables):
     with pytest.raises(ArityError, match="names must differ"):
         ksml(["lsh-join", docs_stream(tables), docs_stream(tables),
               {"as": ["d", "d"]}], spark=spark)
+
+
+def test_over_explicit_frames(spark):
+    from ksml_spark.errors import ArityError
+
+    df = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(1, 6)], "key string, ts long, v double")
+    rel = ["stream", df, {"key": "key"}]
+    # trailing-2-rows sum: [1, 3, 5, 7, 9] -> at i: v(i-1)+v(i)
+    out = {r["ts"]: r["s"] for r in pipe(
+        rel, ["over", {"s": "sum(v)"},
+              {"partition": ["key"], "order": ["ts"], "rows": [-1, 0]}],
+        spark=spark).df.collect()}
+    assert out == {1: 1.0, 2: 3.0, 3: 5.0, 4: 7.0, 5: 9.0}
+    # range frame over the numeric order expr: ts in [t-2, t]
+    out2 = {r["ts"]: r["s"] for r in pipe(
+        rel, ["over", {"s": "sum(v)"},
+              {"partition": ["key"], "order": ["ts"], "range": [-2, 0]}],
+        spark=spark).df.collect()}
+    assert out2 == {1: 1.0, 2: 3.0, 3: 6.0, 4: 9.0, 5: 12.0}
+    # null = unbounded: running sum from the start
+    out3 = {r["ts"]: r["s"] for r in pipe(
+        rel, ["over", {"s": "sum(v)"},
+              {"partition": ["key"], "order": ["ts"], "rows": [None, 0]}],
+        spark=spark).df.collect()}
+    assert out3 == {1: 1.0, 2: 3.0, 3: 6.0, 4: 10.0, 5: 15.0}
+    with pytest.raises(ArityError, match='"rows" OR "range"'):
+        pipe(rel, ["over", {"s": "sum(v)"},
+                   {"partition": ["key"], "order": ["ts"],
+                    "rows": [-1, 0], "range": [-1, 0]}], spark=spark)
+    with pytest.raises(ArityError, match="requires {'order'"):
+        pipe(rel, ["over", {"s": "sum(v)"},
+                   {"partition": ["key"], "rows": [-1, 0]}], spark=spark)
