@@ -615,3 +615,64 @@ def op_vec_pool(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
     )
     return KStreamRel(assembled, key_cols=tuple(by))
+
+
+@defop("vec-project")
+def op_vec_project(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Seeded signed random projection (Achlioptas/Johnson-Lindenstrauss):
+    project ``dim``-dimensional embeddings to ``k`` dimensions with a
+    deterministic ±1 sign matrix, scaled by 1/sqrt(k) so expected pairwise
+    distances are preserved:
+
+        ["vec-project", rel, {"col": "embedding", "dim": 64, "k": 16,
+                              "seed": 0, "as": "proj"}]
+        -> input + proj array<double> (NULL vector -> NULL).
+
+    The step BEFORE bucketed ANN / LSH when the raw dimension makes
+    signatures expensive — at 100 TB, projecting 1024-dim embeddings to
+    64 dims cuts every downstream shuffle 16x while keeping neighbor
+    structure (JL lemma). The sign matrix is derived from md5(seed:j:i)
+    at PLAN time and baked into the expression as literal +-, so the
+    projection is: pure per-row codegen chains (dot_col's unrolled
+    left-associated form — bit-reproducible, streaming-legal, no
+    Python), identical on every engine/session, and never shipped as
+    data. ``dim`` is required: the unrolled chain needs the input width
+    at plan time (the ann-topk convention)."""
+    import hashlib as _hashlib
+
+    from ..errors import ArityError
+
+    opts = _opts(rest)
+    colc = opts.get("col", "embedding")
+    out = opts.get("as", "proj")
+    dim = opts.get("dim")
+    k = opts.get("k")
+    seed = int(opts.get("seed", 0))
+    if not dim or not k:
+        raise ArityError(
+            "vec-project needs {'dim': input width, 'k': output width} "
+            "(the sign matrix and unrolled chains are built at plan time)"
+        )
+    dim, k = int(dim), int(k)
+    if k < 1 or dim < 1:
+        raise ArityError("vec-project needs dim >= 1 and k >= 1")
+    if out in rel.df.columns:
+        raise ArityError(
+            f"vec-project: output column {out!r} already exists on the "
+            'input; pass a different "as" name'
+        )
+
+    def _sign(j: int, i: int) -> float:
+        h = _hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) < 8 else -1.0
+
+    v = F.col(colc).cast("array<double>")
+    scale = 1.0 / (k ** 0.5)
+    comps = []
+    for j in range(k):
+        acc = v.getItem(0) * F.lit(_sign(j, 0))
+        for i in range(1, dim):
+            acc = acc + v.getItem(i) * F.lit(_sign(j, i))
+        comps.append(acc * F.lit(scale))
+    proj = F.when(v.isNotNull(), F.array(*comps))
+    return rel.with_df(rel.df.withColumn(out, proj))

@@ -1785,3 +1785,42 @@ def test_over_explicit_frames(spark):
     with pytest.raises(ArityError, match="requires {'order'"):
         pipe(rel, ["over", {"s": "sum(v)"},
                    {"partition": ["key"], "rows": [-1, 0]}], spark=spark)
+
+
+def test_vec_project_deterministic_parity_and_errors(spark, tables):
+    import hashlib as _h
+
+    from ksml_spark.errors import ArityError
+
+    dim, k, seed = 64, 8, 3
+    out = pipe(
+        ["stream", tables["embeddings"], {"key": "vec_id"}],
+        ["vec-project", {"col": "embedding", "dim": dim, "k": k,
+                         "seed": seed, "as": "proj"}],
+        spark=spark).df.select("vec_id", "embedding", "proj").collect()
+    assert out
+
+    def sign(j, i):
+        return 1.0 if int(_h.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) < 8 else -1.0
+
+    scale = 1.0 / (k ** 0.5)
+    for r in out[:50]:
+        v = [float(x) for x in r["embedding"]]
+        for j in range(k):
+            acc = v[0] * sign(j, 0)
+            for i in range(1, dim):
+                acc = acc + v[i] * sign(j, i)  # same sequential order
+            assert r["proj"][j] == acc * scale  # bit-exact
+    # distance preservation sanity (JL in expectation): projected
+    # self-dot of a unit-ish vector stays within a loose band
+    import math
+    r0 = out[0]
+    orig = math.sqrt(sum(x * x for x in r0["embedding"]))
+    proj = math.sqrt(sum(x * x for x in r0["proj"]))
+    assert 0.2 * orig < proj < 3.0 * orig
+    with pytest.raises(ArityError, match="needs .'dim'"):
+        pipe(["stream", tables["embeddings"], {"key": "vec_id"}],
+             ["vec-project", {"k": 4}], spark=spark)
+    with pytest.raises(ArityError, match="already exists"):
+        pipe(["stream", tables["embeddings"], {"key": "vec_id"}],
+             ["vec-project", {"dim": 64, "k": 4, "as": "label"}], spark=spark)
