@@ -1169,10 +1169,24 @@ def op_near_dedup(ctx: Ctx, rel: Rel, *rest) -> Rel:
     Composition of the gated building blocks — jaccard-pairs (inverted-
     index exact verification within blocks) -> dup-clusters (contraction
     connected components) -> left_anti join against the non-representative
-    ids (a set far smaller than the corpus, so Catalyst broadcasts it)."""
+    ids (a set far smaller than the corpus, so Catalyst broadcasts it).
+
+    ``{"method": "winnow"}`` swaps the pair stage for winnow-pairs
+    (substring-granularity: docs sharing >= min_shared winnowing
+    fingerprints cluster together even when whole-document Jaccard is
+    low — the copied-paragraph case); winnow-pairs' opts (k, window,
+    min_shared, max_fp_docs) pass through."""
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
-    pairs = op_jaccard_pairs(ctx, rel, opts)
+    method = opts.get("method", "jaccard")
+    if method == "winnow":
+        pairs = op_winnow_pairs(ctx, rel, opts)
+    elif method == "jaccard":
+        pairs = op_jaccard_pairs(ctx, rel, opts)
+    else:
+        raise ArityError(
+            f"near-dedup method must be 'jaccard' or 'winnow', got {method!r}"
+        )
     clusters = op_dup_clusters(
         ctx, pairs, {"a": "doc_a", "b": "doc_b", "as": idc,
                      "max_iter": opts.get("max_iter", 15)}

@@ -1824,3 +1824,28 @@ def test_vec_project_deterministic_parity_and_errors(spark, tables):
     with pytest.raises(ArityError, match="already exists"):
         pipe(["stream", tables["embeddings"], {"key": "vec_id"}],
              ["vec-project", {"dim": 64, "k": 4, "as": "label"}], spark=spark)
+
+
+def test_near_dedup_winnow_method_catches_copied_paragraph(spark):
+    from ksml_spark.errors import ArityError
+
+    para = " ".join(f"p{i}" for i in range(12))  # the copied paragraph
+    rows = [
+        (1, para + " " + " ".join(f"a{i}" for i in range(40))),
+        (2, para + " " + " ".join(f"b{i}" for i in range(40))),
+        (3, " ".join(f"c{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = ["stream", df, {"key": "doc_id"}]
+    # whole-document jaccard at 0.5: docs 1,2 share only ~12/92 tokens
+    jac = pipe(src, ["near-dedup", {"col": "text", "id": "doc_id",
+                                    "block": [], "threshold": 0.5}],
+               spark=spark).df
+    assert {r["doc_id"] for r in jac.collect()} == {1, 2, 3}
+    # winnow method: the shared 12-token run clusters 1,2 -> keep min id
+    win = pipe(src, ["near-dedup", {"col": "text", "id": "doc_id",
+                                    "method": "winnow", "min_shared": 2}],
+               spark=spark).df
+    assert {r["doc_id"] for r in win.collect()} == {1, 3}
+    with pytest.raises(ArityError, match="method must be"):
+        pipe(src, ["near-dedup", {"method": "simhash"}], spark=spark)
