@@ -275,7 +275,8 @@ def _sig_struct_udf(with_toks: bool, shingle_k: int = SHINGLE_K):
 
 
 def band_signatures(
-    df: DataFrame, idc: str, textc: str, impl: str = "auto"
+    df: DataFrame, idc: str, textc: str, impl: str = "auto",
+    keep: tuple = (),
 ) -> DataFrame:
     """(id, band_0..band_{B-1}) MinHash band buckets.
 
@@ -306,12 +307,18 @@ def band_signatures(
 
     if df.isStreaming:
         nn = df.filter(F.col(textc).isNotNull())
+        kc = [F.col(c) for c in keep]
         if impl == "expr":
             bands = band_signature_cols(textc)
-            return nn.select(F.col(idc), *[c.alias(n) for n, c in bands.items()])
+            return nn.select(
+                F.col(idc), *kc, *[c.alias(n) for n, c in bands.items()]
+            )
         sig = _sig_struct_udf(with_toks=False)
-        return nn.select(F.col(idc), sig(F.col(textc)).alias("__sig")).select(
+        return nn.select(
+            F.col(idc), *kc, sig(F.col(textc)).alias("__sig")
+        ).select(
             F.col(idc),
+            *kc,
             *[
                 F.element_at("__sig.bands", b + 1).alias(f"band_{b}")
                 for b in range(N_BANDS)
@@ -475,16 +482,42 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         )
     out_a, out_b = out_as
 
-    def _long(df, id_col, text_col, out):
-        sigs = band_signatures(df, id_col, text_col)
+    # bounded cross-batch pair dedup: by default the streaming pair
+    # dedup state (distinct / dropDuplicates below) grows with every
+    # pair ever emitted — correct, but unbounded on a continuous
+    # stream. {"dedup_within": "1 hour"} applies an event-time
+    # watermark on the left and uses dropDuplicatesWithinWatermark, so
+    # state is bounded by the delay window (re-emission of a pair after
+    # the window is the documented trade).
+    dedup_within = opts.get("dedup_within")
+    ltc = None
+    ldf = left.df
+    if dedup_within is not None:
+        if not left.df.isStreaming:
+            raise ArityError(
+                'lsh-join {"dedup_within": ...} bounds STREAMING dedup '
+                "state; batch inputs dedup exactly without it"
+            )
+        ltc = left.time_col
+        if not ltc:
+            raise TypeDispatchError(
+                'lsh-join {"dedup_within": ...} needs a time column on '
+                'the left stream (["stream", src, {"time": col}])'
+            )
+        ldf = left.df.withWatermark(ltc, str(dedup_within))
+    lkeep = (ltc,) if ltc else ()
+
+    def _long(df, id_col, text_col, out, keep=()):
+        sigs = band_signatures(df, id_col, text_col, keep=keep)
         return sigs.select(
             F.col(id_col).alias(out),
+            *[F.col(c) for c in keep],
             F.posexplode(
                 F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])
             ).alias("band", "bucket"),
         )
 
-    la = _long(left.df, idc, colc, out_a)
+    la = _long(ldf, idc, colc, out_a, keep=lkeep)
     rb = _long(right.df, ridc, rcolc, out_b)
     if left.df.isStreaming and not right.df.isStreaming:
         # stream-static: every micro-batch re-executes the static side's
@@ -498,10 +531,12 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         rb = pin(rb, StorageLevel.MEMORY_AND_DISK)
     if opts.get("broadcast"):
         rb = F.broadcast(rb)
+    cand_cols = [out_a, out_b] + ([ltc] if ltc else [])
+    pairs = la.join(rb, ["band", "bucket"], "inner").select(*cand_cols)
     pairs = (
-        la.join(rb, ["band", "bucket"], "inner")
-        .select(out_a, out_b)
-        .distinct()
+        pairs.dropDuplicatesWithinWatermark([out_a, out_b]).drop(ltc)
+        if ltc
+        else pairs.distinct()
     )
 
     verify = opts.get("verify")
@@ -524,6 +559,7 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
             )
 
         if left.df.isStreaming:
+            lk = [F.col(c) for c in lkeep]
             if opts.get("impl") == "expr":
                 bands = band_signature_cols(colc)
                 sigsel = [
@@ -532,8 +568,8 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
                         F.array(*[bands[f"band_{b}"] for b in range(N_BANDS)])
                     ).alias("band", "bucket"),
                 ]
-                base = left.df.filter(F.col(colc).isNotNull()).select(
-                    F.col(idc).alias(out_a), *sigsel
+                base = ldf.filter(F.col(colc).isNotNull()).select(
+                    F.col(idc).alias(out_a), *lk, *sigsel
                 )
             else:
                 # vectorized: ONE Arrow UDF eval per row yields bands AND
@@ -544,17 +580,18 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
                 # non-cheap Python UDF expression.
                 sig = _sig_struct_udf(with_toks=True)
                 base = (
-                    left.df.filter(F.col(colc).isNotNull())
-                    .select(F.col(idc).alias(out_a), sig(F.col(colc)).alias("__sig"))
+                    ldf.filter(F.col(colc).isNotNull())
+                    .select(F.col(idc).alias(out_a), *lk, sig(F.col(colc)).alias("__sig"))
                     .select(
                         out_a,
+                        *lk,
                         F.col("__sig.toks").alias("__ta"),
                         F.posexplode("__sig.bands").alias("band", "bucket"),
                     )
                 )
             cand = (
                 base.join(rb, ["band", "bucket"], "inner")
-                .select(out_a, "__ta", out_b)
+                .select(out_a, "__ta", out_b, *[F.col(c) for c in lkeep])
             )
         else:
             # spread: the per-shingle md5 token-set build is the heavy
@@ -578,11 +615,16 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
             rt = F.broadcast(rt)
         common = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
         jac = common / (F.size("__ta") + F.size("__tb") - common)
-        pairs = (
+        scored = (
             cand.join(rt, out_b)
-            .select(out_a, out_b, F.round(jac, 6).alias("jaccard"))
+            .select(out_a, out_b, F.round(jac, 6).alias("jaccard"),
+                    *[F.col(c) for c in lkeep])
             .filter(F.col("jaccard") >= thr)
-            .dropDuplicates([out_a, out_b])
+        )
+        pairs = (
+            scored.dropDuplicatesWithinWatermark([out_a, out_b]).drop(ltc)
+            if ltc
+            else scored.dropDuplicates([out_a, out_b])
         )
     return KStreamRel(pairs, key_cols=(out_a, out_b))
 

@@ -890,3 +890,60 @@ def test_sig_struct_udf_matches_expression_paths(spark, tables):
         assert bands == agg[did], did
         assert toks == toks_expr[did], did
     assert len(got) == 53
+
+
+def test_lsh_join_dedup_within_bounded_state(spark, tmp_path):
+    """{"dedup_within": d} bounds the streaming pair-dedup state with an
+    event-time watermark (dropDuplicatesWithinWatermark) — output over a
+    single availableNow pass must equal the unbounded-default answer,
+    for both the candidate and the verify form."""
+    import datetime as dt
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base, t0), (3, base + " phi", t0)],
+        "doc_id long, text string, ts timestamp")
+    right = _docs(spark, [(100, base)])
+    p = str(tmp_path / "lshw")
+    left.write.parquet(p)
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    for extra in ({}, {"verify": 0.5}):
+        src = file_stream_source(spark, p)
+        out = pipe(
+            ["lsh-join", ["stream", src, {"key": "doc_id", "time": "ts"}],
+             ["stream", right, {"key": "doc_id"}],
+             {"dedup_within": "1 hour", **extra}],
+            spark=spark).df
+        assert out.isStreaming and "ts" not in out.columns
+        name = "lshw_" + ("v" if extra else "c")
+        q = (out.writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination(60)
+        got = {(r["doc_a"], r["doc_b"])
+               for r in spark.sql(f"SELECT doc_a, doc_b FROM {name}").collect()}
+        exp = {(r["doc_a"], r["doc_b"]) for r in pipe(
+            ["lsh-join", ["stream", left, {"key": "doc_id"}],
+             ["stream", right, {"key": "doc_id"}], dict(extra)],
+            spark=spark).df.collect()}
+        assert got == exp and got
+
+
+def test_lsh_join_dedup_within_errors(spark, tmp_path):
+    from ksml_spark.errors import ArityError, TypeDispatchError
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    left = _docs(spark, [(1, "a b c d e")])
+    with pytest.raises(ArityError, match="STREAMING dedup"):
+        pipe(["lsh-join", ["stream", left, {"key": "doc_id"}],
+              ["stream", left, {"key": "doc_id"}],
+              {"dedup_within": "1 hour"}], spark=spark)
+    p = str(tmp_path / "lshe")
+    left.write.parquet(p)
+    with pytest.raises(TypeDispatchError, match="time column"):
+        pipe(["lsh-join",
+              ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+              ["stream", left, {"key": "doc_id"}],
+              {"dedup_within": "1 hour"}], spark=spark)
