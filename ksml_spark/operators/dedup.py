@@ -507,7 +507,38 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         ldf = left.df.withWatermark(ltc, str(dedup_within))
     lkeep = (ltc,) if ltc else ()
 
+    # {"method": "winnow"} swaps MinHash band buckets for robust-
+    # winnowing fingerprints as the join key: substring-granularity
+    # recall (a shared window+k-1 token run guarantees a shared
+    # bucket), same stream-static join shape. The verify pass is
+    # method-independent (exact shingle-set Jaccard on candidates).
+    method = opts.get("method", "minhash")
+    if method not in ("minhash", "winnow"):
+        raise ArityError(
+            f"lsh-join method must be 'minhash' or 'winnow', got {method!r}"
+        )
+    wk = int(opts.get("k", SHINGLE_K))
+    ww = int(opts.get("window", 4))
+
+    def _fp_long(df, id_col, text_col, out, keep=()):
+        from .util import spread
+
+        hashes, windows = _winnow_exprs(text_col, wk, ww)
+        nn = df.filter(F.col(text_col).isNotNull())
+        if not df.isStreaming:
+            nn = spread(nn)
+        return (
+            nn.select(F.col(id_col).alias(out), *[F.col(c) for c in keep],
+                      hashes.alias("__h"))
+            .select(out, *[F.col(c) for c in keep],
+                    F.explode_outer(F.array_distinct(windows)).alias("__fp"))
+            .select(out, *[F.col(c) for c in keep], F.lit(0).alias("band"),
+                    F.col("__fp").cast("string").alias("bucket"))
+        )
+
     def _long(df, id_col, text_col, out, keep=()):
+        if method == "winnow":
+            return _fp_long(df, id_col, text_col, out, keep=keep)
         sigs = band_signatures(df, id_col, text_col, keep=keep)
         return sigs.select(
             F.col(id_col).alias(out),
@@ -560,7 +591,19 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
 
         if left.df.isStreaming:
             lk = [F.col(c) for c in lkeep]
-            if opts.get("impl") == "expr":
+            if method == "winnow":
+                hashes, windows = _winnow_exprs(colc, wk, ww)
+                base = (
+                    ldf.filter(F.col(colc).isNotNull())
+                    .select(F.col(idc).alias(out_a), *lk,
+                            _tok_ids(colc).alias("__ta"), hashes.alias("__h"))
+                    .select(out_a, *lk, "__ta",
+                            F.explode_outer(F.array_distinct(windows))
+                            .alias("__fp"))
+                    .select(out_a, *lk, "__ta", F.lit(0).alias("band"),
+                            F.col("__fp").cast("string").alias("bucket"))
+                )
+            elif opts.get("impl") == "expr":
                 bands = band_signature_cols(colc)
                 sigsel = [
                     _tok_ids(colc).alias("__ta"),
@@ -1501,6 +1544,25 @@ def op_dup_spans(ctx: Ctx, rel: Rel, *rest) -> Rel:
     return rel.with_df(out)
 
 
+def _winnow_exprs(colc: str, k: int, w: int):
+    """(hashes, windows) Column pair for robust winnowing. ``windows``
+    references a materialized "__h" column — ALWAYS project ``hashes``
+    as __h in its own select first; inlining it re-expands the md5
+    chain per window (the documented winnow plan hazard)."""
+    from .util import md5_long_col
+
+    hashes = F.transform(
+        shingles_col(F.col(colc), k), lambda s: md5_long_col(s)
+    )
+    windows = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(F.col("__h")) - (w - 1), F.lit(1))
+        ),
+        lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+    )
+    return hashes, windows
+
+
 @defop("winnow")
 def op_winnow(ctx: Ctx, rel: Rel, *rest) -> Rel:
     """Robust-winnowing document fingerprints (Schleimer/Wilkerson/Aiken
@@ -1537,19 +1599,11 @@ def op_winnow(ctx: Ctx, rel: Rel, *rest) -> Rel:
             f"winnow: output column {out!r} already exists on the input; "
             'rename it upstream or pass a different "as" name'
         )
-    from .util import md5_long_col, spread
+    from .util import spread
 
-    hashes = F.transform(
-        shingles_col(F.col(colc), k), lambda s: md5_long_col(s)
-    )
+    hashes, windows = _winnow_exprs(colc, k, w)
     src = rel.df if rel.df.isStreaming else spread(rel.df)
     df = src.filter(F.col(colc).isNotNull()).withColumn("__h", hashes)
-    windows = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size(F.col("__h")) - (w - 1), F.lit(1))
-        ),
-        lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
-    )
     return rel.with_df(
         df.withColumn(out, F.array_distinct(windows)).drop("__h")
     )
@@ -1610,17 +1664,9 @@ def op_winnow_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     out_a, out_b = out_as
     from pyspark import StorageLevel
 
-    from .util import md5_long_col, pin, spread
+    from .util import pin, spread
 
-    hashes = F.transform(
-        shingles_col(F.col(colc), k), lambda s: md5_long_col(s)
-    )
-    windows = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size(F.col("__h")) - (w - 1), F.lit(1))
-        ),
-        lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
-    )
+    hashes, windows = _winnow_exprs(colc, k, w)
     # pin the RAW postings: the md5 shingle chain is the expensive part
     # and every consumer below (cap agg, cap join, both join sides)
     # would otherwise re-evaluate it

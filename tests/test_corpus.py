@@ -947,3 +947,51 @@ def test_lsh_join_dedup_within_errors(spark, tmp_path):
               ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
               ["stream", left, {"key": "doc_id"}],
               {"dedup_within": "1 hour"}], spark=spark)
+
+
+def test_lsh_join_winnow_method_batch_and_stream(spark, tmp_path):
+    """method=winnow joins on shared winnowing fingerprints: a copied
+    run of window+k-1 tokens guarantees a candidate even when MinHash
+    (whole-document) recall misses it; streaming left equals batch."""
+    para = " ".join(f"p{i}" for i in range(12))
+    left_rows = [
+        (1, para + " " + " ".join(f"a{i}" for i in range(60))),
+        (2, " ".join(f"b{i}" for i in range(60))),
+    ]
+    right = _docs(spark, [(100, para + " " +
+                           " ".join(f"r{i}" for i in range(60)))])
+    left = _docs(spark, left_rows)
+    spec = {"method": "winnow", "k": 3, "window": 4}
+    batch = {(r["doc_a"], r["doc_b"]) for r in pipe(
+        ["lsh-join", ["stream", left, {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], spec],
+        spark=spark).df.collect()}
+    assert batch == {(1, 100)}  # copied paragraph found, doc 2 clean
+    # minhash whole-doc bands miss it (12/72 shared tokens)
+    mh = {(r["doc_a"], r["doc_b"]) for r in pipe(
+        ["lsh-join", ["stream", left, {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {}],
+        spark=spark).df.collect()}
+    assert (1, 100) not in mh
+    # streaming parity (verify form too: exact Jaccard on candidates)
+    p = str(tmp_path / "wj")
+    left.write.parquet(p)
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    out = pipe(
+        ["lsh-join",
+         ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}],
+         {**spec, "verify": 0.05}],
+        spark=spark).df
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("winnow_join")
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(60)
+    srows = spark.sql("SELECT * FROM winnow_join").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in srows} == {(1, 100)}
+    assert all(r["jaccard"] > 0 for r in srows)
+    with pytest.raises(ArityError, match="method must be"):
+        pipe(["lsh-join", ["stream", left, {"key": "doc_id"}],
+              ["stream", right, {"key": "doc_id"}],
+              {"method": "simhash"}], spark=spark)
