@@ -363,3 +363,38 @@ def test_winnow_guarantee_property(spark, texts):
             if shared_run:
                 assert got[a] & got[b], (
                     f"docs {a},{b} share a {run}-token run but no fingerprint")
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=docs_strategy)
+def test_dup_spans_property(spark, texts):
+    """dup-spans invariants on random corpora: totals equal positional
+    shingle counts, dup_spans counts exactly the positions whose gram
+    occurs in >= 2 docs, and 0 <= dup_spans <= n_spans."""
+    import hashlib as _h
+    from collections import Counter
+
+    k = 3
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_spans"], r["dup_spans"]) for r in pipe(
+        ["stream", df, {"key": "doc_id"}],
+        ["dup-spans", {"col": "text", "id": "doc_id", "k": k}],
+        spark=spark).df.collect()}
+
+    def hashes(t):
+        toks = t.split(" ")
+        grams = [t] if len(toks) < k else [
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        return [int(_h.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+
+    per_doc = {d: Counter(hashes(t)) for d, t in enumerate(texts)}
+    gram_docs = Counter()
+    for c in per_doc.values():
+        for g in c:
+            gram_docs[g] += 1
+    assert set(got) == set(per_doc)
+    for d, c in per_doc.items():
+        n = sum(c.values())
+        dup = sum(cnt for g, cnt in c.items() if gram_docs[g] >= 2)
+        assert got[d] == (n, dup)
+        assert 0 <= dup <= n
