@@ -63,6 +63,19 @@ def main() -> None:
     ).df
     print(f"crawl: {new_docs.count()} docs in, {kept.count()} kept")
 
+    # substring-granularity variant: {"method": "winnow"} joins on
+    # robust-winnowing fingerprints instead of MinHash bands, so a
+    # crawl doc that merely COPIES A PARAGRAPH from the reference is
+    # flagged even when whole-document similarity is low
+    win = pipe(
+        ["lsh-join",
+         ["stream", new_docs, {"key": "doc_id"}],
+         ["stream", reference, {"key": "doc_id"}],
+         {"method": "winnow", "verify": 0.05}],
+        spark=spark,
+    ).df
+    print(f"winnow-method (copied-run) candidates: {win.count()}")
+
 
 if __name__ == "__main__":
     main()
