@@ -127,6 +127,119 @@ def lm_train_stats(df, col: str = "text", n: int = 2, max_entries: int = 100_000
     return {"n": n, "v": v, "gram": gram, "prefix": prefix}
 
 
+def _bigram_ps(w: Column) -> Column:
+    """Per-position (prefix-hash, suffix-hash) structs for bigrams —
+    the split identity Kneser-Ney continuation counts need (the full
+    bigram hash cannot be factored back into its sides)."""
+    return F.when(
+        F.coalesce(F.size(w), F.lit(0)) < 2,
+        F.array().cast("array<struct<p:bigint,s:bigint>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                md5_long_col(F.element_at(w, i)).alias("p"),
+                md5_long_col(F.element_at(w, i + 1)).alias("s"),
+            ),
+        )
+    )
+
+
+def _lm_score_kn(rel: Rel, tdf, tw: Column, idc: str, colc: str,
+                 discount: float, opts: dict) -> Rel:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    smoothing KenLM-class quality filters use — continuation counts
+    model HOW MANY contexts a word follows, not how often):
+
+        P(w|v) = max(c(vw) - D, 0)/c(v) + D·N1+(v·)/c(v) · Pcont(w)
+        Pcont(w) = (N1+(·w) + 1) / (B + V + 1)
+
+    with c(·) bigram/prefix-position occurrence counts, N1+(v·)/N1+(·w)
+    the distinct-continuation type counts, B = distinct bigram types,
+    V = training vocabulary size, D the absolute discount. The +1/+V+1
+    floor on Pcont is the documented OOV rule: textbook KN assigns an
+    unseen word probability zero (log -> -inf), useless for a filter
+    that must score out-of-domain junk HIGHER-perplexity, not crash on
+    it. An unseen PREFIX backs off to Pcont(w) entirely (lambda = 1).
+
+    Plan: the bigram TYPE relation (one explode + hash agg over split
+    (p, s) hashes) feeds every model table — per-type counts, both
+    continuation aggregates (a second agg over the type relation, so
+    type counting never rescans the corpus), and B; V is the unigram
+    distinct agg. Scored side pre-aggregates per (doc, p, s) before the
+    model joins, exactly like the add-k path; {"broadcast": true}
+    forces the vocab-sized model tables broadcast. All-expression, no
+    Python."""
+    D = discount
+    bt = (
+        spread(tdf)
+        .select(F.explode(_bigram_ps(tw)).alias("__b"))
+        .select(F.col("__b.p").alias("__p"), F.col("__b.s").alias("__s"))
+    )
+    # the type relation feeds FOUR consumers (prefix agg, continuation
+    # agg, B, the scored join) — always pin it: it is vocab-bounded
+    # (model-sized), while re-deriving it would rescan the training
+    # corpus per consumer
+    from ..operators.util import pin
+
+    types = pin(
+        bt.groupBy("__p", "__s").agg(F.count(F.lit(1)).alias("__cg")),
+        StorageLevel.DISK_ONLY,
+    )
+    # per-prefix: occurrence total c(v) AND distinct continuations
+    # N1+(v·) from ONE agg over the type relation
+    pref = types.groupBy("__p").agg(
+        F.sum("__cg").alias("__cp"), F.count(F.lit(1)).alias("__n1f")
+    )
+    cont = types.groupBy("__s").agg(F.count(F.lit(1)).alias("__n1b"))
+    consts = types.agg(F.count(F.lit(1)).alias("__B")).crossJoin(
+        spread(tdf)
+        .select(F.explode(_hashed(tw)).alias("__u"))
+        .agg(F.count_distinct("__u").alias("__v"))
+    )
+    if opts.get("broadcast"):
+        types = F.broadcast(types)
+        pref = F.broadcast(pref)
+        cont = F.broadcast(cont)
+
+    sw = words(F.col(colc))
+    occ = (
+        spread(rel.df)
+        .select(F.col(idc), F.explode(_bigram_ps(sw)).alias("__b"))
+        .select(idc, F.col("__b.p").alias("__p"), F.col("__b.s").alias("__s"))
+        .groupBy(idc, "__p", "__s")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    pcont = (F.coalesce(F.col("__n1b"), F.lit(0)) + 1) / (
+        F.col("__B") + F.col("__v") + 1
+    )
+    seen = F.col("__cp").isNotNull()
+    prob = F.when(
+        seen,
+        F.greatest(F.coalesce(F.col("__cg"), F.lit(0)) - F.lit(D), F.lit(0.0))
+        / F.col("__cp")
+        + F.lit(D) * F.col("__n1f") / F.col("__cp") * pcont,
+    ).otherwise(pcont)
+    per_doc = (
+        occ.join(types, ["__p", "__s"], "left")
+        .join(pref, "__p", "left")
+        .join(cont, "__s", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(idc)
+        .agg(
+            F.sum("__tf").cast("long").alias("n_scored"),
+            (-F.sum(F.col("__tf") * F.log(prob)) / F.sum("__tf")).alias("__nll"),
+        )
+    )
+    out = per_doc.select(
+        idc,
+        "n_scored",
+        F.round("__nll", 6).alias("nll"),
+        F.round(F.exp("__nll"), 6).alias("ppl"),
+    )
+    return rel.with_df(out, key_cols=(idc,), time_col=None)
+
+
 @defop("lm-score")
 def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
     """Per-document n-gram language-model score — the perplexity-based
@@ -189,6 +302,21 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
         raise ArityError("lm-score needs n >= 2 (unigram scoring has no prefix)")
     if k <= 0:
         raise ArityError("lm-score needs k > 0 (unsmoothed counts divide by zero)")
+    smoothing = opts.get("smoothing", "addk")
+    if smoothing not in ("addk", "kn"):
+        raise ArityError(
+            f"lm-score smoothing must be 'addk' or 'kn', got {smoothing!r}"
+        )
+    if smoothing == "kn" and n != 2:
+        raise ArityError(
+            "lm-score Kneser-Ney smoothing is implemented for n=2 "
+            "(bigram continuation counts); use addk for higher orders"
+        )
+    discount = float(opts.get("discount", 0.75))
+    if smoothing == "kn" and not (0.0 < discount < 1.0):
+        raise ArityError(
+            f"lm-score KN discount must be in (0, 1), got {discount!r}"
+        )
     idc = opts.get("id", "doc_id")
     colc = opts.get("col", "text")
     tcolc = opts.get("train_col", colc)
@@ -267,6 +395,10 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
             rel = rel.with_df(tdf)
 
     tw = words(F.col(tcolc))
+
+    if smoothing == "kn":
+        return _lm_score_kn(rel, tdf, tw, idc, colc, discount, opts)
+
     # training: (n-1)-gram occurrence counts (the conditional denominator)
     cp = (
         spread(tdf)

@@ -995,3 +995,86 @@ def test_lsh_join_winnow_method_batch_and_stream(spark, tmp_path):
         pipe(["lsh-join", ["stream", left, {"key": "doc_id"}],
               ["stream", right, {"key": "doc_id"}],
               {"method": "simhash"}], spark=spark)
+
+
+def test_lm_score_kneser_ney_matches_python_reference(spark):
+    """Interpolated bigram KN against an independent Python
+    implementation, covering: seen bigrams, unseen bigram with seen
+    prefix (discount mass), unseen prefix (full backoff to Pcont), and
+    OOV words (the +1/(B+V+1) continuation floor)."""
+    import math
+    from collections import Counter
+
+    train_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog"),
+    ]
+    score_rows = [
+        (10, "the cat sat"),          # all seen
+        (11, "the mat and the cat"),  # "mat and" unseen bigram, seen pfx
+        (12, "zebra quark the cat"),  # OOV words + unseen prefixes
+        (13, "x"),                    # < 2 tokens: excluded
+    ]
+    train = _docs(spark, train_rows)
+    score = _docs(spark, score_rows)
+    D = 0.75
+    got = {r["doc_id"]: (r["n_scored"], r["nll"], r["ppl"]) for r in pipe(
+        ["lm-score", ["stream", score, {"key": "doc_id"}],
+         ["stream", train, {"key": "doc_id"}],
+         {"col": "text", "id": "doc_id", "smoothing": "kn",
+          "discount": D, "broadcast": True}],
+        spark=spark).df.collect()}
+
+    def toks(t):
+        import re
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    bigrams = Counter()
+    vocab = set()
+    for _, t in train_rows:
+        ws = toks(t)
+        vocab.update(ws)
+        for i in range(len(ws) - 1):
+            bigrams[(ws[i], ws[i + 1])] += 1
+    cp = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (v, w), c in bigrams.items():
+        cp[v] += c
+        n1f[v] += 1
+        n1b[w] += 1
+    B, V = len(bigrams), len(vocab)
+
+    def pkn(v, w):
+        pcont = (n1b.get(w, 0) + 1) / (B + V + 1)
+        if cp.get(v, 0) == 0:
+            return pcont
+        c = bigrams.get((v, w), 0)
+        return max(c - D, 0) / cp[v] + D * n1f[v] / cp[v] * pcont
+
+    assert 13 not in got
+    for did, text in score_rows:
+        ws = toks(text)
+        if len(ws) < 2:
+            continue
+        lps = [math.log(pkn(ws[i], ws[i + 1])) for i in range(len(ws) - 1)]
+        nll = -sum(lps) / len(lps)
+        n_scored, got_nll, got_ppl = got[did]
+        assert n_scored == len(lps)
+        assert abs(got_nll - round(nll, 6)) < 2e-6, (did, got_nll, nll)
+        assert abs(got_ppl - round(math.exp(nll), 6)) < 2e-5
+    # junk must look worse than fluent in-domain text
+    assert got[12][2] > got[10][2]
+
+
+def test_lm_score_kn_option_errors(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    src = ["stream", docs, {"key": "doc_id"}]
+    with pytest.raises(ArityError, match="smoothing must be"):
+        pipe(src, ["lm-score", {"smoothing": "katz"}], spark=spark)
+    with pytest.raises(ArityError, match="implemented for n=2"):
+        pipe(src, ["lm-score", {"smoothing": "kn", "n": 3}], spark=spark)
+    with pytest.raises(ArityError, match="discount must be in"):
+        pipe(src, ["lm-score", {"smoothing": "kn", "discount": 1.5}],
+             spark=spark)
