@@ -87,6 +87,10 @@ def op_to(ctx: Ctx, rel: Rel, *rest) -> SinkResult:
         return SinkResult(rel, name)
     if df.isStreaming:
         w = df.writeStream.format(fmt)
+        if fmt == "csv":
+            # the csv SOURCE reads header=true; a headerless write
+            # would silently eat the first data row on round-trip
+            w = w.option("header", "true")
         if fmt == "memory":
             w = w.queryName(opts.get("name", rel.name or "ksml_sink"))
         if "checkpoint" in opts:
@@ -110,7 +114,11 @@ def op_to(ctx: Ctx, rel: Rel, *rest) -> SinkResult:
     path = opts.get("path")
     if not path:
         raise ArityError("batch file sink needs {'path': ...}")
-    df.write.mode(opts.get("mode", "overwrite")).format(fmt).save(path)
+    writer = df.write.mode(opts.get("mode", "overwrite")).format(fmt)
+    if fmt == "csv":
+        # match the csv source's header=true contract (round-trip safe)
+        writer = writer.option("header", "true")
+    writer.save(path)
     return SinkResult(rel, path)
 
 

@@ -9,7 +9,7 @@ Spark-first mapping (SURVEY.md §2.1): a source operand may be
 
 * a DataFrame (batch or streaming) — used as-is;
 * an existing Rel — re-wrapped (e.g. table-ify a stream);
-* ``["parquet"|"csv"|"json", path]`` — batch file scan (Catalyst pushes
+* ``["parquet"|"csv"|"json"|"orc"|"text", path]`` — batch file scan (Catalyst pushes
   filters/prunes columns into the scan);
 * ``["table-ref", name]`` — ``spark.table`` (catalog / temp view);
 * ``["kafka", {options}]`` — Kafka scan (batch ``spark.read`` or streaming
@@ -72,7 +72,7 @@ def _load_source(ctx: Ctx, src: Any, opts: dict) -> DataFrame:
         return src.df
     if isinstance(src, (list, tuple)) and src and isinstance(src[0], str):
         kind = src[0].lstrip(":").lower()
-        if kind in ("parquet", "csv", "json"):
+        if kind in ("parquet", "csv", "json", "orc", "text"):
             _record(ctx, type=kind, path=src[1], streaming=bool(opts.get("stream")))
             if kind == "parquet" and not opts.get("stream"):
                 from ..sources.files import read_parquet

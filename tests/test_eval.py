@@ -118,3 +118,26 @@ def test_lru_map_refuses_with_honest_mapping(spark):
                 spark=spark)
     assert spec.kind == "lru" and spec.name == "my-store"
     assert spec.persistent is False
+
+
+def test_orc_text_json_csv_source_sink_roundtrip(spark, tmp_path):
+    """Every file format the source table accepts round-trips through
+    the generic ["to", {"format": ...}] sink."""
+    from ksml_spark import ksml, pipe
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id long, name string")
+    exp = {(1, "alpha"), (2, "beta")}
+    for fmt in ("orc", "json", "csv", "parquet"):
+        path = str(tmp_path / fmt)
+        pipe(["stream", df, {}],
+             ["to", {"format": fmt, "path": path}], spark=spark)
+        back = ksml(["stream", [fmt, path], {}], spark=spark)
+        got = {(int(r["id"]), r["name"]) for r in back.df.collect()}
+        assert got == exp, fmt
+    # text: one string column per line
+    tpath = str(tmp_path / "text")
+    df.selectExpr("concat(id, ' ', name) as value").write.text(tpath)
+    lines = {r["value"] for r in
+             ksml(["stream", ["text", tpath], {}], spark=spark).df.collect()}
+    assert lines == {"1 alpha", "2 beta"}
