@@ -715,3 +715,35 @@ def op_except(ctx: Ctx, left: Rel, right, *rest) -> Rel:
         "except", left, right, rest,
         lambda a, b: a.exceptAll(b), lambda a, b: a.subtract(b),
     )
+
+
+@defop("persist")
+def op_persist(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Pin the relation for reuse across several downstream queries
+    (interactive sessions, iterative pipelines):
+
+        ["persist", rel]                      # DISK_ONLY (serving-safe)
+        ["persist", rel, {"storage": "memory"}]  # MEMORY_AND_DISK
+
+    Registered in the engine's BOUNDED pin registry (oldest evicted,
+    `ksml_spark.release_pinned()` frees all) — repeated persists in a
+    long-lived session cannot accumulate cache blocks, unlike raw
+    `df.persist()`. Streaming rels pass through unchanged (micro-batch
+    caching is the engine's job)."""
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    rel = _as_rel(rel)
+    if rel.df.isStreaming:
+        return rel
+    from pyspark import StorageLevel
+
+    from .util import pin
+
+    level = (
+        StorageLevel.MEMORY_AND_DISK
+        if opts.get("storage") == "memory"
+        else StorageLevel.DISK_ONLY
+    )
+    return rel.with_df(pin(rel.df, level))

@@ -1849,3 +1849,15 @@ def test_near_dedup_winnow_method_catches_copied_paragraph(spark):
     assert {r["doc_id"] for r in win.collect()} == {1, 3}
     with pytest.raises(ArityError, match="method must be"):
         pipe(src, ["near-dedup", {"method": "simhash"}], spark=spark)
+
+
+def test_persist_op_bounded_registry(spark, tables):
+    from ksml_spark import release_pinned
+    from ksml_spark.operators.util import _PINNED
+
+    release_pinned()
+    out = pipe(["stream", tables["nation"], {"key": "n_nationkey"}],
+               ["persist"], ["where", "n_regionkey = 0"], spark=spark)
+    assert out.df.count() > 0
+    assert len(_PINNED) == 1
+    assert release_pinned() == 1 and not _PINNED
