@@ -747,3 +747,60 @@ def op_persist(ctx: Ctx, rel: Rel, *rest) -> Rel:
         else StorageLevel.DISK_ONLY
     )
     return rel.with_df(pin(rel.df, level))
+
+
+@defop("freq-items")
+def op_freq_items(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
+    """Approximate heavy hitters per column (Karp/Papadimitriou/
+    Shenker streaming frequent-items — Spark's freqItems):
+
+        ["freq-items", rel, {"cols": ["event_type", "lang"],
+                             "support": 0.01}]
+        -> one row: <col>_freqItems array per requested column, every
+           value with frequency > support (false positives possible,
+           false negatives not — the sketch contract).
+
+    Single pass, constant memory per column (~1/support counters per
+    partition + one merge) — the 100 TB way to find dominant values /
+    skewed keys BEFORE running a groupBy that would discover them the
+    hard way. Batch-only (sketch merge is an unsupported streaming
+    aggregation)."""
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    rel = _as_rel(rel)
+    cols = opts.get("cols")
+    if not cols:
+        raise ArityError("freq-items needs {'cols': [...]}")
+    if isinstance(cols, str):
+        cols = [cols]
+    if rel.df.isStreaming:
+        raise ArityError("freq-items is batch-only (sketch merge agg)")
+    support = float(opts.get("support", 0.01))
+    if not (0.0 < support < 1.0):
+        raise ArityError(f"freq-items support must be in (0, 1), got {support!r}")
+    return KTableRel(rel.df.freqItems(list(cols), support), key_cols=())
+
+
+@defop("profile")
+def op_profile(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
+    """Numeric/string column profile — the one-call QA summary
+    (count, mean, stddev, min, approximate quartiles, max):
+
+        ["profile", rel, {"cols": ["l_quantity", "l_discount"]}]
+        -> (summary string, one column per profiled input column,
+            values as strings — Spark's summary() contract).
+
+    One pass; percentiles via the approximate quantile sketch, never a
+    sort. Batch-only."""
+    opts = {}
+    for r in rest:
+        if isinstance(r, dict):
+            opts.update(r)
+    rel = _as_rel(rel)
+    if rel.df.isStreaming:
+        raise ArityError("profile is batch-only (use expect/histogram on streams)")
+    cols = opts.get("cols")
+    df = rel.df.select(*cols) if cols else rel.df
+    return KTableRel(df.summary(), key_cols=("summary",))

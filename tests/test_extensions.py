@@ -1861,3 +1861,27 @@ def test_persist_op_bounded_registry(spark, tables):
     assert out.df.count() > 0
     assert len(_PINNED) == 1
     assert release_pinned() == 1 and not _PINNED
+
+
+def test_freq_items_and_profile(spark, tables):
+    from ksml_spark.errors import ArityError
+
+    ev = ["stream", tables["events"], {"key": "user_id"}]
+    row = pipe(ev, ["freq-items", {"cols": ["event_type"], "support": 0.05}],
+               spark=spark).df.collect()[0]
+    freq = set(row["event_type_freqItems"])
+    # every truly-dominant value must be present (no false negatives)
+    total = tables["events"].count()
+    counts = {r["event_type"]: r["n"] for r in
+              tables["events"].groupBy("event_type").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    for v, c in counts.items():
+        if c / total > 0.05:
+            assert v in freq
+    prof = {r["summary"]: r["value"] for r in pipe(
+        ev, ["profile", {"cols": ["value"]}], spark=spark).df.collect()}
+    assert prof["count"] == str(total)
+    assert abs(float(prof["mean"])) >= 0
+    with pytest.raises(ArityError, match="support must be in"):
+        pipe(ev, ["freq-items", {"cols": ["event_type"], "support": 2}],
+             spark=spark)
