@@ -1885,3 +1885,22 @@ def test_freq_items_and_profile(spark, tables):
     with pytest.raises(ArityError, match="support must be in"):
         pipe(ev, ["freq-items", {"cols": ["event_type"], "support": 2}],
              spark=spark)
+
+
+def test_pivot_unpivot_inverse_roundtrip(spark):
+    """unpivot(pivot(x)) recovers the original long-form cells — the
+    contract that catches naming/type drift between the two ops."""
+    rows = [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0), ("b", "z", 4.0)]
+    df = spark.createDataFrame(rows, "grp string, cat string, v double")
+    wide = pipe(
+        ["stream", df, {}],
+        ["pivot", {"group": "grp", "on": "cat", "values": ["x", "y", "z"],
+                   "aggs": {"v": "sum(v)"}}],
+        spark=spark)
+    back = pipe(
+        ["unpivot", wide, {"ids": ["grp"], "cols": ["x", "y", "z"],
+                           "var": "cat", "value": "v"}],
+        spark=spark).df
+    got = {(r["grp"], r["cat"]): r["v"] for r in back.collect()
+           if r["v"] is not None}
+    assert got == {(g, c): v for g, c, v in rows}
