@@ -1078,3 +1078,26 @@ def test_lm_score_kn_option_errors(spark):
     with pytest.raises(ArityError, match="discount must be in"):
         pipe(src, ["lm-score", {"smoothing": "kn", "discount": 1.5}],
              spark=spark)
+
+
+def test_chunk_reconstruction_invariant(spark):
+    """Concatenating each doc's chunks (dropping every later chunk's
+    ``overlap``-char prefix) must reproduce the original text exactly —
+    the invariant a RAG pipeline silently depends on."""
+    rows = [(1, "abcdefghijklmnopqrstuvwxyz0123456789"), (2, "short"),
+            (3, "x" * 17)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    size, overlap = 10, 3
+    out = pipe(
+        ["stream", df, {"key": "doc_id"}],
+        ["chunk", {"col": "text", "id": "doc_id",
+                   "size": size, "overlap": overlap}],
+        spark=spark).df.select("doc_id", "chunk_idx", "chunk").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    for did, text in rows:
+        chunks = [c for _, c in sorted(by_doc[did])]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == text, (did, chunks)
+        assert all(len(c) <= size for c in chunks)
