@@ -616,6 +616,12 @@ def op_dist_shift(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
            tokens driving the shift (what a pipeline operator actually
            reads).
 
+    ``{"metric": "js"}`` scores Jensen-Shannon contributions instead
+    (js_term = (p_a·ln(p_a/m) + p_b·ln(p_b/m))/2, m = (p_a+p_b)/2):
+    symmetric and bounded by ln 2 — comparable ACROSS corpus pairs
+    where KL's asymmetry and unboundedness mislead. Same plan, same
+    column name contract (the term column is named after the metric).
+
     Smoothing: p_x = (c_x + k) / (T_x + k·V) with V = |union vocab|,
     so tokens absent from one side stay finite — the standard add-k
     estimate on a shared support.
@@ -634,6 +640,11 @@ def op_dist_shift(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
     k = float(opts.get("k", 0.5))
     min_count = int(opts.get("min_count", 5))
     top = opts.get("top")
+    metric = opts.get("metric", "kl")
+    if metric not in ("kl", "js"):
+        raise ArityError(
+            f"dist-shift metric must be 'kl' or 'js', got {metric!r}"
+        )
     if k <= 0:
         raise ArityError("dist-shift needs k > 0 (unsmoothed zero counts)")
     _refuse_streaming(left, "dist-shift")
@@ -663,6 +674,13 @@ def op_dist_shift(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
     )
     p_a = (F.col("cnt_a") + F.lit(k)) / (F.col("__ta") + F.lit(k) * F.col("__v"))
     p_b = (F.col("cnt_b") + F.lit(k)) / (F.col("__tb") + F.lit(k) * F.col("__v"))
+    if metric == "js":
+        m = (p_a + p_b) / 2
+        term = (p_a * F.log(p_a / m) + p_b * F.log(p_b / m)) / 2
+        term_name = "js_term"
+    else:
+        term = p_a * F.log(p_a / p_b)
+        term_name = "kl_term"
     out = (
         joined.crossJoin(totals)
         .filter((F.col("cnt_a") >= min_count) | (F.col("cnt_b") >= min_count))
@@ -672,9 +690,9 @@ def op_dist_shift(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
             F.col("cnt_b").cast("long").alias("cnt_b"),
             F.round(p_a, 9).alias("p_a"),
             F.round(p_b, 9).alias("p_b"),
-            F.round(p_a * F.log(p_a / p_b), 9).alias("kl_term"),
+            F.round(term, 9).alias(term_name),
         )
-        .orderBy(F.col("kl_term").desc(), F.col("token").asc())
+        .orderBy(F.col(term_name).desc(), F.col("token").asc())
     )
     if top:
         out = out.limit(int(top))

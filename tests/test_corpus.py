@@ -1101,3 +1101,33 @@ def test_chunk_reconstruction_invariant(spark):
         rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
         assert rebuilt == text, (did, chunks)
         assert all(len(c) <= size for c in chunks)
+
+
+def test_dist_shift_js_metric(spark):
+    """JS mode: symmetric (A,B == B,A), bounded contributions, same
+    smoothing; python reference check on a tiny pair of corpora."""
+    import math
+
+    a = _docs(spark, [(1, "x x x y")])
+    b = _docs(spark, [(2, "x y y z")])
+    spec = {"col": "text", "min_count": 1, "k": 0.5, "metric": "js"}
+    ab = {r["token"]: r["js_term"] for r in pipe(
+        ["dist-shift", ["stream", a, {"key": "doc_id"}],
+         ["stream", b, {"key": "doc_id"}], spec], spark=spark).df.collect()}
+    ba = {r["token"]: r["js_term"] for r in pipe(
+        ["dist-shift", ["stream", b, {"key": "doc_id"}],
+         ["stream", a, {"key": "doc_id"}], spec], spark=spark).df.collect()}
+    assert ab == ba  # symmetric by construction
+    # reference: counts a={x:3,y:1,z:0}, b={x:1,y:2,z:1}, V=3, k=0.5
+    ca, cb, V, k, Ta, Tb = {"x": 3, "y": 1, "z": 0}, {"x": 1, "y": 2, "z": 1}, 3, 0.5, 4, 4
+    for t in ("x", "y", "z"):
+        pa = (ca[t] + k) / (Ta + k * V)
+        pb = (cb[t] + k) / (Tb + k * V)
+        m = (pa + pb) / 2
+        js = (pa * math.log(pa / m) + pb * math.log(pb / m)) / 2
+        assert abs(ab[t] - round(js, 9)) < 1e-9
+        assert 0 <= ab[t] <= math.log(2)
+    with pytest.raises(ArityError, match="metric must be"):
+        pipe(["dist-shift", ["stream", a, {"key": "doc_id"}],
+              ["stream", b, {"key": "doc_id"}], {"metric": "chi2"}],
+             spark=spark)
