@@ -329,7 +329,14 @@ def op_histogram(ctx: Ctx, rel: Rel, *rest) -> Rel:
     a min/max pre-pass and make edges drift with the data); the bin
     assignment is one codegen expression and the counts one hash
     aggregation with map-side partials. One shuffle of at most ``bins``
-    rows."""
+    rows.
+
+    ``{"scale": "log"}`` bins on log10(value) instead — equal-ratio
+    bins for long-tailed distributions (document lengths, token
+    counts), where linear bins put everything in bin 0. Requires
+    min > 0; values <= 0 clamp into bin 0 like any below-range value,
+    and the reported (lo, hi) edges are the back-transformed powers of
+    the bin boundaries."""
     rel = _as_rel(rel)
     opts: dict = {}
     for r in rest:
@@ -342,11 +349,23 @@ def op_histogram(ctx: Ctx, rel: Rel, *rest) -> Rel:
     lo, hi = float(opts["min"]), float(opts["max"])
     if not (hi > lo) or bins < 1:
         raise ArityError("histogram needs max > min and bins >= 1")
-    width = (hi - lo) / bins
+    scale = opts.get("scale", "linear")
+    if scale not in ("linear", "log"):
+        raise ArityError(f"histogram scale must be 'linear' or 'log', got {scale!r}")
     c = to_col(col)
+    if scale == "log":
+        import math
+
+        if lo <= 0:
+            raise ArityError("histogram {'scale': 'log'} needs min > 0")
+        llo, lhi = math.log10(lo), math.log10(hi)
+        width = (lhi - llo) / bins
+        binned = F.floor((F.log10(F.greatest(c, F.lit(lo))) - F.lit(llo)) / F.lit(width))
+    else:
+        llo, width = lo, (hi - lo) / bins
+        binned = F.floor((c - F.lit(lo)) / F.lit(width))
     bin_expr = F.least(
-        F.lit(bins - 1),
-        F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(width))),
+        F.lit(bins - 1), F.greatest(F.lit(0), binned)
     ).cast("long")
     keep = c.isNotNull()
     from pyspark.sql.types import DoubleType, FloatType
@@ -361,8 +380,17 @@ def op_histogram(ctx: Ctx, rel: Rel, *rest) -> Rel:
         .agg(F.count(F.lit(1)).alias("count"))
         .select(
             "bin",
-            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo"),
-            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            *(
+                [
+                    F.pow(F.lit(10.0), F.lit(llo) + F.col("bin") * F.lit(width)).alias("lo"),
+                    F.pow(F.lit(10.0), F.lit(llo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+                ]
+                if scale == "log"
+                else [
+                    (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo"),
+                    (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+                ]
+            ),
             "count",
         )
     )

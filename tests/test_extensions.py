@@ -1904,3 +1904,29 @@ def test_pivot_unpivot_inverse_roundtrip(spark):
     got = {(r["grp"], r["cat"]): r["v"] for r in back.collect()
            if r["v"] is not None}
     assert got == {(g, c): v for g, c, v in rows}
+
+
+def test_histogram_log_scale(spark):
+    import math
+
+    from ksml_spark.errors import ArityError
+
+    vals = [1.0, 5.0, 10.0, 50.0, 100.0, 500.0, 999.0, 0.5, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["bin"]: (r["lo"], r["hi"], r["count"]) for r in pipe(
+        ["stream", df, {}],
+        ["histogram", {"col": "v", "min": 1, "max": 1000, "bins": 3,
+                       "scale": "log"}],
+        spark=spark).df.collect()}
+    # decade bins: [1,10) [10,100) [100,1000); 0.5 clamps into bin 0
+    assert out[0][2] == 3 and out[1][2] == 2 and out[2][2] == 3
+    for b, (lo, hi, _) in out.items():
+        assert abs(lo - 10 ** b) < 1e-9 and abs(hi - 10 ** (b + 1)) < 1e-6
+    with pytest.raises(ArityError, match="needs min > 0"):
+        pipe(["stream", df, {}],
+             ["histogram", {"col": "v", "min": 0, "max": 10,
+                            "scale": "log"}], spark=spark)
+    with pytest.raises(ArityError, match="scale must be"):
+        pipe(["stream", df, {}],
+             ["histogram", {"col": "v", "min": 1, "max": 10,
+                            "scale": "sqrt"}], spark=spark)
