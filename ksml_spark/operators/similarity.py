@@ -637,7 +637,9 @@ def op_vec_project(ctx: Ctx, rel: Rel, *rest) -> Rel:
     left-associated form — bit-reproducible, streaming-legal, no
     Python), identical on every engine/session, and never shipped as
     data. ``dim`` is required: the unrolled chain needs the input width
-    at plan time (the ann-topk convention)."""
+    at plan time (the ann-topk convention); vectors SHORTER than dim
+    produce NULL projections (out-of-range getItem is NULL and the sum
+    propagates it) — filter or pad upstream, same as the ann ops."""
     import hashlib as _hashlib
 
     from ..errors import ArityError
