@@ -917,3 +917,134 @@ def op_sentence_split(ctx: Ctx, rel: Rel, *rest) -> Rel:
         .select(*other, (F.col("__pos") + 1).alias(idx), out)
     )
     return rel.with_df(ex)
+
+
+#: Gopher rule-6 stop words (Rae et al. 2021, Appendix A).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@defop("gopher-filter")
+def op_gopher_filter(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    Appendix A — the gate MassiveText and its descendants apply before
+    any model-based filtering), as one expression-only pass:
+
+        ["gopher-filter", rel, {"col": "text",
+                                "thresholds": {...overrides},
+                                "action": "annotate" | "filter"}]
+
+    Adds one boolean per rule plus ``gopher_pass`` (AND of all rules;
+    NULL text fails everything):
+
+        rule_word_count      min_words <= words <= max_words   (50, 100000)
+        rule_mean_word_len   min <= mean word length <= max    (3, 10)
+        rule_symbol_ratio    (# + ellipsis) / words <= max     (0.1)
+        rule_bullet_lines    lines starting with a bullet <= max (0.9)
+        rule_ellipsis_lines  lines ending with ellipsis <= max (0.3)
+        rule_alpha_words     words containing a letter >= min  (0.8)
+        rule_stopwords       distinct Gopher stop words >= min (2)
+
+    ``{"action": "filter"}`` drops failing rows instead of annotating.
+    Words are whitespace tokens (raw, not normalized — mean length and
+    symbol ratios are defined on the original surface form); stop-word
+    membership uses lowercased tokens. Pure per-row Column expressions:
+    streaming-legal, no shuffle, no Python.
+
+    Reference: no analog (§2.10 extension surface)."""
+    col, opts = _col_opts(rest)
+    t = {
+        "min_words": 50, "max_words": 100_000,
+        "min_mean_word_len": 3.0, "max_mean_word_len": 10.0,
+        "max_symbol_ratio": 0.1,
+        "max_bullet_ratio": 0.9, "max_ellipsis_ratio": 0.3,
+        "min_alpha_ratio": 0.8, "min_stopwords": 2,
+    }
+    overrides = opts.get("thresholds") or {}
+    unknown = set(overrides) - set(t)
+    if unknown:
+        raise ArityError(
+            f"gopher-filter: unknown thresholds {sorted(unknown)}; "
+            f"valid: {sorted(t)}"
+        )
+    t.update(overrides)
+    action = opts.get("action", "annotate")
+    if action not in ("annotate", "filter"):
+        raise ArityError(
+            f"gopher-filter action must be 'annotate' or 'filter', got {action!r}"
+        )
+
+    c = F.col(col)
+    toks = F.filter(F.split(c, r"\s+"), lambda x: x != "")
+    nw = F.size(toks)
+    sum_wlen = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wlen = F.when(nw > 0, sum_wlen.cast("double") / nw)
+    hashes = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    ellipses = F.floor(
+        (F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / 3
+    ) + (F.length(c) - F.length(F.regexp_replace(c, "…", "")))
+    symbol_ratio = F.when(nw > 0, (hashes + ellipses).cast("double") / nw)
+    lines = F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "")
+    nl = F.size(lines)
+    bullet_ratio = F.when(
+        nl > 0,
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))).cast("double") / nl,
+    )
+    ellipsis_ratio = F.when(
+        nl > 0,
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))).cast("double") / nl,
+    )
+    alpha_ratio = F.when(
+        nw > 0,
+        F.size(F.filter(toks, lambda x: x.rlike(r"[A-Za-z]"))).cast("double") / nw,
+    )
+    low = F.transform(toks, lambda x: F.lower(x))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(sw) for sw in GOPHER_STOPWORDS]),
+            lambda sw: F.array_contains(low, sw),
+        )
+    )
+
+    def _rule(cond):
+        return F.coalesce(cond, F.lit(False))
+
+    rules = {
+        "rule_word_count": _rule(
+            (nw >= int(t["min_words"])) & (nw <= int(t["max_words"]))
+        ),
+        "rule_mean_word_len": _rule(
+            (mean_wlen >= float(t["min_mean_word_len"]))
+            & (mean_wlen <= float(t["max_mean_word_len"]))
+        ),
+        "rule_symbol_ratio": _rule(symbol_ratio <= float(t["max_symbol_ratio"])),
+        "rule_bullet_lines": _rule(
+            F.coalesce(bullet_ratio, F.lit(0.0)) <= float(t["max_bullet_ratio"])
+        ),
+        "rule_ellipsis_lines": _rule(
+            F.coalesce(ellipsis_ratio, F.lit(0.0)) <= float(t["max_ellipsis_ratio"])
+        ),
+        "rule_alpha_words": _rule(alpha_ratio >= float(t["min_alpha_ratio"])),
+        "rule_stopwords": _rule(n_stop >= int(t["min_stopwords"])),
+    }
+    taken = set(rel.df.columns)
+    for name in list(rules) + ["gopher_pass"]:
+        if name in taken:
+            raise ArityError(
+                f"gopher-filter: output column {name!r} already exists on "
+                "the input; rename it upstream"
+            )
+    df = rel.df
+    for name, expr in rules.items():
+        df = df.withColumn(name, expr)
+    df = df.withColumn(
+        "gopher_pass",
+        F.aggregate(
+            F.array(*[F.col(n) for n in rules]), F.lit(True),
+            lambda acc, x: acc & x,
+        ),
+    )
+    if action == "filter":
+        df = df.filter(F.col("gopher_pass")).drop(*rules.keys(), "gopher_pass")
+    return rel.with_df(df)
