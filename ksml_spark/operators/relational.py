@@ -22,6 +22,7 @@ Catalyst-optimizable, zero Python in the row path.
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Union
 
 from pyspark.sql import functions as F
@@ -121,7 +122,11 @@ def op_over(ctx: Ctx, rel: Rel, cols: dict, *rest) -> Rel:
     {"rows": [-9, 0]} = ROWS BETWEEN 9 PRECEDING AND CURRENT ROW;
     {"range": [-3600, 0]} = RANGE over the (numeric) order expression.
     null in either slot = UNBOUNDED on that side. Frames apply to the
-    aggregate columns; rank/lag/lead ignore them (Spark semantics).
+    aggregate columns only; ranking/offset expressions (row_number,
+    rank, dense_rank, percent_rank, ntile, cume_dist, lag, lead) are
+    evaluated over a frameless spec on the same partition/order —
+    Spark REQUIRES their built-in frame, so mixing them with framed
+    aggregates in one call works instead of raising.
 
     One shuffle on the partition keys + per-partition sort — at scale,
     partition on high-cardinality keys (a global order-by without
@@ -147,6 +152,7 @@ def op_over(ctx: Ctx, rel: Rel, cols: dict, *rest) -> Rel:
     w = Window.partitionBy(*[F.expr(p) for p in part])
     if oexprs:
         w = w.orderBy(*oexprs)
+    w_plain = w  # frameless spec for ranking/offset functions
     rows_f, range_f = opts.get("rows"), opts.get("range")
     if rows_f is not None and range_f is not None:
         raise ArityError('over takes "rows" OR "range", not both')
@@ -162,9 +168,17 @@ def op_over(ctx: Ctx, rel: Rel, cols: dict, *rest) -> Rel:
         lo = Window.unboundedPreceding if frame[0] is None else int(frame[0])
         hi = Window.unboundedFollowing if frame[1] is None else int(frame[1])
         w = w.rowsBetween(lo, hi) if rows_f is not None else w.rangeBetween(lo, hi)
+    # ranking/offset functions carry a REQUIRED built-in frame; applying a
+    # user frame to them is an AnalysisException, so route them to the
+    # frameless spec (same partition/order) and only aggregates to `w`
+    _rank_fns = re.compile(
+        r"^\s*(row_number|rank|dense_rank|percent_rank|ntile|cume_dist"
+        r"|lag|lead)\s*\(", re.IGNORECASE,
+    )
     df = rel.df
     for name, expr in cols.items():
-        df = df.withColumn(name, to_col(expr).over(w))
+        spec = w_plain if isinstance(expr, str) and _rank_fns.match(expr) else w
+        df = df.withColumn(name, to_col(expr).over(spec))
     return rel.with_df(df)
 
 
@@ -806,8 +820,11 @@ def op_freq_items(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
     if rel.df.isStreaming:
         raise ArityError("freq-items is batch-only (sketch merge agg)")
     support = float(opts.get("support", 0.01))
-    if not (0.0 < support < 1.0):
-        raise ArityError(f"freq-items support must be in (0, 1), got {support!r}")
+    if not (1e-4 <= support < 1.0):
+        raise ArityError(
+            f"freq-items support must be in [1e-4, 1), got {support!r} "
+            "(Spark's sketch rejects supports below 1e-4)"
+        )
     return KTableRel(rel.df.freqItems(list(cols), support), key_cols=())
 
 
@@ -830,5 +847,7 @@ def op_profile(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
     if rel.df.isStreaming:
         raise ArityError("profile is batch-only (use expect/histogram on streams)")
     cols = opts.get("cols")
+    if isinstance(cols, str):
+        cols = [cols]
     df = rel.df.select(*cols) if cols else rel.df
     return KTableRel(df.summary(), key_cols=("summary",))

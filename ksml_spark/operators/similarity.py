@@ -638,8 +638,9 @@ def op_vec_project(ctx: Ctx, rel: Rel, *rest) -> Rel:
     Python), identical on every engine/session, and never shipped as
     data. ``dim`` is required: the unrolled chain needs the input width
     at plan time (the ann-topk convention); vectors SHORTER than dim
-    produce NULL projections (out-of-range getItem is NULL and the sum
-    propagates it) — filter or pad upstream, same as the ann ops."""
+    (and NULL vectors) produce a truly NULL projection column — a
+    downstream ``proj IS NOT NULL`` filter drops them, same as the
+    ann ops' convention."""
     import hashlib as _hashlib
 
     from ..errors import ArityError
@@ -676,5 +677,8 @@ def op_vec_project(ctx: Ctx, rel: Rel, *rest) -> Rel:
         for i in range(1, dim):
             acc = acc + v.getItem(i) * F.lit(_sign(j, i))
         comps.append(acc * F.lit(scale))
-    proj = F.when(v.isNotNull(), F.array(*comps))
+    # size guard: without it a short vector yields a non-NULL array of
+    # NULL elements (out-of-range getItem), which `proj IS NOT NULL`
+    # would NOT drop — make the whole column NULL as documented
+    proj = F.when(v.isNotNull() & (F.size(v) >= dim), F.array(*comps))
     return rel.with_df(rel.df.withColumn(out, proj))

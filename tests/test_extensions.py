@@ -1785,6 +1785,16 @@ def test_over_explicit_frames(spark):
     with pytest.raises(ArityError, match="requires {'order'"):
         pipe(rel, ["over", {"s": "sum(v)"},
                    {"partition": ["key"], "rows": [-1, 0]}], spark=spark)
+    # a ranking/offset column MIXED with a framed aggregate in one call:
+    # the frame must route to the aggregate only (ranking fns carry a
+    # required built-in frame and would raise under a user frame)
+    mixed = {r["ts"]: (r["s"], r["rn"], r["prev"]) for r in pipe(
+        rel, ["over", {"s": "sum(v)", "rn": "row_number()",
+                       "prev": "lag(v, 1)"},
+              {"partition": ["key"], "order": ["ts"], "rows": [-1, 0]}],
+        spark=spark).df.collect()}
+    assert mixed == {1: (1.0, 1, None), 2: (3.0, 2, 1.0), 3: (5.0, 3, 2.0),
+                     4: (7.0, 4, 3.0), 5: (9.0, 5, 4.0)}
 
 
 def test_vec_project_deterministic_parity_and_errors(spark, tables):
@@ -1824,6 +1834,17 @@ def test_vec_project_deterministic_parity_and_errors(spark, tables):
     with pytest.raises(ArityError, match="already exists"):
         pipe(["stream", tables["embeddings"], {"key": "vec_id"}],
              ["vec-project", {"dim": 64, "k": 4, "as": "label"}], spark=spark)
+    # short and NULL vectors -> a truly NULL projection COLUMN (droppable
+    # with proj IS NOT NULL), never an array of NULL elements
+    short = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["proj"] for r in pipe(
+        ["stream", short, {"key": "vec_id"}],
+        ["vec-project", {"col": "embedding", "dim": 4, "k": 2}],
+        spark=spark).df.collect()}
+    assert got[1] is None and got[2] is None
+    assert got[3] is not None and all(x is not None for x in got[3])
 
 
 def test_near_dedup_winnow_method_catches_copied_paragraph(spark):
@@ -1882,8 +1903,17 @@ def test_freq_items_and_profile(spark, tables):
         ev, ["profile", {"cols": ["value"]}], spark=spark).df.collect()}
     assert prof["count"] == str(total)
     assert abs(float(prof["mean"])) >= 0
+    # bare-string cols normalizes to a one-element list (not splatted
+    # character-by-character into select)
+    prof_s = pipe(ev, ["profile", {"cols": "value"}], spark=spark).df
+    assert prof_s.columns == ["summary", "value"]
     with pytest.raises(ArityError, match="support must be in"):
         pipe(ev, ["freq-items", {"cols": ["event_type"], "support": 2}],
+             spark=spark)
+    # below Spark's sketch minimum -> curated error, not a raw
+    # IllegalArgumentException from the JVM
+    with pytest.raises(ArityError, match="support must be in"):
+        pipe(ev, ["freq-items", {"cols": ["event_type"], "support": 1e-5}],
              spark=spark)
 
 
