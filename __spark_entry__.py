@@ -404,23 +404,6 @@ SELECT user_id, SUM(CAST(ROUND((value) * 100) AS BIGINT)) / cast(100 as double) 
 FROM events GROUP BY user_id"""
 
 
-def _q_agg_salted(spark, sf):
-    return pipe(
-        ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
-        ["group-by-key"],
-        ["agg-salted", {"n": "count(1)", "total": "sum(cast(round(value * 100) as bigint))"},
-         {"salt": 8}],
-        ["select", {"user_id": "user_id", "n": "n", "total": "total / cast(100 as double)"}],
-        spark=spark,
-    ).df
-
-
-_AGG_SALTED_ORACLE = """
-SELECT user_id, COUNT(1) AS n,
-       SUM(CAST(ROUND((value) * 100) AS BIGINT)) / cast(100 as double) AS total
-FROM events GROUP BY user_id"""
-
-
 def _q_aggregate(spark, sf):
     return pipe(
         ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
@@ -674,32 +657,44 @@ WHERE a.event_type = 'click' AND b.event_type = 'error'
 
 
 def _q_asof_join(spark, sf):
+    """Most recent error at most 30 min before each click (r08 re-pin
+    of asof_join_click_error to {"tolerance": 1800} — the bounded-
+    staleness asof; the unbounded default is the tolerance = ∞
+    degenerate case of the same plan and stays covered by tests)."""
     clicks = ksml(["where", ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
                    "event_type = 'click'"], spark=spark)
     errors = ksml(["where", ["stream", _t(sf, "events"), {"key": "user_id", "time": "ts"}],
                    "event_type = 'error'"], spark=spark)
     return pipe(
-        ["asof-join", clicks, errors, {"order": ["event_id"]}],
+        ["asof-join", clicks, errors, {"order": ["event_id"],
+                                       "tolerance": 1800}],
         ["select", {"user_id": "user_id", "click_id": "event_id",
                     "prior_error_id": "r_event_id"}],
         spark=spark,
     ).df
 
 
+# the matched error's ts travels in the struct with its id (the op's
+# atomic-staleness rule); epoch() is fractional seconds in both engines
 _ASOF_JOIN_ORACLE = """
 WITH u AS (
-  SELECT user_id, ts, 1 AS side, event_id, NULL::BIGINT AS r_event_id
+  SELECT user_id, ts, 1 AS side, event_id,
+         NULL::STRUCT(id BIGINT, et TIMESTAMP) AS rrec
   FROM events WHERE event_type = 'click'
   UNION ALL
-  SELECT user_id, ts, 0, NULL, event_id FROM events WHERE event_type = 'error'
+  SELECT user_id, ts, 0, NULL, {'id': event_id, 'et': ts}
+  FROM events WHERE event_type = 'error'
 ), w AS (
-  SELECT user_id, side, event_id,
-    last_value(r_event_id IGNORE NULLS) OVER (
-      PARTITION BY user_id ORDER BY ts ASC, side ASC, r_event_id ASC NULLS FIRST
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_error_id
+  SELECT user_id, side, event_id, ts,
+    last_value(rrec IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, side ASC, rrec.id ASC NULLS FIRST
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior
   FROM u
 )
-SELECT user_id, event_id AS click_id, prior_error_id FROM w WHERE side = 1"""
+SELECT user_id, event_id AS click_id,
+       CASE WHEN epoch(ts) - epoch(prior.et) <= 1800.0
+            THEN prior.id END AS prior_error_id
+FROM w WHERE side = 1"""
 
 
 def _q_window_rank(spark, sf):
@@ -825,42 +820,6 @@ SELECT n_name, COUNT(1) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
-
-
-def _q_q3(spark, sf):
-    """TPC-H Q3-style: 3-way join + filter + agg + top-N, fully composed
-    in the DSL (customer segment revenue by order)."""
-    cust = ksml(["where",
-                 ["table", _t(sf, "customer"), {"key": "c_custkey", "unique": True}],
-                 "c_mktsegment = 'BUILDING'"], spark=spark)
-    orders = ksml(["where",
-                   ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
-                   "o_orderdate < timestamp'1998-03-15 00:00:00'"], spark=spark)
-    lineitem = ksml(["where",
-                     ["stream", _t(sf, "lineitem"), {"key": "l_orderkey"}],
-                     "l_shipdate > timestamp'1998-03-15 00:00:00'"], spark=spark)
-    co = ksml(["join", orders, cust], spark=spark)
-    co = ksml(["select-key", co, ["key-value-mapper", {"o_orderkey": "o_orderkey"}]], spark=spark)
-    return pipe(
-        ["join", lineitem, co],
-        ["group-by", ["key-value-mapper", {"l_orderkey": "l_orderkey"}]],
-        ["agg", {"revenue": "sum(cast(round((l_extendedprice * (1 - l_discount)) * 1000000) as bigint)) / cast(1000000 as double)"}],
-        ["order-by", "-revenue", "l_orderkey"],
-        ["limit", 10],
-        spark=spark,
-    ).df
-
-
-_Q3_ORACLE = """
-SELECT l_orderkey,
-       SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / cast(1000000 as double) AS revenue
-FROM customer JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-GROUP BY l_orderkey
-ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
 
 def _q_json_props(spark, sf):
@@ -1132,8 +1091,6 @@ summed AS (SELECT doc_id, count(*) AS n, {s_cols} FROM halves GROUP BY doc_id),
 sims AS (SELECT doc_id, {terms} AS simhash FROM summed)"""
 
 
-_SIMHASH_ORACLE = _simhash_cte() + "\nSELECT doc_id, simhash FROM sims"
-
 # the banded equi-join is an optimization; by pigeonhole it finds EXACTLY
 # the hamming<=3 pairs, so the oracle brute-forces all pairs (fine at sf0.01)
 _SIMHASH_PAIRS_ORACLE = _simhash_cte() + """
@@ -1141,15 +1098,6 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
-
-
-def _q_simhash(spark, sf):
-    return pipe(
-        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
-        ["simhash", {"col": "text"}],
-        ["select", {"doc_id": "doc_id", "simhash": "simhash"}],
-        spark=spark,
-    ).df
 
 
 def _q_simhash_pairs(spark, sf):
@@ -1301,23 +1249,30 @@ WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
 def _q_histogram(spark, sf):
-    """Order-price distribution in 20 fixed bins of 30000 (exactly
-    representable doubles, so bin edges are bit-identical across
-    engines)."""
+    """Document-length distribution in equal-RATIO log10 bins (r08
+    re-pin of histogram_prices to {"scale": "log"} — the long-tail
+    binning; the linear branch differs only in the bin expression and
+    stays covered by tests). min=10/max=1000/bins=8 make llo=1 and
+    width=0.25 exact doubles; log10 of integer lengths is engine-exact
+    away from powers of 10 (where both engines are exact), and the
+    back-transformed pow(10, ...) edges — 1 ULP apart between Java and
+    DuckDB at e.g. 10^2.5 — are rounded to 6 in both."""
     return pipe(
-        ["stream", _t(sf, "orders"), {"key": "o_orderkey"}],
-        ["histogram", {"col": "o_totalprice", "bins": 20,
-                       "min": 0, "max": 600000}],
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["histogram", {"col": "n_chars", "bins": 8, "min": 10, "max": 1000,
+                       "scale": "log"}],
+        ["select", {"bin": "bin", "lo": "round(lo, 6)", "hi": "round(hi, 6)",
+                    "count": "count"}],
         spark=spark,
     ).df
 
 
 _HISTOGRAM_ORACLE = """
-SELECT bin, bin * CAST(30000 AS DOUBLE) AS lo,
-       (bin + 1) * CAST(30000 AS DOUBLE) AS hi,
-       count(*) AS count
-FROM (SELECT CAST(least(19, greatest(0, floor(o_totalprice / 30000.0))) AS BIGINT) AS bin
-      FROM orders WHERE o_totalprice IS NOT NULL)
+SELECT bin, round(pow(10.0, 1.0 + bin * 0.25), 6) AS lo,
+       round(pow(10.0, 1.0 + (bin + 1) * 0.25), 6) AS hi, count(*) AS count
+FROM (SELECT CAST(least(7, greatest(0,
+        floor((log10(greatest(n_chars, 10.0)) - 1.0) / 0.25))) AS BIGINT) AS bin
+      FROM documents WHERE n_chars IS NOT NULL)
 GROUP BY bin"""
 
 
@@ -1712,39 +1667,6 @@ SELECT doc_id,
 FROM documents"""
 
 
-def _q_jaccard_ngram(spark, sf):
-    """n-gram (3-word-shingle) Jaccard pairs — the word-order-sensitive
-    resemblance measure minhash approximates, verified exactly; same
-    inverted-index plan with shingle ids as the set elements."""
-    return pipe(
-        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
-        ["jaccard-pairs", {"col": "text", "id": "doc_id", "shingle": 3,
-                           "block": ["lang", "n_chars div 100"],
-                           "threshold": 0.5}],
-        spark=spark,
-    ).df
-
-
-_JACCARD_NGRAM_ORACLE = """
-WITH tok AS (SELECT doc_id, lang, n_chars // 100 AS nb,
-             string_split(text, ' ') AS t, text FROM documents),
-sh AS (SELECT doc_id, lang, nb,
-       CASE WHEN len(t) < 3 THEN [text]
-            ELSE [array_to_string(t[i:i+2], ' ')
-                  for i in generate_series(1, len(t) - 2)] END AS s
-       FROM tok),
-d AS (SELECT doc_id, lang, nb,
-      list_distinct(list_transform(s,
-        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS t FROM sh),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         len(list_intersect(a.t, b.t)) AS c, len(a.t) + len(b.t) AS n
-  FROM d a JOIN d b ON a.lang = b.lang AND a.nb = b.nb AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, round(c::DOUBLE / (n - c), 6) AS jaccard
-FROM pairs WHERE c::DOUBLE / (n - c) >= 0.5"""
-
-
 def _q_sessionize(spark, sf):
     """Per-event session labels (gap 1h) — the row-level complement of
     session-window aggregation; lag + running-sum windows, one shuffle
@@ -1906,33 +1828,47 @@ SELECT d.doc_id, d.source FROM documents d JOIN cuts USING (source)
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT < cut"""
 
 
-def _q_lm_score(spark, sf):
-    """Per-document bigram-LM perplexity (add-0.1 smoothing, self-
-    trained) — the KenLM-style fluency/quality filter, fully
-    relational: two model hash-aggs + a long-key model join."""
+def _q_lm_kn(spark, sf):
+    """Per-document bigram-LM perplexity under interpolated Kneser-Ney
+    (D=0.75), self-trained — the KenLM-class smoothing, fully
+    relational (r08 re-pin of lm_ppl_bigram: the add-k option keeps
+    oracle coverage through lm_ppl_frozen, so this slot now oracles
+    the KN continuation-count path)."""
     return pipe(
         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
-        ["lm-score", {"col": "text", "id": "doc_id", "n": 2, "k": 0.1}],
+        ["lm-score", {"col": "text", "id": "doc_id", "n": 2,
+                      "smoothing": "kn", "discount": 0.75}],
         spark=spark,
     ).df
 
 
-_LM_SCORE_ORACLE = f"""
+# replicates functions/corpus.py _lm_score_kn: P(w|v) = max(c(vw)-D,0)/c(v)
+# + D·N1+(v·)/c(v)·Pcont(w), Pcont = (N1+(·w)+1)/(B+V+1); training ==
+# scoring corpus, so every scored bigram joins its model rows
+_LM_KN_ORACLE = f"""
 WITH w AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
 d AS (SELECT doc_id, w, len(w) AS l FROM w),
 uni AS (SELECT unnest(w) AS u FROM d),
-cp AS (SELECT u, count(*) AS c FROM uni GROUP BY 1),
-vv AS (SELECT count(*) AS v FROM cp),
+vv AS (SELECT count(DISTINCT u) AS v FROM uni),
 g AS (SELECT doc_id,
-        unnest([{{'p': w[i], 'g': array_to_string(w[i:i+1], ' ')}}
+        unnest([{{'p': w[i], 's': w[i+1]}}
                 for i in generate_series(1, l - 1)]) AS s
       FROM d WHERE l >= 2),
-gg AS (SELECT s.g AS g, count(*) AS c FROM g GROUP BY 1),
-occ AS (SELECT doc_id, s.g AS g, s.p AS p, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+types AS (SELECT s.p AS p, s.s AS s, count(*) AS cg FROM g GROUP BY 1, 2),
+pref AS (SELECT p, sum(cg) AS cp, count(*) AS n1f FROM types GROUP BY 1),
+cont AS (SELECT s, count(*) AS n1b FROM types GROUP BY 1),
+bb AS (SELECT count(*) AS b FROM types),
+occ AS (SELECT doc_id, s.p AS p, s.s AS s, count(*) AS tf FROM g GROUP BY 1, 2, 3),
 sc AS (SELECT occ.doc_id,
-         sum(occ.tf * ln((coalesce(gg.c, 0) + 0.1) / (coalesce(cp.c, 0) + 0.1 * vv.v))) AS lp,
+         sum(occ.tf * ln(
+           greatest(coalesce(t.cg, 0) - 0.75, 0) / pr.cp
+           + 0.75 * pr.n1f / pr.cp
+             * ((coalesce(c.n1b, 0) + 1) / (bb.b + vv.v + 1)))) AS lp,
          sum(occ.tf) AS np
-       FROM occ LEFT JOIN gg USING (g) LEFT JOIN cp ON occ.p = cp.u CROSS JOIN vv
+       FROM occ LEFT JOIN types t ON occ.p = t.p AND occ.s = t.s
+       LEFT JOIN pref pr ON occ.p = pr.p
+       LEFT JOIN cont c ON occ.s = c.s
+       CROSS JOIN bb CROSS JOIN vv
        GROUP BY 1)
 SELECT doc_id, CAST(np AS BIGINT) AS n_scored,
        round(-lp / np, 6) AS nll, round(exp(-lp / np), 6) AS ppl
@@ -2056,32 +1992,14 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, round(tfidf, 6) AS tfidf, rank
 FROM r WHERE rank <= 3"""
 
 
-def _q_lsh_join(spark, sf):
+def _q_lsh_join_verified(spark, sf):
     """Incremental dedup: MinHash band-bucket candidates between the
     corpus (odd doc ids) and a reference set (even ids) — a
-    two-relation equi-join on (band, bucket), no self-pairs. The %2
-    split is chosen so the testdata's planted near-dup pairs straddle
-    it (non-empty at sf0.01, unlike a sparser split)."""
-    return pipe(
-        ["lsh-join",
-         ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
-          "doc_id % 2 <> 0"],
-         ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
-          "doc_id % 2 = 0"],
-         {}],
-        spark=spark,
-    ).df
-
-
-_LSH_JOIN_ORACLE = _minhash_cte(with_long=True) + """
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM long a JOIN long b ON a.band = b.band AND a.bucket = b.bucket
-WHERE a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0"""
-
-
-def _q_lsh_join_verified(spark, sf):
-    """Same candidates with the exact shingle-Jaccard precision pass
-    ({"verify": 0.3}): (doc_a, doc_b, jaccard >= 0.3)."""
+    two-relation equi-join on (band, bucket), no self-pairs — with the
+    exact shingle-Jaccard precision pass ({"verify": 0.3}):
+    (doc_a, doc_b, jaccard >= 0.3). The %2 split is chosen so the
+    testdata's planted near-dup pairs straddle it (non-empty at
+    sf0.01, unlike a sparser split)."""
     return pipe(
         ["lsh-join",
          ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
@@ -2135,16 +2053,19 @@ ORDER BY count DESC, w1 ASC, w2 ASC LIMIT 100"""
 
 
 def _q_dist_shift(spark, sf):
-    """Token-distribution KL shift between the src0 sub-corpus and the
-    rest — the drift probe; tokens driving KL(A||B), add-0.5 smoothed
-    on the shared vocabulary."""
+    """Token-distribution Jensen-Shannon shift between the src0
+    sub-corpus and the rest — the drift probe (r08 re-pin of
+    dist_shift_sources to {"metric": "js"}: symmetric, bounded by
+    ln 2, comparable across corpus pairs; the KL branch shares every
+    plan stage except the final term expression and stays covered by
+    tests/test_corpus.py)."""
     return pipe(
         ["dist-shift",
          ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
           "source = 'src0'"],
          ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
           "source <> 'src0'"],
-         {"k": 0.5, "min_count": 5, "top": 100}],
+         {"k": 0.5, "min_count": 5, "top": 100, "metric": "js"}],
         spark=spark,
     ).df
 
@@ -2161,16 +2082,18 @@ j AS (SELECT coalesce(ca.token, cb.token) AS token,
       FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
 t AS (SELECT CAST(sum(cnt_a) AS DOUBLE) AS ta,
              CAST(sum(cnt_b) AS DOUBLE) AS tb,
-             CAST(count(*) AS DOUBLE) AS v FROM j)
+             CAST(count(*) AS DOUBLE) AS v FROM j),
+p AS (SELECT token, cnt_a, cnt_b,
+        (cnt_a + 0.5) / (t.ta + 0.5 * t.v) AS pa,
+        (cnt_b + 0.5) / (t.tb + 0.5 * t.v) AS pb
+      FROM j CROSS JOIN t
+      WHERE cnt_a >= 5 OR cnt_b >= 5)
 SELECT token, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
-       round((cnt_a + 0.5) / (t.ta + 0.5 * t.v), 9) AS p_a,
-       round((cnt_b + 0.5) / (t.tb + 0.5 * t.v), 9) AS p_b,
-       round(((cnt_a + 0.5) / (t.ta + 0.5 * t.v))
-             * ln(((cnt_a + 0.5) / (t.ta + 0.5 * t.v))
-                  / ((cnt_b + 0.5) / (t.tb + 0.5 * t.v))), 9) AS kl_term
-FROM j CROSS JOIN t
-WHERE cnt_a >= 5 OR cnt_b >= 5
-ORDER BY kl_term DESC, token ASC LIMIT 100"""
+       round(pa, 9) AS p_a, round(pb, 9) AS p_b,
+       round((pa * ln(pa / ((pa + pb) / 2))
+              + pb * ln(pb / ((pa + pb) / 2))) / 2, 9) AS js_term
+FROM p
+ORDER BY js_term DESC, token ASC LIMIT 100"""
 
 
 def _q_chunk(spark, sf):
@@ -2464,21 +2387,266 @@ SELECT doc_id, unnest(fps) AS fp FROM w"""
 
 
 # ---------------------------------------------------------------------------
+# r08 additions: oracle rows for the operators that were tests-only after
+# r07 (freq-items, profile, persist, intersect, except, vec-project,
+# winnow-pairs) — see the retirement-policy note at the registry head.
+
+
+def _q_freq_items(spark, sf):
+    """freq-items heavy hitters over o_orderpriority, exploded to rows.
+
+    Oracle determinism: with support 0.01 the sketch holds 1/support =
+    100 counters per partition while the column has 5 distinct values,
+    so the KPS map never overflows/decrements and retains EVERY distinct
+    value exactly — the sketch path runs, and its output equals SELECT
+    DISTINCT. (Thresholded pruning is partition-order-dependent and
+    deliberately not oracled; the no-false-negative contract is pinned
+    by tests/test_extensions.py.)"""
+    return pipe(
+        ["stream", _t(sf, "orders"), {"key": "o_orderkey"}],
+        ["freq-items", {"cols": ["o_orderpriority"], "support": 0.01}],
+        ["select", {"priority": "explode(o_orderpriority_freqItems)"}],
+        spark=spark,
+    ).df
+
+
+_FREQ_ITEMS_ORACLE = """
+SELECT DISTINCT o_orderpriority AS priority FROM orders"""
+
+
+def _q_profile_persist(spark, sf):
+    """persist (bounded pin registry) feeding profile — the QA summary
+    read off the pinned relation. The driver row hash-checks the EXACT
+    stats (count/min/max: order-insensitive, engine-exact string
+    formatting verified); mean/stddev/percentiles are merge-order-
+    dependent floats and are covered by tests instead."""
+    return pipe(
+        ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
+        ["persist"],
+        ["profile", {"cols": ["l_quantity", "l_extendedprice", "l_discount"]}],
+        ["where", "summary in ('count', 'min', 'max')"],
+        spark=spark,
+    ).df
+
+
+_PROFILE_PERSIST_ORACLE = """
+SELECT 'count' AS summary, count(l_quantity)::VARCHAR AS l_quantity,
+       count(l_extendedprice)::VARCHAR AS l_extendedprice,
+       count(l_discount)::VARCHAR AS l_discount FROM lineitem
+UNION ALL
+SELECT 'min', min(l_quantity)::VARCHAR, min(l_extendedprice)::VARCHAR,
+       min(l_discount)::VARCHAR FROM lineitem
+UNION ALL
+SELECT 'max', max(l_quantity)::VARCHAR, max(l_extendedprice)::VARCHAR,
+       max(l_discount)::VARCHAR FROM lineitem"""
+
+
+def _q_intersect_except(spark, sf):
+    """(BUILDING-segment customers ∩ customers with orders) \\ customers
+    with a > 350k order — both whole-row set operators in one plan,
+    each one hash shuffle (the distinct cost shape). The 350k cut keeps
+    the result non-empty at sf0.001 AND sf0.01 (an order-status cut is
+    degenerate at sf0.001: every ordering BUILDING customer has one)."""
+    bld = ["select",
+           ["where", ["stream", _t(sf, "customer"), {"key": "c_custkey"}],
+            "c_mktsegment = 'BUILDING'"],
+           {"custkey": "c_custkey"}]
+    ordered = ["select", ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
+               {"custkey": "o_custkey"}]
+    big = ["select",
+           ["where", ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
+            "o_totalprice > 350000"],
+           {"custkey": "o_custkey"}]
+    return pipe(
+        ["except", ["intersect", bld, ordered], big],
+        spark=spark,
+    ).df
+
+
+_INTERSECT_EXCEPT_ORACLE = """
+(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ INTERSECT SELECT o_custkey FROM orders)
+EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 350000"""
+
+
+def _q_vec_project(spark, sf):
+    """Seeded JL sign projection 64 -> 4 dims, components as columns.
+
+    BIT-EXACT oracle, no rounding: the oracle unrolls the identical
+    left-associated sum with the identical md5-derived ±1 literals, and
+    1/sqrt(4) = 0.5 is exact binary — verified 0/500 ULP mismatches."""
+    return pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["vec-project", {"col": "embedding", "dim": 64, "k": 4,
+                         "seed": 7, "as": "proj"}],
+        ["select", {"vec_id": "vec_id", "p0": "proj[0]", "p1": "proj[1]",
+                    "p2": "proj[2]", "p3": "proj[3]"}],
+        spark=spark,
+    ).df
+
+
+def _vec_project_oracle(dim: int = 64, k: int = 4, seed: int = 7) -> str:
+    """DuckDB replica of operators/similarity.py op_vec_project: same
+    md5(seed:j:i) sign derivation, same left-associated chain, same
+    exact 0.5 scale — generated, like _simhash_cte()."""
+    import hashlib
+
+    def sign(j: int, i: int) -> float:
+        h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) < 8 else -1.0
+
+    scale = repr(1.0 / (k ** 0.5))
+    comps = []
+    for j in range(k):
+        e = f"(v[1] * {sign(j, 0)})"
+        for i in range(1, dim):
+            e = f"({e} + v[{i + 1}] * {sign(j, i)})"
+        comps.append(f"({e}) * {scale} AS p{j}")
+    return (
+        "WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)\n"
+        "SELECT vec_id, " + ", ".join(comps) + " FROM p"
+    )
+
+
+def _q_substring_dedup(spark, sf):
+    """The substring-dedup flagship composition end-to-end (the winnow
+    analog of corpus_prep's MinHash path): winnow fingerprints ->
+    winnow-pairs (shared-fp candidates, >= 2 shared, boilerplate cap) ->
+    contraction CC -> min-id survivor per cluster -> left_anti drop.
+    max_fp_docs=1000 is inert at oracle SF (500 docs) and guards the
+    quadratic fan-out at scale."""
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["near-dedup", {"col": "text", "id": "doc_id", "method": "winnow",
+                        "k": 3, "window": 4, "min_shared": 2,
+                        "max_fp_docs": 1000}],
+        ["select", {"doc_id": "doc_id", "lang": "lang", "source": "source",
+                    "n_chars": "n_chars"}],
+        spark=spark,
+    ).df
+
+
+# fps CTEs = _WINNOW_ORACLE's; pairs/clusters mirror _DUP_CLUSTERS_ORACLE's
+# recursive-CTE transitive closure (exact at 500 docs)
+_SUBSTRING_DEDUP_ORACLE = """
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t, text
+             FROM documents WHERE text IS NOT NULL),
+sh AS (SELECT doc_id,
+       CASE WHEN len(t) < 3 THEN [text]
+            ELSE [array_to_string(t[i:i+2], ' ')
+                  for i in generate_series(1, len(t) - 2)] END AS s
+       FROM tok),
+h AS (SELECT doc_id, list_transform(s,
+        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hh FROM sh),
+w AS (SELECT doc_id,
+      list_distinct([list_min(hh[j:j+3])
+                     for j in generate_series(1, greatest(len(hh) - 3, 1))])
+        AS fps FROM h),
+post AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+          FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+clus AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+losers AS (SELECT node FROM clus WHERE node <> cluster)
+SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+LEFT JOIN losers l ON d.doc_id = l.node WHERE l.node IS NULL"""
+
+
+# ---------------------------------------------------------------------------
 
 # Registry order matters: the correctness driver records only the FIRST 50
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
 # of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
 # queries count as "never recorded" and go first of all; ties keep relative
-# order).  With 90 queries and a 50-row window, 40 fall outside each round
+# order).  With 100 queries and a 50-row window, 50 fall outside each round
 # and re-enter the window the next round — so every query has a driver-green
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
+#
+# RETIREMENT POLICY (the swap rule, applied first in r08): 100 is a hard
+# cap, so registering a new query requires retiring one — and because the
+# upcoming window must hold every survivor of the stalest block, each NEW
+# query must retire a query FROM THAT BLOCK specifically.  A query is
+# retirement-eligible only when every operator/option it uniquely oracles
+# stays covered: (a) by another registry query exercising the same code
+# path (lsh_join_incremental ⊂ lsh_join_verified; simhash_docs' signature
+# CTE is embedded in simhash_pairs' oracle), (b) by per-op queries for a
+# composite showcase (q3 = where+join+select-key+group-by+agg+order+limit,
+# each oracled individually), or (c) by a dedicated invariant test when
+# the retiree oracled an OPTION whose plain form stays oracled
+# (agg_salted == plain agg, pinned by tests/test_agg.py). Pins for
+# retired/renamed rows migrate in docs/PERF_BASELINE.md (r08 notes).
+# Retired in r08: jaccard_ngram_pairs, lsh_join_incremental, simhash_docs,
+# q3_segment_revenue, agg_salted_user_totals. Re-pinned to richer options
+# in place (same slot, new name): lm_ppl_bigram→lm_ppl_kn,
+# dist_shift_sources→dist_shift_js, histogram_prices→histogram_log_chars,
+# asof_join_click_error→asof_join_tolerance.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
-    # --- brand-new in r07 (never driver-recorded): first of all ---
-    # NOTE: 100 queries is the registry CAP — the 50-row driver window
-    # covers each query every 2nd round, so >100 entries would break the
-    # "driver-green evidence <= 2 rounds old" invariant. At 100, adding a
-    # new query requires retiring one.
+    # --- brand-new in r08 (never driver-recorded): first of all ---
+    "freq_items_priority": (_q_freq_items, _FREQ_ITEMS_ORACLE),
+    "profile_persist_lineitem": (_q_profile_persist, _PROFILE_PERSIST_ORACLE),
+    "intersect_except_custkeys": (_q_intersect_except, _INTERSECT_EXCEPT_ORACLE),
+    "vec_project_embeddings": (_q_vec_project, _vec_project_oracle()),
+    "substring_dedup_prep": (_q_substring_dedup, _SUBSTRING_DEDUP_ORACLE),
+    # --- last driver-green in r06 (45 survivors of the 50; 5 retired
+    # above): all land in CORRECTNESS_r08, staleness stays <= 2 rounds.
+    # lm_ppl_kn / dist_shift_js are in-place option re-pins of r06-green
+    # slots (new name, same rotation position) ---
+    "lm_ppl_kn": (_q_lm_kn, _LM_KN_ORACLE),
+    "pmi_collocations": (_q_pmi, _PMI_ORACLE),
+    "bpe_pair_counts": (_q_bpe_pairs, _BPE_PAIRS_ORACLE),
+    "tfidf_topk_terms": (_q_tfidf_topk, _TFIDF_TOPK_ORACLE),
+    "cooccurrence_window": (_q_cooccurrence, _COOCCURRENCE_ORACLE),
+    "chunk_overlap": (_q_chunk, _CHUNK_ORACLE),
+    "sentence_split": (_q_sentence_split, _SENTENCE_SPLIT_ORACLE),
+    "lsh_join_verified": (_q_lsh_join_verified, _LSH_JOIN_VERIFIED_ORACLE),
+    "dist_shift_js": (_q_dist_shift, _DIST_SHIFT_ORACLE),
+    "lm_ppl_frozen": (_q_lm_frozen, _LM_FROZEN_ORACLE),
+    "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
+    "bm25_scores": (_q_bm25, _BM25_ORACLE),
+    "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),
+    "doc_entropy": (_q_entropy, _ENTROPY_ORACLE),
+    "mix_sources": (_q_mix_sources, _MIX_ORACLE),
+    "sessionize_events": (_q_sessionize, _SESSIONIZE_ORACLE),
+    "jaccard_pairs_prefix": (_q_jaccard_prefix, _JACCARD_PAIRS_ORACLE),
+    "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),
+    "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
+    "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
+    "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
+    "q5_local_supplier_revenue": (_q_q5, _Q5_ORACLE),
+    "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
+    "filter_highqty": (_q_filter, _FILTER_ORACLE),
+    "filter_not_returns": (_q_filter_not, _FILTER_NOT_ORACLE),
+    "map_values_net": (_q_map_values, _MAP_VALUES_ORACLE),
+    "select_key_count": (_q_select_key, _SELECT_KEY_ORACLE),
+    "flat_map_pairs": (_q_flat_map, _FLAT_MAP_ORACLE),
+    "branch_orders": (_q_branch, _BRANCH_ORACLE),
+    "merge_event_types": (_q_merge, _MERGE_ORACLE),
+    "table_latest_event": (_q_table_latest, _TABLE_LATEST_ORACLE),
+    "table_filter_mapvalues": (_q_table_ops, _TABLE_OPS_ORACLE),
+    "table_regroup": (_q_table_regroup, _TABLE_REGROUP_ORACLE),
+    "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
+    "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
+    "windowed_count": (_q_windowed_count, _WINDOWED_COUNT_ORACLE),
+    "hopping_count": (_q_hopping_count, _HOPPING_COUNT_ORACLE),
+    "session_count": (_q_session_count, _SESSION_COUNT_ORACLE),
+    "anomaly_detection": (_q_anomaly, _ANOMALY_ORACLE),
+    "join_stream_table": (_q_join_stream_table, _JOIN_STREAM_TABLE_ORACLE),
+    "left_join_counts": (_q_left_join, _LEFT_JOIN_ORACLE),
+    "outer_join_nations": (_q_outer_join, _OUTER_JOIN_ORACLE),
+    "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
+    "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
+    "anti_join_customers": (_q_anti_join, _ANTI_JOIN_ORACLE),
+    # --- green in r07 (freshest evidence): behind the rotation head;
+    # these 50 re-enter the window in r09. histogram_log_chars /
+    # asof_join_tolerance are in-place option re-pins of r07-green slots
+    # (oracled on their r09 re-entry) ---
     "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
     "winnow_fingerprints": (_q_winnow, _WINNOW_ORACLE),
     "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
@@ -2489,10 +2657,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "cube_revenue": (_q_cube_revenue, _CUBE_REVENUE_ORACLE),
     "vec_norm_units": (_q_vec_norm, _VEC_NORM_ORACLE),
     "vec_pool_label_mean": (_q_vec_pool, _VEC_POOL_ORACLE),
-    # --- last driver-green in r05 (window tail of r06): first, so every
-    # one lands in CORRECTNESS_r07 and staleness stays <= 2 rounds ---
     "interval_join_click_error": (_q_interval_join, _INTERVAL_JOIN_ORACLE),
-    "asof_join_click_error": (_q_asof_join, _ASOF_JOIN_ORACLE),
+    "asof_join_tolerance": (_q_asof_join, _ASOF_JOIN_ORACLE),
     "rollup_revenue": (_q_rollup, _ROLLUP_ORACLE),
     "window_rank_orders": (_q_window_rank, _WINDOW_RANK_ORACLE),
     "exact_distinct_users": (_q_exact_distinct_users, _EXACT_DISTINCT_ORACLE),
@@ -2514,7 +2680,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
     "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
     "expect_contract": (_q_expect, _EXPECT_ORACLE),
-    "histogram_prices": (_q_histogram, _HISTOGRAM_ORACLE),
+    "histogram_log_chars": (_q_histogram, _HISTOGRAM_ORACLE),
     "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
     "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
@@ -2531,59 +2697,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
     "kmeans_centroids": (_q_kmeans_centroids, None),
     "scrub_text": (_q_scrub, _SCRUB_ORACLE),
-    # --- green in r06 (freshest evidence): behind the rotation head; the
-    # first 10 of these re-enter the 50-row window this round, the other
-    # 40 re-enter in r08 ---
-    "lm_ppl_bigram": (_q_lm_score, _LM_SCORE_ORACLE),
-    "pmi_collocations": (_q_pmi, _PMI_ORACLE),
-    "bpe_pair_counts": (_q_bpe_pairs, _BPE_PAIRS_ORACLE),
-    "tfidf_topk_terms": (_q_tfidf_topk, _TFIDF_TOPK_ORACLE),
-    "lsh_join_incremental": (_q_lsh_join, _LSH_JOIN_ORACLE),
-    "cooccurrence_window": (_q_cooccurrence, _COOCCURRENCE_ORACLE),
-    "chunk_overlap": (_q_chunk, _CHUNK_ORACLE),
-    "sentence_split": (_q_sentence_split, _SENTENCE_SPLIT_ORACLE),
-    "lsh_join_verified": (_q_lsh_join_verified, _LSH_JOIN_VERIFIED_ORACLE),
-    "dist_shift_sources": (_q_dist_shift, _DIST_SHIFT_ORACLE),
-    "lm_ppl_frozen": (_q_lm_frozen, _LM_FROZEN_ORACLE),
-    "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
-    "bm25_scores": (_q_bm25, _BM25_ORACLE),
-    "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),
-    "doc_entropy": (_q_entropy, _ENTROPY_ORACLE),
-    "mix_sources": (_q_mix_sources, _MIX_ORACLE),
-    "jaccard_ngram_pairs": (_q_jaccard_ngram, _JACCARD_NGRAM_ORACLE),
-    "sessionize_events": (_q_sessionize, _SESSIONIZE_ORACLE),
-    "jaccard_pairs_prefix": (_q_jaccard_prefix, _JACCARD_PAIRS_ORACLE),
-    "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),
-    "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
-    "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
-    "simhash_docs": (_q_simhash, _SIMHASH_ORACLE),
-    "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
-    "q3_segment_revenue": (_q_q3, _Q3_ORACLE),
-    "q5_local_supplier_revenue": (_q_q5, _Q5_ORACLE),
-    "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
-    "filter_highqty": (_q_filter, _FILTER_ORACLE),
-    "filter_not_returns": (_q_filter_not, _FILTER_NOT_ORACLE),
-    "map_values_net": (_q_map_values, _MAP_VALUES_ORACLE),
-    "select_key_count": (_q_select_key, _SELECT_KEY_ORACLE),
-    "flat_map_pairs": (_q_flat_map, _FLAT_MAP_ORACLE),
-    "branch_orders": (_q_branch, _BRANCH_ORACLE),
-    "merge_event_types": (_q_merge, _MERGE_ORACLE),
-    "table_latest_event": (_q_table_latest, _TABLE_LATEST_ORACLE),
-    "table_filter_mapvalues": (_q_table_ops, _TABLE_OPS_ORACLE),
-    "table_regroup": (_q_table_regroup, _TABLE_REGROUP_ORACLE),
-    "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
-    "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
-    "agg_salted_user_totals": (_q_agg_salted, _AGG_SALTED_ORACLE),
-    "windowed_count": (_q_windowed_count, _WINDOWED_COUNT_ORACLE),
-    "hopping_count": (_q_hopping_count, _HOPPING_COUNT_ORACLE),
-    "session_count": (_q_session_count, _SESSION_COUNT_ORACLE),
-    "anomaly_detection": (_q_anomaly, _ANOMALY_ORACLE),
-    "join_stream_table": (_q_join_stream_table, _JOIN_STREAM_TABLE_ORACLE),
-    "left_join_counts": (_q_left_join, _LEFT_JOIN_ORACLE),
-    "outer_join_nations": (_q_outer_join, _OUTER_JOIN_ORACLE),
-    "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
-    "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
-    "anti_join_customers": (_q_anti_join, _ANTI_JOIN_ORACLE),
 }
 
 

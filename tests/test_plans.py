@@ -337,8 +337,8 @@ def test_no_query_plans_a_cartesian_or_stray_nested_loop(spark):
                # corpus-stats ops attach broadcast ONE-ROW normalizer
                # aggregates (vocab size V, token/bigram totals, doc count N)
                # via conditionless cross joins — scalar attach, not fan-out
-               "lm_ppl_bigram", "pmi_collocations", "tfidf_topk_terms",
-               "dist_shift_sources"}
+               "lm_ppl_kn", "pmi_collocations", "tfidf_topk_terms",
+               "dist_shift_js"}
     bad = []
     for name, fn in m.queries().items():
         p = (fn(spark, "/root/testdata/sf0.001")
