@@ -198,21 +198,40 @@ def band_signature_cols(textc: str) -> dict:
     }
 
 
-def _sig_struct_udf(with_toks: bool, shingle_k: int = SHINGLE_K):
+def _sig_struct_udf(with_toks: bool, shingle_k: int = SHINGLE_K,
+                    family: str = "md5"):
     """Arrow-batched per-row MinHash band signatures (and optionally the
-    distinct shingle-hash token set) — bit-identical to the
-    band_signature_cols / _tok_ids expression construction (parity
-    pinned by test), but vectorized Python instead of interpreted
-    Catalyst higher-order functions.
+    distinct shingle-hash token set), numpy-vectorized per row.
 
-    Why it exists: Spark's HOF transform/array_min exprs don't codegen,
-    and the per-row signature costs ~4 salted md5 evals per shingle —
-    measured 5000 docs at 754 rows/s on the expression path vs ~4x that
-    here. Used on STREAMING inputs (shuffle-free, no stateful agg); the
-    batch path keeps the explode + codegen hash-agg plan, which beats
-    both."""
+    family="md5" (default): bit-identical to band_signature_cols /
+    _tok_ids and the batch agg path (parity pinned by test) — 4 salted
+    md5 digests per shingle sliced into 16 32-bit pieces, min per
+    piece. The digests are C calls; the 16-way min that used to be a
+    ~770-iteration Python loop per doc is one numpy reshape+min.
+
+    family="km" ({"impl": "km"}): ONE unsalted md5 digest per shingle,
+    16 hash functions derived Kirsch-Mitzenstein style as
+    g_j = p0 + j*p1 from the digest's first two big-endian 32-bit
+    pieces (Kirsch & Mitzenmacher, "Less Hashing, Same Performance" —
+    two base hashes give an entire MinHash family). 4x fewer digest
+    calls than md5; token ids come free off the same digest and EQUAL
+    md5_long_col's values (first 60 bits), so the verify Jaccard is
+    family-independent. Band/bucket VALUES are a different space than
+    the md5 family — one family must be threaded to both join sides.
+    p0 + 15*p1 < 2^36, so int64 never overflows and the batch codegen
+    form (conv(substr(md5)) + j*p1, min agg) matches bit-exactly.
+
+    Why a UDF and not expressions: Spark's HOF transform/array_min
+    exprs don't codegen — measured at sf0.1 (5000 docs, streaming,
+    min-of-2): md5 exprs 900 docs/s, xxhash64 exprs 860 docs/s
+    (swapping md5 for the cheap JVM hash changes nothing — per-element
+    interpretation is the cost), this UDF ~2.1k before vectorization,
+    higher after (bench lsh_join_stream rows). Used on STREAMING inputs
+    (shuffle-free, no stateful agg); the batch path keeps the explode +
+    codegen hash-agg plan, which beats all per-row forms."""
     import hashlib
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -222,6 +241,8 @@ def _sig_struct_udf(with_toks: bool, shingle_k: int = SHINGLE_K):
         else "bands array<string>"
     )
     salts = [f"{m}#".encode() for m in range(N_MD5)]
+    md5 = hashlib.md5
+    j_mult = np.arange(N_HASHES, dtype=np.int64)
 
     def _one(text):
         if text is None:
@@ -232,29 +253,50 @@ def _sig_struct_udf(with_toks: bool, shingle_k: int = SHINGLE_K):
             if len(t) < shingle_k
             else [" ".join(t[i : i + shingle_k]) for i in range(len(t) - shingle_k + 1)]
         )
-        mins = [None] * N_HASHES
-        tokset = set() if with_toks else None
-        for s in sh:
-            b = s.encode("utf-8")
+        enc = [s.encode("utf-8") for s in sh]
+        if family == "km":
+            # one digest per shingle; pieces [p0 p1 p2 p3] big-endian
+            buf = b"".join(md5(b).digest() for b in enc)
+            arr = (
+                np.frombuffer(buf, dtype=">u4")
+                .reshape(len(enc), PIECES_PER_MD5)
+                .astype(np.int64)
+            )
+            mins = (arr[:, [0]] + j_mult * arr[:, [1]]).min(axis=0)
             if with_toks:
-                # md5_long_col: first 15 hex chars as BIGINT
-                tokset.add(int(hashlib.md5(b).hexdigest()[:15], 16))
-            for m in range(N_MD5):
-                h = hashlib.md5(salts[m] + b).hexdigest()
-                for p in range(PIECES_PER_MD5):
-                    v = int(h[p * 8 : (p + 1) * 8], 16)
-                    j = m * PIECES_PER_MD5 + p
-                    if mins[j] is None or v < mins[j]:
-                        mins[j] = v
+                # first 60 bits of the SAME digests == md5_long_col
+                # (shift on uint64 FIRST: astype(int64) of a full 64-bit
+                # value would wrap negative)
+                toks = np.unique(
+                    (np.frombuffer(buf, dtype=">u8")[::2] >> np.uint64(4))
+                    .astype(np.int64)
+                )
+        else:
+            # 4 salted digests per shingle -> 16 pieces in j order
+            # (j = m*PIECES_PER_MD5 + p; hex slicing == byte slicing,
+            # both big-endian)
+            buf = b"".join(md5(s + b).digest() for b in enc for s in salts)
+            mins = (
+                np.frombuffer(buf, dtype=">u4")
+                .reshape(len(enc), N_HASHES)
+                .min(axis=0)
+                .astype(np.int64)
+            )
+            if with_toks:
+                tbuf = b"".join(md5(b).digest() for b in enc)
+                toks = np.unique(
+                    (np.frombuffer(tbuf, dtype=">u8")[::2] >> np.uint64(4))
+                    .astype(np.int64)
+                )
         bands = [
-            hashlib.md5(
+            md5(
                 "".join(
                     str(mins[b * ROWS_PER_BAND + r]) for r in range(ROWS_PER_BAND)
                 ).encode()
             ).hexdigest()
             for b in range(N_BANDS)
         ]
-        return (bands, sorted(tokset)) if with_toks else (bands,)
+        return (bands, toks.tolist()) if with_toks else (bands,)
 
     if with_toks:
 
@@ -313,7 +355,9 @@ def band_signatures(
             return nn.select(
                 F.col(idc), *kc, *[c.alias(n) for n, c in bands.items()]
             )
-        sig = _sig_struct_udf(with_toks=False)
+        sig = _sig_struct_udf(
+            with_toks=False, family="km" if impl == "km" else "md5"
+        )
         return nn.select(
             F.col(idc), *kc, sig(F.col(textc)).alias("__sig")
         ).select(
@@ -321,6 +365,49 @@ def band_signatures(
             *kc,
             *[
                 F.element_at("__sig.bands", b + 1).alias(f"band_{b}")
+                for b in range(N_BANDS)
+            ],
+        )
+
+    if impl == "km":
+        # batch km: same explode + codegen min-agg plan shape as the md5
+        # family below, ONE md5 per shingle with the 16 functions derived
+        # as p0 + j*p1 (no overflow: < 2^36) — bit-identical to the
+        # streaming km UDF (parity pinned by test)
+        sh = spread(df).select(
+            F.col(idc), F.explode(shingles_col(F.col(textc))).alias("__s")
+        )
+        pieces = sh.select(
+            F.col(idc),
+            *[
+                F.conv(F.substring(F.md5(F.col("__s")), p * 8 + 1, 8), 16, 10)
+                .cast("long")
+                .alias(f"__q{p}")
+                for p in range(2)
+            ],
+        )
+        mins = (
+            pieces.select(
+                F.col(idc),
+                *[
+                    (F.col("__q0") + F.lit(j) * F.col("__q1")).alias(f"__p{j}")
+                    for j in range(N_HASHES)
+                ],
+            )
+            .groupBy(idc)
+            .agg(*[F.min(f"__p{j}").alias(f"__mh{j}") for j in range(N_HASHES)])
+        )
+        return mins.select(
+            F.col(idc),
+            *[
+                F.md5(
+                    F.concat(
+                        *[
+                            F.col(f"__mh{b * ROWS_PER_BAND + r}").cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ]
+                    )
+                ).alias(f"band_{b}")
                 for b in range(N_BANDS)
             ],
         )
@@ -460,7 +547,12 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     built once (no persist needed — unlike the self-join, nothing is
     read twice). The shuffle key is the bucket, so cost scales with
     rows·bands per side; a small reference set broadcasts with
-    {"broadcast": true}. Reference: no analog (§2.10 extension)."""
+    {"broadcast": true}. {"impl": "km"} switches BOTH sides to the
+    single-digest Kirsch-Mitzenstein MinHash family — the fast
+    streaming-signature path (one md5 per shingle instead of four
+    salted ones, token ids shared); md5 stays the default for
+    DuckDB-oracle parity on batch queries.
+    Reference: no analog (§2.10 extension)."""
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     ridc = opts.get("right_id", idc)
@@ -517,6 +609,21 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         raise ArityError(
             f"lsh-join method must be 'minhash' or 'winnow', got {method!r}"
         )
+    # {"impl": ...}: "auto" (default; salted-md5 family — streaming rows
+    # via the numpy-vectorized Arrow signature UDF), "expr" (md5 family,
+    # pure expressions — interpreted HOFs, kept for plan-shape A/B),
+    # "km" (single-digest Kirsch-Mitzenstein family — the fast streaming
+    # path, 4x fewer digests; band/bucket values are a different space
+    # than md5, so ONE impl is threaded to BOTH sides; verify token ids
+    # are md5_long_col-identical across families, so Jaccard values are
+    # impl-independent). md5 stays the default: it is the family the
+    # DuckDB oracle replicates for the batch queries; km's parity with
+    # its own batch codegen form is pinned by test instead.
+    impl = opts.get("impl", "auto")
+    if impl not in ("auto", "expr", "km"):
+        raise ArityError(
+            f"lsh-join impl must be 'auto', 'expr' or 'km', got {impl!r}"
+        )
     wk = int(opts.get("k", SHINGLE_K))
     ww = int(opts.get("window", 4))
 
@@ -539,7 +646,7 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     def _long(df, id_col, text_col, out, keep=()):
         if method == "winnow":
             return _fp_long(df, id_col, text_col, out, keep=keep)
-        sigs = band_signatures(df, id_col, text_col, keep=keep)
+        sigs = band_signatures(df, id_col, text_col, impl=impl, keep=keep)
         return sigs.select(
             F.col(id_col).alias(out),
             *[F.col(c) for c in keep],
@@ -585,6 +692,9 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         thr = float(verify)
 
         def _tok_ids(text_col):
+            # impl-independent: the km streaming UDF emits the SAME
+            # 60-bit md5 token ids, so exact Jaccard agrees across
+            # families and across the two join sides
             return F.array_distinct(
                 F.transform(shingles_col(F.col(text_col)), lambda s: md5_long_col(s))
             )
@@ -603,7 +713,7 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
                     .select(out_a, *lk, "__ta", F.lit(0).alias("band"),
                             F.col("__fp").cast("string").alias("bucket"))
                 )
-            elif opts.get("impl") == "expr":
+            elif impl == "expr":
                 bands = band_signature_cols(colc)
                 sigsel = [
                     _tok_ids(colc).alias("__ta"),
@@ -621,7 +731,9 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
                 # Two select steps so the struct is projected once;
                 # CollapseProject won't inline (and so duplicate) a
                 # non-cheap Python UDF expression.
-                sig = _sig_struct_udf(with_toks=True)
+                sig = _sig_struct_udf(
+                    with_toks=True, family="km" if impl == "km" else "md5"
+                )
                 base = (
                     ldf.filter(F.col(colc).isNotNull())
                     .select(F.col(idc).alias(out_a), *lk, sig(F.col(colc)).alias("__sig"))

@@ -516,6 +516,117 @@ def test_lsh_join_streaming_left_matches_batch(spark, tmp_path):
     assert got == exp and (1, 100) in got and 2 not in {a for a, _ in got}
 
 
+def test_lsh_join_km_impl_parity(spark, tmp_path):
+    """{"impl": "km"} — the single-digest Kirsch-Mitzenstein streaming
+    fast path: (a) an EXACT duplicate recalls under both families
+    (identical shingle sets give identical minhash vectors, whatever
+    the hash) and any pair found by both carries the same verified
+    Jaccard (km token ids == md5_long_col values, so set arithmetic is
+    family-identical); near-dup recall may differ pair-by-pair —
+    banding is probabilistic per family, (b) one-microbatch streaming
+    (numpy UDF) == batch (codegen agg) within the km family, (c) bad
+    impl is curated."""
+    from ksml_spark.errors import ArityError
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("iota kappa", "iota prime kappa")
+    left = _docs(spark, [(1, base), (2, near),
+                         (3, "wholly unrelated sentence naming parquet "
+                             "row groups dictionaries and bloom filters")])
+    right = _docs(spark, [(100, base)])
+
+    def run(opts):
+        return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pipe(
+            ["lsh-join", ["stream", left, {"key": "doc_id"}],
+             ["stream", right, {"key": "doc_id"}], opts],
+            spark=spark).df.collect()}
+
+    md5_out = run({"verify": 0.5})
+    km_out = run({"verify": 0.5, "impl": "km"})
+    assert (1, 100) in md5_out and (1, 100) in km_out
+    assert km_out[(1, 100)] == 1.0
+    for k in set(md5_out) & set(km_out):
+        assert md5_out[k] == km_out[k]
+    assert all(b == 100 for _, b in km_out)  # doc 3 never pairs
+
+    p = str(tmp_path / "lsh_km_stream")
+    left.write.parquet(p)
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    out = pipe(
+        ["lsh-join",
+         ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}],
+         {"verify": 0.5, "impl": "km"}],
+        spark=spark).df
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("lsh_km")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    sgot = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in spark.sql("SELECT * FROM lsh_km").collect()}
+    assert sgot == km_out
+
+    # candidates-only (no verify) streaming km also matches its batch form
+    out2 = pipe(
+        ["lsh-join",
+         ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {"impl": "km"}],
+        spark=spark).df
+    q2 = (out2.writeStream.format("memory").queryName("lsh_km2")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(60)
+    got2 = {(r["doc_a"], r["doc_b"])
+            for r in spark.sql("SELECT * FROM lsh_km2").collect()}
+    exp2 = {(r["doc_a"], r["doc_b"]) for r in pipe(
+        ["lsh-join", ["stream", left, {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {"impl": "km"}],
+        spark=spark).df.collect()}
+    assert got2 == exp2 and (1, 100) in got2
+
+    with pytest.raises(ArityError, match="impl must be"):
+        pipe(["lsh-join", ["stream", left, {"key": "doc_id"}],
+              ["stream", right, {"key": "doc_id"}], {"impl": "sha"}],
+             spark=spark)
+
+
+def test_band_signatures_km_stream_batch_bit_parity(spark, tables):
+    """The km family's batch codegen form (one md5 -> p0 + j*p1 -> min
+    agg) is bit-identical to the numpy UDF the streaming path uses —
+    the same contract the md5 family pins in
+    test_sig_struct_udf_matches_expression_paths."""
+    from pyspark.sql import functions as F
+
+    from ksml_spark.operators.dedup import _sig_struct_udf, band_signatures
+
+    docs = tables["documents"].select("doc_id", "text").limit(50).unionByName(
+        _docs(spark, [(90001, "tiny doc"), (90002, None)]))
+    sig = _sig_struct_udf(with_toks=True, family="km")
+    got = {r["doc_id"]: (tuple(r["s"]["bands"]) if r["s"]["bands"] else None,
+                         tuple(r["s"]["toks"]) if r["s"]["toks"] else None)
+           for r in docs.select("doc_id", sig(F.col("text")).alias("s")).collect()}
+    agg = {r["doc_id"]: tuple(r[f"band_{b}"] for b in range(4))
+           for r in band_signatures(docs, "doc_id", "text", impl="km").collect()}
+    # batch drops NULL-text docs (no shingle rows); streaming yields NULLs
+    assert got.pop(90002) == (None, None)
+    assert {d: b for d, (b, _) in got.items()} == agg
+    # km token ids equal the md5 family's (md5_long_col space)
+    from ksml_spark.operators.util import md5_long_col
+    from ksml_spark.operators.dedup import shingles_col
+
+    toks_md5 = {
+        r["doc_id"]: tuple(sorted(r["t"]))
+        for r in docs.filter(F.col("text").isNotNull()).select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingles_col(F.col("text")), lambda s: md5_long_col(s))
+            ).alias("t"),
+        ).collect()
+    }
+    assert {d: t for d, (_, t) in got.items()} == toks_md5
+
+
 # ---------------------------------------------------------------------------
 # NULL-document regression (shared ngram guard)
 
