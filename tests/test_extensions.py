@@ -1834,6 +1834,35 @@ def test_vec_project_deterministic_parity_and_errors(spark, tables):
     with pytest.raises(ArityError, match="already exists"):
         pipe(["stream", tables["embeddings"], {"key": "vec_id"}],
              ["vec-project", {"dim": 64, "k": 4, "as": "label"}], spark=spark)
+    # streaming legality + one-microbatch parity: the projection is a
+    # plan-time-literal expression chain, so the streaming plan is the
+    # same shuffle-free codegen and values match batch bit-for-bit
+    import tempfile
+
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/vp_docs"
+        src_df = tables["embeddings"].select("vec_id", "embedding").limit(40)
+        src_df.write.parquet(p)
+        sout = pipe(
+            ["stream", file_stream_source(spark, p), {"key": "vec_id"}],
+            ["vec-project", {"col": "embedding", "dim": dim, "k": k,
+                             "seed": seed, "as": "proj"}],
+            spark=spark).df
+        assert sout.isStreaming
+        q = (sout.writeStream.format("memory").queryName("vp_stream")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        got_s = {r["vec_id"]: tuple(r["proj"]) for r in
+                 spark.sql("SELECT vec_id, proj FROM vp_stream").collect()}
+        exp_s = {r["vec_id"]: tuple(r["proj"]) for r in pipe(
+            ["stream", spark.read.parquet(p), {"key": "vec_id"}],
+            ["vec-project", {"col": "embedding", "dim": dim, "k": k,
+                             "seed": seed, "as": "proj"}],
+            spark=spark).df.collect()}
+        assert got_s == exp_s and len(got_s) == 40
+
     # short and NULL vectors -> a truly NULL projection COLUMN (droppable
     # with proj IS NOT NULL), never an array of NULL elements
     short = spark.createDataFrame(
