@@ -967,19 +967,6 @@ def _q_jaccard_pairs(spark, sf):
     ).df
 
 
-def _q_jaccard_prefix(spark, sf):
-    """Same pairs, AllPairs prefix-filtered plan (the 100 TB refinement):
-    index only each doc's rarest n - ceil(t*n) + 1 tokens, verify exact
-    Jaccard on the candidate superset. Shares jaccard_pairs' oracle —
-    the results are bit-identical by construction."""
-    return pipe(
-        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
-        ["jaccard-pairs", {"col": "text", "id": "doc_id", "prefix": True,
-                           "block": ["lang", "n_chars div 100"], "threshold": 0.5}],
-        spark=spark,
-    ).df
-
-
 _JACCARD_PAIRS_ORACLE = """
 WITH d AS (SELECT doc_id, lang, n_chars // 100 AS nb,
            list_distinct(list_transform(string_split(text, ' '),
@@ -1034,37 +1021,6 @@ SELECT doc_id, lang, n_chars FROM (
                             ORDER BY n_chars DESC, doc_id) AS rn
   FROM documents
 ) WHERE rn <= 10"""
-
-
-def _q_dup_clusters(spark, sf):
-    return pipe(
-        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
-        ["jaccard-pairs", {"col": "text", "id": "doc_id",
-                           "block": ["lang", "n_chars div 100"], "threshold": 0.5}],
-        ["dup-clusters", {"a": "doc_a", "b": "doc_b", "as": "doc_id"}],
-        spark=spark,
-    ).df
-
-
-_DUP_CLUSTERS_ORACLE = """
-WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars // 100 AS nb,
-           list_distinct(list_transform(string_split(text, ' '),
-             x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS t FROM documents),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         len(list_intersect(a.t, b.t)) AS c, len(a.t) + len(b.t) AS n
-  FROM d a JOIN d b ON a.lang = b.lang AND a.nb = b.nb AND a.doc_id < b.doc_id
-),
-pairs AS (SELECT doc_a, doc_b FROM p WHERE c::DOUBLE / (n - c) >= 0.5),
-edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT a AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
-)
-SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node"""
 
 
 def _simhash_cte() -> str:
@@ -2526,8 +2482,9 @@ def _q_substring_dedup(spark, sf):
     ).df
 
 
-# fps CTEs = _WINNOW_ORACLE's; pairs/clusters mirror _DUP_CLUSTERS_ORACLE's
-# recursive-CTE transitive closure (exact at 500 docs)
+# fps CTEs = _WINNOW_ORACLE's; pairs/clusters are a recursive-CTE
+# transitive closure (exact at 500 docs) — this is also the registry's
+# only dup-clusters oracle (op_dup_clusters runs inside near-dedup here)
 _SUBSTRING_DEDUP_ORACLE = """
 WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t, text
              FROM documents WHERE text IS NOT NULL),
@@ -2584,16 +2541,29 @@ LEFT JOIN losers l ON d.doc_id = l.node WHERE l.node IS NULL"""
 # retired/renamed rows migrate in docs/PERF_BASELINE.md (r08 notes).
 # Retired in r08: jaccard_ngram_pairs, lsh_join_incremental, simhash_docs,
 # q3_segment_revenue, agg_salted_user_totals. Re-pinned to richer options
-# in place (same slot, new name): lm_ppl_bigram→lm_ppl_kn,
-# dist_shift_sources→dist_shift_js, histogram_prices→histogram_log_chars,
-# asof_join_click_error→asof_join_tolerance.
+# (new name => never-recorded, so the row moves to the rotation head):
+# lm_ppl_bigram→lm_ppl_kn, dist_shift_sources→dist_shift_js,
+# histogram_prices→histogram_log_chars,
+# asof_join_click_error→asof_join_tolerance.  The last two replaced
+# r07-green slots, which would have left them without driver evidence in
+# the r07∪r08 window — so two more r06-block rows are retired to make
+# room in the head: jaccard_pairs_prefix (clause c: bit-identical to
+# jaccard_pairs by construction, pinned by
+# test_jaccard_prefix_matches_plain_plan + the skew bench) and
+# dup_clusters (clause a: substring_dedup_prep's near-dedup composition
+# calls op_dup_clusters directly and its oracle embeds the same
+# transitive closure).  Registry now holds 98 rows — the 2 open slots
+# (cap stays 100) are the r09 budget for new queries.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
-    # --- brand-new in r08 (never driver-recorded): first of all ---
+    # --- brand-new or renamed in r08 (never driver-recorded under this
+    # name): first of all ---
     "freq_items_priority": (_q_freq_items, _FREQ_ITEMS_ORACLE),
     "profile_persist_lineitem": (_q_profile_persist, _PROFILE_PERSIST_ORACLE),
     "intersect_except_custkeys": (_q_intersect_except, _INTERSECT_EXCEPT_ORACLE),
     "vec_project_embeddings": (_q_vec_project, _vec_project_oracle()),
     "substring_dedup_prep": (_q_substring_dedup, _SUBSTRING_DEDUP_ORACLE),
+    "asof_join_tolerance": (_q_asof_join, _ASOF_JOIN_ORACLE),
+    "histogram_log_chars": (_q_histogram, _HISTOGRAM_ORACLE),
     # --- last driver-green in r06 (45 survivors of the 50; 5 retired
     # above): all land in CORRECTNESS_r08, staleness stays <= 2 rounds.
     # lm_ppl_kn / dist_shift_js are in-place option re-pins of r06-green
@@ -2614,8 +2584,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "doc_entropy": (_q_entropy, _ENTROPY_ORACLE),
     "mix_sources": (_q_mix_sources, _MIX_ORACLE),
     "sessionize_events": (_q_sessionize, _SESSIONIZE_ORACLE),
-    "jaccard_pairs_prefix": (_q_jaccard_prefix, _JACCARD_PAIRS_ORACLE),
-    "dup_clusters": (_q_dup_clusters, _DUP_CLUSTERS_ORACLE),
     "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
     "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
     "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
@@ -2644,9 +2612,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
     "anti_join_customers": (_q_anti_join, _ANTI_JOIN_ORACLE),
     # --- green in r07 (freshest evidence): behind the rotation head;
-    # these 50 re-enter the window in r09. histogram_log_chars /
-    # asof_join_tolerance are in-place option re-pins of r07-green slots
-    # (oracled on their r09 re-entry) ---
+    # these 48 re-enter the window in r09 ---
     "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
     "winnow_fingerprints": (_q_winnow, _WINNOW_ORACLE),
     "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
@@ -2658,7 +2624,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "vec_norm_units": (_q_vec_norm, _VEC_NORM_ORACLE),
     "vec_pool_label_mean": (_q_vec_pool, _VEC_POOL_ORACLE),
     "interval_join_click_error": (_q_interval_join, _INTERVAL_JOIN_ORACLE),
-    "asof_join_tolerance": (_q_asof_join, _ASOF_JOIN_ORACLE),
     "rollup_revenue": (_q_rollup, _ROLLUP_ORACLE),
     "window_rank_orders": (_q_window_rank, _WINDOW_RANK_ORACLE),
     "exact_distinct_users": (_q_exact_distinct_users, _EXACT_DISTINCT_ORACLE),
@@ -2680,7 +2645,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
     "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
     "expect_contract": (_q_expect, _EXPECT_ORACLE),
-    "histogram_log_chars": (_q_histogram, _HISTOGRAM_ORACLE),
     "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
     "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
     "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
