@@ -452,28 +452,44 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
 
     Starts from the deterministic ``init`` sample (same contract as
     ann-ivf-topk's "centroids") and runs ``iters`` fixed Lloyd rounds:
-    assign every vector to its nearest centroid by cosine (broadcast
-    join, argmax via max_by), recompute each centroid as the
-    coordinate-wise mean — dim unrolled avg(getItem(i)) aggregates, all
-    codegen, no explode and no driver collect. Returns (cluster,
-    centroid array<double>, n) — feed it to ann-ivf-topk as a refined
-    centroid set, or persist it as the cluster dictionary of a bucketed
-    IVF table.
+    assign every vector to its nearest centroid by cosine, recompute
+    each centroid as the coordinate-wise mean (dim unrolled
+    avg(getItem(i)) aggregates with map-side partials). Returns
+    (cluster, centroid array<double>, n) — feed it to ann-ivf-topk as a
+    refined centroid set, or persist it as the cluster dictionary of a
+    bucketed IVF table.
 
-    Scale: per round one broadcast of K centroids + one hash aggregation
-    with map-side partials over the corpus (the same shape as any keyed
-    agg); K·dim cells cross the wire. localCheckpoint per round stops
-    iterative plan compounding. Batch-only; no SQL oracle (iterative) —
-    covered by blob-recovery and SSE-descent tests instead. Empty
-    clusters drop (standard Lloyd; K can shrink). Means are float sums
-    in shuffle order, so exact bits vary run-to-run — consumers rank by
-    cosine, where last-bit noise is immaterial."""
+    Scale (the MLlib Lloyd shape): the K centroids are BOUNDED driver
+    state — collected once per round (guarded by ``max_k``, default
+    65536; a too-dense init fails loudly instead of materializing the
+    corpus on the driver) and shipped back as one executor broadcast of
+    a K x dim float64 matrix. Assignment is an Arrow-batched pandas UDF:
+    one BLAS matmul (batch x K x dim) + argmax per Arrow batch, with
+    first-match-wins over ascending centroid ids reproducing the
+    (-sim, id) tie-break of kmeans-assign. Per round exactly ONE Spark
+    job over the corpus: scan -> assign -> hash agg whose shuffle
+    carries only K x (dim+1) partial cells — the corpus itself is never
+    shuffled (the previous crossJoin+min_by form re-shuffled every
+    (id, vector) row through the argmax groupBy each round, a full-data
+    exchange per iteration at 100 TB). Batch-only; no SQL oracle
+    (iterative) — covered by blob-recovery and SSE-descent tests
+    instead. Empty clusters drop (standard Lloyd; K can shrink).
+    Zero-norm / wrong-width / NULL vectors assign to no cluster and stay
+    out of the means (cosine undefined), matching kmeans-assign. Means
+    are float sums in shuffle order, so exact bits vary run-to-run —
+    consumers rank by cosine, where last-bit noise is immaterial."""
     from ..errors import ArityError
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     dim = int(opts["dim"])
     iters = int(opts.get("iters", 5))
+    max_k = int(opts.get("max_k", 65536))
     init = opts.get("init") or opts.get("centroids")
     if not init:
         raise ArityError("kmeans-centroids needs {'init': <filter expr>}")
@@ -481,53 +497,97 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         raise ArityError("kmeans-centroids is batch-only")
 
     prepared = _prepared(rel, idc, vecc, dim)
-    vecs = _spread(prepared).localCheckpoint()
-    cents = (
-        prepared.filter(F.expr(init))
-        .select(F.col(idc).alias("__cid"), F.col("__v").alias("__cv"),
-                F.col("__n").alias("__cn"),
-                F.lit(None).cast("bigint").alias("__cnt"))  # filled by round 1
-        .localCheckpoint()
+    vecs = _spread(prepared).localCheckpoint() if iters > 0 else prepared
+    cid_type = next(f.dataType for f in prepared.schema.fields if f.name == idc)
+
+    # the centroid set is bounded driver state: limit(max_k+1) caps the
+    # fetch so a too-dense init fails loudly instead of collecting the
+    # corpus onto the driver
+    init_rows = (
+        vecs.filter(F.expr(init))
+        .select(F.col(idc).alias("__cid"), F.col("__v").alias("__cv"))
+        .limit(max_k + 1)
+        .collect()
     )
-    # probe the CHECKPOINTED centroid set (no rescan): an init filter
-    # matching nothing must fail loudly, not return an empty result
-    if cents.isEmpty():
-        vecs.unpersist()
+    if not init_rows:
+        if iters > 0:
+            vecs.unpersist()
         raise ArityError(
             f"kmeans-centroids: init filter {init!r} matched no rows"
         )
-    for _ in range(iters):
-        assigned = (
-            vecs.crossJoin(F.broadcast(cents))
-            .withColumn("__csim", _centroid_sim(dim))
-            .groupBy(idc)
-            .agg(
-                F.first("__v").alias("__v"),
-                F.min_by(F.col("__cid"), _nearest_order()).alias("__cid"),
-            )
+    if len(init_rows) > max_k:
+        if iters > 0:
+            vecs.unpersist()
+        raise ArityError(
+            f"kmeans-centroids: init filter {init!r} matched more than "
+            f"max_k={max_k} rows — sample sparser or raise {{'max_k': n}}"
         )
-        # zero-norm vectors assign to NULL (cosine undefined); keep them
-        # out of the means rather than emitting a NULL pseudo-cluster
-        means = assigned.filter(F.col("__cid").isNotNull()).groupBy("__cid").agg(
-            *[F.avg(F.col("__v").getItem(i)).alias(f"__m{i}") for i in range(dim)],
-            F.count(F.lit(1)).alias("__cnt"),
-        )
-        newc = means.select(
-            "__cid",
-            F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("__cv"),
-            "__cnt",
-        )
-        prev = cents
-        cents = newc.select(
-            "__cid", "__cv", norm_col(F.col("__cv"), dim).alias("__cn"), "__cnt"
-        ).localCheckpoint()
-        prev.unpersist()
-    out = cents.select(
-        F.col("__cid").alias("cluster"),
-        F.col("__cv").alias("centroid"),
-        F.col("__cnt").alias("n"),
+    # (cid, centroid ndarray-or-None, n-or-None), ascending by cid so a
+    # first-occurrence argmax reproduces the smallest-id tie-break
+    state = sorted(
+        ((r["__cid"], None if r["__cv"] is None else np.asarray(r["__cv"], dtype=np.float64), None)
+         for r in init_rows),
+        key=lambda t: (t[0] is None, t[0]),
     )
-    vecs.unpersist()
+
+    sc = ctx.spark.sparkContext
+    for _ in range(iters):
+        usable = [(c, v) for c, v, _ in state
+                  if v is not None and v.shape == (dim,) and float(np.linalg.norm(v)) > 0.0]
+        if not usable:
+            state = []  # every centroid degenerate -> nothing assignable
+            break
+        cids = [c for c, _ in usable]
+        cmat = np.vstack([v for _, v in usable])
+        cmat = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+        bc = sc.broadcast((cids, cmat))
+
+        @pandas_udf(cid_type)
+        def _assign(vs):
+            cids_, cn = bc.value
+            arrs = vs.to_numpy()
+            res = np.full(len(arrs), None, dtype=object)
+            ok = np.fromiter(
+                (a is not None and len(a) == cn.shape[1] for a in arrs),
+                dtype=bool, count=len(arrs),
+            )
+            if ok.any():
+                mat = np.vstack([np.asarray(a, dtype=np.float64) for a in arrs[ok]])
+                picks = np.asarray(cids_, dtype=object)[(mat @ cn.T).argmax(axis=1)]
+                picks[np.linalg.norm(mat, axis=1) == 0.0] = None
+                res[ok] = picks
+            return pd.Series(res)
+
+        mean_rows = (
+            vecs.withColumn("__cid", _assign(F.col("__v")))
+            .filter(F.col("__cid").isNotNull())
+            .groupBy("__cid")
+            .agg(
+                *[F.avg(F.col("__v").getItem(i)).alias(f"__m{i}") for i in range(dim)],
+                F.count(F.lit(1)).alias("__cnt"),
+            )
+            .collect()  # K rows — same bounded state that was broadcast
+        )
+        bc.unpersist()
+        state = sorted(
+            ((r["__cid"],
+              np.asarray([r[f"__m{i}"] for i in range(dim)], dtype=np.float64),
+              int(r["__cnt"]))
+             for r in mean_rows),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+    if iters > 0:
+        vecs.unpersist()
+
+    out_schema = StructType([
+        StructField("cluster", cid_type),
+        StructField("centroid", ArrayType(DoubleType())),
+        StructField("n", LongType()),
+    ])
+    out = ctx.spark.createDataFrame(
+        [(c, None if v is None else [float(x) for x in v], n) for c, v, n in state],
+        out_schema,
+    )
     return KStreamRel(out, key_cols=("cluster",))
 
 
