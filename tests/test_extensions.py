@@ -703,6 +703,26 @@ def test_kmeans_centroids_recovers_blobs(spark):
     assert set(dominant) == {0, 1, 2}
 
 
+def test_kmeans_centroids_max_k_guard_and_degenerate_init(spark):
+    """The centroid set is bounded driver state: an init filter matching
+    more than max_k rows is a curated error (never a corpus-sized
+    collect), and an all-degenerate init (zero-norm vectors) yields an
+    empty result instead of NULL pseudo-clusters."""
+    from ksml_spark.errors import ArityError
+
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(40)] + [(99, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ArityError, match="more than max_k=8"):
+        ksml(["kmeans-centroids", ["stream", df, {"key": "vec_id"}],
+              {"id": "vec_id", "vec": "embedding", "dim": 2,
+               "init": "vec_id < 40", "max_k": 8}], spark=spark)
+    out = ksml(["kmeans-centroids", ["stream", df, {"key": "vec_id"}],
+                {"id": "vec_id", "vec": "embedding", "dim": 2,
+                 "init": "vec_id = 99", "iters": 2}], spark=spark).df
+    assert out.collect() == []
+
+
 def test_kmeans_refined_ivf_sse_not_worse(spark, tables):
     """Lloyd iterations must not increase within-cluster cosine
     dissimilarity vs the raw sampled centroids (descent property)."""
