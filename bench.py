@@ -143,7 +143,7 @@ def _stream_bench(spark, sf_dir: str) -> dict:
             # incremental_dedup example composes with an anti-join).
             # default impl = md5 family via the numpy-vectorized Arrow
             # signature UDF (the oracle-parity hash); impl="km" = the
-            # single-digest Kirsch-Mitzenstein family — the recorded
+            # single-digest Kirsch-Mitzenmacher family — the recorded
             # speedup is the reason the option exists
             from ksml_spark import ksml as _ksml
 

@@ -210,7 +210,7 @@ def _sig_struct_udf(with_toks: bool, shingle_k: int = SHINGLE_K,
     ~770-iteration Python loop per doc is one numpy reshape+min.
 
     family="km" ({"impl": "km"}): ONE unsalted md5 digest per shingle,
-    16 hash functions derived Kirsch-Mitzenstein style as
+    16 hash functions derived Kirsch-Mitzenmacher style as
     g_j = p0 + j*p1 from the digest's first two big-endian 32-bit
     pieces (Kirsch & Mitzenmacher, "Less Hashing, Same Performance" —
     two base hashes give an entire MinHash family). 4x fewer digest
@@ -548,7 +548,7 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     read twice). The shuffle key is the bucket, so cost scales with
     rows·bands per side; a small reference set broadcasts with
     {"broadcast": true}. {"impl": "km"} switches BOTH sides to the
-    single-digest Kirsch-Mitzenstein MinHash family — the fast
+    single-digest Kirsch-Mitzenmacher MinHash family — the fast
     streaming-signature path (one md5 per shingle instead of four
     salted ones, token ids shared); md5 stays the default for
     DuckDB-oracle parity on batch queries.
@@ -612,7 +612,7 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     # {"impl": ...}: "auto" (default; salted-md5 family — streaming rows
     # via the numpy-vectorized Arrow signature UDF), "expr" (md5 family,
     # pure expressions — interpreted HOFs, kept for plan-shape A/B),
-    # "km" (single-digest Kirsch-Mitzenstein family — the fast streaming
+    # "km" (single-digest Kirsch-Mitzenmacher family — the fast streaming
     # path, 4x fewer digests; band/bucket values are a different space
     # than md5, so ONE impl is threaded to BOTH sides; verify token ids
     # are md5_long_col-identical across families, so Jaccard values are

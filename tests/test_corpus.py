@@ -517,7 +517,7 @@ def test_lsh_join_streaming_left_matches_batch(spark, tmp_path):
 
 
 def test_lsh_join_km_impl_parity(spark, tmp_path):
-    """{"impl": "km"} — the single-digest Kirsch-Mitzenstein streaming
+    """{"impl": "km"} — the single-digest Kirsch-Mitzenmacher streaming
     fast path: (a) an EXACT duplicate recalls under both families
     (identical shingle sets give identical minhash vectors, whatever
     the hash) and any pair found by both carries the same verified
