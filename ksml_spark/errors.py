@@ -24,10 +24,16 @@ class UnknownOperatorError(KsmlError):
         super().__init__(f"unknown expression: {op!r}" + (f" in {form!r}" if form is not None else ""))
 
 
-class ArityError(KsmlError):
-    """Operator applied to the wrong number / shape of arguments."""
+class ArityError(KsmlError, ValueError):
+    """Operator applied to the wrong number / shape of arguments.
+
+    Also a ``ValueError`` so pre-existing callers catching the stdlib
+    type keep working."""
 
 
-class TypeDispatchError(KsmlError):
+class TypeDispatchError(KsmlError, TypeError):
     """Operator applied to an operand kind it does not support
-    (e.g. windowed join of two tables)."""
+    (e.g. windowed join of two tables).
+
+    Also a ``TypeError`` so pre-existing callers catching the stdlib
+    type keep working."""

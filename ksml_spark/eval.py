@@ -23,11 +23,15 @@ from typing import Any, Callable, Optional
 
 from pyspark.sql import SparkSession
 
-from .errors import UnknownOperatorError
+from .errors import ArityError, UnknownOperatorError
 from .exprs import LAMBDA_CLASSES, Lambda
 
 # operator registry: name -> fn(ctx, *evaled_args)
 OPERATORS: dict[str, Callable] = {}
+
+# signature cache for the arity check in keval (built lazily: decorators
+# like functools.wraps can postdate defop registration)
+_SIGNATURES: dict[str, Any] = {}
 
 
 def defop(*names: str):
@@ -114,6 +118,18 @@ def keval(form: Any, ctx: Ctx) -> Any:
             for s in getattr(a, "topology_sources", []):
                 if s not in ctx.sources:
                     ctx.sources.append(s)
+        # arity check BEFORE the call: a form with too few / too many
+        # operands is a DSL usage error and must surface as the curated
+        # ArityError, not the rule function's raw TypeError
+        sig = _SIGNATURES.get(op)
+        if sig is None:
+            import inspect
+
+            sig = _SIGNATURES[op] = inspect.signature(rule)
+        try:
+            sig.bind(ctx, *args)
+        except TypeError as e:
+            raise ArityError(f"{op}: {e}") from None
         return rule(ctx, *args)
 
     if isinstance(form, (list, tuple)):
@@ -133,7 +149,7 @@ def vthread(first: Any, *forms) -> Any:
     acc = first
     for f in forms:
         if not isinstance(f, (list, tuple)):
-            raise TypeError(f"v-> steps must be vectors, got {type(f).__name__}")
+            raise ArityError(f"v-> steps must be vectors, got {type(f).__name__}")
         acc = [f[0], acc, *f[1:]]
     return acc
 

@@ -27,6 +27,8 @@ from typing import Any, Callable, Optional, Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .errors import ArityError
+
 ExprLike = Union[Column, str]
 
 
@@ -36,7 +38,9 @@ def to_col(x: ExprLike) -> Column:
         return x
     if isinstance(x, str):
         return F.expr(x)
-    raise TypeError(f"cannot coerce {type(x).__name__} to Column")
+    from .errors import TypeDispatchError
+
+    raise TypeDispatchError(f"cannot coerce {type(x).__name__} to Column")
 
 
 def named_cols(result: Any, default_name: str) -> dict[str, Column]:
@@ -181,19 +185,19 @@ class Serde:
         """binary Kafka column -> typed Column."""
         if self.name == "json":
             if not self.schema:
-                raise ValueError("json serde requires a DDL schema")
+                raise ArityError("json serde requires a DDL schema")
             return F.from_json(col.cast("string"), self.schema)
         if self.name == "avro":
             if not self.schema:
-                raise ValueError("avro serde requires an Avro JSON schema")
+                raise ArityError("avro serde requires an Avro JSON schema")
             return self._avro()[0](col, self.schema)
         if self.name in self._DECODE:
             return self._DECODE[self.name](col)
         if self.deserializer is not None:
             if self.deserializer.is_sql():
-                raise ValueError("custom deserializer must be a callable")
+                raise ArityError("custom deserializer must be a callable")
             return self.deserializer.fn(col)
-        raise ValueError(f"unknown serde {self.name!r}")
+        raise ArityError(f"unknown serde {self.name!r}")
 
     @staticmethod
     def _avro():
@@ -207,7 +211,7 @@ class Serde:
 
             return from_avro, to_avro
         except Exception as e:  # pragma: no cover - import always works upstream
-            raise ValueError(f"avro serde unavailable: {e}") from e
+            raise ArityError(f"avro serde unavailable: {e}") from e
 
     def encode(self, col: Column) -> Column:
         """typed Column -> binary Kafka column."""
@@ -226,9 +230,9 @@ class Serde:
             return self._ENCODE[self.name](col)
         if self.serializer is not None:
             if self.serializer.is_sql():
-                raise ValueError("custom serializer must be a callable")
+                raise ArityError("custom serializer must be a callable")
             return self.serializer.fn(col)
-        raise ValueError(f"unknown serde {self.name!r}")
+        raise ArityError(f"unknown serde {self.name!r}")
 
 
 LAMBDA_CLASSES: dict[str, type] = {

@@ -631,6 +631,11 @@ def op_dist_shift(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
     as broadcast one-row aggregates. Batch-only (corpus-global).
 
     Reference: no analog (§2.10 extension surface)."""
+    if not isinstance(right, Rel):
+        raise TypeDispatchError(
+            f"dist-shift right operand must be a stream/table, "
+            f"got {type(right).__name__}"
+        )
     opts = {}
     for r in rest:
         if isinstance(r, dict):

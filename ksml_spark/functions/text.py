@@ -685,6 +685,13 @@ def op_decontaminate(ctx: Ctx, corpus: Rel, bench: Rel, *rest) -> Rel:
 
     Reference: no analog (the reference wraps Kafka Streams; corpus
     hygiene ops are this engine's §2.10 extension surface)."""
+    from ..errors import TypeDispatchError
+
+    if not isinstance(bench, Rel):
+        raise TypeDispatchError(
+            f"decontaminate right operand must be a stream/table, "
+            f"got {type(bench).__name__}"
+        )
     opts = {}
     for r in rest:
         if isinstance(r, dict):

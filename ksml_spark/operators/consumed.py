@@ -84,10 +84,11 @@ def op_with(ctx: Ctx, *args) -> list:
 def op_offset_reset(ctx: Ctx, which: str) -> str:
     """[:offset-reset "EARLIEST"|"LATEST"] (eval.clj:88-90) ->
     startingOffsets value."""
-    w = which.upper()
-    if w not in ("EARLIEST", "LATEST"):
-        raise ValueError(f"offset-reset must be EARLIEST or LATEST, got {which!r}")
-    return w
+    from ..errors import ArityError
+
+    if not isinstance(which, str) or which.upper() not in ("EARLIEST", "LATEST"):
+        raise ArityError(f"offset-reset must be EARLIEST or LATEST, got {which!r}")
+    return which.upper()
 
 
 @defop("timestamp-extractor")
@@ -118,7 +119,9 @@ def op_serde(ctx: Ctx, which, schema: Optional[str] = None) -> Serde:
 def op_serde_from(ctx: Ctx, ser, de) -> Serde:
     """[:serde-from [:serializer f] [:deserializer f]] (eval.clj:303-308)."""
     if not isinstance(ser, Serializer) or not isinstance(de, Deserializer):
-        raise TypeError("serde-from takes [:serializer f] [:deserializer f]")
+        from ..errors import ArityError
+
+        raise ArityError("serde-from takes [:serializer f] [:deserializer f]")
     return Serde(serializer=ser, deserializer=de)
 
 

@@ -553,6 +553,11 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     salted ones, token ids shared); md5 stays the default for
     DuckDB-oracle parity on batch queries.
     Reference: no analog (§2.10 extension)."""
+    if not isinstance(right, Rel):
+        raise TypeDispatchError(
+            f"lsh-join right operand must be a stream/table, "
+            f"got {type(right).__name__}"
+        )
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     ridc = opts.get("right_id", idc)

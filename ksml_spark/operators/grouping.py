@@ -32,6 +32,11 @@ from .stateless import Named, key_result
 def _ms_to_interval(ms) -> str:
     if isinstance(ms, str):
         return ms  # already an interval string
+    if not isinstance(ms, (int, float)) or isinstance(ms, bool):
+        raise ArityError(
+            f"window size must be milliseconds or an interval string, got {ms!r}"
+        )
+    ms = int(ms)
     if ms % 1000 == 0:
         return f"{ms // 1000} seconds"
     return f"{ms} milliseconds"
@@ -69,6 +74,8 @@ def op_duration(ctx: Ctx, iso: str) -> str:
     """[:duration "PT1H"] (eval.clj:85-86) -> Spark interval string."""
     import re
 
+    if not isinstance(iso, str):
+        raise ArityError(f"duration needs an ISO-8601 string, got {iso!r}")
     m = re.fullmatch(r"P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:([\d.]+)S)?)?", iso.upper())
     if not m:
         raise ArityError(f"bad ISO-8601 duration: {iso!r}")
@@ -143,6 +150,11 @@ def _finish(grouped: GroupedRel, agged: DataFrame) -> KTableRel:
 
 
 def _grab_window(grouped: GroupedRel, rest) -> GroupedRel:
+    if not isinstance(grouped, GroupedRel):
+        raise TypeDispatchError(
+            "count/reduce/aggregate need a GROUPED relation — apply "
+            "group-by / group-by-key (+ optional windowed-by) first"
+        )
     win = next((r for r in rest if isinstance(r, WindowSpec)), None)
     if win is not None:
         grouped = GroupedRel(grouped.df, grouped.key_cols, grouped.time_col, win, grouped.source_is_table)
@@ -255,6 +267,8 @@ def op_agg_salted(ctx: Ctx, grouped: GroupedRel, aggs: dict, *rest) -> KTableRel
     the hot key) forces raw rows through a single partition."""
     import re
 
+    if not isinstance(aggs, dict) or not aggs:
+        raise ArityError("agg-salted needs a non-empty {name: aggregate-expr} dict")
     opts = {}
     for r in rest:
         if isinstance(r, dict):

@@ -95,6 +95,11 @@ def _apply_joiner(
 
 def _do_join(ctx: Ctx, left: Rel, right: Rel, how: str, rest) -> Rel:
     # (pre-built Rel operands' source registries are merged by keval)
+    for side, name in ((left, "left"), (right, "right")):
+        if not isinstance(side, Rel):
+            raise TypeDispatchError(
+                f"join {name} operand must be a stream/table, got {type(side).__name__}"
+            )
     vj = next((r for r in rest if isinstance(r, ValueJoiner)), None)
     window = next((r for r in rest if isinstance(r, WindowSpec)), None)
     kx = next((r for r in rest if isinstance(r, KeyValueMapper)), None)
@@ -288,6 +293,11 @@ def op_asof_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     max_by per left row) explodes on key cardinality; this never does.
     Right rows sort before left rows at equal timestamps, so the match is
     inclusive (r.time <= l.time)."""
+    for side, name in ((left, "left"), (right, "right")):
+        if not isinstance(side, Rel):
+            raise TypeDispatchError(
+                f"asof-join {name} operand must be a stream/table, got {type(side).__name__}"
+            )
     from pyspark.sql import Window
 
     opts: dict = {}

@@ -25,6 +25,7 @@ from __future__ import annotations
 import re
 from typing import Optional, Union
 
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..errors import ArityError
@@ -43,6 +44,12 @@ def _as_rel(x) -> Rel:
 def op_select(ctx: Ctx, rel: Rel, cols: Union[dict, list]) -> Rel:
     """Projection. dict {name: expr} or list of column names/exprs."""
     rel = _as_rel(rel)
+    if isinstance(cols, str):
+        cols = [cols]
+    if not isinstance(cols, (dict, list, tuple)):
+        raise ArityError(
+            f"select takes {{name: expr}} or a column list, got {cols!r}"
+        )
     if isinstance(cols, dict):
         exprs = [to_col(v).alias(k) for k, v in cols.items()]
         names = list(cols)
@@ -72,6 +79,8 @@ def op_with_column(ctx: Ctx, rel: Rel, name: str, expr) -> Rel:
 def op_agg(ctx: Ctx, g, aggs: dict) -> KTableRel:
     """Aggregate a GroupedRel (or whole Rel = global agg) with named SQL
     aggregate expressions. Hash agg with map-side partials."""
+    if not isinstance(aggs, dict) or not aggs:
+        raise ArityError("agg needs a non-empty {name: aggregate-expr} dict")
     exprs = [to_col(v).alias(k) for k, v in aggs.items()]
     if isinstance(g, GroupedRel):
         gcols = g.grouping_cols()
@@ -92,13 +101,19 @@ def op_order_by(ctx: Ctx, rel: Rel, *cols) -> Rel:
     for c in cols:
         if isinstance(c, str) and c.startswith("-"):
             exprs.append(F.col(c[1:]).desc())
-        else:
+        elif isinstance(c, (str, Column)):
             exprs.append(to_col(c))
+        else:
+            raise ArityError(
+                f"order-by takes column names ('-col' for descending), got {c!r}"
+            )
     return rel.with_df(rel.df.orderBy(*exprs))
 
 
 @defop("limit")
 def op_limit(ctx: Ctx, rel: Rel, n: int) -> Rel:
+    if not isinstance(n, (int, float)) or isinstance(n, bool):
+        raise ArityError(f"limit needs a row count, got {n!r}")
     return _as_rel(rel).with_df(rel.df.limit(int(n)))
 
 
@@ -106,6 +121,10 @@ def op_limit(ctx: Ctx, rel: Rel, n: int) -> Rel:
 def op_distinct(ctx: Ctx, rel: Rel, cols=None) -> Rel:
     """Exact distinct — hash shuffle on all (or given) columns."""
     rel = _as_rel(rel)
+    if cols is not None and not isinstance(cols, (list, tuple, str)):
+        raise ArityError(f"distinct takes a column-name list, got {cols!r}")
+    if isinstance(cols, str):
+        cols = [cols]
     df = rel.df.dropDuplicates(list(cols)) if cols else rel.df.distinct()
     return rel.with_df(df)
 
@@ -210,6 +229,8 @@ def op_approx_distinct(ctx: Ctx, rel: Rel, col: str, *rest) -> KTableRel:
     for r in rest:
         if isinstance(r, dict):
             opts.update(r)
+    if not isinstance(col, str):
+        raise ArityError(f"approx-distinct needs a column name, got {col!r}")
     rsd = float(opts.get("rsd", 0.05))
     by = opts.get("by") or list(rel.key_cols)
     expr = F.approx_count_distinct(F.col(col), rsd).alias(opts.get("as", "approx_distinct"))
@@ -220,12 +241,16 @@ def op_approx_distinct(ctx: Ctx, rel: Rel, col: str, *rest) -> KTableRel:
 @defop("sql")
 def op_sql(ctx: Ctx, query: str, **_) -> KStreamRel:
     """Full Spark SQL escape hatch over registered temp views."""
+    if not isinstance(query, str):
+        raise ArityError(f"sql takes a SQL string, got {type(query).__name__}")
     return KStreamRel(ctx.spark.sql(query))
 
 
 @defop("as-view")
 def op_as_view(ctx: Ctx, rel: Rel, name: str) -> Rel:
     """Register the rel as a temp view (for ["sql", ...] composition)."""
+    if not isinstance(name, str):
+        raise ArityError(f"as-view needs a view name string, got {name!r}")
     rel = _as_rel(rel)
     rel.df.createOrReplaceTempView(name)
     return rel

@@ -38,6 +38,7 @@ from ..model import KStreamRel, Rel
 
 
 from .util import opts_of as _opts  # noqa: E402  (shared option merging)
+from .util import req_opt as _req  # noqa: E402  (curated required-option fetch)
 
 
 def dot_col(a: Column, b: Column, dim: Optional[int] = None) -> Column:
@@ -127,7 +128,7 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     k = int(opts.get("k", 3))
     dim = opts.get("dim")
     prepared = _prepared(rel, idc, vecc, dim)
-    q = prepared.filter(F.expr(opts["queries"])).select(
+    q = prepared.filter(F.expr(_req(opts, "queries", "ann-topk"))).select(
         F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
     )
     c = _spread(prepared).select(
@@ -158,7 +159,7 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         norm_col(v, dim).alias("__n"),
         sign_bucket_col(F.col(vecc), dims).alias("__bucket"),
     )
-    q = prepared.filter(F.expr(opts["queries"])).select(
+    q = prepared.filter(F.expr(_req(opts, "queries", "ann-lsh-topk"))).select(
         F.col(idc).alias("q_id"),
         F.col("__v").alias("__qv"),
         F.col("__n").alias("__qn"),
@@ -213,7 +214,7 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # across branches
     prepared = _prepared(rel, idc, vecc, dim)
 
-    cents = prepared.filter(F.expr(opts["centroids"])).select(
+    cents = prepared.filter(F.expr(_req(opts, "centroids", "ann-ivf-topk"))).select(
         F.col(idc).alias("__cid"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
     )
     # nearest centroid per vector: argmax by (sim, then smallest cid);
@@ -229,7 +230,7 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # queries probe their nprobe nearest clusters
     qw = Window.partitionBy("q_id").orderBy(F.col("__csim").desc(), F.col("__cid").asc())
     qprobe = (
-        prepared.filter(F.expr(opts["queries"]))
+        prepared.filter(F.expr(_req(opts, "queries", "ann-ivf-topk")))
         .select(F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn"))
         .crossJoin(F.broadcast(cents))
         .withColumn("__csim", dot_col(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")))
@@ -487,7 +488,7 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
 
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
-    dim = int(opts["dim"])
+    dim = int(_req(opts, "dim", "kmeans-centroids"))
     iters = int(opts.get("iters", 5))
     max_k = int(opts.get("max_k", 65536))
     init = opts.get("init") or opts.get("centroids")

@@ -130,6 +130,10 @@ def op_foreach_batch(ctx: Ctx, rel: Rel, fn, *rest) -> SinkResult:
     with batch_id=0 — same contract both modes."""
     if isinstance(fn, ForeachAction):
         fn = fn.fn
+    if not callable(fn):
+        raise ArityError(
+            f"foreach-batch needs fn(batch_df, batch_id), got {type(fn).__name__}"
+        )
     opts = {}
     for r in rest:
         if isinstance(r, dict):
@@ -162,6 +166,10 @@ def op_foreach(ctx: Ctx, rel: Rel, action: ForeachAction, *rest) -> SinkResult:
     (eval.clj:119-121; eval_test.clj:399-402). Runs on executors via
     foreachPartition (batch) / writeStream.foreach (streaming); the driver
     never collects the data."""
+    if not isinstance(action, ForeachAction) or not callable(action.fn):
+        raise ArityError(
+            f"foreach needs a ['foreach-action', fn] form, got {type(action).__name__}"
+        )
     fn = action.fn
     if rel.df.isStreaming:
         q = rel.df.writeStream.foreach(lambda row: fn(row)).start()

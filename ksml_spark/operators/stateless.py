@@ -57,8 +57,21 @@ def _absorb_named(rel: Rel, rest) -> Rel:
 # ---------------------------------------------------------------------------
 # lambda application helpers
 
+def _require_lambda(x, op: str, form: str):
+    """Lambda-slot operands must be wrapped lambda forms — a dict/rel/
+    number landing here is a DSL usage error and must surface curated,
+    not as an AttributeError on the missing wrapper API."""
+    from ..exprs import Lambda
+
+    if not isinstance(x, Lambda):
+        raise TypeDispatchError(
+            f"{op} needs a [{form!r}, fn] lambda form, got {type(x).__name__}"
+        )
+
+
 def predicate_condition(rel: Rel, pred: Predicate) -> Column:
     """Compile a :predicate to a boolean Column over rel's record model."""
+    _require_lambda(pred, "filter", "predicate")
     if pred.is_sql():
         return F.expr(pred.fn)
     if pred.opaque:
@@ -69,6 +82,7 @@ def predicate_condition(rel: Rel, pred: Predicate) -> Column:
 
 def value_result(rel: Rel, vm: ValueMapper, default_name: str = "value") -> dict[str, Column]:
     """Compile a :value-mapper into named output Columns."""
+    _require_lambda(vm, "map-values/flat-map-values", "value-mapper")
     if vm.is_sql():
         return {default_name: F.expr(vm.fn)}
     if isinstance(vm.fn, dict):
@@ -81,6 +95,7 @@ def value_result(rel: Rel, vm: ValueMapper, default_name: str = "value") -> dict
 
 def kv_result(rel: Rel, km: KeyValueMapper) -> tuple[dict[str, Column], dict[str, Column]]:
     """Compile a :key-value-mapper into (key columns, value columns)."""
+    _require_lambda(km, "map/flat-map", "key-value-mapper")
     if isinstance(km.fn, dict):
         if set(km.fn) >= {"key"}:
             kd = named_cols(km.fn["key"], "key")
@@ -105,6 +120,7 @@ def kv_result(rel: Rel, km: KeyValueMapper) -> tuple[dict[str, Column], dict[str
 
 def key_result(rel: Rel, km: KeyValueMapper) -> dict[str, Column]:
     """Compile a key-only mapper (for :select-key / :group-by)."""
+    _require_lambda(km, "select-key/group-by", "key-value-mapper")
     if km.is_sql():
         return {"key": F.expr(km.fn)}
     if isinstance(km.fn, dict):
@@ -182,6 +198,7 @@ def op_flat_map(ctx: Ctx, rel: Rel, km: KeyValueMapper, *rest) -> KStreamRel:
     """[:flat-map s [:key-value-mapper f]] — one record -> 0..n [k v] pairs
     (eval.clj:113-115). The mapper must return an ARRAY column of
     struct<key,value>; we explode it (generator stays in codegen)."""
+    _require_lambda(km, "flat-map", "key-value-mapper")
     if km.is_sql():
         arr = F.expr(km.fn)
     elif km.opaque:
@@ -204,6 +221,7 @@ def op_flat_map_values(ctx: Ctx, rel: Rel, vm: ValueMapper, *rest) -> KStreamRel
     """[:flat-map-values s [:value-mapper f]] — one value -> 0..n values,
     key preserved (eval.clj:116-118; wordcount README.md:62). The mapper
     returns an ARRAY column; exploded with the key carried along."""
+    _require_lambda(vm, "flat-map-values", "value-mapper")
     pos = [r for r in rest if isinstance(r, dict)]
     out_name = (pos[0].get("as") if pos else None) or "value"
     if vm.is_sql():
@@ -274,6 +292,7 @@ def op_peek(ctx: Ctx, rel: Rel, action: ForeachAction, *rest) -> Rel:
     no extra pass) when the action is an aggregate expr; opaque actions run
     via foreachBatch in streaming — in batch we apply per-partition without
     materializing."""
+    _require_lambda(action, "peek", "foreach-action")
     if isinstance(action.fn, str):
         out = rel.with_df(rel.df.observe(f"peek_{id(action) % 10_000}", F.expr(action.fn)))
         return _absorb_named(out, rest)

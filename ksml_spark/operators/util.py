@@ -17,6 +17,17 @@ def opts_of(rest) -> dict:
     return o
 
 
+def req_opt(opts: dict, key: str, op: str):
+    """Fetch a REQUIRED option or raise the curated ArityError — a
+    missing mandatory option is a DSL usage error and must never
+    surface as a raw ``KeyError``."""
+    from ..errors import ArityError
+
+    if key not in opts:
+        raise ArityError(f"{op} requires {{'{key}': ...}}")
+    return opts[key]
+
+
 def order_cols(order) -> list[Column]:
     """Parse order specs: ``"col"`` ascending, ``"-col"`` descending
     (the order-by convention)."""

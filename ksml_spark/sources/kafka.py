@@ -134,7 +134,9 @@ def kafka_sink(df: DataFrame, topic: Optional[str], opts: dict, rel):
     from ..operators.sinks import SinkResult
 
     if topic is None:
-        raise ValueError("kafka sink needs a topic")
+        from ..errors import ArityError
+
+        raise ArityError("kafka sink needs a topic")
     fake = opts.get("fake_dir")
     if fake:
         partitions = int(opts.get("partitions", 4))

@@ -31,7 +31,9 @@ def op_with_watermark(ctx: Ctx, rel: Rel, delay: str) -> Rel:
     to ``delay`` (reference :withRetention -> SURVEY.md §2.5). No-op when
     the rel has no time column; valid on batch too (Spark ignores it)."""
     if rel.time_col is None:
-        raise ValueError("with-watermark requires a time column")
+        from ..errors import ArityError
+
+        raise ArityError("with-watermark requires a time column")
     return rel.with_df(rel.df.withWatermark(rel.time_col, delay))
 
 

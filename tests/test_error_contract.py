@@ -1,0 +1,121 @@
+"""The curated-error contract, swept over the ENTIRE operator registry.
+
+Reference parity note: the reference evaluator's only failure mode is the
+curated ``(throw (ex-info "unknown expression:" ...))``
+(/root/reference/src/cddr/ksml/eval.clj:395) — malformed forms never leak
+host-language internals. This suite pins the same property for every
+registered op: a structurally wrong DSL form (missing operands, an opts
+dict or scalar where an operand belongs) must surface as a KsmlError
+(ArityError / TypeDispatchError / UnknownOperatorError) or a Spark
+analysis-layer error — NEVER a raw Python KeyError / TypeError /
+AttributeError / IndexError from inside the expansion rule.
+
+Three malformed shapes per op, applied to a relation carrying the common
+default column names (so failures exercise argument validation, not
+missing columns):
+
+* bare:   ["op", rel]           — operands missing entirely
+* opts:   ["op", rel, {}]       — an options dict in an operand slot
+* scalar: ["op", rel, 42]       — a number in an operand slot
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ksml_spark import OPERATORS, ksml
+from ksml_spark.errors import KsmlError
+
+# Spark's own curated argument/analysis errors are acceptable surfaces
+# for bad COLUMN references or values (they name the problem and carry
+# no engine-internal traceback semantics); raw Python exception types
+# from inside an expansion rule are not.
+_SPARK_CURATED = (
+    "AnalysisException",
+    "ParseException",
+    "IllegalArgumentException",
+    "PySparkValueError",
+    "PySparkTypeError",
+)
+
+
+@pytest.fixture(scope="module")
+def probe_rel_df(spark):
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                f"alpha beta gamma delta {i}",
+                "en",
+                "web",
+                25,
+                i,
+                1500000000 + i,
+                [float(i), 1.0, 2.0],
+                "click",
+                float(i),
+            )
+            for i in range(3)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long,"
+        " user_id long, ts long, embedding array<double>, event_type string,"
+        " value double",
+    )
+
+
+def _probe(spark, df, form) -> str | None:
+    """Returns None when the form is handled (success or curated error),
+    else a description of the leaked raw exception."""
+    try:
+        ksml(form, spark=spark)
+        return None
+    except KsmlError:
+        return None
+    except Exception as e:  # noqa: BLE001 — the contract under test
+        if type(e).__name__ in _SPARK_CURATED:
+            return None
+        return f"{type(e).__name__}: {str(e).splitlines()[0][:100]}"
+
+
+@pytest.mark.parametrize("shape", ["bare", "opts", "scalar"])
+def test_malformed_forms_surface_curated_errors(spark, probe_rel_df, shape):
+    operand = {"bare": None, "opts": {}, "scalar": 42}[shape]
+    leaks = {}
+    for op in sorted(OPERATORS):
+        rel = ["stream", probe_rel_df, {"key": "doc_id"}]
+        form = [op, rel] if operand is None else [op, rel, operand]
+        leak = _probe(spark, probe_rel_df, form)
+        if leak:
+            leaks[op] = leak
+    assert not leaks, f"raw exceptions leaked for {shape} forms: {leaks}"
+
+
+def test_curated_errors_remain_stdlib_catchable():
+    """Back-compat pins: ArityError is-a ValueError, TypeDispatchError
+    is-a TypeError — code written against the stdlib types keeps
+    working."""
+    from ksml_spark.errors import ArityError, TypeDispatchError
+
+    assert issubclass(ArityError, ValueError)
+    assert issubclass(TypeDispatchError, TypeError)
+    with pytest.raises(ValueError):
+        raise ArityError("x")
+    with pytest.raises(TypeError):
+        raise TypeDispatchError("x")
+
+
+def test_missing_required_options_are_curated(spark, probe_rel_df):
+    """Required-option fetches go through req_opt — spot-pin the ops
+    whose mandatory options used to surface as raw KeyErrors."""
+    from ksml_spark.errors import ArityError
+
+    rel = ["stream", probe_rel_df, {"key": "vec_id"}]
+    for form, missing in [
+        (["ann-topk", rel, {"id": "doc_id", "vec": "embedding"}], "queries"),
+        (["ann-lsh-topk", rel, {"id": "doc_id", "vec": "embedding"}], "queries"),
+        (["ann-ivf-topk", rel, {"id": "doc_id", "vec": "embedding"}], "centroids"),
+        (["kmeans-centroids", rel, {"id": "doc_id", "vec": "embedding",
+                                    "init": "doc_id = 0"}], "dim"),
+    ]:
+        with pytest.raises(ArityError, match=missing):
+            ksml(form, spark=spark)
