@@ -398,3 +398,49 @@ def test_dup_spans_property(spark, texts):
         dup = sum(cnt for g, cnt in c.items() if gram_docs[g] >= 2)
         assert got[d] == (n, dup)
         assert 0 <= dup <= n
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=rows,
+       thr=st.floats(min_value=-50, max_value=50, allow_nan=False),
+       n=st.integers(min_value=0, max_value=50))
+def test_relational_composition_laws(spark, data, thr, n):
+    """Relational-algebra laws over random pipelines — the composition
+    analog of the per-op references: conjunctive filter splitting,
+    filter/filter-not complementarity, distinct idempotence, limit
+    bounding, merge additivity, and select row preservation."""
+    df = spark.createDataFrame(data, "key long, seq long, v double")
+    rel = ["stream", df, {"key": "key"}]
+    total = df.count()
+
+    # where(a) . where(b) == where(a AND b)
+    split = pipe(rel, ["where", f"v > {thr}"], ["where", "seq % 2 = 0"],
+                 spark=spark).df.count()
+    fused = pipe(rel, ["where", f"v > {thr} AND seq % 2 = 0"],
+                 spark=spark).df.count()
+    assert split == fused
+
+    # filter + filter-not partition the rows (predicate never NULL here)
+    p = ["predicate", f"v > {thr}"]
+    kept = pipe(rel, ["filter", p], spark=spark).df.count()
+    dropped = pipe(rel, ["filter-not", p], spark=spark).df.count()
+    assert kept + dropped == total
+
+    # distinct is idempotent
+    d1 = pipe(rel, ["distinct"], spark=spark).df.count()
+    d2 = pipe(rel, ["distinct"], ["distinct"], spark=spark).df.count()
+    assert d1 == d2
+
+    # limit bounds (and never manufactures rows)
+    assert pipe(rel, ["limit", n], spark=spark).df.count() == min(n, total)
+
+    # merge is additive on row counts
+    half = ["where", "seq % 2 = 0"]
+    other = ["where", "seq % 2 = 1"]
+    merged = ksml(["merge", [half[0], rel, half[1]], [other[0], rel, other[1]]],
+                  spark=spark).df.count()
+    assert merged == total
+
+    # select preserves row count and renames reach the schema
+    sel = pipe(rel, ["select", {"k2": "key", "vv": "v * 2"}], spark=spark).df
+    assert sel.count() == total and sel.columns == ["k2", "vv"]
