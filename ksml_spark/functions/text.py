@@ -477,17 +477,20 @@ def op_ngrams(ctx: Ctx, rel: Rel, *rest) -> Rel:
     nothing when they have < n words) -> hash count -> top-K. One
     shuffle with map-side partials; the top-K is a global sort of the
     AGGREGATED (distinct-ngram) relation, not the corpus. Omit "top"
-    for the full distribution."""
+    for the full distribution. Batch-only (an unwatermarked streaming
+    aggregate never emits in append mode; per micro-batch stats via
+    foreach-batch)."""
     col, opts = _col_opts(rest)
     n = int(opts.get("n", 2))
     top = opts.get("top")
-    if top and rel.df.isStreaming:
+    if rel.df.isStreaming:
         from ..errors import TypeDispatchError
 
         raise TypeDispatchError(
-            "ngrams top-K is batch-only (a global sort of the aggregated "
-            "relation is not supported on streams); omit 'top' for the "
-            "full streaming distribution"
+            "ngrams aggregates corpus-global counts without a time "
+            "dimension and is batch-only (an unwatermarked streaming "
+            "aggregate never emits in append mode); run per micro-batch "
+            "via foreach-batch for incremental n-gram stats"
         )
     w = words(F.col(col))
     # coalesce: size(NULL) is NULL -> the when falls through and the
@@ -754,6 +757,14 @@ def op_dedup_paragraphs(ctx: Ctx, rel: Rel, *rest) -> Rel:
     than a stored table."""
     from pyspark.sql import Window
 
+    if rel.df.isStreaming:
+        from ..errors import TypeDispatchError
+
+        raise TypeDispatchError(
+            "dedup-paragraphs aggregates per-document paragraph ranks "
+            "(unwatermarked keyed aggregation) and is batch-only; run "
+            "per micro-batch via foreach-batch"
+        )
     opts = {}
     for r in rest:
         if isinstance(r, dict):

@@ -834,6 +834,11 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     17% of a 20k-doc corpus makes plain 2.3x slower than prefix, 33%
     makes it 7x — the quadratic hot-key blowup auto exists to avoid.
     True/False stay as explicit overrides."""
+    if rel.df.isStreaming:
+        raise TypeDispatchError(
+            "jaccard-pairs self-joins corpus-global postings and is "
+            "batch-only; use lsh-join for incremental near-dup on streams"
+        )
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     block = opts.get("block")
@@ -997,6 +1002,11 @@ def op_containment_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     handled by AQE skew-split, as in the plain jaccard plan.
 
     Reference: no analog (§2.10 extension surface)."""
+    if rel.df.isStreaming:
+        raise TypeDispatchError(
+            "containment-pairs self-joins corpus-global postings and is "
+            "batch-only; use lsh-join for incremental near-dup on streams"
+        )
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     block = opts.get("block")
@@ -1513,6 +1523,12 @@ def op_simhash_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     larger thresholds need more/smaller bands. Portable md5 hashes
     (see simhash_signatures), so the DuckDB oracle brute-forces the
     same pairs from the same signatures."""
+    if rel.df.isStreaming:
+        raise TypeDispatchError(
+            "simhash-pairs self-joins the corpus-global signature table "
+            "and is batch-only; use lsh-join for incremental near-dup "
+            "on streams"
+        )
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     k = int(opts.get("max_hamming", 3))

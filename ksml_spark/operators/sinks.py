@@ -86,6 +86,11 @@ def op_to(ctx: Ctx, rel: Rel, *rest) -> SinkResult:
         writer.saveAsTable(name)
         return SinkResult(rel, name)
     if df.isStreaming:
+        if fmt in ("parquet", "csv", "json", "orc", "text") and "path" not in opts:
+            raise ArityError(
+                f"streaming {fmt} sink needs {{'path': ...}} "
+                "(and a 'checkpoint' for restart recovery)"
+            )
         w = df.writeStream.format(fmt)
         if fmt == "csv":
             # the csv SOURCE reads header=true; a headerless write

@@ -119,3 +119,30 @@ def test_missing_required_options_are_curated(spark, probe_rel_df):
     ]:
         with pytest.raises(ArityError, match=missing):
             ksml(form, spark=spark)
+
+
+def test_batch_only_ops_refuse_streaming_at_construction(spark, tmp_path):
+    """Ops whose plan can only ever fail at stream START (unwatermarked
+    global aggregation / all-pairs self-joins / pathless file sinks)
+    must refuse a streaming input at CONSTRUCTION with the curated
+    error — a refusal buried in query.start() is a debugging tax."""
+    from ksml_spark.errors import TypeDispatchError
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    ).write.parquet(p)
+
+    def stream_rel():
+        return ["stream", file_stream_source(spark, p), {"key": "doc_id"}]
+
+    for op in ("jaccard-pairs", "containment-pairs", "simhash-pairs",
+               "ngrams", "dedup-paragraphs"):
+        with pytest.raises(TypeDispatchError, match="batch-only"):
+            ksml([op, stream_rel(), {}], spark=spark)
+
+    from ksml_spark.errors import ArityError
+
+    with pytest.raises(ArityError, match="streaming parquet sink needs"):
+        ksml(["to", stream_rel(), {}], spark=spark)
