@@ -23,7 +23,7 @@ from typing import Any, Callable, Optional
 
 from pyspark.sql import SparkSession
 
-from .errors import ArityError, UnknownOperatorError
+from .errors import ArityError, KsmlError, UnknownOperatorError
 from .exprs import LAMBDA_CLASSES, Lambda
 
 # operator registry: name -> fn(ctx, *evaled_args)
@@ -130,7 +130,16 @@ def keval(form: Any, ctx: Ctx) -> Any:
             sig.bind(ctx, *args)
         except TypeError as e:
             raise ArityError(f"{op}: {e}") from None
-        return rule(ctx, *args)
+        try:
+            return rule(ctx, *args)
+        except KsmlError:
+            raise
+        except ValueError as e:
+            # a construction-time ValueError is an option-parsing
+            # complaint ("invalid literal for int() ...") — surface it
+            # curated and NAMED; ArityError is-a ValueError, so callers
+            # catching the stdlib type see no difference
+            raise ArityError(f"{op}: {e}") from e
 
     if isinstance(form, (list, tuple)):
         return [keval(x, ctx) for x in form]

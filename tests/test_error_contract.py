@@ -146,3 +146,18 @@ def test_batch_only_ops_refuse_streaming_at_construction(spark, tmp_path):
 
     with pytest.raises(ArityError, match="streaming parquet sink needs"):
         ksml(["to", stream_rel(), {}], spark=spark)
+
+
+def test_junk_option_values_surface_curated_and_named(spark, probe_rel_df):
+    """Construction-time ValueErrors (int()/float() parses of junk
+    option values) are retyped to ArityError carrying the op name —
+    and, being a ValueError subclass, stay stdlib-catchable."""
+    from ksml_spark.errors import ArityError
+
+    rel = ["stream", probe_rel_df, {"key": "doc_id"}]
+    for form, op in [
+        (["histogram", rel, {"col": "value", "min": "x", "max": "y"}], "histogram"),
+        (["chunk", rel, {"size": "big"}], "chunk"),
+    ]:
+        with pytest.raises(ArityError, match=op):
+            ksml(form, spark=spark)
