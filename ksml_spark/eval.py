@@ -33,14 +33,33 @@ OPERATORS: dict[str, Callable] = {}
 # like functools.wraps can postdate defop registration)
 _SIGNATURES: dict[str, Any] = {}
 
+# ops whose rule EXECUTES user code or driver-side actions during
+# expansion (batch foreach/peek run the callback eagerly; kmeans-centroids
+# runs a driver-side Lloyd loop) — a ValueError escaping these is most
+# likely the user's callback or their data, not a malformed form, so keval
+# must NOT relabel it as a DSL ArityError named after the op
+_NO_VALUEERROR_RETYPE: set[str] = set()
 
-def defop(*names: str):
+
+def defop(*names: str, retype_value_errors: bool = True):
     """Register an operator expansion rule (the Python analog of the syntax
-    tables merged at /root/reference/src/cddr/ksml/eval.clj:230-237)."""
+    tables merged at /root/reference/src/cddr/ksml/eval.clj:230-237).
+
+    ``retype_value_errors=False`` opts the rule out of keval's
+    ValueError->ArityError curation — required for rules that execute user
+    callbacks or driver-side actions eagerly."""
 
     def register(fn: Callable) -> Callable:
         for n in names:
             OPERATORS[n] = fn
+            # a re-registration (plugin/test override) may change the
+            # signature — drop the stale cache entry so keval's arity
+            # check binds against the new rule
+            _SIGNATURES.pop(n, None)
+            if retype_value_errors:
+                _NO_VALUEERROR_RETYPE.discard(n)
+            else:
+                _NO_VALUEERROR_RETYPE.add(n)
         return fn
 
     return register
@@ -138,7 +157,12 @@ def keval(form: Any, ctx: Ctx) -> Any:
             # a construction-time ValueError is an option-parsing
             # complaint ("invalid literal for int() ...") — surface it
             # curated and NAMED; ArityError is-a ValueError, so callers
-            # catching the stdlib type see no difference
+            # catching the stdlib type see no difference.  Rules that
+            # execute user code/actions eagerly are opted out: there the
+            # ValueError belongs to the user's callback or data, and
+            # renaming it after the op would misdirect debugging.
+            if op in _NO_VALUEERROR_RETYPE:
+                raise
             raise ArityError(f"{op}: {e}") from e
 
     if isinstance(form, (list, tuple)):

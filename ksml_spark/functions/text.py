@@ -477,9 +477,12 @@ def op_ngrams(ctx: Ctx, rel: Rel, *rest) -> Rel:
     nothing when they have < n words) -> hash count -> top-K. One
     shuffle with map-side partials; the top-K is a global sort of the
     AGGREGATED (distinct-ngram) relation, not the corpus. Omit "top"
-    for the full distribution. Batch-only (an unwatermarked streaming
-    aggregate never emits in append mode; per micro-batch stats via
-    foreach-batch)."""
+    for the full distribution. Batch-only — DELIBERATELY including the
+    no-"top" form that update/complete output modes could legally run:
+    an ever-growing unwatermarked corpus-global count is unbounded state
+    with no eviction, so the construction-time refusal keeps the
+    contract uniform and points at the bounded alternative (per
+    micro-batch stats via foreach-batch)."""
     col, opts = _col_opts(rest)
     n = int(opts.get("n", 2))
     top = opts.get("top")
@@ -488,8 +491,10 @@ def op_ngrams(ctx: Ctx, rel: Rel, *rest) -> Rel:
 
         raise TypeDispatchError(
             "ngrams aggregates corpus-global counts without a time "
-            "dimension and is batch-only (an unwatermarked streaming "
-            "aggregate never emits in append mode); run per micro-batch "
+            "dimension and is batch-only: in append mode an "
+            "unwatermarked streaming aggregate never emits, and while "
+            "update/complete modes could emit, the corpus-global count "
+            "is unbounded state with no eviction; run per micro-batch "
             "via foreach-batch for incremental n-gram stats"
         )
     w = words(F.col(col))

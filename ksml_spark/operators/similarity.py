@@ -443,7 +443,7 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     return KStreamRel(assigned, key_cols=(idc,))
 
 
-@defop("kmeans-centroids")
+@defop("kmeans-centroids", retype_value_errors=False)
 def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """Lloyd-iteration centroid refinement for the IVF layout:
 
@@ -555,7 +555,12 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             if ok.any():
                 mat = np.vstack([np.asarray(a, dtype=np.float64) for a in arrs[ok]])
                 picks = np.asarray(cids_, dtype=object)[(mat @ cn.T).argmax(axis=1)]
-                picks[np.linalg.norm(mat, axis=1) == 0.0] = None
+                # NaN/Inf components would make argmax pick arbitrarily and
+                # poison that cluster's mean — exclude them like zero-norm
+                # vectors (the documented NULL/degenerate behavior)
+                bad = ~np.isfinite(mat).all(axis=1)
+                bad |= np.linalg.norm(mat, axis=1) == 0.0
+                picks[bad] = None
                 res[ok] = picks
             return pd.Series(res)
 

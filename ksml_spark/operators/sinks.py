@@ -127,7 +127,7 @@ def op_to(ctx: Ctx, rel: Rel, *rest) -> SinkResult:
     return SinkResult(rel, path)
 
 
-@defop("foreach-batch")
+@defop("foreach-batch", retype_value_errors=False)
 def op_foreach_batch(ctx: Ctx, rel: Rel, fn, *rest) -> SinkResult:
     """[:foreach-batch s fn {opts}] — per-microbatch sink: fn(batch_df,
     batch_id). The idiomatic Structured Streaming escape hatch for sinks
@@ -165,7 +165,7 @@ def op_print(ctx: Ctx, rel: Rel, *rest) -> SinkResult:
     return SinkResult(rel, "console")
 
 
-@defop("foreach")
+@defop("foreach", retype_value_errors=False)
 def op_foreach(ctx: Ctx, rel: Rel, action: ForeachAction, *rest) -> SinkResult:
     """[:foreach s [:foreach-action f]] — terminal per-record side effect
     (eval.clj:119-121; eval_test.clj:399-402). Runs on executors via

@@ -285,7 +285,7 @@ def op_to_stream(ctx: Ctx, table: Rel, *rest) -> KStreamRel:
     return _absorb_named(out, rest)
 
 
-@defop("peek")
+@defop("peek", retype_value_errors=False)
 def op_peek(ctx: Ctx, rel: Rel, action: ForeachAction, *rest) -> Rel:
     """[:peek! s [:foreach-action f]] — side-effect tap, stream passes
     through (eval_test.clj:495-498). Implemented with df.observe (metrics,

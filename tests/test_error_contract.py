@@ -161,3 +161,48 @@ def test_junk_option_values_surface_curated_and_named(spark, probe_rel_df):
     ]:
         with pytest.raises(ArityError, match=op):
             ksml(form, spark=spark)
+
+
+def test_user_callback_valueerror_not_relabelled_as_arityerror(spark, probe_rel_df):
+    """Ops that execute user code eagerly (batch foreach/peek/
+    foreach-batch) are opted OUT of the ValueError->ArityError retype:
+    a ValueError raised by the USER's callback must surface verbatim,
+    not renamed after the op as if the DSL form were malformed."""
+    from ksml_spark.errors import ArityError
+
+    rel = ["stream", probe_rel_df, {"key": "doc_id"}]
+
+    def bad_batch(df, batch_id):
+        raise ValueError("user callback exploded")
+
+    with pytest.raises(ValueError, match="user callback exploded") as ei:
+        ksml(["foreach-batch", rel, bad_batch], spark=spark)
+    assert not isinstance(ei.value, ArityError)
+
+
+def test_defop_reregistration_invalidates_signature_cache(spark, probe_rel_df):
+    """Re-registering an op (plugin/test override) with a DIFFERENT
+    signature must drop the cached inspect.Signature so keval's arity
+    check binds against the new rule, not the stale one."""
+    from ksml_spark.eval import OPERATORS, defop
+
+    orig = OPERATORS["peek"]
+    try:
+        # prime the cache with the original 3-arg signature by failing
+        # an arity check against it
+        rel = ["stream", probe_rel_df, {"key": "doc_id"}]
+        from ksml_spark.errors import ArityError
+
+        with pytest.raises(ArityError):
+            ksml(["peek", rel], spark=spark)  # missing action operand
+
+        @defop("peek")
+        def op_peek_override(ctx, rel):  # narrower arity: no action
+            return rel
+
+        # under the OLD cached signature this same form would still be
+        # an ArityError; the override makes it legal
+        out = ksml(["peek", rel], spark=spark)
+        assert out.df.count() == 3
+    finally:
+        defop("peek", retype_value_errors=False)(orig)

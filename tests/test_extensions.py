@@ -723,6 +723,26 @@ def test_kmeans_centroids_max_k_guard_and_degenerate_init(spark):
     assert out.collect() == []
 
 
+def test_kmeans_centroids_nonfinite_vectors_assign_nowhere(spark):
+    """A NaN/Inf component would make the argmax pick arbitrarily and
+    poison that cluster's mean; such vectors must be excluded from
+    assignment like zero-norm vectors, leaving the finite points'
+    centroids exact."""
+    rows = (
+        [(i, [10.0, 0.0]) for i in range(5)]
+        + [(i, [0.0, 10.0]) for i in range(5, 10)]
+        + [(100, [float("nan"), 1.0]), (101, [float("inf"), 1.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ksml(["kmeans-centroids", ["stream", df, {"key": "vec_id"}],
+                {"id": "vec_id", "vec": "embedding", "dim": 2,
+                 "init": "vec_id in (0, 5)", "iters": 3}], spark=spark).df
+    cents = {r["cluster"]: (r["centroid"], r["n"]) for r in out.collect()}
+    # only the 10 finite points are assigned; means are exact
+    assert cents[0] == ([10.0, 0.0], 5)
+    assert cents[5] == ([0.0, 10.0], 5)
+
+
 def test_kmeans_refined_ivf_sse_not_worse(spark, tables):
     """Lloyd iterations must not increase within-cluster cosine
     dissimilarity vs the raw sampled centroids (descent property)."""
