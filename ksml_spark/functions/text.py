@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..model import Rel
 
@@ -1042,11 +1043,16 @@ def op_gopher_filter(ctx: Ctx, rel: Rel, *rest) -> Rel:
             & (mean_wlen <= float(t["max_mean_word_len"]))
         ),
         "rule_symbol_ratio": _rule(symbol_ratio <= float(t["max_symbol_ratio"])),
+        # zero-LINE documents pass vacuously (0 of 0 lines offend), but
+        # NULL text fails — isNotNull() is plain False there, keeping
+        # "NULL text fails everything" true rule-by-rule
         "rule_bullet_lines": _rule(
-            F.coalesce(bullet_ratio, F.lit(0.0)) <= float(t["max_bullet_ratio"])
+            c.isNotNull()
+            & (F.coalesce(bullet_ratio, F.lit(0.0)) <= float(t["max_bullet_ratio"]))
         ),
         "rule_ellipsis_lines": _rule(
-            F.coalesce(ellipsis_ratio, F.lit(0.0)) <= float(t["max_ellipsis_ratio"])
+            c.isNotNull()
+            & (F.coalesce(ellipsis_ratio, F.lit(0.0)) <= float(t["max_ellipsis_ratio"]))
         ),
         "rule_alpha_words": _rule(alpha_ratio >= float(t["min_alpha_ratio"])),
         "rule_stopwords": _rule(n_stop >= int(t["min_stopwords"])),

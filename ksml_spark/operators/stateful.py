@@ -137,6 +137,172 @@ _ROCKSDB_PROVIDER = (
 )
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas' worker protocol imports google.protobuf
+    at EXECUTION time; plan construction works without it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+class _ShimTimerValues:
+    """TimerValues stand-in for the batch shim (timeMode 'none': no
+    meaningful clocks, matching Spark's -1 sentinels)."""
+
+    def getCurrentProcessingTimeInMs(self) -> int:
+        return -1
+
+    def getCurrentWatermarkInMs(self) -> int:
+        return -1
+
+
+class _ShimValueState:
+    def __init__(self) -> None:
+        self._v: Optional[tuple] = None
+
+    def exists(self) -> bool:
+        return self._v is not None
+
+    def get(self) -> Optional[tuple]:
+        return self._v
+
+    def update(self, new_value) -> None:
+        self._v = tuple(new_value)
+
+    def clear(self) -> None:
+        self._v = None
+
+
+class _ShimListState:
+    def __init__(self) -> None:
+        self._items: list[tuple] = []
+
+    def exists(self) -> bool:
+        return bool(self._items)
+
+    def get(self) -> Iterator[tuple]:
+        return iter(list(self._items))
+
+    def put(self, new_state) -> None:
+        self._items = [tuple(v) for v in new_state]
+
+    def appendValue(self, new_state) -> None:
+        self._items.append(tuple(new_state))
+
+    def appendList(self, new_state) -> None:
+        self._items.extend(tuple(v) for v in new_state)
+
+    def clear(self) -> None:
+        self._items = []
+
+
+class _ShimMapState:
+    def __init__(self) -> None:
+        self._m: dict = {}
+
+    def exists(self) -> bool:
+        return bool(self._m)
+
+    def getValue(self, key):
+        return self._m.get(tuple(key) if isinstance(key, (list, tuple)) else (key,))
+
+    def containsKey(self, key) -> bool:
+        k = tuple(key) if isinstance(key, (list, tuple)) else (key,)
+        return k in self._m
+
+    def updateValue(self, key, value) -> None:
+        k = tuple(key) if isinstance(key, (list, tuple)) else (key,)
+        self._m[k] = tuple(value)
+
+    def iterator(self) -> Iterator[tuple]:
+        return iter(list(self._m.items()))
+
+    def keys(self) -> Iterator[tuple]:
+        return iter(list(self._m))
+
+    def values(self) -> Iterator[tuple]:
+        return iter(list(self._m.values()))
+
+    def removeKey(self, key) -> None:
+        k = tuple(key) if isinstance(key, (list, tuple)) else (key,)
+        self._m.pop(k, None)
+
+    def clear(self) -> None:
+        self._m = {}
+
+
+class _ShimHandle:
+    """StatefulProcessorHandle stand-in for the batch shim: typed state
+    registration returns per-key transient stores (exactly the state
+    lifetime Spark's own batch transformWithStateInPandas provides —
+    state starts empty per key and is discarded after the group).
+    Timers require a time mode and a streaming clock; the shim runs
+    timeMode 'none' where real Spark rejects timer registration too."""
+
+    def __init__(self) -> None:
+        self._states: dict = {}
+
+    def getValueState(self, state_name: str, schema=None, ttl_duration_ms=None):
+        return self._states.setdefault(state_name, _ShimValueState())
+
+    def getListState(self, state_name: str, schema=None, ttl_duration_ms=None):
+        return self._states.setdefault(state_name, _ShimListState())
+
+    def getMapState(self, state_name: str, user_key_schema=None,
+                    value_schema=None, ttl_duration_ms=None):
+        return self._states.setdefault(state_name, _ShimMapState())
+
+    def deleteIfExists(self, state_name: str) -> None:
+        self._states.pop(state_name, None)
+
+    def registerTimer(self, expiry_time_stamp_ms: int) -> None:
+        raise RuntimeError(
+            "timers are unavailable in the transform-with-state batch shim "
+            "(timeMode 'none'); run streaming with google.protobuf installed"
+        )
+
+    def listTimers(self) -> Iterator[int]:
+        return iter(())
+
+    def deleteTimer(self, expiry_time_stamp_ms: int) -> None:
+        pass
+
+
+def _transform_with_state_shim(rel: Rel, proc, schema, key_cols) -> KStreamRel:
+    """Protobuf-free batch execution of a StatefulProcessor: the exact
+    per-key lifecycle Spark's own batch transformWithStateInPandas runs
+    (fresh empty state per key, one handleInputRows call over the whole
+    group, state discarded afterwards), compiled to applyInPandas.
+
+    Same shuffle as the native path (one exchange on the grouping key);
+    state lives on the executor for the duration of one Arrow group."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    out_names = st.fieldNames()
+
+    def group_fn(key, pdf):
+        handle = _ShimHandle()
+        proc.init(handle)
+        try:
+            chunks = list(proc.handleInputRows(key, iter([pdf]), _ShimTimerValues()))
+        finally:
+            try:
+                proc.close()
+            except Exception:
+                pass
+        if not chunks:
+            return pd.DataFrame(columns=out_names)
+        return pd.concat(chunks, ignore_index=True)
+
+    out = rel.df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(group_fn, st)
+    return KStreamRel(out, key_cols=tuple(key_cols))
+
+
 @defop("transform-with-state")
 def op_transform_with_state(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """Spark-4-native stateful processor — the closest analog of the
@@ -160,11 +326,15 @@ def op_transform_with_state(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     at query start). Batch input additionally needs the driver's
     StateStoreCoordinator RPC endpoint, which Spark only creates lazily
     for streaming queries — this op forces its creation (else batch runs
-    die with RpcEndpointNotFoundException). Execution (not plan
+    die with RpcEndpointNotFoundException). NATIVE execution (not plan
     construction) needs ``google.protobuf`` in the Python env — the
-    worker's state-server protocol uses it; environments without it can
-    still build/inspect plans and should use the ``process`` op
-    (applyInPandasWithState) to run. Scale posture: one shuffle on the
+    worker's state-server protocol uses it. Without protobuf, BATCH
+    input automatically runs a semantics-preserving shim (fresh empty
+    state per key, one handleInputRows pass per group, state discarded —
+    the native batch lifecycle, compiled to applyInPandas; force with
+    ``{"impl": "shim"}``, forbid with ``{"impl": "native"}``), and
+    streaming input gets a curated construction-time refusal pointing at
+    the ``process`` op. Scale posture: one shuffle on the
     grouping key; state is per-key, partition-local, RocksDB-backed with
     changelog checkpointing — the Kafka Streams state-store model,
     verbatim."""
@@ -192,6 +362,28 @@ def op_transform_with_state(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     key_cols = list(opts.get("key") or rel.key_cols)
     if not key_cols:
         raise ArityError("transform-with-state requires key columns")
+
+    impl = opts.get("impl", "auto")
+    if impl not in ("auto", "native", "shim"):
+        raise ArityError(
+            f"transform-with-state impl must be 'auto'|'native'|'shim', got {impl!r}"
+        )
+    use_shim = impl == "shim" or (impl == "auto" and not _has_protobuf())
+    if use_shim:
+        if rel.df.isStreaming:
+            if impl == "shim":
+                raise ArityError(
+                    "transform-with-state {'impl': 'shim'} is batch-only; "
+                    "streaming needs the native state server"
+                )
+            raise ArityError(
+                "transform-with-state streaming execution needs "
+                "google.protobuf (the worker state-server protocol); this "
+                "environment lacks it — use the 'process' op "
+                "(applyInPandasWithState) for streaming stateful logic, or "
+                "run this plan on batch input (protobuf-free shim)"
+            )
+        return _transform_with_state_shim(rel, proc, schema, key_cols)
 
     conf = ctx.spark.conf
     current = conf.get("spark.sql.streaming.stateStore.providerClass", "")

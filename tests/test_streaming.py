@@ -197,7 +197,7 @@ def test_transform_with_state_builds_plan(spark, tables):
     out = ksml(
         ["transform-with-state",
          ["stream", tables["events"], {"key": "user_id"}],
-         RunningCount(), {"schema": "user_id long, n bigint"}],
+         RunningCount(), {"schema": "user_id long, n bigint", "impl": "native"}],
         spark=spark,
     )
     assert out.df.schema.simpleString() == "struct<user_id:bigint,n:bigint>"
@@ -211,6 +211,97 @@ def test_transform_with_state_builds_plan(spark, tables):
             .withColumnRenamed("count", "n").collect()
         }
         assert counts == expected
+
+    expected = {
+        r["user_id"]: r["n"]
+        for r in tables["events"].groupBy("user_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # batch shim (impl auto without protobuf, or forced): EXECUTES the
+    # same processor protobuf-free with the native per-key lifecycle
+    for impl_opts in ({}, {"impl": "shim"}):
+        shim_out = ksml(
+            ["transform-with-state",
+             ["stream", tables["events"], {"key": "user_id"}],
+             RunningCount(), {"schema": "user_id long, n bigint", **impl_opts}],
+            spark=spark,
+        )
+        counts = {r["user_id"]: r["n"] for r in shim_out.df.collect()}
+        assert counts == expected and counts
+
+
+def test_transform_with_state_shim_state_kinds_and_streaming_refusal(
+        spark, tables, events_path):
+    """The shim's value/list/map state stores behave per the
+    StatefulProcessor API contract, state is per-key transient, and
+    streaming input without protobuf is refused AT CONSTRUCTION with a
+    pointer at the process op."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from ksml_spark.errors import ArityError
+
+    class Kinds(StatefulProcessor):
+        def init(self, handle):
+            self.seen = handle.getValueState("seen", "n bigint")
+            self.vals = handle.getListState("vals", "v double")
+            self.per_type = handle.getMapState("per_type", "t string", "c bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            assert timer_values.getCurrentProcessingTimeInMs() == -1
+            # state MUST start empty for every key (per-key lifecycle)
+            assert not self.seen.exists() and not self.vals.exists()
+            assert not self.per_type.exists()
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+                for v in pdf["value"]:
+                    self.vals.appendValue((float(v),))
+                for t in pdf["event_type"]:
+                    prev = self.per_type.getValue((t,)) if self.per_type.containsKey((t,)) else (0,)
+                    self.per_type.updateValue((t,), (prev[0] + 1,))
+            self.seen.update((n,))
+            total = sum(v[0] for v in self.vals.get())
+            n_types = len(list(self.per_type.keys()))
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n": [self.seen.get()[0]],
+                "total_cents": [int(round(total * 100))], "n_types": [n_types],
+            })
+
+        def close(self):
+            pass
+
+    out = ksml(
+        ["transform-with-state", ["stream", tables["events"], {"key": "user_id"}],
+         Kinds(), {"schema": "user_id long, n bigint, total_cents bigint, n_types bigint"}],
+        spark=spark).df
+    got = {r["user_id"]: (r["n"], r["total_cents"], r["n_types"]) for r in out.collect()}
+    exp = {
+        r["user_id"]: (r["n"], r["total_cents"], r["n_types"])
+        for r in tables["events"].groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+            F.countDistinct("event_type").alias("n_types"),
+        ).collect()
+    }
+    assert got == exp and got
+
+    from tests.test_streaming import _has_protobuf as _hp  # self-import ok in pytest
+    if not _hp():
+        with pytest.raises(ArityError, match="google.protobuf.*process"):
+            ksml(["transform-with-state", events_stream(spark, events_path),
+                  Kinds(), {"schema": "user_id long, n bigint, total_cents bigint, n_types bigint"}],
+                 spark=spark)
+    with pytest.raises(ArityError, match="shim.*batch-only"):
+        ksml(["transform-with-state", events_stream(spark, events_path),
+              Kinds(), {"schema": "user_id long, n bigint, total_cents bigint, n_types bigint",
+                        "impl": "shim"}],
+             spark=spark)
+    with pytest.raises(ArityError, match="impl must be"):
+        ksml(["transform-with-state", ["stream", tables["events"], {"key": "user_id"}],
+              Kinds(), {"schema": "user_id long, n bigint, total_cents bigint, n_types bigint",
+                        "impl": "rocks"}],
+             spark=spark)
 
 
 def test_to_memory_sink_and_watermark_op(spark, events_path):
