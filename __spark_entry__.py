@@ -2516,6 +2516,153 @@ LEFT JOIN losers l ON d.doc_id = l.node WHERE l.node IS NULL"""
 
 
 # ---------------------------------------------------------------------------
+# r09 additions: the two open-slot rows (see the rotation budget below) —
+# gopher-filter (the last registered op without driver evidence) and the
+# transform-with-state batch shim (the stateful escape hatch's first
+# oracled execution; eval.clj:310-323 is the reference surface it backs).
+
+
+def _q_gopher_filter(spark, sf):
+    """Gopher quality rules (Rae et al. 2021, App. A) annotated per doc.
+
+    Thresholds are tuned to the synthetic corpus so the oracle exercises
+    both outcomes of every data-sensitive rule (word-count min 50 splits
+    the 10-99-word docs; mean-word-len min 4.5 splits the 3.7-5.3 range;
+    min_stopwords 1 splits on 'the'-containing docs). Pure per-row
+    expressions — shuffle-free at any scale."""
+    rules = ["rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+             "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
+             "rule_stopwords", "gopher_pass"]
+    return pipe(
+        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+        ["gopher-filter", {"col": "text",
+                           "thresholds": {"min_mean_word_len": 4.5,
+                                          "min_stopwords": 1}}],
+        ["select", {"doc_id": "doc_id", **{r: r for r in rules}}],
+        spark=spark,
+    ).df
+
+
+_GOPHER_FILTER_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id, text, len(toks) AS nw, len(lines) AS nl,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         END AS mean_wlen,
+         length(text) - length(replace(text, '#', '')) AS hashes,
+         CAST(floor((length(text) - length(replace(text, '...', ''))) / 3) AS BIGINT)
+           + (length(text) - length(replace(text, '…', ''))) AS ellipses,
+         len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]'))) AS n_bullet,
+         len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS n_ell,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             sw -> list_contains(list_transform(toks, x -> lower(x)), sw))) AS n_stop
+  FROM t),
+r AS (
+  SELECT doc_id,
+    COALESCE(nw >= 50 AND nw <= 100000, FALSE) AS rule_word_count,
+    COALESCE(mean_wlen >= 4.5 AND mean_wlen <= 10.0, FALSE) AS rule_mean_word_len,
+    COALESCE(CASE WHEN nw > 0 THEN (hashes + ellipses)::DOUBLE / nw <= 0.1 END,
+             FALSE) AS rule_symbol_ratio,
+    COALESCE(text IS NOT NULL AND
+             COALESCE(CASE WHEN nl > 0 THEN n_bullet::DOUBLE / nl END, 0.0) <= 0.9,
+             FALSE) AS rule_bullet_lines,
+    COALESCE(text IS NOT NULL AND
+             COALESCE(CASE WHEN nl > 0 THEN n_ell::DOUBLE / nl END, 0.0) <= 0.3,
+             FALSE) AS rule_ellipsis_lines,
+    COALESCE(CASE WHEN nw > 0 THEN n_alpha::DOUBLE / nw END >= 0.8,
+             FALSE) AS rule_alpha_words,
+    COALESCE(n_stop >= 1, FALSE) AS rule_stopwords
+  FROM m)
+SELECT doc_id, rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+       rule_bullet_lines, rule_ellipsis_lines, rule_alpha_words, rule_stopwords,
+       (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+        AND rule_bullet_lines AND rule_ellipsis_lines AND rule_alpha_words
+        AND rule_stopwords) AS gopher_pass
+FROM r"""
+
+
+def _q_transform_with_state(spark, sf):
+    """transform-with-state (Spark 4 StatefulProcessor) executing the
+    protobuf-free batch shim: a per-user fold over events exercising all
+    three typed state kinds (value state for the running count and ts
+    bounds, list state for the cents ledger, map state for distinct
+    event types). Deterministic: every output is order-independent.
+
+    Hash stability: cents are floor(value*100 + 0.5) per row (identical
+    IEEE double ops in pandas and DuckDB); timestamps fold as epoch
+    seconds computed Spark-side (unix_timestamp == epoch_us // 1e6 for
+    positive epochs). One shuffle on user_id — the same exchange the
+    native transformWithStateInPandas path plans."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class UserFold(StatefulProcessor):
+        def init(self, handle):
+            self.n = handle.getValueState("n", "n bigint")
+            self.bounds = handle.getValueState("bounds", "lo bigint, hi bigint")
+            self.cents = handle.getListState("cents", "c bigint")
+            self.types = handle.getMapState("types", "t string", "c bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in rows:
+                prev = self.n.get()[0] if self.n.exists() else 0
+                self.n.update((prev + len(pdf),))
+                lo = int(pdf["ts_s"].min())
+                hi = int(pdf["ts_s"].max())
+                if self.bounds.exists():
+                    b = self.bounds.get()
+                    lo, hi = min(lo, b[0]), max(hi, b[1])
+                self.bounds.update((lo, hi))
+                self.cents.appendList(
+                    [(int(c),) for c in
+                     np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")])
+                for t in pdf["event_type"]:
+                    seen = self.types.getValue((t,)) if self.types.containsKey((t,)) else (0,)
+                    self.types.updateValue((t,), (seen[0] + 1,))
+            b = self.bounds.get()
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "n_events": [self.n.get()[0]],
+                "total_cents": [sum(c[0] for c in self.cents.get())],
+                "n_types": [len(list(self.types.keys()))],
+                "first_s": [b[0]], "last_s": [b[1]],
+            })
+
+        def close(self):
+            pass
+
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "user_id"}],
+        ["select", {"user_id": "user_id", "event_type": "event_type",
+                    "value": "value",
+                    "ts_s": "cast(unix_timestamp(ts) as bigint)"}],
+        ["transform-with-state", UserFold(),
+         {"key": ["user_id"],
+          "schema": ("user_id long, n_events bigint, total_cents bigint, "
+                     "n_types bigint, first_s bigint, last_s bigint")}],
+        spark=spark,
+    ).df
+
+
+_TRANSFORM_WITH_STATE_ORACLE = """
+SELECT user_id,
+       COUNT(1) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       COUNT(DISTINCT event_type) AS n_types,
+       MIN(epoch_us(ts) // 1000000) AS first_s,
+       MAX(epoch_us(ts) // 1000000) AS last_s
+FROM events GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
 
 # Registry order matters: the correctness driver records only the FIRST 50
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
@@ -2552,11 +2699,72 @@ LEFT JOIN losers l ON d.doc_id = l.node WHERE l.node IS NULL"""
 # test_jaccard_prefix_matches_plain_plan + the skew bench) and
 # dup_clusters (clause a: substring_dedup_prep's near-dedup composition
 # calls op_dup_clusters directly and its oracle embeds the same
-# transitive closure).  Registry now holds 98 rows — the 2 open slots
-# (cap stays 100) are the r09 budget for new queries.
+# transitive closure).
+#
+# r09 spent the 2 open slots (gopher_filter, transform_with_state_fold)
+# — the registry is at the 100-row cap and the rotation is a zero-slack
+# 50/50 flip-flop from here on: the r10 window must hold exactly the 50
+# r08-green rows, the r11 window the 50 r09-green rows, and so on.  ANY
+# new query now requires retiring a row from the block about to be
+# re-recorded, under the eligibility clauses above.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
-    # --- brand-new or renamed in r08 (never driver-recorded under this
-    # name): first of all ---
+    # --- brand-new in r09 (never driver-recorded): first of all ---
+    "gopher_filter": (_q_gopher_filter, _GOPHER_FILTER_ORACLE),
+    "transform_with_state_fold": (_q_transform_with_state, _TRANSFORM_WITH_STATE_ORACLE),
+    # --- last driver-green in r07: all 48 re-enter the window here
+    # (2 new + 48 = exactly the 50-row r09 window) ---
+    "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
+    "winnow_fingerprints": (_q_winnow, _WINNOW_ORACLE),
+    "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
+    "unpivot_lineitem": (_q_unpivot_lineitem, _UNPIVOT_LINEITEM_ORACLE),
+    "corr_lineitem": (_q_corr_lineitem, _CORR_LINEITEM_ORACLE),
+    "collect_user_events": (_q_collect_user_events, _COLLECT_USER_EVENTS_ORACLE),
+    "rolling_user_hour": (_q_rolling_user, _ROLLING_USER_ORACLE),
+    "cube_revenue": (_q_cube_revenue, _CUBE_REVENUE_ORACLE),
+    "vec_norm_units": (_q_vec_norm, _VEC_NORM_ORACLE),
+    "vec_pool_label_mean": (_q_vec_pool, _VEC_POOL_ORACLE),
+    "interval_join_click_error": (_q_interval_join, _INTERVAL_JOIN_ORACLE),
+    "rollup_revenue": (_q_rollup, _ROLLUP_ORACLE),
+    "window_rank_orders": (_q_window_rank, _WINDOW_RANK_ORACLE),
+    "exact_distinct_users": (_q_exact_distinct_users, _EXACT_DISTINCT_ORACLE),
+    "approx_distinct_users": (_q_approx_distinct_users, None),
+    "dedup_first_event": (_q_dedup_first, _DEDUP_FIRST_ORACLE),
+    "distinct_flags": (_q_distinct, _DISTINCT_ORACLE),
+    "topn_orders": (_q_topn, _TOPN_ORACLE),
+    "sql_revenue_by_nation": (_q_sql, _SQL_ORACLE),
+    "json_props_agg": (_q_json_props, _JSON_PROPS_ORACLE),
+    "token_counts": (_q_token_counts, _TOKEN_COUNTS_ORACLE),
+    "lang_id": (_q_lang_id, _lang_id_oracle()),
+    "quality_scores": (_q_quality, _quality_oracle()),
+    "doc_fingerprint": (_q_fingerprint, _FINGERPRINT_ORACLE),
+    "minhash_signatures": (_q_minhash_sig, _MINHASH_SIG_ORACLE),
+    "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
+    "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
+    "kmeans_assign": (_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
+    "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
+    "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
+    "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
+    "expect_contract": (_q_expect, _EXPECT_ORACLE),
+    "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
+    "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
+    "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
+    "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),
+    "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
+    "neardup_lsh": (_q_neardup_lsh, _NEARDUP_LSH_ORACLE),
+    "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
+    "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
+    "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
+    "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
+    "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
+    "top_bigrams": (_q_top_bigrams, _TOP_BIGRAMS_ORACLE),
+    "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
+    "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
+    "kmeans_centroids": (_q_kmeans_centroids, None),
+    "scrub_text": (_q_scrub, _SCRUB_ORACLE),
+    # --- green in r08 (freshest evidence): behind the rotation head;
+    # these 50 re-enter the window in r10. (Sub-blocks below keep the
+    # r08 head order: 7 then-new/renamed rows, then the 43 r06-block
+    # survivors re-recorded in r08.) ---
     "freq_items_priority": (_q_freq_items, _FREQ_ITEMS_ORACLE),
     "profile_persist_lineitem": (_q_profile_persist, _PROFILE_PERSIST_ORACLE),
     "intersect_except_custkeys": (_q_intersect_except, _INTERSECT_EXCEPT_ORACLE),
@@ -2611,56 +2819,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
     "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
     "anti_join_customers": (_q_anti_join, _ANTI_JOIN_ORACLE),
-    # --- green in r07 (freshest evidence): behind the rotation head;
-    # these 48 re-enter the window in r09 ---
-    "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
-    "winnow_fingerprints": (_q_winnow, _WINNOW_ORACLE),
-    "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
-    "unpivot_lineitem": (_q_unpivot_lineitem, _UNPIVOT_LINEITEM_ORACLE),
-    "corr_lineitem": (_q_corr_lineitem, _CORR_LINEITEM_ORACLE),
-    "collect_user_events": (_q_collect_user_events, _COLLECT_USER_EVENTS_ORACLE),
-    "rolling_user_hour": (_q_rolling_user, _ROLLING_USER_ORACLE),
-    "cube_revenue": (_q_cube_revenue, _CUBE_REVENUE_ORACLE),
-    "vec_norm_units": (_q_vec_norm, _VEC_NORM_ORACLE),
-    "vec_pool_label_mean": (_q_vec_pool, _VEC_POOL_ORACLE),
-    "interval_join_click_error": (_q_interval_join, _INTERVAL_JOIN_ORACLE),
-    "rollup_revenue": (_q_rollup, _ROLLUP_ORACLE),
-    "window_rank_orders": (_q_window_rank, _WINDOW_RANK_ORACLE),
-    "exact_distinct_users": (_q_exact_distinct_users, _EXACT_DISTINCT_ORACLE),
-    "approx_distinct_users": (_q_approx_distinct_users, None),
-    "dedup_first_event": (_q_dedup_first, _DEDUP_FIRST_ORACLE),
-    "distinct_flags": (_q_distinct, _DISTINCT_ORACLE),
-    "topn_orders": (_q_topn, _TOPN_ORACLE),
-    "sql_revenue_by_nation": (_q_sql, _SQL_ORACLE),
-    "json_props_agg": (_q_json_props, _JSON_PROPS_ORACLE),
-    "token_counts": (_q_token_counts, _TOKEN_COUNTS_ORACLE),
-    "lang_id": (_q_lang_id, _lang_id_oracle()),
-    "quality_scores": (_q_quality, _quality_oracle()),
-    "doc_fingerprint": (_q_fingerprint, _FINGERPRINT_ORACLE),
-    "minhash_signatures": (_q_minhash_sig, _MINHASH_SIG_ORACLE),
-    "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
-    "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
-    "kmeans_assign": (_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
-    "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
-    "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
-    "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
-    "expect_contract": (_q_expect, _EXPECT_ORACLE),
-    "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
-    "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
-    "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
-    "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),
-    "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
-    "neardup_lsh": (_q_neardup_lsh, _NEARDUP_LSH_ORACLE),
-    "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
-    "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
-    "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
-    "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
-    "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
-    "top_bigrams": (_q_top_bigrams, _TOP_BIGRAMS_ORACLE),
-    "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
-    "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
-    "kmeans_centroids": (_q_kmeans_centroids, None),
-    "scrub_text": (_q_scrub, _SCRUB_ORACLE),
 }
 
 
