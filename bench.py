@@ -141,10 +141,10 @@ def _stream_bench(spark, sf_dir: str) -> dict:
             # equi-join on (band, bucket) against the reference corpus,
             # exact-Jaccard verify on candidates (the complete probe the
             # incremental_dedup example composes with an anti-join).
-            # default impl = md5 family via the numpy-vectorized Arrow
-            # signature UDF (the oracle-parity hash); impl="km" = the
-            # single-digest Kirsch-Mitzenmacher family — the recorded
-            # speedup is the reason the option exists
+            # streaming default impl resolves to the km single-digest
+            # Kirsch-Mitzenmacher family (r09 flip — the measured ~4x
+            # signature speedup); impl="md5" keeps the salted-md5
+            # oracle-parity family benched as the A/B reference
             from ksml_spark import ksml as _ksml
 
             t0 = time.time()
@@ -184,7 +184,8 @@ def _stream_bench(spark, sf_dir: str) -> dict:
                 ckpt, small_group=1 << 62, paths=(hlp, hrp)),
             "stream_table_join": st_join,
             "session_fold": session_fold,
-            "lsh_join_stream": lsh_join_stream,
+            "lsh_join_stream": lsh_join_stream,  # auto -> km since r09
+            "lsh_join_stream_md5": lambda ckpt: lsh_join_stream(ckpt, impl="md5"),
             "lsh_join_stream_km": lambda ckpt: lsh_join_stream(
                 ckpt, impl="km", src_path=docs8_path, rows=8 * n_docs),
         }

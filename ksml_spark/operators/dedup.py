@@ -547,11 +547,12 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     built once (no persist needed — unlike the self-join, nothing is
     read twice). The shuffle key is the bucket, so cost scales with
     rows·bands per side; a small reference set broadcasts with
-    {"broadcast": true}. {"impl": "km"} switches BOTH sides to the
-    single-digest Kirsch-Mitzenmacher MinHash family — the fast
-    streaming-signature path (one md5 per shingle instead of four
-    salted ones, token ids shared); md5 stays the default for
-    DuckDB-oracle parity on batch queries.
+    {"broadcast": true}. Hash family: streaming inputs default to the
+    single-digest Kirsch-Mitzenmacher MinHash family (one md5 per
+    shingle instead of four salted ones, token ids shared — the
+    measured ~4x-faster signature path), batch inputs to the salted-md5
+    family the DuckDB oracle replicates; {"impl": "km"|"expr"} forces
+    either family on both sides.
     Reference: no analog (§2.10 extension)."""
     if not isinstance(right, Rel):
         raise TypeDispatchError(
@@ -614,21 +615,32 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         raise ArityError(
             f"lsh-join method must be 'minhash' or 'winnow', got {method!r}"
         )
-    # {"impl": ...}: "auto" (default; salted-md5 family — streaming rows
-    # via the numpy-vectorized Arrow signature UDF), "expr" (md5 family,
-    # pure expressions — interpreted HOFs, kept for plan-shape A/B),
-    # "km" (single-digest Kirsch-Mitzenmacher family — the fast streaming
-    # path, 4x fewer digests; band/bucket values are a different space
-    # than md5, so ONE impl is threaded to BOTH sides; verify token ids
-    # are md5_long_col-identical across families, so Jaccard values are
-    # impl-independent). md5 stays the default: it is the family the
-    # DuckDB oracle replicates for the batch queries; km's parity with
-    # its own batch codegen form is pinned by test instead.
+    # {"impl": ...}: "auto" (default; resolves below — salted-md5 family
+    # on batch inputs, km on streaming), "md5" (force the salted-md5
+    # family — codegen agg on batch, vectorized Arrow UDF on streaming),
+    # "expr" (md5 family, pure expressions — interpreted HOFs, kept for
+    # plan-shape A/B), "km" (force the
+    # single-digest Kirsch-Mitzenmacher family — 4x fewer digests;
+    # band/bucket values are a different space than md5, so ONE impl is
+    # threaded to BOTH sides; verify token ids are md5_long_col-identical
+    # across families, so Jaccard values are impl-independent). md5 is
+    # the batch default because it is the family the DuckDB oracle
+    # replicates; km's parity with its own batch codegen form is pinned
+    # by test instead.
     impl = opts.get("impl", "auto")
-    if impl not in ("auto", "expr", "km"):
+    if impl not in ("auto", "expr", "km", "md5"):
         raise ArityError(
-            f"lsh-join impl must be 'auto', 'expr' or 'km', got {impl!r}"
+            f"lsh-join impl must be 'auto', 'expr', 'km' or 'md5', got {impl!r}"
         )
+    if impl == "auto" and (left.df.isStreaming or right.df.isStreaming):
+        # streaming default is the km family (r09): streaming output
+        # never meets the batch DuckDB oracle, km is parity-pinned
+        # against its own batch codegen form, and the single-digest
+        # signatures measured 8.6-9.9k docs/s vs 1.9-2.2k on md5.
+        # Batch keeps md5 (the family the oracle replicates); callers
+        # can still force either side of the trade with {"impl": ...}.
+        # ONE family must be threaded to BOTH sides (band/bucket join).
+        impl = "km"
     wk = int(opts.get("k", SHINGLE_K))
     ww = int(opts.get("window", 4))
 

@@ -388,10 +388,14 @@ def test_lsh_join_verify_exact_jaccard(spark, tmp_path):
     left.write.parquet(p)
     from ksml_spark.streaming.runtime import file_stream_source
 
+    # impl pinned to md5 on the streaming leg: streaming "auto" resolves
+    # to the km family (r09 default), and banded RECALL is probabilistic
+    # per family — this test pins the verify machinery's batch/stream
+    # parity within one family, not cross-family recall
     out = pipe(
         ["lsh-join",
          ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
-         ["stream", right, {"key": "doc_id"}], {"verify": 0.5}],
+         ["stream", right, {"key": "doc_id"}], {"verify": 0.5, "impl": "md5"}],
         spark=spark).df
     assert out.isStreaming
     q = (out.writeStream.format("memory").queryName("lshv")
@@ -400,6 +404,45 @@ def test_lsh_join_verify_exact_jaccard(spark, tmp_path):
     sgot = {(r["doc_a"], r["doc_b"]): r["jaccard"]
             for r in spark.sql("SELECT * FROM lshv").collect()}
     assert sgot == got
+
+
+def test_lsh_join_streaming_auto_is_km(spark, tmp_path):
+    """r09 default flip: a streaming input resolves impl 'auto' to the
+    km family (bit-identical to {"impl": "km"}), while batch 'auto'
+    stays on the oracle's salted-md5 family; {"impl": "md5"} forces the
+    md5 family on streaming (the vectorized engine-parity path)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    left = _docs(spark, [(1, base), (2, "unrelated words about caches "
+                                        "and pages and buffer pools here")])
+    right = _docs(spark, [(100, base)])
+    p = str(tmp_path / "lsh_auto_docs")
+    left.write.parquet(p)
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    def run_stream(opts, name):
+        out = pipe(
+            ["lsh-join", ["stream", file_stream_source(spark, p), {"key": "doc_id"}],
+             ["stream", right, {"key": "doc_id"}], opts], spark=spark).df
+        q = (out.writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination(60)
+        return {(r["doc_a"], r["doc_b"])
+                for r in spark.sql(f"SELECT doc_a, doc_b FROM {name}").collect()}
+
+    auto = run_stream({}, "lsh_auto")
+    km = run_stream({"impl": "km"}, "lsh_auto_km")
+    md5 = run_stream({"impl": "md5"}, "lsh_auto_md5")
+    assert auto == km and (1, 100) in auto and (1, 100) in md5
+    # batch auto stays md5: identical candidates to forced md5
+    batch_auto = {(r["doc_a"], r["doc_b"]) for r in pipe(
+        ["lsh-join", ["stream", left, {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {}], spark=spark).df.collect()}
+    batch_md5 = {(r["doc_a"], r["doc_b"]) for r in pipe(
+        ["lsh-join", ["stream", left, {"key": "doc_id"}],
+         ["stream", right, {"key": "doc_id"}], {"impl": "md5"}],
+        spark=spark).df.collect()}
+    assert batch_auto == batch_md5 and (1, 100) in batch_auto
 
 
 def test_lsh_join_composes_with_anti_join(spark):

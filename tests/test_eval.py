@@ -141,3 +141,37 @@ def test_orc_text_json_csv_source_sink_roundtrip(spark, tmp_path):
     lines = {r["value"] for r in
              ksml(["stream", ["text", tpath], {}], spark=spark).df.collect()}
     assert lines == {"1 alpha", "2 beta"}
+
+
+def test_config_knob_forms_construct_by_name(spark):
+    """The no-op-in-Spark config knobs (materialized / grouped /
+    with-caching-* / with-logging-*) each evaluate BY NAME to the right
+    config object with the right knob state — the Kafka Streams forms
+    they mirror (eval.clj:169-208) must stay constructible even though
+    Spark's runtime makes them advisory."""
+    from ksml_spark import ksml
+    from ksml_spark.operators.stores import Materialized
+
+    m = ksml(["materialized", ["as", "totals-store"]], spark=spark)
+    assert isinstance(m, Materialized) and m.name == "totals-store"
+
+    on = ksml(["with-caching-enabled", ["materialized", ["as", "c1"]]], spark=spark)
+    assert isinstance(on, Materialized) and on.caching is True and on.name == "c1"
+    off = ksml(["with-caching-disabled", ["materialized", ["as", "c2"]]], spark=spark)
+    assert off.caching is False and off.name == "c2"
+
+    lon = ksml(["with-logging-enabled", ["materialized", ["as", "l1"]]], spark=spark)
+    assert lon.logging is True and lon.name == "l1"
+    loff = ksml(["with-logging-disabled", ["materialized", ["as", "l2"]]], spark=spark)
+    assert loff.logging is False and loff.name == "l2"
+
+    # knob state survives absorption into an outer materialized chain
+    outer = ksml(["materialized",
+                  ["with-caching-disabled",
+                   ["with-logging-enabled", ["materialized", ["as", "chain"]]]]],
+                 spark=spark)
+    assert (outer.name, outer.caching, outer.logging) == ("chain", False, True)
+
+    g = ksml(["grouped", ["as", "by-word"]], spark=spark)
+    assert g == {"grouped": True, "name": "by-word"}
+    assert ksml(["grouped"], spark=spark) == {"grouped": True}
