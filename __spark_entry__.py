@@ -1348,33 +1348,47 @@ FROM gh c JOIN b USING (g)
 GROUP BY 1, 2 HAVING count(*) >= 2"""
 
 
-def _q_kmeans_assign(spark, sf):
-    """Nearest-init-centroid assignment by cosine (ties -> smallest
-    centroid id) — the closed-form half of a Lloyd round, giving the
-    k-means path a hash-exact oracle row (the iterated centroids in
-    kmeans_centroids stay rows-only by design)."""
+def _q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023) end-to-end: nearest-centroid
+    assignment (the SAME op_kmeans_assign rule the retired kmeans_assign
+    row oracled — its (cluster, sim) output is exposed verbatim here, so
+    the assign path keeps hash-exact driver evidence), then the paper's
+    upper-triangular within-cluster cosine suppression. threshold 0.3:
+    the synthetic embeddings are near-isotropic (within-cluster cosines
+    top out ~0.5), so a real-corpus eps like 0.9 would drop nothing —
+    0.3 exercises both keep classes (at sf0.01: 264 keep / 236 drop)."""
     return pipe(
         ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
-        ["kmeans-assign", {"id": "vec_id", "vec": "embedding", "dim": 64,
-                           "centroids": "vec_id % 127 = 3"}],
+        ["semdedup", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                      "centroids": "vec_id % 127 = 3", "threshold": 0.3}],
         ["select", {"vec_id": "vec_id", "cluster": "cluster",
-                    "sim": "round(sim, 6)"}],
+                    "sim_centroid": "round(sim_centroid, 6)",
+                    "keep": "keep"}],
         spark=spark,
     ).df
 
 
-_KMEANS_ASSIGN_ORACLE = """
+_SEMDEDUP_ORACLE = """
 WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
            FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM p WHERE vec_id % 127 = 3)
-SELECT vec_id, cid AS cluster, round(sim, 6) AS sim FROM (
+c AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM p WHERE vec_id % 127 = 3),
+a AS (SELECT vec_id, cid AS cluster, sim FROM (
   SELECT p.vec_id, c.cid,
          list_dot_product(p.v, c.cv) / (p.n * c.cn) AS sim,
          row_number() OVER (PARTITION BY p.vec_id
            ORDER BY list_dot_product(p.v, c.cv) / (p.n * c.cn) DESC, c.cid) AS rn
-  FROM p, c
-) WHERE rn = 1"""
+  FROM p, c) WHERE rn = 1),
+m AS (SELECT a.vec_id, a.cluster, a.sim, p.v, p.n,
+      row_number() OVER (PARTITION BY a.cluster
+        ORDER BY a.sim ASC, a.vec_id ASC) AS rk
+      FROM a JOIN p USING (vec_id)),
+d AS (SELECT DISTINCT m2.vec_id FROM m m1 JOIN m m2
+      ON m1.cluster = m2.cluster AND m1.rk < m2.rk
+      AND list_dot_product(m1.v, m2.v) / (m1.n * m2.n) >= 0.3)
+SELECT m.vec_id, m.cluster, round(m.sim, 6) AS sim_centroid,
+       (d.vec_id IS NULL) AS keep
+FROM m LEFT JOIN d ON m.vec_id = d.vec_id"""
 
 
 def _q_kmeans_centroids(spark, sf):
@@ -2707,12 +2721,19 @@ FROM events GROUP BY user_id"""
 # r08-green rows, the r11 window the 50 r09-green rows, and so on.  ANY
 # new query now requires retiring a row from the block about to be
 # re-recorded, under the eligibility clauses above.
+# Retired in r09 (swap rule, clause a): kmeans_assign — the new semdedup
+# op invokes op_kmeans_assign directly and semdedup_embeddings' oracle
+# embeds the identical assignment CTE, exposing (cluster, sim) verbatim
+# in its output, so the assign path keeps hash-exact driver evidence
+# (the dup_clusters ⊂ substring_dedup_prep precedent).
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     # --- brand-new in r09 (never driver-recorded): first of all ---
     "gopher_filter": (_q_gopher_filter, _GOPHER_FILTER_ORACLE),
     "transform_with_state_fold": (_q_transform_with_state, _TRANSFORM_WITH_STATE_ORACLE),
-    # --- last driver-green in r07: all 48 re-enter the window here
-    # (2 new + 48 = exactly the 50-row r09 window) ---
+    "semdedup_embeddings": (_q_semdedup, _SEMDEDUP_ORACLE),
+    # --- last driver-green in r07: the 47 survivors re-enter the window
+    # here (3 new + 47 = exactly the 50-row r09 window; the 48th,
+    # kmeans_assign, retired into semdedup_embeddings above) ---
     "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
     "winnow_fingerprints": (_q_winnow, _WINNOW_ORACLE),
     "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
@@ -2740,7 +2761,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "minhash_signatures": (_q_minhash_sig, _MINHASH_SIG_ORACLE),
     "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
     "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
-    "kmeans_assign": (_q_kmeans_assign, _KMEANS_ASSIGN_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
     "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),

@@ -443,6 +443,128 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     return KStreamRel(assigned, key_cols=(idc,))
 
 
+@defop("semdedup")
+def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — cluster the corpus, then
+    drop members whose cosine to an earlier-ranked cluster-mate reaches
+    ``threshold``:
+
+        ["semdedup", rel, {"id": "vec_id", "vec": "embedding", "dim": 64,
+                           "centroids": "vec_id % 127 = 3",
+                           "threshold": 0.9, "action": "annotate"}]
+
+    Three stages, one logical plan (no iteration):
+
+    1. Nearest-centroid assignment — the SAME expansion rule as
+       kmeans-assign (op_kmeans_assign is invoked, not re-implemented):
+       one broadcast of the K sampled centroids + a codegen argmax
+       fan-out; the corpus side is never shuffled for this step.
+    2. Members shuffle ONCE on ``cluster`` for a rank window ordered by
+       (sim-to-centroid ASC, id ASC) — SemDeDup's diversity rule keeps
+       the LEAST prototypical member of a duplicate group, so low
+       centroid-sim ranks first and survives.
+    3. The paper's non-iterative upper-triangular rule: member m is a
+       semantic duplicate iff SOME earlier-ranked cluster-mate m' has
+       cosine(m, m') >= threshold — m' counts even if m' was itself
+       suppressed (suppression does not cascade), which is what makes
+       the rule one pairwise join instead of a fixpoint. The ranked
+       relation is computed ONCE and pinned (DISK_ONLY; see the inline
+       note) — it feeds four plan branches — and the pair join's
+       O(sum c_k^2 / K) cost is the paper's own
+       within-cluster-matrix cost: at 100 TB you bound it by raising K
+       (the paper's 0.1%-of-N regime keeps clusters ~1k rows), not by
+       capping pairs — cluster size is a centroid-sampling knob, so the
+       skew relief lives in ``centroids``, and kmeans-centroids can
+       refine the sample first.
+
+    Output: (id, cluster, sim_centroid, keep). Zero-norm / degenerate
+    vectors arrive from kmeans-assign with cluster NULL and pass through
+    as (cluster NULL, sim NULL, keep NULL) — flagged for audit, never
+    silently kept or dropped. ``{"action": "filter"}`` returns only the
+    keep rows (NULL-flagged rows drop with the duplicates).
+
+    Cosines use the sequential unrolled dot chain (dot_col), so the
+    threshold decision is bit-reproducible against DuckDB's
+    list_dot_product — the oracle row pins keep/drop exactly.
+    Batch-only, inherited from kmeans-assign's closed-input contract
+    (stream refusal + empty-centroid probe happen there)."""
+    from ..errors import ArityError
+
+    opts = _opts(rest)
+    idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
+    dim = opts.get("dim")
+    thr = float(opts.get("threshold", 0.9))
+    action = opts.get("action", "annotate")
+    if action not in ("annotate", "filter"):
+        raise ArityError(
+            f"semdedup action must be 'annotate' or 'filter', got {action!r}"
+        )
+
+    assigned = op_kmeans_assign(
+        ctx, rel, {"id": idc, "vec": vecc, "dim": dim,
+                   "centroids": opts.get("centroids") or opts.get("init")}
+    ).df
+    members = assigned.join(_prepared(rel, idc, vecc, dim), idc)
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    # rank over ALL rows (the NULL-cluster stragglers form one ignored
+    # window partition), then PIN once: the relation below feeds four
+    # consumers (keep base, the earlier-ranked pair side, the dup-id
+    # join-back, the degenerate passthrough) — unpinned, each branch
+    # re-ran the full scan + centroid BNLJ + window shuffle (11 scans in
+    # the audited plan). DISK_ONLY default for the _pin_tokens reason:
+    # the pinned rows carry the corpus vectors, which would thrash
+    # executor storage memory at 100 TB; {"storage": "memory"} opts into
+    # MEMORY_AND_DISK for small interactive runs.
+    from .util import pin
+
+    w = Window.partitionBy("cluster").orderBy(F.col("sim").asc(), F.col(idc).asc())
+    level = (
+        StorageLevel.MEMORY_AND_DISK
+        if opts.get("storage") == "memory"
+        else StorageLevel.DISK_ONLY
+    )
+    pinned = pin(members.withColumn("__rk", F.row_number().over(w)), level)
+    ranked = pinned.filter(F.col("cluster").isNotNull())
+    earlier = ranked.select(
+        F.col("cluster").alias("__cl"), F.col("__rk").alias("__rke"),
+        F.col("__v").alias("__ve"), F.col("__n").alias("__ne"),
+    )
+    # plain division: inside `ranked`, cluster IS NOT NULL proves the
+    # member norm > 0 (a zero-norm vector has every centroid sim NULL and
+    # was filtered), so the ANSI divide-by-zero case cannot occur and the
+    # pair cosine stays one codegen expression
+    pair_cos = dot_col(F.col("__ve"), F.col("__v"), dim) / (F.col("__ne") * F.col("__n"))
+    dup_ids = (
+        ranked.join(
+            earlier,
+            (F.col("cluster") == F.col("__cl")) & (F.col("__rke") < F.col("__rk")),
+        )
+        .filter(pair_cos >= F.lit(thr))
+        .select(F.col(idc))
+        .distinct()
+    )
+    flagged = ranked.join(
+        dup_ids.withColumn("__dup", F.lit(True)), idc, "left"
+    ).select(
+        F.col(idc), F.col("cluster"),
+        F.col("sim").alias("sim_centroid"),
+        F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+    )
+    degenerate = pinned.filter(F.col("cluster").isNull()).select(
+        F.col(idc), F.col("cluster"),
+        F.col("sim").alias("sim_centroid"),
+        F.lit(None).cast("boolean").alias("keep"),
+    )
+    out = flagged.unionByName(degenerate)
+    if action == "filter":
+        out = out.filter(F.col("keep"))
+    return KStreamRel(out, key_cols=(idc,))
+
+
 @defop("kmeans-centroids", retype_value_errors=False)
 def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """Lloyd-iteration centroid refinement for the IVF layout:

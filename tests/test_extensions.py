@@ -1017,6 +1017,137 @@ def test_kmeans_assign_string_ids_ties_and_zero_norm(spark):
     assert got["c_a"] == ("c_a", 1.0) and got["c_b"] == ("c_a", 1.0)
 
 
+def test_semdedup_noncascading_triangular_rule(spark):
+    """SemDeDup's keep rule, pinned on a hand-built 2-D chain: rank by
+    (sim-to-centroid ASC, id), a member is a duplicate iff SOME
+    earlier-ranked cluster-mate reaches the threshold — and suppression
+    must NOT cascade (c drops via b even though b itself dropped)."""
+    import math
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [
+        ("c0", unit(0)),   # the sampled centroid; sim 1.0 -> ranks last
+        ("va", unit(80)),  # sim .17 -> rank 1 (least prototypical, kept)
+        ("vb", unit(60)),  # sim .50 -> rank 2; cos(va,vb)=cos20 ~ .94 -> dup
+        ("vc", unit(40)),  # sim .77 -> rank 3; cos(vb,vc)~.94 dup via the
+                           # ALREADY-SUPPRESSED vb (cos(va,vc)~.77 < .9)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+                {"id": "vec_id", "vec": "embedding", "dim": 2,
+                 "centroids": "vec_id = 'c0'", "threshold": 0.9}], spark=spark)
+    got = {r["vec_id"]: r["keep"] for r in out.df.collect()}
+    assert got == {"va": True, "vb": False, "vc": False, "c0": True}
+
+    # action=filter returns only the keep rows
+    kept = ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+                 {"id": "vec_id", "vec": "embedding", "dim": 2,
+                  "centroids": "vec_id = 'c0'", "threshold": 0.9,
+                  "action": "filter"}], spark=spark)
+    assert {r["vec_id"] for r in kept.df.collect()} == {"va", "c0"}
+
+
+def test_semdedup_threshold_inclusive_zero_norm_and_errors(spark):
+    """cos == threshold counts as duplicate (>=, exact at 1.0 for an
+    identical integer-coordinate pair); zero-norm vectors pass through
+    (cluster NULL, keep NULL) in annotate and DROP under filter; a bad
+    action and a streaming input surface curated errors."""
+    import pytest
+
+    from ksml_spark.errors import ArityError
+
+    rows = [
+        ("c0", [1.0, 0.0]),
+        ("v1", [3.0, 4.0]),   # identical pair: cos exactly 1.0
+        ("v2", [3.0, 4.0]),
+        ("vz", [0.0, 0.0]),   # zero-norm: unassignable
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    form = {"id": "vec_id", "vec": "embedding", "dim": 2,
+            "centroids": "vec_id = 'c0'", "threshold": 1.0}
+    out = ksml(["semdedup", ["stream", df, {"key": "vec_id"}], form],
+               spark=spark)
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out.df.collect()}
+    # v1/v2 tie on sim-to-centroid -> id ASC ranks v1 first; v2 drops
+    assert got["v1"] == ("c0", True) and got["v2"] == ("c0", False)
+    assert got["vz"] == (None, None)
+    kept = ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+                 dict(form, action="filter")], spark=spark)
+    assert {r["vec_id"] for r in kept.df.collect()} == {"c0", "v1"}
+
+    with pytest.raises(ArityError, match="annotate.*filter"):
+        ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+              dict(form, action="purge")], spark=spark)
+    with pytest.raises(ArityError, match="centroid"):
+        ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+              {"id": "vec_id", "vec": "embedding", "dim": 2}], spark=spark)
+
+
+def test_semdedup_streaming_refused_at_construction(spark, tmp_path):
+    """Batch-only, inherited from kmeans-assign's closed-input contract:
+    the refusal fires at CONSTRUCTION, not stream start."""
+    import pytest
+
+    from ksml_spark.errors import ArityError
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    p = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    ).write.parquet(p)
+    with pytest.raises(ArityError, match="batch-only"):
+        ksml(["semdedup", ["stream", file_stream_source(spark, p),
+                           {"key": "vec_id"}],
+              {"id": "vec_id", "vec": "embedding", "dim": 2,
+               "centroids": "vec_id = 1"}], spark=spark)
+
+
+def test_semdedup_matches_python_reference(spark):
+    """Full-pipeline parity against an independent Python float
+    re-implementation of the paper's rule (sequential dots == dot_col's
+    chain, so decisions are bit-comparable) on 60 pseudo-random 8-D
+    vectors across 5 sampled centroids."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+                {"id": "vec_id", "vec": "embedding", "dim": 8,
+                 "centroids": "vec_id % 13 = 3", "threshold": 0.5}],
+               spark=spark)
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out.df.collect()}
+
+    def dot(a, b):
+        acc = a[0] * b[0]
+        for i in range(1, len(a)):
+            acc += a[i] * b[i]
+        return acc
+
+    vec = dict(rows)
+    nrm = {i: math.sqrt(dot(v, v)) for i, v in vec.items()}
+    cents = [i for i in vec if i % 13 == 3]
+    assign = {}
+    for i, v in vec.items():
+        sims = [(dot(v, vec[c]) / (nrm[i] * nrm[c]), c) for c in cents]
+        s, c = max(sims, key=lambda t: (t[0], -t[1]))
+        assign[i] = (c, s)
+    expected = {}
+    for c in cents:
+        members = sorted((i for i in vec if assign[i][0] == c),
+                         key=lambda i: (assign[i][1], i))
+        for r, i in enumerate(members):
+            dup = any(
+                dot(vec[i], vec[j]) / (nrm[i] * nrm[j]) >= 0.5
+                for j in members[:r]
+            )
+            expected[i] = (c, not dup)
+    assert got == expected
+
+
 def test_jaccard_prefix_auto_switch_on_skew(spark):
     """{"prefix": "auto"} flips to the prefix plan when the sampled
     token index is SKEWED (one hot (block, token) join key whose pair

@@ -332,7 +332,8 @@ def test_no_query_plans_a_cartesian_or_stray_nested_loop(spark):
     attaches between tiny aggregates)."""
     import __spark_entry__ as m
 
-    bnlj_ok = {"kmeans_assign", "ann_topk", "ann_ivf_topk", "bm25_scores",
+    bnlj_ok = {"semdedup_embeddings",  # kmeans-assign stage: vector x K centroid broadcast
+               "ann_topk", "ann_ivf_topk", "bm25_scores",
                "mix_sources",
                # corpus-stats ops attach broadcast ONE-ROW normalizer
                # aggregates (vocab size V, token/bigram totals, doc count N)
