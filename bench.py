@@ -334,6 +334,25 @@ def _skew_bench(spark, sf_dir: str) -> dict:
         F.pmod(F.xxhash64(F.col("id") + 7), F.lit(60_000)).alias("doc_b"),
     ).filter("doc_a != doc_b"))
 
+    # semdedup hot-cluster stress: k16 is the intended layout (the sf0.1
+    # embeddings spread over 16 sampled centroids); hot_k1 forces the
+    # degenerate ONE-cluster layout, sending the full c^2/2 triangular
+    # pair space through a single cluster key — the case the
+    # rank-bucketed pair join exists for (pre-bucketing this ran the 2M
+    # pairs in ONE task, 42s; bucketed it spreads over c/128 keys). The
+    # documented fix for a persistent hot cluster is sampling more
+    # centroids, so the pair of numbers bounds the cost of getting K
+    # wrong, not a recommended operating point.
+    emb = load_table(spark, sf_dir, "embeddings")
+    for label, cexpr in (("semdedup_k16", "vec_id % 127 = 3"),
+                         ("semdedup_hot_k1", "vec_id = 3")):
+        t0 = time.time()
+        r = ksml(["semdedup", ["stream", emb, {"key": "vec_id"}],
+                  {"id": "vec_id", "vec": "embedding", "dim": 64,
+                   "centroids": cexpr, "threshold": 0.3}], spark=spark)
+        r.df.write.mode("overwrite").format("noop").save()
+        out[label] = round(time.time() - t0, 2)
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     big = (
         ev.crossJoin(spark.range(10).withColumnRenamed("id", "__r"))

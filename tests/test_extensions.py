@@ -1121,6 +1121,17 @@ def test_semdedup_matches_python_reference(spark):
                spark=spark)
     got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out.df.collect()}
 
+    # rank-block decomposition is decision-invariant: pair_bucket=1
+    # (every member its own block) and 7 (uneven split) must reproduce
+    # the default-bucket keep set exactly
+    for b in (1, 7):
+        alt = ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+                    {"id": "vec_id", "vec": "embedding", "dim": 8,
+                     "centroids": "vec_id % 13 = 3", "threshold": 0.5,
+                     "pair_bucket": b}], spark=spark)
+        assert {r["vec_id"]: (r["cluster"], r["keep"])
+                for r in alt.df.collect()} == got
+
     def dot(a, b):
         acc = a[0] * b[0]
         for i in range(1, len(a)):
