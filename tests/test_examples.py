@@ -22,6 +22,7 @@ _ARGS = {
     "corpus_pipeline.py": [SF_DIR],
     "incremental_dedup.py": [SF_DIR],
     "rag_indexing.py": [SF_DIR],
+    "semantic_dedup.py": [SF_DIR],
     "substring_dedup.py": [SF_DIR],
 }
 
