@@ -1055,7 +1055,13 @@ def op_gopher_filter(ctx: Ctx, rel: Rel, *rest) -> Rel:
             & (F.coalesce(ellipsis_ratio, F.lit(0.0)) <= float(t["max_ellipsis_ratio"]))
         ),
         "rule_alpha_words": _rule(alpha_ratio >= float(t["min_alpha_ratio"])),
-        "rule_stopwords": _rule(n_stop >= int(t["min_stopwords"])),
+        # c.isNotNull(): F.filter over the literal stop-word array turns
+        # NULL tokens into an EMPTY array, so n_stop is 0 (not NULL) on
+        # NULL text and a min_stopwords <= 0 override would otherwise
+        # pass — the same hole the line rules above guard against
+        "rule_stopwords": _rule(
+            c.isNotNull() & (n_stop >= int(t["min_stopwords"]))
+        ),
     }
     taken = set(rel.df.columns)
     for name in list(rules) + ["gopher_pass"]:

@@ -509,9 +509,13 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             f"semdedup action must be 'annotate' or 'filter', got {action!r}"
         )
 
+    cents = opts.get("centroids") or opts.get("init")
+    if not cents:
+        # raise under THIS op's name — delegating would surface
+        # "kmeans-assign needs ..." for a form the user never wrote
+        raise ArityError("semdedup needs {'centroids': <filter expr>}")
     assigned = op_kmeans_assign(
-        ctx, rel, {"id": idc, "vec": vecc, "dim": dim,
-                   "centroids": opts.get("centroids") or opts.get("init")}
+        ctx, rel, {"id": idc, "vec": vecc, "dim": dim, "centroids": cents}
     ).df
     members = assigned.join(_prepared(rel, idc, vecc, dim), idc)
 
@@ -648,9 +652,18 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
 
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
-    dim = int(_req(opts, "dim", "kmeans-centroids"))
-    iters = int(opts.get("iters", 5))
-    max_k = int(opts.get("max_k", 65536))
+    # the retype_value_errors=False opt-out (protecting execution-time
+    # ValueErrors from the Lloyd driver loop) also bypasses keval's
+    # curation of construction-time parses — so curate them here, where
+    # every other op gets it for free
+    try:
+        dim = int(_req(opts, "dim", "kmeans-centroids"))
+        iters = int(opts.get("iters", 5))
+        max_k = int(opts.get("max_k", 65536))
+    except ArityError:
+        raise
+    except (TypeError, ValueError) as e:
+        raise ArityError(f"kmeans-centroids: bad numeric option: {e}") from None
     init = opts.get("init") or opts.get("centroids")
     if not init:
         raise ArityError("kmeans-centroids needs {'init': <filter expr>}")

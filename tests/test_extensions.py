@@ -1080,9 +1080,17 @@ def test_semdedup_threshold_inclusive_zero_norm_and_errors(spark):
     with pytest.raises(ArityError, match="annotate.*filter"):
         ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
               dict(form, action="purge")], spark=spark)
-    with pytest.raises(ArityError, match="centroid"):
+    # the missing-centroids error must name THIS op, not the delegated
+    # kmeans-assign rule
+    with pytest.raises(ArityError, match="semdedup needs.*centroids"):
         ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
               {"id": "vec_id", "vec": "embedding", "dim": 2}], spark=spark)
+    # kmeans-centroids' retype opt-out must not un-curate its own
+    # option parses: junk numerics still surface as a named ArityError
+    with pytest.raises(ArityError, match="kmeans-centroids.*numeric"):
+        ksml(["kmeans-centroids", ["stream", df, {"key": "vec_id"}],
+              {"id": "vec_id", "vec": "embedding", "dim": "sixty-four",
+               "init": "vec_id = 'c0'"}], spark=spark)
 
 
 def test_semdedup_streaming_refused_at_construction(spark, tmp_path):

@@ -160,6 +160,17 @@ def test_gopher_threshold_overrides_and_errors(spark):
     assert got[1] is True
     for d, text in CORPUS:
         assert got[d] == ref_gopher(text, {**DEFAULTS, "min_words": 2})["rule_word_count"]
+    # NULL text must fail EVERY rule even under a vacuous-making
+    # override: with min_stopwords=0, n_stop on NULL text evaluates to
+    # 0 (F.filter over the literal array gives an empty array, never
+    # NULL), so only the explicit isNotNull guard keeps NULL -> False
+    out0 = pipe(["stream", df, {"key": "doc_id"}],
+                ["gopher-filter", {"thresholds": {"min_stopwords": 0}}],
+                spark=spark).df
+    texts = dict(CORPUS)
+    nulls = {r["doc_id"]: r["rule_stopwords"]
+             for r in out0.collect() if texts[r["doc_id"]] is None}
+    assert nulls and all(v is False for v in nulls.values())
     with pytest.raises(ArityError, match="unknown thresholds.*min_wordz"):
         pipe(["stream", df, {"key": "doc_id"}],
              ["gopher-filter", {"thresholds": {"min_wordz": 2}}], spark=spark)

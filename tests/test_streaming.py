@@ -286,8 +286,7 @@ def test_transform_with_state_shim_state_kinds_and_streaming_refusal(
     }
     assert got == exp and got
 
-    from tests.test_streaming import _has_protobuf as _hp  # self-import ok in pytest
-    if not _hp():
+    if not _has_protobuf():
         with pytest.raises(ArityError, match="google.protobuf.*process"):
             ksml(["transform-with-state", events_stream(spark, events_path),
                   Kinds(), {"schema": "user_id long, n bigint, total_cents bigint, n_types bigint"}],
