@@ -607,6 +607,188 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     return KStreamRel(out, key_cols=(idc,))
 
 
+@defop("semdedup-join")
+def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
+    """Cross-corpus semantic deduplication — the embedding-space sibling
+    of lsh-join's incremental-dedup shape, and the streaming path that
+    semdedup's closed-input contract refuses:
+
+        ["semdedup-join", new_rel, reference_rel,
+         {"id": "vec_id", "vec": "embedding",
+          "right_id": "vec_id", "right_vec": "embedding",
+          "dim": 64, "centroids": "vec_id % 127 = 3",
+          "threshold": 0.3, "action": "annotate"}]
+
+    Drops/flags every LEFT vector whose cosine to ANY reference-corpus
+    member of its assigned cluster reaches ``threshold`` — the
+    reference always wins; there is no within-left suppression or
+    keep-one-per-group rank rule (for one-corpus dedup use semdedup; a
+    left row whose identical twin sits in the reference drops, which is
+    the decontamination-style point). ``centroids`` is a filter
+    expression over the RIGHT relation; both sides are assigned by the
+    same broadcast argmax so cluster spaces agree by construction.
+
+    Plan: the K sampled centroids are BOUNDED driver state (max_k
+    guard, kmeans-centroids' contract — collected once at construction,
+    shipped as one executor broadcast of a K x dim float64 matrix);
+    assignment is an Arrow-batched matmul+argmax pandas UDF
+    (first-match over ascending centroid ids = the smallest-id
+    tie-break; zero-norm / non-finite / wrong-dim vectors assign NULL).
+    The reference side's assigned members pin MEMORY_AND_DISK — a
+    stream-static join re-executes the static plan per micro-batch
+    (lsh-join's rationale) — and the dup test is a stream-legal
+    left-semi/left-anti equi-join on ``cluster`` with the unrolled-dot
+    cosine threshold as the join predicate: per-candidate work is
+    bounded by cluster size, i.e. by centroid-sample density, the same
+    K knob as semdedup. {"broadcast": true} hints the reference side.
+
+    Output: every left column plus (cluster, keep); NULL-assigned left
+    rows pass through keep NULL (flagged, never silently kept or
+    dropped). {"action": "filter"} returns survivors only (NULL
+    assignments drop with the duplicates). Batch left and streaming
+    left produce identical decisions (same UDF, same predicate —
+    pinned by the one-microbatch parity test). Right must be batch:
+    a streaming reference is refused with a curated error."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..errors import ArityError
+
+    opts = _opts(rest)
+    idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
+    ridc = opts.get("right_id", idc)
+    rvecc = opts.get("right_vec", vecc)
+    dim = opts.get("dim")
+    if not dim:
+        raise ArityError("semdedup-join needs {'dim': <vector length>}")
+    dim = int(dim)
+    thr = float(opts.get("threshold", 0.9))
+    max_k = int(opts.get("max_k", 65536))
+    action = opts.get("action", "annotate")
+    if action not in ("annotate", "filter"):
+        raise ArityError(
+            f"semdedup-join action must be 'annotate' or 'filter', got {action!r}"
+        )
+    cexpr = opts.get("centroids") or opts.get("init")
+    if not cexpr:
+        raise ArityError(
+            "semdedup-join needs {'centroids': <filter expr on the "
+            "reference relation>}"
+        )
+    if right.df.isStreaming:
+        raise ArityError(
+            "semdedup-join reference side is batch-only (the centroid "
+            "sample and member pin need a closed input); stream the NEW "
+            "side, not the reference"
+        )
+    for out_col in ("cluster", "keep"):
+        if out_col in left.df.columns:
+            raise ArityError(
+                f"semdedup-join: output column {out_col!r} already exists "
+                "on the left input; rename it upstream"
+            )
+
+    rprep = _prepared(right, ridc, rvecc, dim)
+    cid_type = next(f.dataType for f in rprep.schema.fields if f.name == ridc)
+    init_rows = (
+        rprep.filter(F.expr(cexpr))
+        .select(F.col(ridc).alias("__cid"), "__v")
+        .limit(max_k + 1)
+        .collect()
+    )
+    if not init_rows:
+        raise ArityError(
+            f"semdedup-join: centroids filter {cexpr!r} matched no "
+            "reference rows"
+        )
+    if len(init_rows) > max_k:
+        raise ArityError(
+            f"semdedup-join: centroids filter {cexpr!r} matched more than "
+            f"max_k={max_k} rows — sample sparser or raise {{'max_k': n}}"
+        )
+    cents = []
+    for r in sorted(init_rows, key=lambda r: (r["__cid"] is None, r["__cid"])):
+        v = r["__v"]
+        if r["__cid"] is None or v is None or len(v) != dim:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        n = float(np.linalg.norm(a))
+        if not np.isfinite(a).all() or n <= 0.0:
+            continue
+        cents.append((r["__cid"], a / n))
+    if not cents:
+        raise ArityError(
+            f"semdedup-join: centroids filter {cexpr!r} matched only "
+            "degenerate (NULL / zero-norm / wrong-dim) vectors"
+        )
+    cids = [c for c, _ in cents]
+    cmat = np.vstack([v for _, v in cents])
+    bc = ctx.spark.sparkContext.broadcast((cids, cmat))
+
+    @pandas_udf(cid_type)
+    def _assign(vs):
+        cids_, cn = bc.value
+        arrs = vs.to_numpy()
+        res = np.full(len(arrs), None, dtype=object)
+        ok = np.fromiter(
+            (a is not None and len(a) == cn.shape[1] for a in arrs),
+            dtype=bool, count=len(arrs),
+        )
+        if ok.any():
+            mat = np.vstack([np.asarray(a, dtype=np.float64) for a in arrs[ok]])
+            good = np.isfinite(mat).all(axis=1) & (
+                np.linalg.norm(mat, axis=1) > 0.0
+            )
+            # cosine argmax == raw-dot argmax against unit centroids
+            # (the row norm is a positive constant per row)
+            picks = np.asarray(cids_, dtype=object)[(mat @ cn.T).argmax(axis=1)]
+            picks[~good] = None
+            res[np.flatnonzero(ok)] = picks
+        return pd.Series(res)
+
+    from pyspark import StorageLevel
+
+    from .util import pin
+
+    members = pin(
+        rprep.withColumn("cluster", _assign(F.col("__v")))
+        .filter(F.col("cluster").isNotNull())
+        .select(
+            F.col("cluster").alias("__rcl"),
+            F.col("__v").alias("__rv"), F.col("__n").alias("__rn"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    if opts.get("broadcast"):
+        members = F.broadcast(members)
+
+    orig = [F.col(c) for c in left.df.columns]
+    lv = F.col(vecc).cast("array<double>")
+    la = left.df.withColumn("__lv", lv).withColumn(
+        "__ln", norm_col(lv, dim)
+    ).withColumn("cluster", _assign(F.col("__lv")))
+    assigned = la.filter(F.col("cluster").isNotNull())
+    cond = (F.col("cluster") == F.col("__rcl")) & (
+        dot_col(F.col("__lv"), F.col("__rv"), dim)
+        / (F.col("__ln") * F.col("__rn"))
+        >= F.lit(thr)
+    )
+    keeps = assigned.join(members, cond, "left_anti").select(
+        *orig, F.col("cluster"), F.lit(True).alias("keep")
+    )
+    if action == "filter":
+        return KStreamRel(keeps, key_cols=left.key_cols or (idc,))
+    dups = assigned.join(members, cond, "left_semi").select(
+        *orig, F.col("cluster"), F.lit(False).alias("keep")
+    )
+    degenerate = la.filter(F.col("cluster").isNull()).select(
+        *orig, F.col("cluster"), F.lit(None).cast("boolean").alias("keep")
+    )
+    out = keeps.unionByName(dups).unionByName(degenerate)
+    return KStreamRel(out, key_cols=left.key_cols or (idc,))
+
+
 @defop("kmeans-centroids", retype_value_errors=False)
 def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """Lloyd-iteration centroid refinement for the IVF layout:

@@ -530,6 +530,36 @@ def test_neardup_pairs_lsh_blocked_subset_of_full(spark, tables):
     assert set(lsh_pairs) == expected
 
 
+def test_neardup_lsh_mode_matches_block_on_precomputed_bucket(spark, tables):
+    """{"lsh_dims": d} must be bit-identical to {"block": col} run on a
+    PRECOMPUTED sign-bucket column — after the bucket derivation
+    (sign_bucket_col, oracled through ann_lsh_topk) both modes share the
+    same pair-join code path.  This is the clause-(c) retirement pin for
+    the neardup_lsh registry row (see the r09 note at the registry head):
+    the lsh_dims option's only unique surface vs neardup_embeddings'
+    still-oracled block mode is the bucket expression itself."""
+    from ksml_spark.operators.similarity import sign_bucket_col
+
+    lsh = pipe(
+        ["stream", tables["embeddings"], {"key": "vec_id"}],
+        ["neardup-pairs", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                           "threshold": 0.4, "lsh_dims": 8}],
+        spark=spark,
+    ).df
+    pre = tables["embeddings"].withColumn(
+        "bucket", sign_bucket_col(F.col("embedding").cast("array<double>"), 8)
+    )
+    blocked = pipe(
+        ["stream", pre, {"key": "vec_id"}],
+        ["neardup-pairs", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                           "threshold": 0.4, "block": "bucket"}],
+        spark=spark,
+    ).df
+    a = {(r["id_a"], r["id_b"]): r["sim"] for r in lsh.collect()}
+    b = {(r["id_a"], r["id_b"]): r["sim"] for r in blocked.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_jaccard_prefix_matches_plain_plan(spark, tables):
     """AllPairs prefix filtering must return bit-identical pairs to the
     plain inverted-index plan (same threshold, same blocks)."""
@@ -1110,6 +1140,149 @@ def test_semdedup_streaming_refused_at_construction(spark, tmp_path):
                            {"key": "vec_id"}],
               {"id": "vec_id", "vec": "embedding", "dim": 2,
                "centroids": "vec_id = 1"}], spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# semdedup-join: cross-corpus semantic dedup (new rows vs a reference corpus)
+
+def _sdj_form(**over):
+    base = {"id": "vec_id", "vec": "embedding", "dim": 2,
+            "centroids": "vec_id like 'c%'", "threshold": 0.9}
+    base.update(over)
+    return base
+
+
+def test_semdedup_join_reference_wins_no_left_suppression(spark):
+    """Cross-corpus rule pinned on hand-built 2-D vectors: a left row
+    drops iff SOME reference member of its cluster reaches the
+    threshold — identical LEFT twins never suppress each other (both
+    keep when the reference has no match, both drop when it does),
+    unlike semdedup's within-corpus rank rule."""
+    import math
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    right = spark.createDataFrame(
+        [("c0", unit(0)), ("r1", unit(10))],
+        "vec_id string, embedding array<double>")
+    left = spark.createDataFrame(
+        [("la", unit(12)), ("lb", unit(12)),    # identical twins ~ r1
+         ("lc", unit(70)), ("ld", unit(70)),    # identical twins, no ref match
+         ("lz", [0.0, 0.0])],                   # degenerate
+        "vec_id string, embedding array<double>")
+    out = ksml(["semdedup-join", ["stream", left, {"key": "vec_id"}],
+                ["stream", right, {"key": "vec_id"}], _sdj_form()],
+               spark=spark)
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out.df.collect()}
+    # la/lb both match reference r1 (cos 2 deg ~ .999) -> BOTH drop
+    assert got["la"] == ("c0", False) and got["lb"] == ("c0", False)
+    # lc/ld are mutual exact twins but no reference member is close
+    # (cos 60..70 deg < .9) -> BOTH keep: no within-left suppression
+    assert got["lc"] == ("c0", True) and got["ld"] == ("c0", True)
+    assert got["lz"] == (None, None)
+
+    kept = ksml(["semdedup-join", ["stream", left, {"key": "vec_id"}],
+                 ["stream", right, {"key": "vec_id"}],
+                 _sdj_form(action="filter")], spark=spark)
+    # filter returns survivors only; degenerate rows drop with the dups
+    assert {r["vec_id"] for r in kept.df.collect()} == {"lc", "ld"}
+
+
+def test_semdedup_join_threshold_inclusive_and_degenerate_reference(spark):
+    """cos == threshold counts as duplicate (>=); degenerate reference
+    members (zero-norm / wrong-dim) assign NULL and never suppress."""
+    right = spark.createDataFrame(
+        [("c0", [1.0, 0.0]),
+         ("rz", [0.0, 0.0]),        # zero-norm ref: excluded from members
+         ("rw", [1.0, 0.0, 9.9])],  # wrong-dim ref: excluded from members
+        "vec_id string, embedding array<double>")
+    left = spark.createDataFrame(
+        [("v1", [5.0, 0.0]),        # cos to c0 exactly 1.0 -> dup at thr=1.0
+         ("v2", [0.0, 2.0])],       # orthogonal to c0 -> keep
+        "vec_id string, embedding array<double>")
+    out = ksml(["semdedup-join", ["stream", left, {"key": "vec_id"}],
+                ["stream", right, {"key": "vec_id"}],
+                _sdj_form(centroids="vec_id = 'c0'", threshold=1.0)],
+               spark=spark)
+    got = {r["vec_id"]: r["keep"] for r in out.df.collect()}
+    assert got == {"v1": False, "v2": True}
+
+
+def test_semdedup_join_curated_errors(spark, tmp_path):
+    """Construction-time refusals: streaming reference, missing dim /
+    centroids, empty or over-max_k centroid sample, bad action, output
+    column collision — each a curated ArityError naming THIS op."""
+    from ksml_spark.errors import ArityError
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    l = spark.createDataFrame([("a", [1.0, 0.0])],
+                              "vec_id string, embedding array<double>")
+    r = spark.createDataFrame([("c0", [1.0, 0.0]), ("c1", [0.0, 1.0])],
+                              "vec_id string, embedding array<double>")
+    lrel, rrel = ["stream", l, {"key": "vec_id"}], ["stream", r, {"key": "vec_id"}]
+    with pytest.raises(ArityError, match="semdedup-join needs.*dim"):
+        ksml(["semdedup-join", lrel, rrel,
+              {"id": "vec_id", "vec": "embedding", "centroids": "1=1"}],
+             spark=spark)
+    with pytest.raises(ArityError, match="semdedup-join needs.*centroids"):
+        ksml(["semdedup-join", lrel, rrel,
+              {"id": "vec_id", "vec": "embedding", "dim": 2}], spark=spark)
+    with pytest.raises(ArityError, match="matched no"):
+        ksml(["semdedup-join", lrel, rrel,
+              _sdj_form(centroids="vec_id = 'nope'")], spark=spark)
+    with pytest.raises(ArityError, match="more than max_k"):
+        ksml(["semdedup-join", lrel, rrel, _sdj_form(max_k=1)], spark=spark)
+    with pytest.raises(ArityError, match="annotate.*filter"):
+        ksml(["semdedup-join", lrel, rrel, _sdj_form(action="purge")],
+             spark=spark)
+    with pytest.raises(ArityError, match="'cluster'.*already exists"):
+        ksml(["semdedup-join",
+              ["stream", l.withColumn("cluster", F.lit(1)), {"key": "vec_id"}],
+              rrel, _sdj_form()], spark=spark)
+    p = str(tmp_path / "ref_vecs")
+    r.write.parquet(p)
+    with pytest.raises(ArityError, match="reference side is batch-only"):
+        ksml(["semdedup-join", lrel,
+              ["stream", file_stream_source(spark, p), {"key": "vec_id"}],
+              _sdj_form()], spark=spark)
+
+
+def test_semdedup_join_streaming_left_one_microbatch_parity(spark, tmp_path):
+    """The left side IS stream-legal (this op exists because semdedup's
+    closed-input contract refuses streams): a stream-static anti/semi
+    join per micro-batch.  One availableNow micro-batch must reproduce
+    the batch decisions bit-for-bit, in both annotate and filter modes."""
+    import math
+
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    right = spark.createDataFrame(
+        [("c0", unit(0)), ("c90", unit(90)), ("r1", unit(5)), ("r2", unit(80))],
+        "vec_id string, embedding array<double>")
+    left_rows = [("l%d" % i, unit(7 * i)) for i in range(14)] + [("lz", [0.0, 0.0])]
+    left = spark.createDataFrame(left_rows,
+                                 "vec_id string, embedding array<double>")
+    p = str(tmp_path / "new_vecs")
+    left.write.parquet(p)
+    form = _sdj_form()
+    batch = ksml(["semdedup-join", ["stream", left, {"key": "vec_id"}],
+                  ["stream", right, {"key": "vec_id"}], form], spark=spark)
+    exp = {r["vec_id"]: (r["cluster"], r["keep"]) for r in batch.df.collect()}
+
+    sout = ksml(["semdedup-join",
+                 ["stream", file_stream_source(spark, p), {"key": "vec_id"}],
+                 ["stream", right, {"key": "vec_id"}], form], spark=spark).df
+    assert sout.isStreaming
+    q = (sout.writeStream.format("memory").queryName("sdj_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in spark.sql("SELECT * FROM sdj_stream").collect()}
+    assert got == exp and len(got) == 15
 
 
 def test_semdedup_matches_python_reference(spark):
