@@ -1180,30 +1180,6 @@ FROM p a JOIN p b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
 
 
-def _q_neardup_lsh(spark, sf):
-    """Sign-LSH-blocked near-dup pairs — the blocking mode used when no
-    semantic block key exists (the 100 TB default for raw embeddings)."""
-    return pipe(
-        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
-        ["neardup-pairs", {"id": "vec_id", "vec": "embedding", "dim": 64,
-                           "lsh_dims": 8, "threshold": 0.4}],
-        spark=spark,
-    ).df
-
-
-_NEARDUP_LSH_ORACLE = """
-WITH p AS (SELECT vec_id,
-           array_to_string(list_transform(embedding[1:8],
-               x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket,
-           embedding::DOUBLE[] AS v,
-           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
-           FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS sim
-FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4"""
-
-
 def _q_histogram(spark, sf):
     """Document-length distribution in equal-RATIO log10 bins (r08
     re-pin of histogram_prices to {"scale": "log"} — the long-tail
@@ -1389,6 +1365,50 @@ d AS (SELECT DISTINCT m2.vec_id FROM m m1 JOIN m m2
 SELECT m.vec_id, m.cluster, round(m.sim, 6) AS sim_centroid,
        (d.vec_id IS NULL) AS keep
 FROM m LEFT JOIN d ON m.vec_id = d.vec_id"""
+
+
+def _q_semdedup_join(spark, sf):
+    """Cross-corpus semantic dedup (semdedup-join): odd vec_ids are the
+    NEW corpus, even vec_ids the reference — a left row drops iff some
+    same-cluster reference member reaches cosine 0.3 (the reference
+    always wins; no within-left suppression). Cluster spaces agree by
+    construction: both sides assign to the same centroid sample drawn
+    from the reference (vec_id % 126 = 2 — four even ids at sf0.01).
+    Reference: the lsh-join incremental shape (eval.clj:220-238) in
+    embedding space; threshold 0.3 per the semdedup_embeddings note
+    (near-isotropic synthetic embeddings)."""
+    return pipe(
+        ["semdedup-join",
+         ["where", ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+          "vec_id % 2 = 1"],
+         ["where", ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+          "vec_id % 2 = 0"],
+         {"id": "vec_id", "vec": "embedding", "dim": 64,
+          "centroids": "vec_id % 126 = 2", "threshold": 0.3}],
+        ["select", {"vec_id": "vec_id", "cluster": "cluster", "keep": "keep"}],
+        spark=spark,
+    ).df
+
+
+_SEMDEDUP_JOIN_ORACLE = """
+WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM p
+      WHERE vec_id % 126 = 2 AND vec_id % 2 = 0),
+a AS (SELECT vec_id, cid AS cluster FROM (
+  SELECT p.vec_id, c.cid,
+         row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY list_dot_product(p.v, c.cv) / (p.n * c.cn) DESC, c.cid) AS rn
+  FROM p, c) WHERE rn = 1),
+r AS (SELECT a.cluster AS rcl, p.v AS rv, p.n AS rn2
+      FROM a JOIN p USING (vec_id) WHERE p.vec_id % 2 = 0),
+l AS (SELECT p.vec_id, a.cluster, p.v, p.n
+      FROM a JOIN p USING (vec_id) WHERE p.vec_id % 2 = 1),
+d AS (SELECT DISTINCT l.vec_id FROM l JOIN r ON l.cluster = r.rcl
+      AND list_dot_product(l.v, r.rv) / (l.n * r.rn2) >= 0.3)
+SELECT l.vec_id, l.cluster, (d.vec_id IS NULL) AS keep
+FROM l LEFT JOIN d USING (vec_id)"""
 
 
 def _q_kmeans_centroids(spark, sf):
@@ -2726,14 +2746,24 @@ FROM events GROUP BY user_id"""
 # embeds the identical assignment CTE, exposing (cluster, sim) verbatim
 # in its output, so the assign path keeps hash-exact driver evidence
 # (the dup_clusters ⊂ substring_dedup_prep precedent).
+# Also retired in r09 (swap rule, clauses a+c): neardup_lsh — it oracled
+# the {"lsh_dims": d} OPTION of neardup-pairs, whose plain {"block": col}
+# form stays oracled by neardup_embeddings; the option's only unique
+# surface, the sign-bucket expression, keeps hash-exact driver evidence
+# through ann_lsh_topk (same sign_bucket_col), and the shared pair-join
+# path is pinned bit-identical by
+# test_neardup_lsh_mode_matches_block_on_precomputed_bucket (+ the
+# existing lsh-subset-of-full sim-equality test). Its slot funds
+# semdedup_join (a brand-new op needing first driver evidence).
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     # --- brand-new in r09 (never driver-recorded): first of all ---
     "gopher_filter": (_q_gopher_filter, _GOPHER_FILTER_ORACLE),
     "transform_with_state_fold": (_q_transform_with_state, _TRANSFORM_WITH_STATE_ORACLE),
     "semdedup_embeddings": (_q_semdedup, _SEMDEDUP_ORACLE),
-    # --- last driver-green in r07: the 47 survivors re-enter the window
-    # here (3 new + 47 = exactly the 50-row r09 window; the 48th,
-    # kmeans_assign, retired into semdedup_embeddings above) ---
+    "semdedup_join": (_q_semdedup_join, _SEMDEDUP_JOIN_ORACLE),
+    # --- last driver-green in r07: the 46 survivors re-enter the window
+    # here (4 new + 46 = exactly the 50-row r09 window; the 47th and
+    # 48th, kmeans_assign and neardup_lsh, retired per the notes above) ---
     "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
     "winnow_fingerprints": (_q_winnow, _WINNOW_ORACLE),
     "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
@@ -2770,7 +2800,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
     "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),
     "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
-    "neardup_lsh": (_q_neardup_lsh, _NEARDUP_LSH_ORACLE),
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
     "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),

@@ -8,7 +8,9 @@ examples/incremental_dedup.py's lexical MinHash path:
 
 One declarative plan end to end; the pair stage is the paper's
 O(sum c_k^2 / K) within-cluster matrix, keyed on (cluster, rank-block)
-so a mis-sampled hot cluster still fans out across tasks.
+so a mis-sampled hot cluster still fans out across tasks. The last
+stage shows `semdedup-join`: incremental cross-corpus dedup of NEW
+vectors against a frozen reference corpus (the streaming shape).
 
 Run:  python examples/semantic_dedup.py [sf_dir]
 """
@@ -56,6 +58,22 @@ def main() -> None:
     print(f"semantic dedup: kept {n_kept}/{total} vectors "
           f"({100.0 * n_kept / total:.1f}% retention)")
     kept.orderBy("vec_id").show(5)
+
+    # cross-corpus: dedup NEW vectors (odd ids) against a static
+    # REFERENCE corpus (even ids) — semdedup-join is the stream-legal
+    # path (the new side may be a readStream; the reference must be
+    # batch). The reference always wins: a new row drops when any
+    # same-cluster reference member reaches the threshold, and new rows
+    # never suppress each other.
+    incoming = ksml(
+        ["semdedup-join",
+         ["where", ["stream", emb, {"key": "vec_id"}], "vec_id % 2 = 1"],
+         ["where", ["stream", emb, {"key": "vec_id"}], "vec_id % 2 = 0"],
+         {"id": "vec_id", "vec": "embedding", "dim": 64,
+          "centroids": "vec_id % 126 = 2", "threshold": 0.3}],
+        spark=spark,
+    )
+    incoming.df.groupBy("keep").count().orderBy("keep").show()
 
 
 if __name__ == "__main__":
