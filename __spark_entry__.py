@@ -2086,6 +2086,51 @@ FROM p
 ORDER BY js_term DESC, token ASC LIMIT 100"""
 
 
+def _q_dsir(spark, sf):
+    """DSIR importance scores (Xie et al. 2023): every document scored
+    by how target-like its hashed unigram+bigram distribution is, with
+    the English sub-corpus as the target and the full corpus as raw —
+    the data-selection ranking a pretraining pipeline feeds into
+    top-k / Gumbel resampling. 8192 buckets, Laplace smoothing 1.0;
+    dsir_score rounded to 6 (sum order is the gram array order in both
+    engines — see the op docstring)."""
+    return pipe(
+        ["dsir",
+         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+         ["where", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+          "lang = 'en'"],
+         {"col": "text", "id": "doc_id", "buckets": 8192, "n": 2,
+          "smoothing": 1.0}],
+        ["select", {"doc_id": "doc_id", "n_feats": "n_feats",
+                    "dsir_score": "round(dsir_score, 6)"}],
+        spark=spark,
+    ).df
+
+
+_DSIR_ORACLE = f"""
+WITH w AS (SELECT doc_id, lang, {_WORDS_DUCK} AS w FROM documents),
+g AS (SELECT doc_id, lang,
+      w || CASE WHEN len(w) < 2 THEN [] ELSE
+           [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]
+           END AS g
+      FROM w),
+e AS (SELECT doc_id, lang,
+      ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT % 8192 AS b FROM g),
+cq AS (SELECT b, count(*) AS c FROM e GROUP BY 1),
+cp AS (SELECT b, count(*) AS c FROM e WHERE lang = 'en' GROUP BY 1),
+t AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM cp) AS tp,
+             (SELECT CAST(sum(c) AS DOUBLE) FROM cq) AS tq),
+lam AS (SELECT cq.b,
+        ln((coalesce(cp.c, 0) + 1.0) / (t.tp + 8192.0))
+      - ln((cq.c + 1.0) / (t.tq + 8192.0)) AS lam
+        FROM cq LEFT JOIN cp ON cq.b = cp.b CROSS JOIN t)
+SELECT d.doc_id, count(e.b) AS n_feats,
+       round(sum(lam.lam), 6) AS dsir_score
+FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+     LEFT JOIN lam ON e.b = lam.b
+GROUP BY 1"""
+
+
 def _q_chunk(spark, sf):
     """200-char chunks with 50-char overlap (RAG/context chunker);
     pure per-row fan-out, no shuffle, tail chunks never pure overlap."""
@@ -2342,40 +2387,6 @@ SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_spans,
 FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id"""
 
 
-def _q_winnow(spark, sf):
-    """Robust-winnowing (MOSS) fingerprints, exploded to (doc, fp) rows —
-    substring-granularity near-dup sketch, pure per-row expressions.
-
-    explode_outer, NOT explode: a plain explode makes Catalyst infer
-    ``size(fp) > 0`` and push it below the fingerprint projections,
-    re-expanding the whole O(shingles x window) md5 chain inside the
-    filter (measured 33s -> ~1s at sf0.01). fp is never empty (>=1
-    shingle per non-NULL doc), so outer is value-identical."""
-    return pipe(
-        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
-        ["winnow", {"col": "text", "id": "doc_id", "k": 3, "window": 4}],
-        ["select", {"doc_id": "doc_id", "fp": "explode_outer(fp)"}],
-        spark=spark,
-    ).df
-
-
-_WINNOW_ORACLE = """
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t, text
-             FROM documents WHERE text IS NOT NULL),
-sh AS (SELECT doc_id,
-       CASE WHEN len(t) < 3 THEN [text]
-            ELSE [array_to_string(t[i:i+2], ' ')
-                  for i in generate_series(1, len(t) - 2)] END AS s
-       FROM tok),
-h AS (SELECT doc_id, list_transform(s,
-        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hh FROM sh),
-w AS (SELECT doc_id,
-      list_distinct([list_min(hh[j:j+3])
-                     for j in generate_series(1, greatest(len(hh) - 3, 1))])
-        AS fps FROM h)
-SELECT doc_id, unnest(fps) AS fp FROM w"""
-
-
 # ---------------------------------------------------------------------------
 # r08 additions: oracle rows for the operators that were tests-only after
 # r07 (freq-items, profile, persist, intersect, except, vec-project,
@@ -2516,9 +2527,11 @@ def _q_substring_dedup(spark, sf):
     ).df
 
 
-# fps CTEs = _WINNOW_ORACLE's; pairs/clusters are a recursive-CTE
-# transitive closure (exact at 500 docs) — this is also the registry's
-# only dup-clusters oracle (op_dup_clusters runs inside near-dedup here)
+# the tok/sh/h/w CTEs are the winnow fingerprint construction (they were
+# the retired winnow_fingerprints row's oracle verbatim — this row is now
+# the registry's winnow AND dup-clusters evidence: op_dup_clusters runs
+# inside near-dedup here); pairs/clusters are a recursive-CTE transitive
+# closure (exact at 500 docs)
 _SUBSTRING_DEDUP_ORACLE = """
 WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t, text
              FROM documents WHERE text IS NOT NULL),
@@ -2755,17 +2768,26 @@ FROM events GROUP BY user_id"""
 # test_neardup_lsh_mode_matches_block_on_precomputed_bucket (+ the
 # existing lsh-subset-of-full sim-equality test). Its slot funds
 # semdedup_join (a brand-new op needing first driver evidence).
+# Also retired in r09 (swap rule, clause a — the dup_clusters precedent):
+# winnow_fingerprints — substring_dedup_prep runs near-dedup{winnow} with
+# the SAME k=3/window=4 parameters (op_winnow's expressions execute
+# inside it) and its oracle embeds the identical fingerprint CTEs
+# verbatim, so the winnow construction keeps hash-exact driver evidence;
+# the per-row expression values also stay pinned by the winnow
+# Python-reference and streaming-parity tests. Its slot funds
+# dsir_scores (the new DSIR importance-scoring op).
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     # --- brand-new in r09 (never driver-recorded): first of all ---
     "gopher_filter": (_q_gopher_filter, _GOPHER_FILTER_ORACLE),
     "transform_with_state_fold": (_q_transform_with_state, _TRANSFORM_WITH_STATE_ORACLE),
     "semdedup_embeddings": (_q_semdedup, _SEMDEDUP_ORACLE),
     "semdedup_join": (_q_semdedup_join, _SEMDEDUP_JOIN_ORACLE),
-    # --- last driver-green in r07: the 46 survivors re-enter the window
-    # here (4 new + 46 = exactly the 50-row r09 window; the 47th and
-    # 48th, kmeans_assign and neardup_lsh, retired per the notes above) ---
+    "dsir_scores": (_q_dsir, _DSIR_ORACLE),
+    # --- last driver-green in r07: the 45 survivors re-enter the window
+    # here (5 new + 45 = exactly the 50-row r09 window; the other three
+    # r07 rows — kmeans_assign, neardup_lsh, winnow_fingerprints — are
+    # retired per the notes above) ---
     "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
-    "winnow_fingerprints": (_q_winnow, _WINNOW_ORACLE),
     "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
     "unpivot_lineitem": (_q_unpivot_lineitem, _UNPIVOT_LINEITEM_ORACLE),
     "corr_lineitem": (_q_corr_lineitem, _CORR_LINEITEM_ORACLE),

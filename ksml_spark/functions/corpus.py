@@ -704,6 +704,129 @@ def op_dist_shift(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
     return left.with_df(out, key_cols=("token",), time_col=None)
 
 
+@defop("dsir")
+def op_dsir(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") — score every RAW-corpus
+    document by how much its hashed-n-gram distribution looks like a
+    TARGET corpus:
+
+        ["dsir", raw_rel, target_rel,
+         {"col": "text", "id": "doc_id", "right_col": "text",
+          "buckets": 8192, "n": 2, "smoothing": 1.0}]
+        -> (id, n_feats, dsir_score): dsir_score is the log importance
+           weight sum_g lambda[h(g)] over the doc's unigrams+bigrams
+           (n<=2 grams by default), lambda_b = ln p_b - ln q_b with p =
+           the target and q = the raw hashed-gram distribution, each
+           Laplace-smoothed over the FIXED 2^k-free bucket support:
+           p_b = (c_b + a) / (C + a*B). Rank by dsir_score desc and
+           keep the head (or Gumbel-resample downstream) to select
+           target-like pretraining data. n_feats is the gram count;
+           docs with no grams (NULL/empty text) surface n_feats 0 and
+           dsir_score NULL — flagged, never silently kept or ranked.
+
+    The paper's feature map exactly: unigram+bigram hashing into B
+    buckets makes both models FIXED-size (B rows) no matter the corpus,
+    so the importance model never needs a vocabulary cutoff. Hashing is
+    the engine-portable 60-bit md5 slice (util.md5_long_col) mod B —
+    DuckDB reproduces it verbatim, so oracles stay hash-exact.
+
+    Plan: one explode+hash-agg per corpus builds the two bucket-count
+    relations (<= B rows each); a full-outer join on bucket plus
+    broadcast one-row totals yields the lambda table, which is <= B
+    rows and BROADCAST into the scoring pass — the raw corpus is
+    scanned twice (model pass + scoring pass; re-scan beats pinning an
+    exploded gram relation at corpus scale) and shuffled once, as
+    per-doc partial sums (explode keeps a doc's grams in one task, so
+    the float sum order is the array order on any partitioning — and
+    matches DuckDB's unnest order). Batch-only on BOTH sides (q is the
+    raw corpus's own distribution; a streaming raw corpus has no closed
+    distribution — score a stream against frozen stats via
+    foreach-batch).
+
+    Reference: no analog (§2.10 extension surface)."""
+    if not isinstance(right, Rel):
+        raise TypeDispatchError(
+            f"dsir right (target) operand must be a stream/table, "
+            f"got {type(right).__name__}"
+        )
+    opts = opts_of(rest)
+    colc = opts.get("col", "text")
+    rcolc = opts.get("right_col", colc)
+    idc = opts.get("id", "doc_id")
+    buckets = int(opts.get("buckets", 8192))
+    n = int(opts.get("n", 2))
+    a = float(opts.get("smoothing", 1.0))
+    if buckets < 2:
+        raise ArityError(f"dsir needs buckets >= 2, got {buckets}")
+    if not 1 <= n <= 3:
+        raise ArityError(f"dsir n-gram order must be 1, 2 or 3, got {n}")
+    if a <= 0:
+        raise ArityError(
+            "dsir needs smoothing > 0 (zero-count buckets make the "
+            "log-ratio infinite)"
+        )
+    _refuse_streaming(left, "dsir")
+    _refuse_streaming(right, "dsir (target relation)")
+
+    def _grams(text_col):
+        w = words(F.col(text_col))
+        g = w
+        for order in range(2, n + 1):
+            g = F.concat(g, word_ngrams(w, order))
+        return F.transform(g, lambda x: md5_long_col(x) % buckets)
+
+    def _counts(df, text_col, cname):
+        return (
+            spread(df)
+            .select(F.explode(_grams(text_col)).alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    from ..operators.util import pin
+
+    cq = _counts(left.df, colc, "__cq")   # raw distribution q
+    cp = _counts(right.df, rcolc, "__cp")  # target distribution p
+    # pin the <= B-row model: totals AND lambda both read it, and
+    # unpinned each would re-run the full-outer join — re-scanning BOTH
+    # corpora for a kilobyte relation
+    model = pin(
+        cp.join(cq, "__b", "full_outer").select(
+            "__b",
+            F.coalesce("__cp", F.lit(0)).alias("__cp"),
+            F.coalesce("__cq", F.lit(0)).alias("__cq"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    totals = F.broadcast(
+        model.agg(
+            F.sum("__cp").cast("double").alias("__tp"),
+            F.sum("__cq").cast("double").alias("__tq"),
+        )
+    )
+    lam = F.broadcast(
+        model.crossJoin(totals).select(
+            "__b",
+            (
+                F.log((F.col("__cp") + F.lit(a)) / (F.col("__tp") + F.lit(a * buckets)))
+                - F.log((F.col("__cq") + F.lit(a)) / (F.col("__tq") + F.lit(a * buckets)))
+            ).alias("__lam"),
+        )
+    )
+    out = (
+        spread(left.df)
+        .select(F.col(idc), F.explode_outer(_grams(colc)).alias("__b"))
+        .join(lam, "__b", "left")
+        .groupBy(idc)
+        .agg(
+            F.count("__b").alias("n_feats"),
+            F.sum("__lam").alias("dsir_score"),
+        )
+    )
+    return left.with_df(out, key_cols=(idc,), time_col=None)
+
+
 @defop("cooccurrence")
 def op_cooccurrence(ctx: Ctx, rel: Rel, *rest) -> Rel:
     """Windowed term co-occurrence counts — the GloVe/word2vec-style

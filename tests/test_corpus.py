@@ -1285,3 +1285,134 @@ def test_dist_shift_js_metric(spark):
         pipe(["dist-shift", ["stream", a, {"key": "doc_id"}],
               ["stream", b, {"key": "doc_id"}], {"metric": "chi2"}],
              spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# dsir (Xie et al. 2023 importance scores)
+
+
+def _py_dsir(raw_rows, tgt_rows, buckets=64, n=2, a=1.0):
+    """Pure-Python DSIR reference: hashed unigram+bigram log importance
+    weights, Laplace-smoothed over the fixed bucket support."""
+    import hashlib
+    import math
+    import re
+
+    def grams(text):
+        if text is None:
+            return None
+        w = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        out = list(w)
+        for order in range(2, n + 1):
+            out += [" ".join(w[i:i + order]) for i in range(len(w) - order + 1)]
+        return out
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % buckets
+
+    cq, cp = {}, {}
+    for _, t in raw_rows:
+        for g in grams(t) or []:
+            b = bucket(g)
+            cq[b] = cq.get(b, 0) + 1
+    for _, t in tgt_rows:
+        for g in grams(t) or []:
+            b = bucket(g)
+            cp[b] = cp.get(b, 0) + 1
+    tp, tq = sum(cp.values()), sum(cq.values())
+
+    def lam(b):
+        return (math.log((cp.get(b, 0) + a) / (tp + a * buckets))
+                - math.log((cq.get(b, 0) + a) / (tq + a * buckets)))
+
+    out = {}
+    for did, t in raw_rows:
+        gs = grams(t) or []
+        out[did] = (len(gs), sum(lam(bucket(g)) for g in gs) if gs else None)
+    return out
+
+
+def test_dsir_matches_python_reference(spark):
+    """Score values, n_feats, and the NULL-score contract for empty/NULL
+    docs, exactly vs the pure-Python reference (target-like docs rank
+    highest)."""
+    raw = [(1, "the cat sat on the mat"),
+           (2, "quantum flux capacitor engaged"),
+           (3, "the dog sat on the log"),
+           (4, ""), (5, None)]
+    tgt = [(10, "the cat and the dog sat together"),
+           (11, "a cat sat on a mat")]
+    exp = _py_dsir(raw, tgt, buckets=64, n=2, a=1.0)
+    out = pipe(["dsir",
+                ["stream", _docs(spark, raw), {"key": "doc_id"}],
+                ["stream", _docs(spark, tgt), {"key": "doc_id"}],
+                {"col": "text", "id": "doc_id", "buckets": 64,
+                 "n": 2, "smoothing": 1.0}], spark=spark).df
+    got = {r["doc_id"]: (r["n_feats"], r["dsir_score"]) for r in out.collect()}
+    assert set(got) == set(exp)
+    for did, (nf, score) in exp.items():
+        assert got[did][0] == nf
+        if score is None:
+            assert got[did][1] is None
+        else:
+            assert abs(got[did][1] - score) < 1e-9, did
+    # the target-like doc must outrank the off-distribution one
+    assert got[1][1] > got[2][1]
+
+
+def test_dsir_unigram_only_and_option_errors(spark):
+    """n=1 scores unigrams only (bigram mass excluded); curated errors
+    for junk options and a non-rel target."""
+    raw = [(1, "x y"), (2, "z")]
+    tgt = [(9, "x x y")]
+    exp = _py_dsir(raw, tgt, buckets=16, n=1, a=0.5)
+    out = pipe(["dsir",
+                ["stream", _docs(spark, raw), {"key": "doc_id"}],
+                ["stream", _docs(spark, tgt), {"key": "doc_id"}],
+                {"buckets": 16, "n": 1, "smoothing": 0.5}], spark=spark).df
+    got = {r["doc_id"]: (r["n_feats"], r["dsir_score"]) for r in out.collect()}
+    for did, (nf, score) in exp.items():
+        assert got[did][0] == nf and abs(got[did][1] - score) < 1e-9
+
+    lrel = ["stream", _docs(spark, raw), {"key": "doc_id"}]
+    rrel = ["stream", _docs(spark, tgt), {"key": "doc_id"}]
+    with pytest.raises(ArityError, match="buckets >= 2"):
+        pipe(["dsir", lrel, rrel, {"buckets": 1}], spark=spark)
+    with pytest.raises(ArityError, match="n-gram order"):
+        pipe(["dsir", lrel, rrel, {"n": 4}], spark=spark)
+    with pytest.raises(ArityError, match="smoothing > 0"):
+        pipe(["dsir", lrel, rrel, {"smoothing": 0}], spark=spark)
+    with pytest.raises(TypeDispatchError, match="target.*stream/table"):
+        pipe(["dsir", lrel, 42], spark=spark)
+
+
+def test_dsir_refuses_streaming_and_broadcasts_model(spark, tmp_path):
+    """Batch-only on both sides (q is the raw corpus's own closed
+    distribution); the lambda-table join into the scoring pass must be
+    a broadcast, never a corpus-wide shuffle join."""
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    raw = _docs(spark, [(1, "x y"), (2, "y z")])
+    tgt = _docs(spark, [(9, "x")])
+    p = str(tmp_path / "dsir_docs")
+    raw.write.parquet(p)
+    srel = ["stream", file_stream_source(spark, p), {"key": "doc_id"}]
+    brel = ["stream", raw, {"key": "doc_id"}]
+    trel = ["stream", tgt, {"key": "doc_id"}]
+    with pytest.raises(TypeDispatchError, match="batch-only"):
+        pipe(["dsir", srel, trel, {}], spark=spark)
+    with pytest.raises(TypeDispatchError, match="batch-only"):
+        pipe(["dsir", brel, ["stream", file_stream_source(spark, p),
+                             {"key": "doc_id"}], {}], spark=spark)
+
+    out = pipe(["dsir", brel, trel, {"buckets": 32}], spark=spark).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the lambda join into the corpus-sized scoring pass is a broadcast
+    assert "BroadcastHashJoin" in plan
+    # the <= B-row model relation is pinned (totals + lambda share ONE
+    # materialization instead of re-scanning both corpora), and every
+    # sort-merge join in the plan is that model-building full-outer on
+    # the bucket key (Spark cannot broadcast-hash a full outer join) —
+    # the corpus itself is never SMJ'd
+    assert "InMemoryTableScan" in plan
+    assert plan.count("SortMergeJoin") == plan.count("FullOuter")
