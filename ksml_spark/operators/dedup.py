@@ -551,8 +551,12 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     single-digest Kirsch-Mitzenmacher MinHash family (one md5 per
     shingle instead of four salted ones, token ids shared — the
     measured ~4x-faster signature path), batch inputs to the salted-md5
-    family the DuckDB oracle replicates; {"impl": "km"|"expr"} forces
-    either family on both sides.
+    family the DuckDB oracle replicates; {"impl": "km"|"md5"|"expr"}
+    overrides the default on BOTH sides ("km" = single-digest KM,
+    "md5" = salted-md5 codegen — the pre-r09 streaming default and the
+    escape hatch for checkpointed pipelines that must keep their old
+    candidate sets, "expr" = md5 family as pure interpreted
+    expressions, kept for plan-shape A/B).
     Reference: no analog (§2.10 extension)."""
     if not isinstance(right, Rel):
         raise TypeDispatchError(

@@ -83,11 +83,21 @@ def _prepared(rel: Rel, idc: str, vecc: str, dim: Optional[int] = None) -> DataF
 
 
 def _centroid_sim(dim: Optional[int]) -> Column:
-    """Cosine against a broadcast centroid row, NULL for zero-norm pairs.
-    The CASE WHEN is evaluated lazily per row, so a zero-norm vector (or
-    centroid) yields NULL instead of an ANSI DIVIDE_BY_ZERO job failure."""
+    """Cosine against a broadcast centroid row, NULL for zero-norm AND
+    non-finite pairs. The CASE WHEN is evaluated lazily per row, so a
+    zero-norm vector (or centroid) yields NULL instead of an ANSI
+    DIVIDE_BY_ZERO job failure. The outer isnan guard nulls NaN cosines:
+    a NaN/Inf vector component makes the norm (and hence the raw sim)
+    NaN, and under Spark's NaN ordering ``NaN > 0`` is TRUE — without
+    the guard such a vector would take a real cluster and its NaN pair
+    cosine would satisfy ``>= threshold``, silently dropping it as a
+    duplicate. With sim NULL for every centroid, _nearest_order skips
+    the row and it assigns cluster NULL → the degenerate/audit branch,
+    matching the np.isfinite exclusions in kmeans-centroids and
+    semdedup-join."""
     denom = F.col("__n") * F.col("__cn")
-    return F.when(denom > 0, dot_col(F.col("__v"), F.col("__cv"), dim) / denom)
+    raw = F.when(denom > 0, dot_col(F.col("__v"), F.col("__cv"), dim) / denom)
+    return F.when(~F.isnan(raw), raw)  # isnan(NULL)=false, so NULL stays NULL
 
 
 def _nearest_order() -> Column:

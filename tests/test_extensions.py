@@ -1123,6 +1123,35 @@ def test_semdedup_threshold_inclusive_zero_norm_and_errors(spark):
                "init": "vec_id = 'c0'"}], spark=spark)
 
 
+def test_semdedup_nonfinite_vectors_flow_to_degenerate_branch(spark):
+    """A NaN/Inf-component vector must behave exactly like a zero-norm
+    one: cluster NULL + keep NULL in annotate mode, dropped under
+    filter — never silently kept or dropped as a duplicate. Without the
+    isnan guard in _centroid_sim, Spark's NaN ordering (NaN > 0 is
+    TRUE) gave such a vector a real cluster whose NaN pair cosine
+    satisfied >= threshold, silently deleting it; this pins the
+    expression path to the same non-finite exclusion kmeans-centroids
+    and semdedup-join apply in numpy."""
+    rows = [
+        ("c0", [1.0, 0.0]),
+        ("v1", [3.0, 4.0]),
+        ("vnan", [float("nan"), 1.0]),
+        ("vinf", [float("inf"), 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    form = {"id": "vec_id", "vec": "embedding", "dim": 2,
+            "centroids": "vec_id = 'c0'", "threshold": 0.9}  # cos(c0,v1)=0.6 < 0.9: both keep
+    out = ksml(["semdedup", ["stream", df, {"key": "vec_id"}], form],
+               spark=spark)
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out.df.collect()}
+    assert got["vnan"] == (None, None)
+    assert got["vinf"] == (None, None)
+    assert got["c0"][1] is True and got["v1"][1] is True  # finite rows intact
+    kept = ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+                 dict(form, action="filter")], spark=spark)
+    assert {r["vec_id"] for r in kept.df.collect()} == {"c0", "v1"}
+
+
 def test_semdedup_streaming_refused_at_construction(spark, tmp_path):
     """Batch-only, inherited from kmeans-assign's closed-input contract:
     the refusal fires at CONSTRUCTION, not stream start."""

@@ -339,7 +339,10 @@ def test_no_query_plans_a_cartesian_or_stray_nested_loop(spark):
                # aggregates (vocab size V, token/bigram totals, doc count N)
                # via conditionless cross joins — scalar attach, not fan-out
                "lm_ppl_kn", "pmi_collocations", "tfidf_topk_terms",
-               "dist_shift_js"}
+               "dist_shift_js",
+               # dsir attaches one-row (__tp, __tq) hash-total aggregates
+               # onto the <=8192-row lambda table — same scalar-attach class
+               "dsir_scores"}
     bad = []
     for name, fn in m.queries().items():
         p = (fn(spark, "/root/testdata/sf0.001")
@@ -390,15 +393,21 @@ def test_lm_score_default_plan_has_no_cartesian(spark):
 
 
 def test_winnow_query_no_filter_reexpansion(spark):
-    """The registry winnow query must not let Catalyst infer a
+    """The winnow + explode composition must not let Catalyst infer a
     ``size(fp) > 0`` predicate from the explode and push the full
     O(shingles x window) md5 chain into a Filter below the fingerprint
     projections (33s -> ~1s at sf0.01 when this regressed during
     development). explode_outer keeps the filter out entirely; the only
-    md5 evaluation sites must be Project nodes."""
-    import __spark_entry__ as entry
+    md5 evaluation sites must be Project nodes.
 
-    df = entry.queries()["winnow_fingerprints"](spark, SF)
+    Pinned on an inline pipe — the ``winnow_fingerprints`` registry row
+    was retired r09 under the swap rule, but the plan lesson outlives it."""
+    df = pipe(
+        ["stream", ["parquet", f"{SF}/documents.parquet"], {"key": "doc_id"}],
+        ["winnow", {"col": "text", "id": "doc_id", "k": 3, "window": 4}],
+        ["select", {"doc_id": "doc_id", "fp": "explode_outer(fp)"}],
+        spark=spark,
+    ).df
     p = (df._jdf.queryExecution().executedPlan().toString())
     for line in p.splitlines():
         if "Filter" in line and "md5" in line:
