@@ -353,6 +353,25 @@ def _skew_bench(spark, sf_dir: str) -> dict:
         r.df.write.mode("overwrite").format("noop").save()
         out[label] = round(time.time() - t0, 2)
 
+    # semdedup-join hot-cluster stress (same K-knob story): k16 is the
+    # intended layout; hot_k1 forces every left row and every reference
+    # member into ONE cluster — the whole left x reference candidate
+    # space under a single join key, probed by the batch
+    # semi-once+join-back shape (early exit at the first over-threshold
+    # mate; the r10 three-way A/B in docs/SCALE.md). As with semdedup,
+    # a persistent hot cluster means the centroids sample is too
+    # sparse — this row bounds the cost of getting K wrong.
+    for label, cexpr in (("semdedup_join_k16", "vec_id % 126 = 2"),
+                         ("semdedup_join_hot_k1", "vec_id = 2")):
+        t0 = time.time()
+        r = ksml(["semdedup-join",
+                  ["where", ["stream", emb, {"key": "vec_id"}], "vec_id % 2 = 1"],
+                  ["where", ["stream", emb, {"key": "vec_id"}], "vec_id % 2 = 0"],
+                  {"id": "vec_id", "vec": "embedding", "dim": 64,
+                   "centroids": cexpr, "threshold": 0.3}], spark=spark)
+        r.df.write.mode("overwrite").format("noop").save()
+        out[label] = round(time.time() - t0, 2)
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     big = (
         ev.crossJoin(spark.range(10).withColumnRenamed("id", "__r"))

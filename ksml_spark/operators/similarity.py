@@ -646,11 +646,20 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     tie-break; zero-norm / non-finite / wrong-dim vectors assign NULL).
     The reference side's assigned members pin MEMORY_AND_DISK — a
     stream-static join re-executes the static plan per micro-batch
-    (lsh-join's rationale) — and the dup test is a stream-legal
-    left-semi/left-anti equi-join on ``cluster`` with the unrolled-dot
-    cosine threshold as the join predicate: per-candidate work is
-    bounded by cluster size, i.e. by centroid-sample density, the same
-    K knob as semdedup. {"broadcast": true} hints the reference side.
+    (lsh-join's rationale). The dup test takes one of two shapes with
+    identical decisions (pinned by the one-microbatch parity test):
+    BATCH lefts run the threshold left-SEMI join ONCE — the hash
+    probe early-exits at the first cluster-mate over the threshold
+    (A/B'd this round: ~2x faster than a semdedup-style equi-join +
+    max-agg fold at common-match thresholds, tied in the rare-match
+    regime) — and join the dup-id set back to the pinned
+    assigned-left for the keep/degenerate CASE (requires ``id`` to
+    name a per-row-unique left column). STREAMING lefts keep separate
+    stream-legal left-anti/left-semi/degenerate branches (the id
+    join-back would be a stream-stream self-join, illegal without
+    time bounds). Per-candidate probe work is bounded by cluster
+    size, i.e. by centroid-sample density, the same K knob as
+    semdedup. {"broadcast": true} hints the reference side.
 
     Output: every left column plus (cluster, keep); NULL-assigned left
     rows pass through keep NULL (flagged, never silently kept or
@@ -778,12 +787,60 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     la = left.df.withColumn("__lv", lv).withColumn(
         "__ln", norm_col(lv, dim)
     ).withColumn("cluster", _assign(F.col("__lv")))
+    if not la.isStreaming:
+        # the assigned-left relation feeds up to four plan branches
+        # (fold side, keeps, dups, degenerate) — unpinned, each re-runs
+        # the scan + Arrow assign UDF. DISK_ONLY for the semdedup
+        # reason: the pinned rows carry the corpus vectors
+        # ({"storage": "memory"} opts into MEMORY_AND_DISK).
+        la = pin(
+            la,
+            StorageLevel.MEMORY_AND_DISK
+            if opts.get("storage") == "memory"
+            else StorageLevel.DISK_ONLY,
+        )
     assigned = la.filter(F.col("cluster").isNotNull())
+
     cond = (F.col("cluster") == F.col("__rcl")) & (
         dot_col(F.col("__lv"), F.col("__rv"), dim)
         / (F.col("__ln") * F.col("__rn"))
         >= F.lit(thr)
     )
+
+    if not la.isStreaming:
+        # BATCH left: ONE left-semi join + an id join-back + a CASE,
+        # instead of the streaming path's anti/semi/degenerate union.
+        # Adjudicated by A/B this round (hot one-cluster skew bench,
+        # 1000x1000 candidate pairs): the semi's per-row EARLY EXIT
+        # (hash-probe stops at the first cluster-mate over the
+        # threshold) beats a semdedup-style equi-join + max-agg fold
+        # ~2x at common-match thresholds and ties it in the rare-match
+        # regime, and running the semi ONCE then joining the dup-id set
+        # back halves the anti+semi double scan of the union shape
+        # (each branch re-evaluated the candidate probe — Catalyst
+        # shares no subtree across union branches without a pin).
+        # Requires `id` to name a per-row-unique left column (the op's
+        # id contract).
+        dup_ids = assigned.join(members, cond, "left_semi").select(
+            F.col(idc), F.lit(True).alias("__dup")
+        )
+        keep_col = F.when(
+            F.col("cluster").isNotNull(), F.col("__dup").isNull()
+        ).cast("boolean")
+        out = la.join(dup_ids, idc, "left").select(
+            *orig, F.col("cluster"), keep_col.alias("keep")
+        )
+        if action == "filter":
+            out = out.filter(F.col("keep"))
+        return KStreamRel(out, key_cols=left.key_cols or (idc,))
+
+    # STREAMING left: stream-legal left-semi/left-anti on the cluster
+    # key with the cosine threshold in the join predicate — the batch
+    # id join-back would be a stream-stream self-join (illegal without
+    # time bounds), so keep/drop/degenerate stay separate stream-legal
+    # branches here. Per-candidate probe work is bounded by cluster
+    # size (the centroids knob). Decisions are pinned identical to the
+    # batch shape by the one-microbatch parity test.
     keeps = assigned.join(members, cond, "left_anti").select(
         *orig, F.col("cluster"), F.lit(True).alias("keep")
     )
