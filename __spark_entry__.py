@@ -2730,7 +2730,14 @@ FROM events GROUP BY user_id"""
 # entries per round.  ROTATION INVARIANT: entries are ordered by the round
 # of their most recent driver-green CORRECTNESS row, OLDEST FIRST (brand-new
 # queries count as "never recorded" and go first of all; ties keep relative
-# order).  With 100 queries and a 50-row window, 50 fall outside each round
+# order).
+#
+# ROUND-END GATE (adopted r10 after the same miss twice — r08's untested
+# gopher-filter, r09's dsir registration breaking two plan tests in the
+# snapshot commit): NO registry or operator change ships in a round's
+# final commit without a full `pytest tests/` run on that exact tree,
+# exactly like the oracle sweep.  A green suite on an earlier tree does
+# not count.  With 100 queries and a 50-row window, 50 fall outside each round
 # and re-enter the window the next round — so every query has a driver-green
 # row at most 2 rounds old.  Each round: move the previous round's
 # unrecorded tail to the front and push the freshest block to the back.
