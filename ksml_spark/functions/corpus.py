@@ -14,6 +14,13 @@ training-data engine provides as first-class operators:
     ["bpe-pairs", rel, {"col": "text", "top": 50}]
         corpus-weighted adjacent character-pair frequencies — the count
         step of one BPE merge iteration (tokenizer training).
+    ["bpe-train", rel, {"col": "text", "merges": 100}]
+        full BPE merge-table training (Sennrich et al. 2016): one
+        corpus scan to a bounded word-frequency vocabulary, then a
+        driver-side incremental merge loop.
+    ["bpe-encode", rel, merge_table, {"col": "text", "as": "bpe_tokens"}]
+        apply a trained merge table (broadcast rank dict, Arrow-batched
+        greedy encode); streaming-legal on the text side.
     ["tfidf-topk", rel, {"col": "text", "id": "doc_id", "k": 5}]
         per-document top-k keywords by smoothed tf-idf.
 
@@ -596,6 +603,232 @@ def op_bpe_pairs(ctx: Ctx, rel: Rel, *rest) -> Rel:
     if top:
         out = out.limit(int(top))
     return rel.with_df(out, key_cols=("pair",), time_col=None)
+
+
+def _bpe_train_merges(word_counts, merges: int, min_pair_freq: int):
+    """Driver-side BPE merge loop over a (word, count) dict (Sennrich et
+    al. 2016, arXiv:1508.07909 — algorithm 1, with the standard
+    incremental pair-count maintenance so each merge touches only the
+    words containing the merged pair, not the whole vocabulary).
+
+    Symbols are characters plus a trailing '</w>' end-of-word marker
+    (its own symbol, so merges can absorb it: 'est'+'</w>' -> 'est</w>').
+    Tie-break: highest count, then lexicographically smallest (left,
+    right) — deterministic across runs and platforms. Returns
+    [(rank, left, right, merged)]."""
+    from collections import Counter, defaultdict
+
+    syms = {w: tuple(w) + ("</w>",) for w in word_counts}
+    pair_counts: Counter = Counter()
+    pair_words = defaultdict(set)
+    for w, c in word_counts.items():
+        s = syms[w]
+        for i in range(len(s) - 1):
+            pair_counts[(s[i], s[i + 1])] += c
+            pair_words[(s[i], s[i + 1])].add(w)
+    out = []
+    for rank in range(merges):
+        if not pair_counts:
+            break
+        # max count, ties to the lexicographically smallest pair (two
+        # passes: "smallest string" can't ride inside a single max key)
+        top_c = max(pair_counts.values())
+        if top_c < min_pair_freq:
+            break
+        best_pair = min(p for p, c in pair_counts.items() if c == top_c)
+        merged = best_pair[0] + best_pair[1]
+        out.append((rank, best_pair[0], best_pair[1], merged))
+        for w in list(pair_words[best_pair]):
+            c = word_counts[w]
+            s = syms[w]
+            # retract this word's old pair contributions
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                pair_words[p].discard(w)
+            # merge every occurrence left-to-right
+            ns, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == best_pair:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = tuple(ns)
+            syms[w] = s
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_counts[p] += c
+                pair_words[p].add(w)
+    return out
+
+
+@defop("bpe-train")
+def op_bpe_train(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Train a BPE merge table on the corpus (Sennrich et al. 2016) —
+    the tokenizer-training step bpe-pairs is the one-iteration primitive
+    of:
+
+        ["bpe-train", rel, {"col": "text", "merges": 100, "min_freq": 2,
+                            "min_pair_freq": 2, "max_vocab_rows": 65536}]
+        -> (rank, left, right, merged): the merge table in training
+           order; feed it to ["bpe-encode", rel, merge_table, ...].
+
+    Scale shape (the kmeans-centroids contract applied to tokenizers):
+    the 100 TB corpus is scanned ONCE — explode words -> hash-agg to the
+    (distinct word, frequency) vocabulary (Heaps' law keeps it ≪ corpus
+    tokens; ``min_freq`` prunes the hapax tail) — and the merge loop
+    runs on BOUNDED driver state: the vocab collect is capped by
+    ``max_vocab_rows`` (limit cap+1 probe, loud ArityError instead of
+    materializing an unbounded vocabulary on the driver; raise the knob
+    or raise ``min_freq``). Each merge updates only the words containing
+    the merged pair (incremental pair counts), so training cost is
+    driver-side O(merges · touched-words), zero further Spark jobs.
+    Training stops early when no pair reaches ``min_pair_freq``.
+    Batch-only (corpus-global statistic).
+
+    Reference: no analog (§2.10 extension surface)."""
+    opts = opts_of(rest)
+    colc = opts.get("col", "text")
+    try:
+        merges = int(opts.get("merges", 100))
+        min_freq = int(opts.get("min_freq", 2))
+        min_pair_freq = int(opts.get("min_pair_freq", 2))
+        max_vocab = int(opts.get("max_vocab_rows", 65536))
+    except (TypeError, ValueError) as e:
+        raise ArityError(f"bpe-train: bad numeric option: {e}") from None
+    _refuse_streaming(rel, "bpe-train")
+
+    vocab_rows = (
+        spread(rel.df)
+        .select(F.explode(words(F.col(colc))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_freq)
+        .limit(max_vocab + 1)
+        .collect()
+    )
+    if len(vocab_rows) > max_vocab:
+        raise ArityError(
+            f"bpe-train: corpus vocabulary exceeds max_vocab_rows="
+            f"{max_vocab} at min_freq={min_freq} — raise min_freq or "
+            "{'max_vocab_rows': n}"
+        )
+    table = _bpe_train_merges(
+        {r["__w"]: r["__c"] for r in vocab_rows}, merges, min_pair_freq
+    )
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("rank", IntegerType(), False),
+        StructField("left", StringType(), False),
+        StructField("right", StringType(), False),
+        StructField("merged", StringType(), False),
+    ])
+    out = ctx.spark.createDataFrame(table, schema)
+    return rel.with_df(out, key_cols=("rank",), time_col=None)
+
+
+@defop("bpe-encode")
+def op_bpe_encode(ctx: Ctx, rel: Rel, merges: Rel, *rest) -> Rel:
+    """Apply a trained BPE merge table to a text column:
+
+        ["bpe-encode", rel, merge_table,
+         {"col": "text", "as": "bpe_tokens"}]
+        -> every input column plus ``as``: array<string> of BPE tokens
+           (words end in the '</w>' marker; strip it downstream if
+           undesired). Token counts under the REAL trained vocabulary —
+           the exact-count upgrade of text.token_count_bpe's regex
+           approximation.
+
+    The merge table is bounded driver state by construction (one row
+    per merge); it collects once and ships as one broadcast rank dict.
+    Encoding is an Arrow-batched pandas UDF (greedy lowest-rank merge,
+    the standard BPE apply loop) with a per-batch word memo — corpus
+    token cost is paid once per DISTINCT word per batch, Zipf doing the
+    heavy lifting. Per-row and model-static, so a STREAMING left is
+    legal (score a live stream against a frozen tokenizer); the merge
+    table itself must be batch.
+
+    Reference: no analog (§2.10 extension surface)."""
+    if not isinstance(merges, Rel):
+        raise TypeDispatchError(
+            f"bpe-encode second operand must be a merge-table relation, "
+            f"got {type(merges).__name__}"
+        )
+    opts = opts_of(rest)
+    colc = opts.get("col", "text")
+    out_col = opts.get("as", "bpe_tokens")
+    if out_col in rel.df.columns:
+        raise ArityError(
+            f"bpe-encode: output column {out_col!r} already exists; "
+            "pass {'as': name}"
+        )
+    if merges.df.isStreaming:
+        raise ArityError(
+            "bpe-encode merge table must be batch (collected once and "
+            "broadcast); train it with bpe-train"
+        )
+    mrows = sorted(
+        ((int(r["rank"]), r["left"], r["right"])
+         for r in merges.df.select("rank", "left", "right").collect()),
+    )
+    ranks = {(l, r): k for k, l, r in mrows}
+    bc = ctx.spark.sparkContext.broadcast(ranks)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _encode(texts):
+        import re
+
+        rk = bc.value
+        inf = float("inf")
+        cache: dict = {}
+
+        def enc_word(w):
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            s = list(w) + ["</w>"]
+            while len(s) > 1:
+                bi, bp = inf, None
+                for i in range(len(s) - 1):
+                    r = rk.get((s[i], s[i + 1]), inf)
+                    if r < bi:
+                        bi, bp = r, (s[i], s[i + 1])
+                if bp is None:
+                    break
+                ns, i, m = [], 0, bp[0] + bp[1]
+                while i < len(s):
+                    if i < len(s) - 1 and (s[i], s[i + 1]) == bp:
+                        ns.append(m)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                s = ns
+            cache[w] = s
+            return s
+
+        tok = re.compile(r"[^a-z0-9]+")
+
+        def enc(t):
+            if t is None:
+                return None
+            out = []
+            for w in tok.split(t.lower()):
+                if w:
+                    out.extend(enc_word(w))
+            return out
+
+        return texts.map(enc)
+
+    return rel.with_df(rel.df.withColumn(out_col, _encode(F.col(colc))))
 
 
 @defop("dist-shift")

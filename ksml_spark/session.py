@@ -46,6 +46,15 @@ DEFAULT_CONF = {
     # leaving everything interpreted (~10x slowdown).
     "spark.driver.extraJavaOptions": "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m",
     "spark.executor.extraJavaOptions": "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m",
+    # Janino-compiled codegen classes live in a driver-side cache of
+    # only 100 entries by default; a 100-query suite (several codegen
+    # units each) evicts everything every pass, so compile-heavy plans
+    # (wide filter trees, 64-dim unrolled dot chains, the KN join tree)
+    # re-pay full Janino compilation per invocation — measured: the
+    # expression-only gopher_filter reads ~0.5s isolated but ~2.5s
+    # inside the full suite until this cache is sized to hold the
+    # working set. Static conf: must be set before the first session.
+    "spark.sql.codegen.cache.maxEntries": "2000",
 }
 
 

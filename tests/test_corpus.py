@@ -17,6 +17,15 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def _stream_docs(spark, tmp_path, rows):
+    """File-backed streaming docs source (deterministic, AvailableNow)."""
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    p = str(tmp_path / "bpe_docs")
+    _docs(spark, rows).write.parquet(p)
+    return file_stream_source(spark, p)
+
+
 def _pipe(spark, df, *forms):
     return pipe(["stream", df, {"key": "doc_id"}], *forms, spark=spark).df
 
@@ -249,6 +258,159 @@ def test_bpe_pairs_runs_on_vocab_not_corpus(spark):
     assert agg < gen or plan.count("HashAggregate") >= 2
     got = {r["pair"]: r["count"] for r in out.collect()}
     assert got["he"] == 10 and got["wo"] == 5
+
+
+# ---------------------------------------------------------------------------
+# bpe-train / bpe-encode
+
+
+def _naive_bpe_train(word_counts, merges, min_pair_freq=2):
+    """Recount-everything reference (Sennrich alg. 1 verbatim): same
+    symbol model ('</w>' trailing symbol), same (count desc, pair asc)
+    tie-break, zero shared code with the incremental trainer."""
+    syms = {w: tuple(w) + ("</w>",) for w in word_counts}
+    out = []
+    for rank in range(merges):
+        counts: dict = {}
+        for w, c in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        top = max(counts.values())
+        if top < min_pair_freq:
+            break
+        pair = min(p for p, c in counts.items() if c == top)
+        merged = pair[0] + pair[1]
+        out.append((rank, pair[0], pair[1], merged))
+        for w, s in syms.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == pair:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            syms[w] = tuple(ns)
+    return out
+
+
+def test_bpe_train_paper_corpus_first_merges(spark):
+    """The Sennrich et al. toy corpus {low x5, lower x2, newest x6,
+    widest x3}: 'es' (9) merges first, then 'est' (9), then 'est</w>'
+    (9) — hand-checkable grounding — and the full table matches the
+    naive recount-everything reference merge for merge."""
+    rows = [(i, "low") for i in range(5)] + \
+           [(10 + i, "lower") for i in range(2)] + \
+           [(20 + i, "newest") for i in range(6)] + \
+           [(30 + i, "widest") for i in range(3)]
+    out = _pipe(spark, _docs(spark, rows),
+                ["bpe-train", {"merges": 10, "min_freq": 1}])
+    got = [(r["rank"], r["left"], r["right"], r["merged"])
+           for r in sorted(out.collect(), key=lambda r: r["rank"])]
+    assert got[0] == (0, "e", "s", "es")
+    assert got[1] == (1, "es", "t", "est")
+    assert got[2] == (2, "est", "</w>", "est</w>")
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert got == _naive_bpe_train(wc, 10)
+
+
+def test_bpe_train_incremental_matches_naive_on_random_corpus(spark):
+    """200 random words over a 4-char alphabet, zipf-ish counts: the
+    incremental trainer must equal the naive reference exactly (counts,
+    tie-breaks, early stop) for a deep merge table."""
+    import random
+
+    rnd = random.Random(7)
+    wc = {}
+    for _ in range(200):
+        w = "".join(rnd.choice("abcd") for _ in range(rnd.randint(1, 8)))
+        wc[w] = wc.get(w, 0) + rnd.randint(1, 20)
+    text = " ".join(w for w, c in wc.items() for _ in range(c))
+    out = _pipe(spark, _docs(spark, [(1, text)]),
+                ["bpe-train", {"merges": 60, "min_freq": 1}])
+    got = [(r["rank"], r["left"], r["right"], r["merged"])
+           for r in sorted(out.collect(), key=lambda r: r["rank"])]
+    assert got == _naive_bpe_train(wc, 60)
+
+
+def test_bpe_train_guards_and_streaming_refusal(spark, tmp_path):
+    """Vocab cap raises a curated error naming the knobs; junk numerics
+    and streaming input are refused."""
+    df = _docs(spark, [(1, "a b c d e f")])
+    with pytest.raises(ArityError, match="max_vocab_rows"):
+        _pipe(spark, df, ["bpe-train", {"min_freq": 1, "max_vocab_rows": 3}])
+    with pytest.raises(ArityError, match="bad numeric"):
+        _pipe(spark, df, ["bpe-train", {"merges": "many"}])
+    sdf = _stream_docs(spark, tmp_path, [(1, "a")])
+    with pytest.raises(TypeDispatchError, match="bpe-train.*batch-only"):
+        _pipe(spark, sdf, ["bpe-train", {}])
+
+
+def test_bpe_encode_roundtrip_and_greedy_rank_order(spark):
+    """Encoding with the trained table: concatenating a word's tokens
+    (marker stripped) reproduces the word; fully-merged training words
+    come back as single tokens; unseen words fall back to finer pieces;
+    NULL text stays NULL."""
+    rows = [(i, "low") for i in range(5)] + \
+           [(10 + i, "lower") for i in range(2)] + \
+           [(20 + i, "newest") for i in range(6)] + \
+           [(30 + i, "widest") for i in range(3)]
+    corpus = _docs(spark, rows)
+    from ksml_spark import ksml
+
+    merges = ksml(["bpe-train", ["stream", corpus, {"key": "doc_id"}],
+                   {"merges": 50, "min_freq": 1, "min_pair_freq": 1}],
+                  spark=spark)
+    probe = _docs(spark, [(1, "low lowest newest"), (2, None)])
+    out = ksml(["bpe-encode", ["stream", probe, {"key": "doc_id"}],
+                merges, {"col": "text"}], spark=spark)
+    got = {r["doc_id"]: r["bpe_tokens"] for r in out.df.collect()}
+    assert got[2] is None
+    toks = got[1]
+    # round-trip: stripping '</w>' and re-joining yields the input words
+    text = "".join(toks).replace("</w>", " ").strip()
+    assert text == "low lowest newest"
+    # training words fully merged to one token each after 50 merges
+    assert "low</w>" in toks and "newest</w>" in toks
+    # 'lowest' was never seen: its pieces reuse trained subwords
+    assert "lowest</w>" not in toks
+
+
+def test_bpe_encode_streaming_left_and_guards(spark, tmp_path):
+    """A streaming LEFT is legal (frozen tokenizer over a live stream —
+    one microbatch matches the batch encode); a streaming merge table,
+    a non-Rel merge operand, and an output-column collision are
+    curated errors."""
+    from ksml_spark import ksml
+    from ksml_spark.streaming.runtime import run_to_memory
+
+    corpus = _docs(spark, [(1, "hello hello world")])
+    merges = ksml(["bpe-train", ["stream", corpus, {"key": "doc_id"}],
+                   {"merges": 20, "min_freq": 1, "min_pair_freq": 1}],
+                  spark=spark)
+    batch = ksml(["bpe-encode",
+                  ["stream", _docs(spark, [(1, "hello world")]), {"key": "doc_id"}],
+                  merges, {"col": "text"}], spark=spark)
+    expect = {r["doc_id"]: list(r["bpe_tokens"]) for r in batch.df.collect()}
+
+    sdf = _stream_docs(spark, tmp_path, [(1, "hello world")])
+    srel = ksml(["bpe-encode", ["stream", sdf, {"key": "doc_id"}],
+                 merges, {"col": "text"}], spark=spark)
+    assert srel.df.isStreaming
+    rows = run_to_memory(srel.df, "bpe_stream_enc", output_mode="append")
+    got = {r["doc_id"]: list(r["bpe_tokens"]) for r in rows.collect()}
+    assert got == expect
+
+    with pytest.raises(TypeDispatchError, match="bpe-encode"):
+        ksml(["bpe-encode",
+              ["stream", corpus, {"key": "doc_id"}], "not-a-rel", {}],
+             spark=spark)
+    with pytest.raises(ArityError, match="already exists"):
+        ksml(["bpe-encode", ["stream", corpus, {"key": "doc_id"}],
+              merges, {"col": "text", "as": "text"}], spark=spark)
 
 
 # ---------------------------------------------------------------------------
