@@ -143,6 +143,19 @@ def test_orc_text_json_csv_source_sink_roundtrip(spark, tmp_path):
     assert lines == {"1 alpha", "2 beta"}
 
 
+def test_session_defaults_carry_codegen_cache_sizing(spark):
+    """The engine's SparkSession must size the Janino codegen class
+    cache above the 100-entry default — the 100-query suite evicts
+    everything each pass otherwise and compile-heavy plans re-pay full
+    Janino compilation per invocation (measured 12% whole-suite; see
+    session.py DEFAULT_CONF and the PERF_BASELINE r10 stamp). Static
+    conf, so the running session proves it was applied at build time."""
+    from ksml_spark.session import DEFAULT_CONF
+
+    assert int(DEFAULT_CONF["spark.sql.codegen.cache.maxEntries"]) >= 1000
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1000
+
+
 def test_config_knob_forms_construct_by_name(spark):
     """The no-op-in-Spark config knobs (materialized / grouped /
     with-caching-* / with-logging-*) each evaluate BY NAME to the right
