@@ -2865,10 +2865,11 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "semdedup_embeddings": (_q_semdedup, _SEMDEDUP_ORACLE),
     "semdedup_join": (_q_semdedup_join, _SEMDEDUP_JOIN_ORACLE),
     "dsir_scores": (_q_dsir, _DSIR_ORACLE),
-    # --- last driver-green in r07: the 45 survivors re-enter the window
-    # here (5 new + 45 = exactly the 50-row r09 window; the other three
-    # r07 rows — kmeans_assign, neardup_lsh, winnow_fingerprints — are
-    # retired per the notes above) ---
+    # --- (sub-block) the 45 r07-block survivors, re-recorded green in
+    # r09 like the 5 rows above — NOT a separate rotation unit; all 50
+    # rows of this r09 block re-enter the window together in r11. (The
+    # other three r07 rows — kmeans_assign, neardup_lsh,
+    # winnow_fingerprints — were retired in r09 per the notes above.) ---
     "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
     "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
     "unpivot_lineitem": (_q_unpivot_lineitem, _UNPIVOT_LINEITEM_ORACLE),

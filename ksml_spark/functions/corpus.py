@@ -609,13 +609,19 @@ def _bpe_train_merges(word_counts, merges: int, min_pair_freq: int):
     """Driver-side BPE merge loop over a (word, count) dict (Sennrich et
     al. 2016, arXiv:1508.07909 — algorithm 1, with the standard
     incremental pair-count maintenance so each merge touches only the
-    words containing the merged pair, not the whole vocabulary).
+    words containing the merged pair, not the whole vocabulary, and a
+    lazy-deletion max-heap for best-pair selection so a merge never
+    scans the full distinct-pair space either: per merge the work is
+    O(touched-pairs · log heap) plus stale-entry pops).
 
     Symbols are characters plus a trailing '</w>' end-of-word marker
     (its own symbol, so merges can absorb it: 'est'+'</w>' -> 'est</w>').
     Tie-break: highest count, then lexicographically smallest (left,
-    right) — deterministic across runs and platforms. Returns
-    [(rank, left, right, merged)]."""
+    right) — the heap key (-count, pair) pops in exactly that order —
+    deterministic across runs and platforms. Parity with a naive
+    recount-everything reference is pinned merge-for-merge by test.
+    Returns [(rank, left, right, merged)]."""
+    import heapq
     from collections import Counter, defaultdict
 
     syms = {w: tuple(w) + ("</w>",) for w in word_counts}
@@ -626,16 +632,30 @@ def _bpe_train_merges(word_counts, merges: int, min_pair_freq: int):
         for i in range(len(s) - 1):
             pair_counts[(s[i], s[i + 1])] += c
             pair_words[(s[i], s[i + 1])].add(w)
+    # lazy-deletion heap: push a fresh (-count, pair) entry on EVERY
+    # count mutation; a popped entry is valid only if it matches the
+    # live count (stale entries — superseded counts or deleted pairs —
+    # are discarded on pop)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def _bump(p):
+        c = pair_counts.get(p)
+        if c is not None and c > 0:
+            heapq.heappush(heap, (-c, p))
+
     out = []
     for rank in range(merges):
-        if not pair_counts:
+        best_pair = None
+        while heap:
+            negc, p = heap[0]
+            if pair_counts.get(p) != -negc:
+                heapq.heappop(heap)  # stale
+                continue
+            best_pair, top_c = p, -negc
             break
-        # max count, ties to the lexicographically smallest pair (two
-        # passes: "smallest string" can't ride inside a single max key)
-        top_c = max(pair_counts.values())
-        if top_c < min_pair_freq:
+        if best_pair is None or top_c < min_pair_freq:
             break
-        best_pair = min(p for p, c in pair_counts.items() if c == top_c)
         merged = best_pair[0] + best_pair[1]
         out.append((rank, best_pair[0], best_pair[1], merged))
         for w in list(pair_words[best_pair]):
@@ -648,6 +668,7 @@ def _bpe_train_merges(word_counts, merges: int, min_pair_freq: int):
                 if pair_counts[p] <= 0:
                     del pair_counts[p]
                 pair_words[p].discard(w)
+                _bump(p)
             # merge every occurrence left-to-right
             ns, i = [], 0
             while i < len(s):
@@ -663,6 +684,7 @@ def _bpe_train_merges(word_counts, merges: int, min_pair_freq: int):
                 p = (s[i], s[i + 1])
                 pair_counts[p] += c
                 pair_words[p].add(w)
+                _bump(p)
     return out
 
 
@@ -773,10 +795,22 @@ def op_bpe_encode(ctx: Ctx, rel: Rel, merges: Rel, *rest) -> Rel:
             "bpe-encode merge table must be batch (collected once and "
             "broadcast); train it with bpe-train"
         )
-    mrows = sorted(
-        ((int(r["rank"]), r["left"], r["right"])
-         for r in merges.df.select("rank", "left", "right").collect()),
-    )
+    missing = {"rank", "left", "right"} - set(merges.df.columns)
+    if missing:
+        raise ArityError(
+            f"bpe-encode merge table is missing column(s) "
+            f"{sorted(missing)} — expected the (rank, left, right, "
+            "merged) relation bpe-train returns"
+        )
+    mrows = []
+    for r in merges.df.select("rank", "left", "right").collect():
+        if r["rank"] is None or r["left"] is None or r["right"] is None:
+            raise ArityError(
+                "bpe-encode merge table has a NULL rank/left/right row "
+                "— not a bpe-train output"
+            )
+        mrows.append((int(r["rank"]), r["left"], r["right"]))
+    mrows.sort()
     ranks = {(l, r): k for k, l, r in mrows}
     bc = ctx.spark.sparkContext.broadcast(ranks)
 

@@ -652,9 +652,10 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     probe early-exits at the first cluster-mate over the threshold
     (A/B'd this round: ~2x faster than a semdedup-style equi-join +
     max-agg fold at common-match thresholds, tied in the rare-match
-    regime) — and join the dup-id set back to the pinned
-    assigned-left for the keep/degenerate CASE (requires ``id`` to
-    name a per-row-unique left column). STREAMING lefts keep separate
+    regime) — and join the dup-row set back to the pinned
+    assigned-left on a minted per-row key for the keep/degenerate
+    CASE (decisions are per ROW: NULL or duplicate values in ``id``
+    cannot merge or leak keep flags). STREAMING lefts keep separate
     stream-legal left-anti/left-semi/degenerate branches (the id
     join-back would be a stream-stream self-join, illegal without
     time bounds). Per-candidate probe work is bounded by cluster
@@ -788,13 +789,24 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         "__ln", norm_col(lv, dim)
     ).withColumn("cluster", _assign(F.col("__lv")))
     if not la.isStreaming:
-        # the assigned-left relation feeds up to four plan branches
-        # (fold side, keeps, dups, degenerate) — unpinned, each re-runs
-        # the scan + Arrow assign UDF. DISK_ONLY for the semdedup
-        # reason: the pinned rows carry the corpus vectors
+        # __rid: a physical per-ROW key minted BEFORE the pin, so the
+        # semi-join result can be joined back per row regardless of the
+        # user id column's contents — a join-back on `idc` corrupted
+        # decisions for NULL ids (never equi-join, so a duplicate
+        # slipped through as keep=True) and duplicate ids (one dup row
+        # dragged its id-mates to keep=False and fanned the join out).
+        # Both branches read the SAME pinned materialization, so the
+        # ids are consistent across them; on block loss the lineage
+        # (stable file-scan order -> narrow projections -> Arrow
+        # assign) recomputes them deterministically.
+        #
+        # The pin itself: the assigned-left relation feeds up to three
+        # plan branches (semi side, join-back left, filter) — unpinned,
+        # each re-runs the scan + Arrow assign UDF. DISK_ONLY for the
+        # semdedup reason: the pinned rows carry the corpus vectors
         # ({"storage": "memory"} opts into MEMORY_AND_DISK).
         la = pin(
-            la,
+            la.withColumn("__rid", F.monotonically_increasing_id()),
             StorageLevel.MEMORY_AND_DISK
             if opts.get("storage") == "memory"
             else StorageLevel.DISK_ONLY,
@@ -808,26 +820,24 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     )
 
     if not la.isStreaming:
-        # BATCH left: ONE left-semi join + an id join-back + a CASE,
+        # BATCH left: ONE left-semi join + a row-id join-back + a CASE,
         # instead of the streaming path's anti/semi/degenerate union.
         # Adjudicated by A/B this round (hot one-cluster skew bench,
         # 1000x1000 candidate pairs): the semi's per-row EARLY EXIT
         # (hash-probe stops at the first cluster-mate over the
         # threshold) beats a semdedup-style equi-join + max-agg fold
         # ~2x at common-match thresholds and ties it in the rare-match
-        # regime, and running the semi ONCE then joining the dup-id set
-        # back halves the anti+semi double scan of the union shape
+        # regime, and running the semi ONCE then joining the dup-row
+        # set back halves the anti+semi double scan of the union shape
         # (each branch re-evaluated the candidate probe — Catalyst
         # shares no subtree across union branches without a pin).
-        # Requires `id` to name a per-row-unique left column (the op's
-        # id contract).
-        dup_ids = assigned.join(members, cond, "left_semi").select(
-            F.col(idc), F.lit(True).alias("__dup")
+        dup_rows = assigned.join(members, cond, "left_semi").select(
+            F.col("__rid"), F.lit(True).alias("__dup")
         )
         keep_col = F.when(
             F.col("cluster").isNotNull(), F.col("__dup").isNull()
         ).cast("boolean")
-        out = la.join(dup_ids, idc, "left").select(
+        out = la.join(dup_rows, "__rid", "left").select(
             *orig, F.col("cluster"), keep_col.alias("keep")
         )
         if action == "filter":

@@ -9,7 +9,10 @@ state growing with N, a shuffle that stopped fitting).
 
 Queries probed: the top pins from docs/PERF_BASELINE.md that read only
 documents/embeddings (the generator's tables). Each timing is
-min-of-2 warm (pass 0 discarded as codegen compile).
+min-of-2 warm (pass 0 discarded as codegen compile), measured with the
+bench's own noop-sink write — never .count(), which lets Catalyst
+prune computed output columns and under-reads expression-output
+queries 4x+ (the binding r10 pin rule in docs/PERF_BASELINE.md).
 
 Usage: python scripts/scale_probe.py [sf_small_dir sf_big_dir]
        (defaults /tmp/scale_sf0.1 /tmp/scale_sf1; generates if missing)
@@ -59,7 +62,8 @@ def main() -> None:
             for i in range(3):
                 t0 = time.time()
                 try:
-                    fn(spark, d).count()
+                    (fn(spark, d).write.mode("overwrite")
+                     .format("noop").save())
                 except Exception as e:
                     print(f"{name:28s} FAILED on {d}: {type(e).__name__}: {e}")
                     times = None

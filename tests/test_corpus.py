@@ -411,6 +411,19 @@ def test_bpe_encode_streaming_left_and_guards(spark, tmp_path):
     with pytest.raises(ArityError, match="already exists"):
         ksml(["bpe-encode", ["stream", corpus, {"key": "doc_id"}],
               merges, {"col": "text", "as": "text"}], spark=spark)
+    # a relation that is not a bpe-train output: curated, not an
+    # AnalysisException / TypeError
+    with pytest.raises(ArityError, match="missing column"):
+        ksml(["bpe-encode", ["stream", corpus, {"key": "doc_id"}],
+              ["stream", corpus, {"key": "doc_id"}], {"col": "text"}],
+             spark=spark)
+    bad = spark.createDataFrame(
+        [(0, "a", "b"), (None, "c", "d")],
+        "rank int, left string, right string")
+    with pytest.raises(ArityError, match="NULL rank"):
+        ksml(["bpe-encode", ["stream", corpus, {"key": "doc_id"}],
+              ["stream", bad, {"key": "rank"}], {"col": "text"}],
+             spark=spark)
 
 
 # ---------------------------------------------------------------------------

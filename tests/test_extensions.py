@@ -1238,6 +1238,41 @@ def test_semdedup_join_threshold_inclusive_and_degenerate_reference(spark):
     assert got == {"v1": False, "v2": True}
 
 
+def test_semdedup_join_null_and_duplicate_left_ids_decide_per_row(spark):
+    """Batch keep decisions are per ROW, never merged through the id
+    column (r10 regression, caught in review): a NULL-id exact
+    duplicate of the reference must drop (an id join-back silently kept
+    it — NULL never equi-joins), two rows SHARING an id must decide
+    independently (the dup row must not drag its non-dup id-mate to
+    keep=False, nor fan the join out into extra rows)."""
+    right = spark.createDataFrame(
+        [("r0", [1.0, 0.0])], "vec_id string, embedding array<double>")
+    left = spark.createDataFrame(
+        [(None, [1.0, 0.0]),   # NULL id, exact dup of r0 -> drop
+         ("a", [0.0, 1.0]),    # orthogonal -> keep, despite id-mate below
+         ("a", [1.0, 0.0])],   # dup of r0 -> drop
+        "vec_id string, embedding array<double>")
+    out = ksml(["semdedup-join", ["stream", left, {"key": "vec_id"}],
+                ["stream", right, {"key": "vec_id"}],
+                {"id": "vec_id", "vec": "embedding", "dim": 2,
+                 "centroids": "vec_id = 'r0'", "threshold": 0.9}],
+               spark=spark)
+    rows = [(r["vec_id"], list(r["embedding"]), r["keep"])
+            for r in out.df.collect()]
+    assert len(rows) == 3  # no join fan-out from the shared id
+    got = {(vid, tuple(emb)): keep for vid, emb, keep in rows}
+    assert got[(None, (1.0, 0.0))] is False
+    assert got[("a", (0.0, 1.0))] is True
+    assert got[("a", (1.0, 0.0))] is False
+    kept = ksml(["semdedup-join", ["stream", left, {"key": "vec_id"}],
+                 ["stream", right, {"key": "vec_id"}],
+                 {"id": "vec_id", "vec": "embedding", "dim": 2,
+                  "centroids": "vec_id = 'r0'", "threshold": 0.9,
+                  "action": "filter"}], spark=spark)
+    assert [(r["vec_id"], list(r["embedding"]))
+            for r in kept.df.collect()] == [("a", [0.0, 1.0])]
+
+
 def test_semdedup_join_curated_errors(spark, tmp_path):
     """Construction-time refusals: streaming reference, missing dim /
     centroids, empty or over-max_k centroid sample, bad action, output
