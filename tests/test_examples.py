@@ -24,6 +24,7 @@ _ARGS = {
     "rag_indexing.py": [SF_DIR],
     "semantic_dedup.py": [SF_DIR],
     "substring_dedup.py": [SF_DIR],
+    "tokenizer_training.py": [SF_DIR],
 }
 
 
