@@ -605,6 +605,34 @@ def op_bpe_pairs(ctx: Ctx, rel: Rel, *rest) -> Rel:
     return rel.with_df(out, key_cols=("pair",), time_col=None)
 
 
+def _bpe_words_col(col: Column, tokenizer: str) -> Column:
+    """BPE pre-tokenization split, selected by {'tokenizer': ...}.
+
+    'ascii' (default) is the engine-shared words() split,
+    ``[^a-z0-9]+`` on lowered text — oracle-portable but ASCII-ONLY:
+    non-Latin text (zh/ja/ko, Cyrillic, accented words beyond their
+    ASCII letters) contributes NOTHING to the vocabulary and encodes to
+    empty token arrays (ADVICE r10). 'unicode' splits on
+    ``[^\\p{L}\\p{N}]+`` (any Unicode letter/digit run survives), so
+    non-Latin words at least fall back to character-level BPE; its
+    Python twin in the encode UDF is ``[\\W_]+`` (re.UNICODE \\w minus
+    underscore == letters+digits; parity pinned by test)."""
+    if tokenizer == "unicode":
+        return F.filter(
+            F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda w: w != ""
+        )
+    return words(col)
+
+
+def _bpe_tokenizer_opt(opts) -> str:
+    tok = opts.get("tokenizer", "ascii")
+    if tok not in ("ascii", "unicode"):
+        raise ArityError(
+            f"bpe tokenizer must be 'ascii' or 'unicode', got {tok!r}"
+        )
+    return tok
+
+
 def _bpe_train_merges(word_counts, merges: int, min_pair_freq: int):
     """Driver-side BPE merge loop over a (word, count) dict (Sennrich et
     al. 2016, arXiv:1508.07909 — algorithm 1, with the standard
@@ -695,9 +723,18 @@ def op_bpe_train(ctx: Ctx, rel: Rel, *rest) -> Rel:
     of:
 
         ["bpe-train", rel, {"col": "text", "merges": 100, "min_freq": 2,
-                            "min_pair_freq": 2, "max_vocab_rows": 65536}]
+                            "min_pair_freq": 2, "max_vocab_rows": 65536,
+                            "tokenizer": "ascii"}]
         -> (rank, left, right, merged): the merge table in training
            order; feed it to ["bpe-encode", rel, merge_table, ...].
+
+    Pre-tokenization: the default {'tokenizer': 'ascii'} is the shared
+    words() split — ASCII-ONLY, so non-Latin documents (zh/ja, Cyrillic,
+    the accented parts of es/fr/de words) contribute NOTHING to the
+    vocabulary (ADVICE r10). Pass {'tokenizer': 'unicode'} to split on
+    Unicode letter/digit runs instead, giving non-Latin words
+    character-level BPE fallback; train and encode must use the SAME
+    tokenizer (parity pinned by test).
 
     Scale shape (the kmeans-centroids contract applied to tokenizers):
     the 100 TB corpus is scanned ONCE — explode words -> hash-agg to the
@@ -722,11 +759,12 @@ def op_bpe_train(ctx: Ctx, rel: Rel, *rest) -> Rel:
         max_vocab = int(opts.get("max_vocab_rows", 65536))
     except (TypeError, ValueError) as e:
         raise ArityError(f"bpe-train: bad numeric option: {e}") from None
+    tokenizer = _bpe_tokenizer_opt(opts)
     _refuse_streaming(rel, "bpe-train")
 
     vocab_rows = (
         spread(rel.df)
-        .select(F.explode(words(F.col(colc))).alias("__w"))
+        .select(F.explode(_bpe_words_col(F.col(colc), tokenizer)).alias("__w"))
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") >= min_freq)
@@ -755,12 +793,55 @@ def op_bpe_train(ctx: Ctx, rel: Rel, *rest) -> Rel:
     return rel.with_df(out, key_cols=("rank",), time_col=None)
 
 
+def _bpe_enc_word_fn(ranks):
+    """Greedy lowest-rank BPE apply over one word: chars + '</w>',
+    repeatedly merge the present pair with the smallest training rank
+    (ties impossible: ranks are unique). Shared by the per-row and
+    distinct encode paths so their values agree by construction."""
+    inf = float("inf")
+
+    def enc_word(s_cache, w):
+        hit = s_cache.get(w)
+        if hit is not None:
+            return hit
+        s = list(w) + ["</w>"]
+        while len(s) > 1:
+            bi, bp = inf, None
+            for i in range(len(s) - 1):
+                r = ranks.get((s[i], s[i + 1]), inf)
+                if r < bi:
+                    bi, bp = r, (s[i], s[i + 1])
+            if bp is None:
+                break
+            ns, i, m = [], 0, bp[0] + bp[1]
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == bp:
+                    ns.append(m)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        s_cache[w] = s
+        return s
+
+    return enc_word
+
+
+_BPE_TOK_PY = {
+    # Python twins of _bpe_words_col's Spark splits (parity by test)
+    "ascii": r"[^a-z0-9]+",
+    "unicode": r"[\W_]+",
+}
+
+
 @defop("bpe-encode")
 def op_bpe_encode(ctx: Ctx, rel: Rel, merges: Rel, *rest) -> Rel:
     """Apply a trained BPE merge table to a text column:
 
         ["bpe-encode", rel, merge_table,
-         {"col": "text", "as": "bpe_tokens"}]
+         {"col": "text", "as": "bpe_tokens", "tokenizer": "ascii",
+          "impl": "perrow"}]
         -> every input column plus ``as``: array<string> of BPE tokens
            (words end in the '</w>' marker; strip it downstream if
            undesired). Token counts under the REAL trained vocabulary —
@@ -769,12 +850,30 @@ def op_bpe_encode(ctx: Ctx, rel: Rel, merges: Rel, *rest) -> Rel:
 
     The merge table is bounded driver state by construction (one row
     per merge); it collects once and ships as one broadcast rank dict.
-    Encoding is an Arrow-batched pandas UDF (greedy lowest-rank merge,
-    the standard BPE apply loop) with a per-batch word memo — corpus
-    token cost is paid once per DISTINCT word per batch, Zipf doing the
-    heavy lifting. Per-row and model-static, so a STREAMING left is
-    legal (score a live stream against a frozen tokenizer); the merge
-    table itself must be batch.
+
+    Pre-tokenization ({'tokenizer': ...}) must MATCH bpe-train's: the
+    default 'ascii' split is ASCII-ONLY — non-Latin text encodes to
+    EMPTY token arrays (ADVICE r10); 'unicode' splits on Unicode
+    letter/digit runs so such words get character-level fallback.
+
+    Two batch-equivalent impls (values pinned identical by test):
+
+    * {'impl': 'perrow'} (default; the only streaming-legal shape) —
+      Arrow-batched pandas UDF (greedy lowest-rank merge, the standard
+      BPE apply loop) with a per-batch word memo: merge-loop cost is
+      paid once per DISTINCT word per Arrow BATCH, Zipf doing the heavy
+      lifting. Zero shuffles. Per-row and model-static, so a STREAMING
+      left is legal (score a live stream against a frozen tokenizer);
+      the merge table itself must be batch.
+    * {'impl': 'distinct'} (batch-only) — posexplode words, encode the
+      corpus-DISTINCT word relation once (the same enc_word UDF), join
+      the encoded vocabulary back (AQE broadcast-picks it when it
+      fits), and reassemble per-document arrays in word order
+      (array_sort over (pos, toks) structs). Merge-loop cost drops to
+      once per distinct word per CORPUS — the Zipf win at 100 TB when
+      the merge table is deep — at the price of two shuffles (the
+      vocab-join back + the per-doc regroup). Measured A/B at sf0.1 in
+      docs/PERF_BASELINE.md.
 
     Reference: no analog (§2.10 extension surface)."""
     if not isinstance(merges, Rel):
@@ -785,11 +884,33 @@ def op_bpe_encode(ctx: Ctx, rel: Rel, merges: Rel, *rest) -> Rel:
     opts = opts_of(rest)
     colc = opts.get("col", "text")
     out_col = opts.get("as", "bpe_tokens")
+    tokenizer = _bpe_tokenizer_opt(opts)
+    impl = opts.get("impl", "perrow")
+    if impl not in ("perrow", "distinct"):
+        raise ArityError(
+            f"bpe-encode impl must be 'perrow' or 'distinct', got {impl!r}"
+        )
+    if impl == "distinct" and rel.df.isStreaming:
+        raise ArityError(
+            "bpe-encode {'impl': 'distinct'} is batch-only (it joins an "
+            "encoded corpus-distinct vocabulary back per document); "
+            "streaming inputs use the default per-row impl"
+        )
     if out_col in rel.df.columns:
         raise ArityError(
             f"bpe-encode: output column {out_col!r} already exists; "
             "pass {'as': name}"
         )
+    if impl == "distinct":
+        # reserved internal working columns (the semdedup-join rule):
+        # withColumn/select would silently shadow same-named inputs
+        for internal in ("__bpe_rid", "__bpe_pos", "__bpe_w", "__bpe_toks"):
+            if internal in rel.df.columns:
+                raise ArityError(
+                    f"bpe-encode: left column {internal!r} collides with "
+                    "a reserved internal working column of the distinct "
+                    "impl; rename it upstream"
+                )
     if merges.df.isStreaming:
         raise ArityError(
             "bpe-encode merge table must be batch (collected once and "
@@ -816,40 +937,82 @@ def op_bpe_encode(ctx: Ctx, rel: Rel, merges: Rel, *rest) -> Rel:
 
     from pyspark.sql.functions import pandas_udf
 
+    tok_pat = _BPE_TOK_PY[tokenizer]
+
+    if impl == "distinct":
+        @pandas_udf("array<string>")
+        def _encode_word(ws):
+            enc_word = _bpe_enc_word_fn(bc.value)
+            cache: dict = {}
+            return ws.map(lambda w: enc_word(cache, w))
+
+        from ..operators.util import pin
+
+        wcol = _bpe_words_col(F.col(colc), tokenizer)
+        # __bpe_rid: physical per-row key (user id columns may be
+        # absent/NULL/duplicated). base feeds TWO branches (the word
+        # explode and the join-back), so pin it: both read the SAME
+        # materialization — ids consistent by construction, and the
+        # corpus text is scanned once, not twice. DISK_ONLY for the
+        # lsh-candidates reason ({"storage": "memory"} opts into
+        # MEMORY_AND_DISK for small interactive runs).
+        base = pin(
+            rel.df.withColumn("__bpe_rid", F.monotonically_increasing_id()),
+            StorageLevel.MEMORY_AND_DISK
+            if opts.get("storage") == "memory"
+            else StorageLevel.DISK_ONLY,
+        )
+        exploded = base.select(
+            "__bpe_rid", F.posexplode(wcol).alias("__bpe_pos", "__bpe_w")
+        )
+        enc_vocab = (
+            exploded.select("__bpe_w")
+            .distinct()
+            .withColumn("__bpe_toks", _encode_word(F.col("__bpe_w")))
+        )
+        per_doc = (
+            exploded.join(enc_vocab, "__bpe_w")
+            .groupBy("__bpe_rid")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("__bpe_pos"), F.col("__bpe_toks")
+                                )
+                            )
+                        ),
+                        lambda x: x["__bpe_toks"],
+                    )
+                ).alias("__bpe_toks")
+            )
+        )
+        # per-row parity at the edges: NULL text -> NULL; non-NULL text
+        # with zero tokens (dropped by posexplode) -> empty array
+        out = (
+            base.join(per_doc, "__bpe_rid", "left")
+            .withColumn(
+                out_col,
+                F.when(
+                    F.col(colc).isNotNull(),
+                    F.coalesce(
+                        F.col("__bpe_toks"),
+                        F.array().cast("array<string>"),
+                    ),
+                ),
+            )
+            .drop("__bpe_rid", "__bpe_toks")
+        )
+        return rel.with_df(out)
+
     @pandas_udf("array<string>")
     def _encode(texts):
         import re
 
-        rk = bc.value
-        inf = float("inf")
+        enc_word = _bpe_enc_word_fn(bc.value)
         cache: dict = {}
-
-        def enc_word(w):
-            hit = cache.get(w)
-            if hit is not None:
-                return hit
-            s = list(w) + ["</w>"]
-            while len(s) > 1:
-                bi, bp = inf, None
-                for i in range(len(s) - 1):
-                    r = rk.get((s[i], s[i + 1]), inf)
-                    if r < bi:
-                        bi, bp = r, (s[i], s[i + 1])
-                if bp is None:
-                    break
-                ns, i, m = [], 0, bp[0] + bp[1]
-                while i < len(s):
-                    if i < len(s) - 1 and (s[i], s[i + 1]) == bp:
-                        ns.append(m)
-                        i += 2
-                    else:
-                        ns.append(s[i])
-                        i += 1
-                s = ns
-            cache[w] = s
-            return s
-
-        tok = re.compile(r"[^a-z0-9]+")
+        tok = re.compile(tok_pat)
 
         def enc(t):
             if t is None:
@@ -857,7 +1020,7 @@ def op_bpe_encode(ctx: Ctx, rel: Rel, merges: Rel, *rest) -> Rel:
             out = []
             for w in tok.split(t.lower()):
                 if w:
-                    out.extend(enc_word(w))
+                    out.extend(enc_word(cache, w))
             return out
 
         return texts.map(enc)

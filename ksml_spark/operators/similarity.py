@@ -84,20 +84,24 @@ def _prepared(rel: Rel, idc: str, vecc: str, dim: Optional[int] = None) -> DataF
 
 def _centroid_sim(dim: Optional[int]) -> Column:
     """Cosine against a broadcast centroid row, NULL for zero-norm AND
-    non-finite pairs. The CASE WHEN is evaluated lazily per row, so a
+    NaN pairs. The CASE WHEN is evaluated lazily per row, so a
     zero-norm vector (or centroid) yields NULL instead of an ANSI
-    DIVIDE_BY_ZERO job failure. The outer isnan guard nulls NaN cosines:
-    a NaN/Inf vector component makes the norm (and hence the raw sim)
+    DIVIDE_BY_ZERO job failure. The outer nanvl guard nulls NaN cosines
+    (an Inf component is practically unreachable here — it forces an Inf
+    norm, and Inf/Inf is NaN, so NaN is the only non-finite sim):
+    a NaN vector component makes the norm (and hence the raw sim)
     NaN, and under Spark's NaN ordering ``NaN > 0`` is TRUE — without
     the guard such a vector would take a real cluster and its NaN pair
     cosine would satisfy ``>= threshold``, silently dropping it as a
     duplicate. With sim NULL for every centroid, _nearest_order skips
     the row and it assigns cluster NULL → the degenerate/audit branch,
     matching the np.isfinite exclusions in kmeans-centroids and
-    semdedup-join."""
+    semdedup-join. ``nanvl`` evaluates the dim-unrolled dot chain ONCE
+    (the old ``F.when(~isnan(raw), raw)`` form inlined it twice —
+    ADVICE r10); nanvl(NULL, y) = NULL, so zero-norm rows stay NULL."""
     denom = F.col("__n") * F.col("__cn")
     raw = F.when(denom > 0, dot_col(F.col("__v"), F.col("__cv"), dim) / denom)
-    return F.when(~F.isnan(raw), raw)  # isnan(NULL)=false, so NULL stays NULL
+    return F.nanvl(raw, F.lit(None).cast("double"))
 
 
 def _nearest_order() -> Column:
@@ -707,6 +711,16 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
             raise ArityError(
                 f"semdedup-join: output column {out_col!r} already exists "
                 "on the left input; rename it upstream"
+            )
+    # Reserved internal working columns (ADVICE r10): withColumn would
+    # silently OVERWRITE a same-named left column and the `*orig`
+    # re-select would then emit the internal value, corrupting output.
+    for internal in ("__rid", "__lv", "__ln"):
+        if internal in left.df.columns:
+            raise ArityError(
+                f"semdedup-join: left column {internal!r} collides with a "
+                "reserved internal working column (the '__' prefix is "
+                "reserved by this op); rename it upstream"
             )
 
     rprep = _prepared(right, ridc, rvecc, dim)

@@ -426,6 +426,112 @@ def test_bpe_encode_streaming_left_and_guards(spark, tmp_path):
              spark=spark)
 
 
+def _train_encode(spark, corpus, probe, train_opts, enc_opts):
+    from ksml_spark import ksml
+
+    merges = ksml(["bpe-train", ["stream", corpus, {"key": "doc_id"}],
+                   dict({"merges": 50, "min_freq": 1, "min_pair_freq": 1},
+                        **train_opts)], spark=spark)
+    out = ksml(["bpe-encode", ["stream", probe, {"key": "doc_id"}],
+                merges, dict({"col": "text"}, **enc_opts)], spark=spark)
+    return {r["doc_id"]: (None if r["bpe_tokens"] is None
+                          else list(r["bpe_tokens"]))
+            for r in out.df.collect()}
+
+
+def test_bpe_encode_distinct_impl_matches_perrow(spark):
+    """{'impl': 'distinct'} (encode the corpus-distinct vocabulary once,
+    join back, reassemble in word order) must equal the per-row path
+    token-for-token, including the edges: NULL text -> NULL, non-NULL
+    text with zero tokens -> empty array, repeated words, duplicate and
+    NULL doc ids (the join-back runs on a minted physical row key)."""
+    corpus = _docs(spark, [(1, "low lower lowest newest widest " * 3)])
+    probe = spark.createDataFrame(
+        [(1, "low lowest newest low"), (1, "newest ?!"), (None, "widest low"),
+         (2, None), (3, "?!  ::"), (4, "")],
+        "doc_id long, text string")
+    from ksml_spark import ksml
+
+    merges = ksml(["bpe-train", ["stream", corpus, {"key": "doc_id"}],
+                   {"merges": 40, "min_freq": 1, "min_pair_freq": 1}],
+                  spark=spark)
+
+    def run(impl):
+        out = ksml(["bpe-encode", ["stream", probe, {"key": "doc_id"}],
+                    merges, {"col": "text", "impl": impl}], spark=spark)
+        return sorted(
+            ((r["doc_id"], r["text"],
+              None if r["bpe_tokens"] is None else tuple(r["bpe_tokens"]))
+             for r in out.df.collect()),
+            key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+        )
+
+    perrow, distinct = run("perrow"), run("distinct")
+    assert distinct == perrow
+    # edge values, not just parity
+    vals = {(d, t): toks for d, t, toks in distinct}
+    assert vals[(2, None)] is None
+    assert vals[(3, "?!  ::")] == ()
+    assert vals[(4, "")] == ()
+
+
+def test_bpe_encode_distinct_impl_guards(spark, tmp_path):
+    """distinct impl refuses streaming lefts and reserved-column
+    collisions; junk impl/tokenizer options are curated errors."""
+    from ksml_spark import ksml
+
+    corpus = _docs(spark, [(1, "hello world")])
+    merges = ksml(["bpe-train", ["stream", corpus, {"key": "doc_id"}],
+                   {"merges": 5, "min_freq": 1, "min_pair_freq": 1}],
+                  spark=spark)
+    sdf = _stream_docs(spark, tmp_path, [(1, "hello")])
+    with pytest.raises(ArityError, match="batch-only"):
+        ksml(["bpe-encode", ["stream", sdf, {"key": "doc_id"}],
+              merges, {"impl": "distinct"}], spark=spark)
+    bad = corpus.withColumnRenamed("doc_id", "__bpe_rid")
+    with pytest.raises(ArityError, match="__bpe_rid"):
+        ksml(["bpe-encode", ["stream", bad, {"key": "text"}],
+              merges, {"impl": "distinct"}], spark=spark)
+    with pytest.raises(ArityError, match="impl"):
+        ksml(["bpe-encode", ["stream", corpus, {"key": "doc_id"}],
+              merges, {"impl": "vectorized"}], spark=spark)
+    with pytest.raises(ArityError, match="tokenizer"):
+        ksml(["bpe-encode", ["stream", corpus, {"key": "doc_id"}],
+              merges, {"tokenizer": "bert"}], spark=spark)
+
+
+def test_bpe_unicode_tokenizer_non_latin_fallback(spark):
+    """ADVICE r10: the default ascii split drops non-Latin text entirely
+    (documented limitation — empty arrays); {'tokenizer': 'unicode'}
+    gives zh/fr words character-level BPE fallback, the Spark-side
+    train split and the Python-side encode split agree on word
+    boundaries (round-trip), and both encode impls agree under it."""
+    rows = [(1, "数据 管道 数据"), (2, "déjà vu déjà"), (3, "plain ascii")]
+    corpus = _docs(spark, rows)
+    probe = _docs(spark, rows + [(4, "数据déjà mixed2x")])
+
+    ascii_got = _train_encode(spark, corpus, probe, {}, {})
+    assert ascii_got[1] == []          # zh: dropped silently under ascii
+    assert ascii_got[2] != []          # 'd', 'j', 'vu' survive in pieces
+
+    uni = _train_encode(spark, corpus, probe,
+                        {"tokenizer": "unicode"}, {"tokenizer": "unicode"})
+    # round-trip: tokens re-join to the unicode-split lowered words
+    for doc_id, text in ((1, "数据 管道 数据"), (2, "déjà vu déjà")):
+        joined = "".join(uni[doc_id]).replace("</w>", " ").strip()
+        assert joined == text.lower()
+    # trained words fully merge; '数据' seen 2x in the corpus
+    assert "数据</w>" in uni[1]
+    # mixed-script token: letter/digit RUN is one word under both splits
+    assert "".join(uni[4]).replace("</w>", " ").strip() == "数据déjà mixed2x"
+
+    uni_distinct = _train_encode(
+        spark, corpus, probe,
+        {"tokenizer": "unicode"},
+        {"tokenizer": "unicode", "impl": "distinct"})
+    assert uni_distinct == uni
+
+
 # ---------------------------------------------------------------------------
 # tfidf-topk
 

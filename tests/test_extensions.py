@@ -1304,6 +1304,14 @@ def test_semdedup_join_curated_errors(spark, tmp_path):
         ksml(["semdedup-join",
               ["stream", l.withColumn("cluster", F.lit(1)), {"key": "vec_id"}],
               rrel, _sdj_form()], spark=spark)
+    # reserved internal working columns (ADVICE r10): withColumn would
+    # silently shadow them and `*orig` would re-emit internal values
+    for internal in ("__rid", "__lv", "__ln"):
+        with pytest.raises(ArityError, match=f"{internal}.*reserved"):
+            ksml(["semdedup-join",
+                  ["stream", l.withColumn(internal, F.lit(1)),
+                   {"key": "vec_id"}],
+                  rrel, _sdj_form()], spark=spark)
     p = str(tmp_path / "ref_vecs")
     r.write.parquet(p)
     with pytest.raises(ArityError, match="reference side is batch-only"):
