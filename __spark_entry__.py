@@ -931,19 +931,6 @@ FROM norm"""
 
 # --- extensions: dedup / similarity ---------------------------------------
 
-def _q_minhash_sig(spark, sf):
-    return pipe(
-        ["stream", _t(sf, "documents"), {"key": "doc_id"}],
-        ["minhash", {"col": "text"}],
-        ["select", {"doc_id": "doc_id", "band_0": "band_0", "band_1": "band_1",
-                    "band_2": "band_2", "band_3": "band_3"}],
-        spark=spark,
-    ).df
-
-
-_MINHASH_SIG_ORACLE = _minhash_cte() + "\nSELECT doc_id, band_0, band_1, band_2, band_3 FROM bands"
-
-
 def _q_lsh_candidates(spark, sf):
     return pipe(
         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
@@ -2724,6 +2711,27 @@ SELECT user_id,
 FROM events GROUP BY user_id"""
 
 
+def _q_bpe_train_encode(spark, sf):
+    """Composed tokenizer-training row (the ops shipped in r10 with
+    tests + the tokenizer_training example but no driver evidence):
+    bpe-train a merge table on the documents corpus, bpe-encode the
+    same corpus under it, emit per-doc exact token counts. No SQL
+    oracle — the driver-side incremental merge-loop training has no
+    reasonable DuckDB formulation (the kmeans_centroids precedent), so
+    this row is rows-only; values are pinned by the merge-for-merge
+    naive-reference parity test, the encode round-trip test, and the
+    perrow==distinct impl-parity test."""
+    docs = ["stream", _t(sf, "documents"), {"key": "doc_id"}]
+    return pipe(
+        ["bpe-encode", docs,
+         ["bpe-train", docs, {"col": "text", "merges": 60, "min_freq": 2,
+                              "min_pair_freq": 2}],
+         {"col": "text"}],
+        ["select", {"doc_id": "doc_id", "n_bpe_tokens": "size(bpe_tokens)"}],
+        spark=spark,
+    ).df
+
+
 # ---------------------------------------------------------------------------
 
 # Registry order matters: the correctness driver records only the FIRST 50
@@ -2798,11 +2806,82 @@ FROM events GROUP BY user_id"""
 # the per-row expression values also stay pinned by the winnow
 # Python-reference and streaming-parity tests. Its slot funds
 # dsir_scores (the new DSIR importance-scoring op).
+# Retired in r11 (swap rule, clause a — the simhash_docs ⊂ simhash_pairs
+# precedent, verbatim): minhash_signatures — op_lsh_candidates calls the
+# SAME band_signatures() construction (dedup.py) and _LSH_CANDIDATES_ORACLE
+# embeds the identical _minhash_cte, so the signature values keep
+# hash-exact driver evidence through the lsh_candidates row (any signature
+# error changes its band buckets and thus its candidate pairs); the
+# streaming per-row path and the hash family itself stay pinned by
+# test_band_signature_cols_match_agg_path and
+# test_minhash_matches_python_reference. (The r10 VERDICT's candidate
+# top_bigrams was adjudicated NOT eligible: op_ngrams is invoked by no
+# other registry query, so clause a fails at the op granularity the
+# dup_clusters/winnow precedents set — similar expression SHAPES in
+# _gram_ids/pmi are different code paths.) Its slot funds
+# bpe_train_encode, the composed tokenizer-training row (rows-only; the
+# only computational ops that had no registry entry after r10).
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
-    # --- green in r08 (stalest evidence): ROTATION HEAD for r10 — the
-    # driver re-records exactly these 50 this round. (Sub-blocks keep
-    # the r08 head order: 7 then-new/renamed rows, then the 43
-    # r06-block survivors re-recorded in r08.) ---
+    # --- never recorded: brand-new in r11, first of all ---
+    "bpe_train_encode": (_q_bpe_train_encode, None),
+    # --- green in r09 (stalest evidence): ROTATION HEAD for r11 — the
+    # driver re-records exactly these 49 survivors (+ the new row above
+    # = the 50-row window) this round. Sub-blocks keep the r09 head
+    # order: 5 then-new rows, then the 44 r07-block survivors
+    # (minhash_signatures retired above). ---
+    "gopher_filter": (_q_gopher_filter, _GOPHER_FILTER_ORACLE),
+    "transform_with_state_fold": (_q_transform_with_state, _TRANSFORM_WITH_STATE_ORACLE),
+    "semdedup_embeddings": (_q_semdedup, _SEMDEDUP_ORACLE),
+    "semdedup_join": (_q_semdedup_join, _SEMDEDUP_JOIN_ORACLE),
+    "dsir_scores": (_q_dsir, _DSIR_ORACLE),
+    "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
+    "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
+    "unpivot_lineitem": (_q_unpivot_lineitem, _UNPIVOT_LINEITEM_ORACLE),
+    "corr_lineitem": (_q_corr_lineitem, _CORR_LINEITEM_ORACLE),
+    "collect_user_events": (_q_collect_user_events, _COLLECT_USER_EVENTS_ORACLE),
+    "rolling_user_hour": (_q_rolling_user, _ROLLING_USER_ORACLE),
+    "cube_revenue": (_q_cube_revenue, _CUBE_REVENUE_ORACLE),
+    "vec_norm_units": (_q_vec_norm, _VEC_NORM_ORACLE),
+    "vec_pool_label_mean": (_q_vec_pool, _VEC_POOL_ORACLE),
+    "interval_join_click_error": (_q_interval_join, _INTERVAL_JOIN_ORACLE),
+    "rollup_revenue": (_q_rollup, _ROLLUP_ORACLE),
+    "window_rank_orders": (_q_window_rank, _WINDOW_RANK_ORACLE),
+    "exact_distinct_users": (_q_exact_distinct_users, _EXACT_DISTINCT_ORACLE),
+    "approx_distinct_users": (_q_approx_distinct_users, None),
+    "dedup_first_event": (_q_dedup_first, _DEDUP_FIRST_ORACLE),
+    "distinct_flags": (_q_distinct, _DISTINCT_ORACLE),
+    "topn_orders": (_q_topn, _TOPN_ORACLE),
+    "sql_revenue_by_nation": (_q_sql, _SQL_ORACLE),
+    "json_props_agg": (_q_json_props, _JSON_PROPS_ORACLE),
+    "token_counts": (_q_token_counts, _TOKEN_COUNTS_ORACLE),
+    "lang_id": (_q_lang_id, _lang_id_oracle()),
+    "quality_scores": (_q_quality, _quality_oracle()),
+    "doc_fingerprint": (_q_fingerprint, _FINGERPRINT_ORACLE),
+    "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
+    "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
+    "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
+    "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
+    "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
+    "expect_contract": (_q_expect, _EXPECT_ORACLE),
+    "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
+    "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
+    "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
+    "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),
+    "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
+    "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
+    "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
+    "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
+    "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
+    "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
+    "top_bigrams": (_q_top_bigrams, _TOP_BIGRAMS_ORACLE),
+    "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
+    "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
+    "kmeans_centroids": (_q_kmeans_centroids, None),
+    "scrub_text": (_q_scrub, _SCRUB_ORACLE),
+    # --- green in r10 (freshest evidence): behind the rotation head;
+    # these 50 re-enter the window in r12. (Sub-blocks keep the r10
+    # head order: 7 r08-new/renamed rows, then the 43 r06-block
+    # survivors.) ---
     "freq_items_priority": (_q_freq_items, _FREQ_ITEMS_ORACLE),
     "profile_persist_lineitem": (_q_profile_persist, _PROFILE_PERSIST_ORACLE),
     "intersect_except_custkeys": (_q_intersect_except, _INTERSECT_EXCEPT_ORACLE),
@@ -2857,64 +2936,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
     "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
     "anti_join_customers": (_q_anti_join, _ANTI_JOIN_ORACLE),
-    # --- green in r09 (freshest evidence): behind the rotation head;
-    # these 50 re-enter the window in r11. First five were brand-new
-    # in r09; then the 45 r07-block survivors re-recorded in r09. ---
-    "gopher_filter": (_q_gopher_filter, _GOPHER_FILTER_ORACLE),
-    "transform_with_state_fold": (_q_transform_with_state, _TRANSFORM_WITH_STATE_ORACLE),
-    "semdedup_embeddings": (_q_semdedup, _SEMDEDUP_ORACLE),
-    "semdedup_join": (_q_semdedup_join, _SEMDEDUP_JOIN_ORACLE),
-    "dsir_scores": (_q_dsir, _DSIR_ORACLE),
-    # --- (sub-block) the 45 r07-block survivors, re-recorded green in
-    # r09 like the 5 rows above — NOT a separate rotation unit; all 50
-    # rows of this r09 block re-enter the window together in r11. (The
-    # other three r07 rows — kmeans_assign, neardup_lsh,
-    # winnow_fingerprints — were retired in r09 per the notes above.) ---
-    "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
-    "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
-    "unpivot_lineitem": (_q_unpivot_lineitem, _UNPIVOT_LINEITEM_ORACLE),
-    "corr_lineitem": (_q_corr_lineitem, _CORR_LINEITEM_ORACLE),
-    "collect_user_events": (_q_collect_user_events, _COLLECT_USER_EVENTS_ORACLE),
-    "rolling_user_hour": (_q_rolling_user, _ROLLING_USER_ORACLE),
-    "cube_revenue": (_q_cube_revenue, _CUBE_REVENUE_ORACLE),
-    "vec_norm_units": (_q_vec_norm, _VEC_NORM_ORACLE),
-    "vec_pool_label_mean": (_q_vec_pool, _VEC_POOL_ORACLE),
-    "interval_join_click_error": (_q_interval_join, _INTERVAL_JOIN_ORACLE),
-    "rollup_revenue": (_q_rollup, _ROLLUP_ORACLE),
-    "window_rank_orders": (_q_window_rank, _WINDOW_RANK_ORACLE),
-    "exact_distinct_users": (_q_exact_distinct_users, _EXACT_DISTINCT_ORACLE),
-    "approx_distinct_users": (_q_approx_distinct_users, None),
-    "dedup_first_event": (_q_dedup_first, _DEDUP_FIRST_ORACLE),
-    "distinct_flags": (_q_distinct, _DISTINCT_ORACLE),
-    "topn_orders": (_q_topn, _TOPN_ORACLE),
-    "sql_revenue_by_nation": (_q_sql, _SQL_ORACLE),
-    "json_props_agg": (_q_json_props, _JSON_PROPS_ORACLE),
-    "token_counts": (_q_token_counts, _TOKEN_COUNTS_ORACLE),
-    "lang_id": (_q_lang_id, _lang_id_oracle()),
-    "quality_scores": (_q_quality, _quality_oracle()),
-    "doc_fingerprint": (_q_fingerprint, _FINGERPRINT_ORACLE),
-    "minhash_signatures": (_q_minhash_sig, _MINHASH_SIG_ORACLE),
-    "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
-    "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
-    "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
-    "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
-    "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
-    "expect_contract": (_q_expect, _EXPECT_ORACLE),
-    "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
-    "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
-    "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
-    "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),
-    "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
-    "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
-    "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
-    "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
-    "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
-    "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
-    "top_bigrams": (_q_top_bigrams, _TOP_BIGRAMS_ORACLE),
-    "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
-    "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
-    "kmeans_centroids": (_q_kmeans_centroids, None),
-    "scrub_text": (_q_scrub, _SCRUB_ORACLE),
 }
 
 
