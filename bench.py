@@ -342,7 +342,11 @@ def _skew_bench(spark, sf_dir: str) -> dict:
     # pairs in ONE task, 42s; bucketed it spreads over c/128 keys). The
     # documented fix for a persistent hot cluster is sampling more
     # centroids, so the pair of numbers bounds the cost of getting K
-    # wrong, not a recommended operating point.
+    # wrong, not a recommended operating point. Since r11 a mis-sized
+    # sample is also GUARDED (max_cluster_pairs, default 1e8 — above
+    # hot_k1's 2M pairs, so the stress rows still measure real work);
+    # semdedup_hot_guard times the curated REFUSAL with a tight bound
+    # (construction-time assign + one cluster-count agg, no pair work).
     emb = load_table(spark, sf_dir, "embeddings")
     for label, cexpr in (("semdedup_k16", "vec_id % 127 = 3"),
                          ("semdedup_hot_k1", "vec_id = 3")):
@@ -352,6 +356,16 @@ def _skew_bench(spark, sf_dir: str) -> dict:
                    "centroids": cexpr, "threshold": 0.3}], spark=spark)
         r.df.write.mode("overwrite").format("noop").save()
         out[label] = round(time.time() - t0, 2)
+    from ksml_spark.errors import ArityError
+    t0 = time.time()
+    try:
+        ksml(["semdedup", ["stream", emb, {"key": "vec_id"}],
+              {"id": "vec_id", "vec": "embedding", "dim": 64,
+               "centroids": "vec_id = 3", "threshold": 0.3,
+               "max_cluster_pairs": 1_000_000}], spark=spark)
+        print("skew bench: semdedup_hot_guard did NOT refuse", file=sys.stderr)
+    except ArityError:
+        out["semdedup_hot_guard"] = round(time.time() - t0, 2)
 
     # semdedup-join hot-cluster stress (same K-knob story): k16 is the
     # intended layout; hot_k1 forces every left row and every reference

@@ -490,8 +490,14 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
        (the paper's 0.1%-of-N regime keeps clusters ~1k rows), not by
        capping pairs — cluster size is a centroid-sampling knob, so the
        first-order skew relief lives in ``centroids``, and
-       kmeans-centroids can refine the sample first. Defense in depth
-       for when K is still wrong: the join key is (cluster,
+       kmeans-centroids can refine the sample first. A mis-sized sample
+       is also GUARDED: at construction one cheap agg over the pinned
+       relation measures the largest cluster, and above
+       ``max_cluster_pairs`` estimated within-cluster pairs (default
+       1e8; 0 disables) the op refuses with a curated error naming the
+       levers instead of silently absorbing quadratic work. Defense in
+       depth for when K is still wrong but under the guard: the join
+       key is (cluster,
        rank-block of ``pair_bucket`` rows, default 128), so one hot
        cluster spreads its pairs over c/128 keys instead of one task
        (measured 42s -> ~20s on the degenerate all-in-one-cluster skew
@@ -555,6 +561,48 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     )
     pinned = pin(members.withColumn("__rk", F.row_number().over(w)), level)
     ranked = pinned.filter(F.col("cluster").isNotNull())
+    # Oversized-cluster guard (the cooccurrence-window-cap /
+    # bpe-train-vocab-cap pattern: guard + loud, overridable error).
+    # Rank-block bucketing spreads a hot cluster's pairs across tasks,
+    # but the TOTAL O(c_max^2/2) cosine work is irreducible — at 100 TB
+    # a too-sparse ``centroids`` sample (the paper's K knob) silently
+    # concentrates quadratic work the user almost never intends. One
+    # cheap agg over the pinned relation (which the real plan reuses —
+    # the scan+assign is paid once either way) measures the largest
+    # cluster at construction time; above ``max_cluster_pairs``
+    # estimated pairs (default 1e8 ~= a 14k-member cluster, an order
+    # above the paper's ~1k regime and two below catastrophe) the op
+    # refuses with the levers. {'max_cluster_pairs': 0} disables;
+    # raising the number is the explicit "I mean it" override.
+    try:
+        max_pairs = int(opts.get("max_cluster_pairs", 100_000_000))
+    except (TypeError, ValueError):
+        raise ArityError(
+            "semdedup max_cluster_pairs must be an int (0 disables), got "
+            f"{opts.get('max_cluster_pairs')!r}"
+        ) from None
+    if max_pairs:
+        top = (
+            ranked.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.col("__n").desc())
+            .limit(1)
+            .collect()
+        )
+        if top:
+            c_max, hot = top[0]["__n"], top[0]["cluster"]
+            est = c_max * (c_max - 1) // 2
+            if est > max_pairs:
+                pinned.unpersist()
+                raise ArityError(
+                    f"semdedup: largest cluster {hot!r} has {c_max} members "
+                    f"(~{est} within-cluster pairs > max_cluster_pairs="
+                    f"{max_pairs}) — the centroids sample is too sparse for "
+                    "this corpus. Levers: densify {'centroids': ...} (the "
+                    "paper's K knob; ~0.1% of N keeps clusters ~1k rows), "
+                    "refine the sample with kmeans-centroids first, or "
+                    "override with {'max_cluster_pairs': n} (0 disables)"
+                )
     earlier = ranked.select(
         F.col("cluster").alias("__cl"), F.col("__rk").alias("__rke"),
         F.col("__v").alias("__ve"), F.col("__n").alias("__ne"),

@@ -1123,6 +1123,45 @@ def test_semdedup_threshold_inclusive_zero_norm_and_errors(spark):
                "init": "vec_id = 'c0'"}], spark=spark)
 
 
+def test_semdedup_oversized_cluster_guard(spark):
+    """r10 VERDICT #3: a too-sparse centroids sample concentrating the
+    corpus in one cluster must REFUSE with a curated error naming the
+    levers (densify centroids / kmeans-centroids / the override) rather
+    than silently absorbing O(c^2) pair work; raising or disabling
+    max_cluster_pairs proceeds and decisions are unchanged."""
+    import pytest
+
+    from ksml_spark.errors import ArityError
+
+    rows = [("c0", [1.0, 0.0])] + [
+        (f"v{i}", [float(i % 7 + 1), float(i % 5)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    form = {"id": "vec_id", "vec": "embedding", "dim": 2,
+            "centroids": "vec_id = 'c0'", "threshold": 0.99}
+    # 41 members in one cluster -> 820 pairs > 100
+    with pytest.raises(ArityError, match="centroids sample is too sparse"):
+        ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+              dict(form, max_cluster_pairs=100)], spark=spark)
+    # the error names the levers and the measured cluster
+    with pytest.raises(ArityError, match="max_cluster_pairs.*0 disables"):
+        ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+              dict(form, max_cluster_pairs=100)], spark=spark)
+    with pytest.raises(ArityError, match="max_cluster_pairs must be an int"):
+        ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+              dict(form, max_cluster_pairs="lots")], spark=spark)
+
+    def decisions(opts):
+        out = ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+                    dict(form, **opts)], spark=spark)
+        return sorted((r["vec_id"], r["cluster"], r["keep"])
+                      for r in out.df.collect())
+
+    base = decisions({})                          # default 1e8: no refusal
+    assert decisions({"max_cluster_pairs": 0}) == base      # disabled
+    assert decisions({"max_cluster_pairs": 10**6}) == base  # raised
+
+
 def test_semdedup_nonfinite_vectors_flow_to_degenerate_branch(spark):
     """A NaN/Inf-component vector must behave exactly like a zero-norm
     one: cluster NULL + keep NULL in annotate mode, dropped under
