@@ -10,6 +10,15 @@ the same call trains on 100 TB; `bpe-encode` broadcasts the merge
 table and tokenizes with an Arrow-batched greedy encoder —
 streaming-legal, so the frozen tokenizer can score a live stream.
 
+Tokenizer caveat: the default pre-tokenization split is ASCII-only
+([^a-z0-9]+), so NON-LATIN documents (zh/ja, Cyrillic) contribute
+nothing to the vocabulary and their token counts read 0 here. For a
+multilingual corpus pass {"tokenizer": "unicode"} to BOTH bpe-train
+and bpe-encode — non-Latin words then get character-level BPE
+fallback. Batch corpora with realistic (Heaps-law) vocabularies can
+also pass {"impl": "distinct"} to bpe-encode to pay the merge loop
+once per distinct word per corpus instead of per Arrow batch.
+
 Run:  python examples/tokenizer_training.py [sf_dir] [merges]
 """
 
