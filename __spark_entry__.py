@@ -1365,20 +1365,17 @@ def _q_semdedup_join(spark, sf):
     embedding space; threshold 0.3 per the semdedup_embeddings note
     (near-isotropic synthetic embeddings).
 
-    ACCEPTED float-path risk (adjudicated r10): semdedup-join's
-    assignment argmax runs in numpy (``mat @ cn.T``, SIMD/pairwise
-    summation) while this oracle orders by DuckDB's sequential
-    ``list_dot_product/(n*cn)``; the two are not bit-identical, so a
-    centroid-sim near-tie (|delta sim| ~ 1e-15) could assign different
-    clusters and flip keep/drop. On this FIXED test corpus (64-dim
-    continuous synthetic embeddings, 4 centroids) the per-vector
-    best-vs-second-best centroid sim gap is >= 2.4e-4 (median 0.08,
-    measured over all sf0.01 vectors) — eleven orders above
-    summation-order error — so the row is stable; the risk only
-    materializes on data with near-duplicated centroids. The
-    pair-cosine threshold itself is NOT at risk: keep/drop cosines go
-    through the sequential dot_col chain on the Spark side
-    (similarity.py), same as semdedup's bit-reproducible contract."""
+    Float-path risk RESOLVED (r11; was the r10 adjudicated
+    accepted-risk): the assignment UDF's matmul fast path now
+    re-decides any best-vs-second-best cosine gap within
+    summation-order error using the oracle's exact sequential
+    arithmetic (left-to-right dots on raw centroids — see
+    similarity.py), so near-duplicated centroids assign identically on
+    both engines; on this corpus the gaps are >= 2.4e-4 anyway (median
+    0.08, measured r10) and the hash is unchanged. The pair-cosine
+    threshold was never at risk: keep/drop cosines go through the
+    sequential dot_col chain on the Spark side, same as semdedup's
+    bit-reproducible contract."""
     return pipe(
         ["semdedup-join",
          ["where", ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],

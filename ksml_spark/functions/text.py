@@ -1070,7 +1070,13 @@ def op_gopher_filter(ctx: Ctx, rel: Rel, *rest) -> Rel:
                 f"gopher-filter: output column {name!r} already exists on "
                 "the input; rename it upstream"
             )
-    df = rel.df
+    from ..operators.util import spread
+
+    # spread: the rule expressions are the heavy stage (per-token/per-line
+    # HOF filters + rlike over every word) and a single-file toy-SF scan
+    # would run them in ONE task (r11 stage-audit flag); at scale the
+    # repartition never fires, and streaming inputs pass through untouched
+    df = spread(rel.df)
     for name, expr in rules.items():
         df = df.withColumn(name, expr)
     df = df.withColumn(

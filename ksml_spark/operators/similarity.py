@@ -714,6 +714,14 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     size, i.e. by centroid-sample density, the same K knob as
     semdedup. {"broadcast": true} hints the reference side.
 
+    Assignment is ORACLE-EXACT including near-ties (r11, closing the
+    r10 accepted-risk note): the fast path stays the BLAS matmul
+    argmax, but rows whose best-vs-second-best cosine gap is within
+    summation-order error are re-decided with left-to-right sequential
+    dots on the RAW centroid vectors — the exact arithmetic of the
+    DuckDB oracle's list_dot_product/(n*cn) ordering — so duplicated
+    or near-duplicated centroids assign identically on both engines.
+
     Output: every left column plus (cluster, keep); NULL-assigned left
     rows pass through keep NULL (flagged, never silently kept or
     dropped). {"action": "filter"} returns survivors only (NULL
@@ -721,6 +729,8 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     left produce identical decisions (same UDF, same predicate —
     pinned by the one-microbatch parity test). Right must be batch:
     a streaming reference is refused with a curated error."""
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -789,6 +799,15 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
             f"semdedup-join: centroids filter {cexpr!r} matched more than "
             f"max_k={max_k} rows — sample sparser or raise {{'max_k': n}}"
         )
+    def _seqdot(a, b):
+        # strictly left-to-right IEEE-double accumulation — the exact
+        # summation order of dot_col's unrolled chain and DuckDB's
+        # list_dot_product, so values agree with the oracle BIT-FOR-BIT
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
     cents = []
     for r in sorted(init_rows, key=lambda r: (r["__cid"] is None, r["__cid"])):
         v = r["__v"]
@@ -798,19 +817,23 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         n = float(np.linalg.norm(a))
         if not np.isfinite(a).all() or n <= 0.0:
             continue
-        cents.append((r["__cid"], a / n))
+        cents.append((r["__cid"], a / n, a, math.sqrt(_seqdot(a, a))))
     if not cents:
         raise ArityError(
             f"semdedup-join: centroids filter {cexpr!r} matched only "
             "degenerate (NULL / zero-norm / wrong-dim) vectors"
         )
-    cids = [c for c, _ in cents]
-    cmat = np.vstack([v for _, v in cents])
-    bc = ctx.spark.sparkContext.broadcast((cids, cmat))
+    cids = [c for c, _, _, _ in cents]
+    cmat = np.vstack([u for _, u, _, _ in cents])
+    craw = np.vstack([a for _, _, a, _ in cents])
+    crn = np.asarray([sn for _, _, _, sn in cents])
+    bc = ctx.spark.sparkContext.broadcast((cids, cmat, craw, crn))
 
     @pandas_udf(cid_type)
     def _assign(vs):
-        cids_, cn = bc.value
+        import math as _math
+
+        cids_, cn, craw_, crn_ = bc.value
         arrs = vs.to_numpy()
         res = np.full(len(arrs), None, dtype=object)
         ok = np.fromiter(
@@ -819,12 +842,44 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         )
         if ok.any():
             mat = np.vstack([np.asarray(a, dtype=np.float64) for a in arrs[ok]])
-            good = np.isfinite(mat).all(axis=1) & (
-                np.linalg.norm(mat, axis=1) > 0.0
-            )
-            # cosine argmax == raw-dot argmax against unit centroids
-            # (the row norm is a positive constant per row)
-            picks = np.asarray(cids_, dtype=object)[(mat @ cn.T).argmax(axis=1)]
+            rn = np.linalg.norm(mat, axis=1)
+            good = np.isfinite(mat).all(axis=1) & (rn > 0.0)
+            # Fast path: cosine argmax == raw-dot argmax against UNIT
+            # centroids (the row norm is a positive per-row constant);
+            # np.argmax keeps the FIRST max = smallest centroid id on
+            # exact ties (cids are sorted ascending at build).
+            scores = mat @ cn.T
+            idx = scores.argmax(axis=1)
+            # Near-tie exact pass (closes the r10 "accepted float-path
+            # risk"): BLAS reorders the summation, so when best and
+            # second-best cosines sit within summation-order error the
+            # matmul winner can differ from the oracle's sequential
+            # dot. Flag rows whose cosine-scale gap <= 1e-9 (BLAS
+            # reassociation error is ~1e-13 relative at these dims —
+            # four orders of margin) and re-decide them with the
+            # EXACT oracle arithmetic: left-to-right sequential dots
+            # on RAW centroid vectors, seq norms, strict > keeping the
+            # first (= smallest centroid id, the row_number ORDER BY
+            # sim DESC, cid rule). Cost is rows-flagged x K x dim in
+            # Python — nonzero only for genuinely near-duplicated
+            # centroids, where correctness is exactly what matters.
+            if cn.shape[0] > 1:
+                part = np.partition(scores, -2, axis=1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    gap = (part[:, -1] - part[:, -2]) / rn
+                for i in np.flatnonzero(good & (gap <= 1e-9)):
+                    v = mat[i]
+                    nv = _math.sqrt(sum(float(x) * float(x) for x in v))
+                    best, bi = None, idx[i]
+                    for k in range(craw_.shape[0]):
+                        s = 0.0
+                        for x, y in zip(v, craw_[k]):
+                            s += float(x) * float(y)
+                        cosk = s / (nv * crn_[k])
+                        if best is None or cosk > best:
+                            best, bi = cosk, k
+                    idx[i] = bi
+            picks = np.asarray(cids_, dtype=object)[idx]
             picks[~good] = None
             res[np.flatnonzero(ok)] = picks
         return pd.Series(res)

@@ -1359,6 +1359,71 @@ def test_semdedup_join_curated_errors(spark, tmp_path):
               _sdj_form()], spark=spark)
 
 
+def test_semdedup_join_assignment_exact_on_near_tie_centroids(spark):
+    """Closes r10's 'accepted float-path risk': with DUPLICATED and
+    1-ulp-perturbed centroids — best-vs-second-best cosine gaps at or
+    below summation-order error — the Arrow assign must reproduce the
+    oracle's sequential-dot argmax (row_number ORDER BY sim DESC, cid)
+    exactly: smallest centroid id on exact ties, left-to-right
+    sequential arithmetic deciding near-ties. Checked against a pure
+    Python reference for every left row."""
+    import math
+    import random
+
+    rnd = random.Random(11)
+    dim = 16
+
+    def vec():
+        return [rnd.uniform(-1.0, 1.0) for _ in range(dim)]
+
+    base = vec()
+    bumped = list(base)
+    bumped[7] = math.nextafter(bumped[7], 2.0)
+    # a0/a1 identical (exact tie -> a0 by id), a2 one ulp away
+    right_rows = [("a0", base), ("a1", list(base)), ("a2", bumped)]
+    right_rows += [(f"r{i:02d}", vec()) for i in range(20)]
+    left_rows = [(f"l{i:03d}", vec()) for i in range(200)]
+    # half the lefts sit exactly ON the tied centroid direction: cosine
+    # to a0/a1/a2 all ~1.0 with gaps ~1e-16 — the adversarial case
+    for i in range(100):
+        s = 0.5 + i / 100.0
+        left_rows[i] = (left_rows[i][0], [x * s for x in base])
+
+    l = spark.createDataFrame(left_rows, "vec_id string, embedding array<double>")
+    r = spark.createDataFrame(right_rows, "vec_id string, embedding array<double>")
+    out = ksml(["semdedup-join",
+                ["stream", l, {"key": "vec_id"}],
+                ["stream", r, {"key": "vec_id"}],
+                {"id": "vec_id", "vec": "embedding", "dim": dim,
+                 "centroids": "vec_id like 'a%'", "threshold": 0.999}],
+               spark=spark)
+    got = {row["vec_id"]: row["cluster"] for row in out.df.collect()}
+
+    def seqdot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    cents = sorted((cid, v) for cid, v in right_rows if cid.startswith("a"))
+
+    def ref_assign(v):
+        nv = math.sqrt(seqdot(v, v))
+        best, bid = None, None
+        for cid, c in cents:
+            cos = seqdot(v, c) / (nv * math.sqrt(seqdot(c, c)))
+            if best is None or cos > best:
+                best, bid = cos, cid
+        return bid
+
+    expect = {vid: ref_assign(v) for vid, v in left_rows}
+    assert got == expect
+    # the adversarial rows really are ties: the exact-tie pair resolves
+    # to the smallest id, never a1
+    assert "a1" not in set(expect.values())
+    assert any(expect[f"l{i:03d}"] in ("a0", "a2") for i in range(100))
+
+
 def test_semdedup_join_streaming_left_one_microbatch_parity(spark, tmp_path):
     """The left side IS stream-legal (this op exists because semdedup's
     closed-input contract refuses streams): a stream-static anti/semi
