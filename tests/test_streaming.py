@@ -1089,3 +1089,104 @@ def test_streaming_histogram_matches_batch(spark, events_path, tables):
     g = {r["bin"]: r["count"] for r in got.collect()}
     b = {r["bin"]: r["count"] for r in batch.collect()}
     assert g == b and len(b) > 0
+
+
+def _run_noop_state(df, ckpt):
+    """Run availableNow to the noop sink; return (max, final) summed
+    stateOperators.numRowsTotal across triggers — the engine's own
+    state-store accounting, the quantity the r11 streaming scale probe
+    measures at 100x this size."""
+    import json as _json
+
+    q = (df.writeStream.format("noop").outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    mx = last = 0
+    for p in q.recentProgress:
+        if not isinstance(p, dict):
+            p = _json.loads(p.json)
+        tot = sum(so.get("numRowsTotal", 0)
+                  for so in (p.get("stateOperators") or []))
+        mx = max(mx, tot)
+        if tot:
+            last = tot
+    return mx, last
+
+
+def test_streaming_state_bounded_by_keys_not_batches(spark, tmp_path):
+    """Pins the r11 streaming scale probe's invariant at test scale: the
+    changelog-join state store holds one row per LIVE KEY, however many
+    micro-batches (re)delivered those keys — re-batching updates must
+    not grow state."""
+    from ksml_spark.streaming.changelog_join import changelog_join
+
+    keys = ["a", "b", "c", "d", "e"]
+    batches = []
+    for b in range(3):  # every key updated on BOTH sides in every batch
+        rows = []
+        for k in keys:
+            t = f"2024-01-01T0{b}:00:00"
+            rows.append({"side": "l", "key": k, "lval": b, "event_time": t})
+            rows.append({"side": "r", "key": k, "rname": f"x{b}", "event_time": t})
+        batches.append(rows)
+    src = _json_batch_source(spark, tmp_path, batches)
+    lt = ksml(["table", src.filter("side = 'l'").drop("rname", "side"),
+               {"key": "key", "time": "event_time", "order": ["event_time"]}],
+              spark=spark)
+    rt = ksml(["table", src.filter("side = 'r'").drop("lval", "side"),
+               {"key": "key", "time": "event_time", "order": ["event_time"]}],
+              spark=spark)
+    out = changelog_join(lt, rt, "inner")
+    mx, last = _run_noop_state(out.df, str(tmp_path / "ck_state"))
+    assert last == len(keys), (mx, last)   # state == live keys,
+    assert mx == len(keys), (mx, last)     # NOT keys x batches (15)
+
+
+def test_streaming_lsh_join_dedup_within_bounds_pair_state(spark, tmp_path):
+    """The one corpus-unbounded streaming store: lsh-join's cross-batch
+    candidate-pair dedup. Without dedup_within it accumulates every
+    pair ever emitted; with {'dedup_within': ...} watermark eviction
+    bounds it to the active window (r11 probe: 109k vs 2.7k rows at
+    sf0.1 — here pinned exactly at test scale)."""
+    import json as _json
+    import os
+
+    texts = {
+        "A": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "B": "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        "C": "phi chi psi omega one two three four five six",
+    }
+    ref = spark.createDataFrame(
+        [(f"r_{k}", t) for k, t in texts.items()],
+        "doc_id string, text string")
+    sdir = str(tmp_path / "docs_src")
+    os.makedirs(sdir)
+    for b, k in enumerate(texts):  # batch b: two stream copies of text k
+        p = os.path.join(sdir, f"b{b}.json")
+        with open(p, "w") as f:
+            for j in range(2):
+                f.write(_json.dumps(
+                    {"doc_id": f"s{b}{j}", "text": texts[k],
+                     "ts": f"2024-01-01T{2 * b:02d}:00:00"}) + "\n")
+        os.utime(p, (b + 1, b + 1))
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("doc_id string, text string, ts timestamp")
+
+    def run(extra, ck):
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).json(sdir))
+        out = ksml(["lsh-join",
+                    ["stream", src, {"key": "doc_id", "time": "ts"}],
+                    ["stream", ref, {"key": "doc_id"}],
+                    dict({"broadcast": True}, **extra)], spark=spark)
+        return _run_noop_state(out.df, str(tmp_path / ck))
+
+    mx_plain, last_plain = run({}, "ck_plain")
+    # every (stream doc, matching ref doc) pair stays in state forever:
+    # 2 pairs per batch x 3 batches
+    assert last_plain == 6, (mx_plain, last_plain)
+    mx_win, last_win = run({"dedup_within": "30 minutes"}, "ck_win")
+    # 2h batch spacing >> 30min window: earlier batches' pairs evict
+    assert last_win < last_plain, (last_win, last_plain)
