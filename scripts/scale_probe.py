@@ -36,6 +36,10 @@ QUERIES = [
     "lm_ppl_kn",
     "jaccard_pairs",
     "simhash_pairs",
+    # r11 additions: the new composed tokenizer row (bounded driver
+    # merge loop) and gopher_filter after its spread fix
+    "bpe_train_encode",
+    "gopher_filter",
 ]
 
 
