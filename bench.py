@@ -366,6 +366,16 @@ def _skew_bench(spark, sf_dir: str) -> dict:
         print("skew bench: semdedup_hot_guard did NOT refuse", file=sys.stderr)
     except ArityError:
         out["semdedup_hot_guard"] = round(time.time() - t0, 2)
+    # the guard's constructive lever: same degenerate layout, hot
+    # cluster sub-partitioned 16 ways by second nearest-centroid assign
+    t0 = time.time()
+    r = ksml(["semdedup", ["stream", emb, {"key": "vec_id"}],
+              {"id": "vec_id", "vec": "embedding", "dim": 64,
+               "centroids": "vec_id = 3", "threshold": 0.3,
+               "max_cluster_pairs": 1_000_000, "hot_split": 16}],
+             spark=spark)
+    r.df.write.mode("overwrite").format("noop").save()
+    out["semdedup_hot_split16"] = round(time.time() - t0, 2)
 
     # semdedup-join hot-cluster stress (same K-knob story): k16 is the
     # intended layout; hot_k1 forces every left row and every reference

@@ -495,7 +495,18 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
        relation measures the largest cluster, and above
        ``max_cluster_pairs`` estimated within-cluster pairs (default
        1e8; 0 disables) the op refuses with a curated error naming the
-       levers instead of silently absorbing quadratic work. Defense in
+       levers instead of silently absorbing quadratic work.
+       ``{'hot_split': m}`` (default off) is the guard's built-in
+       constructive alternative: over-cap clusters are sub-partitioned
+       by a second nearest-centroid assignment against their own m
+       lowest-id members (broadcast, deterministic, geometry-aware —
+       exact duplicates always share a sub-cluster; a hash split would
+       scatter them), the rank window and pair join key on
+       (cluster, sub), and per-cluster pair work drops ~m-fold.
+       Recall trade: near-dup pairs straddling sub-clusters are not
+       compared, so the keep set can only GROW vs the unsplit decision
+       (pinned by test); densifying ``centroids`` remains the lossless
+       fix. Defense in
        depth for when K is still wrong but under the guard: the join
        key is (cluster,
        rank-block of ``pair_bucket`` rows, default 128), so one hot
@@ -542,6 +553,95 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
+    try:
+        max_pairs = int(opts.get("max_cluster_pairs", 100_000_000))
+    except (TypeError, ValueError):
+        raise ArityError(
+            "semdedup max_cluster_pairs must be an int (0 disables), got "
+            f"{opts.get('max_cluster_pairs')!r}"
+        ) from None
+    try:
+        hot_split = int(opts.get("hot_split", 0) or 0)
+    except (TypeError, ValueError):
+        raise ArityError(
+            "semdedup hot_split must be an int >= 2 (0 disables), got "
+            f"{opts.get('hot_split')!r}"
+        ) from None
+    if hot_split < 0 or hot_split == 1:
+        raise ArityError(
+            f"semdedup hot_split must be an int >= 2 (0 disables), got "
+            f"{hot_split}"
+        )
+
+    # {'hot_split': m} — the CONSTRUCTIVE alternative to the oversized-
+    # cluster refusal below (the error's "recursive split" lever, built
+    # in): clusters whose estimated pair count exceeds max_cluster_pairs
+    # are sub-partitioned by a SECOND nearest-centroid assignment
+    # against m sub-centroids sampled from inside each hot cluster (its
+    # m lowest-id members — deterministic), and the rank window + pair
+    # join then key on (cluster, sub). Geometry-aware by construction —
+    # near-duplicates sit near each other, so they land in the same
+    # sub-cluster with high probability, and EXACT duplicates always do
+    # (identical vectors produce identical sub-sims and the same
+    # min-struct pick) — unlike a hash split, which would scatter a dup
+    # pair across subs with probability (m-1)/m. Work bound: a c-member
+    # hot cluster's pair space drops from c^2/2 to ~c^2/(2m). Recall
+    # trade (documented): a near-dup pair straddling two sub-clusters
+    # is not compared — suppression can only shrink, never grow, so the
+    # keep set is a superset of the unsplit decision (pinned by test);
+    # the lossless fix remains densifying ``centroids``. The sub-
+    # centroid relation is a broadcast of <= |hot clusters| x m rows,
+    # never driver state. Output columns are unchanged (``cluster``
+    # stays the original assignment). With no over-cap cluster the
+    # plan is bit-identical to the default path.
+    split_ids: list = []
+    if hot_split and max_pairs:
+        pre = (
+            members.filter(F.col("cluster").isNotNull())
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__nm"))
+            .filter(
+                F.col("__nm") * (F.col("__nm") - 1) / 2 > F.lit(max_pairs)
+            )
+            .collect()
+        )
+        split_ids = [r["cluster"] for r in pre]
+    if split_ids:
+        wsc = Window.partitionBy("cluster").orderBy(F.col(idc).asc())
+        subc = (
+            members.filter(F.col("cluster").isin(split_ids))
+            .select("cluster", idc, "__v", "__n")
+            .withColumn("__r", F.row_number().over(wsc))
+            .filter(F.col("__r") <= hot_split)
+            .select(
+                F.col("cluster").alias("__scl"),
+                (F.col("__r") - 1).alias("__sid"),
+                F.col("__v").alias("__scv"),
+                F.col("__n").alias("__scn"),
+            )
+        )
+        sub_sim = dot_col(F.col("__v"), F.col("__scv"), dim) / (
+            F.col("__n") * F.col("__scn")
+        )
+        sub_pick = (
+            members.join(
+                F.broadcast(subc), F.col("cluster") == F.col("__scl")
+            )
+            .groupBy(idc)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-sub_sim).alias("s"), F.col("__sid").alias("b")
+                    )
+                ).alias("__pick")
+            )
+            .select(F.col(idc), F.col("__pick.b").alias("__sub"))
+        )
+        members = members.join(sub_pick, idc, "left").withColumn(
+            "__sub", F.coalesce(F.col("__sub"), F.lit(0))
+        )
+    part_cols = ("cluster", "__sub") if split_ids else ("cluster",)
+
     # rank over ALL rows (the NULL-cluster stragglers form one ignored
     # window partition), then PIN once: the relation below feeds four
     # consumers (keep base, the earlier-ranked pair side, the dup-id
@@ -553,7 +653,9 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # MEMORY_AND_DISK for small interactive runs.
     from .util import pin
 
-    w = Window.partitionBy("cluster").orderBy(F.col("sim").asc(), F.col(idc).asc())
+    w = Window.partitionBy(*part_cols).orderBy(
+        F.col("sim").asc(), F.col(idc).asc()
+    )
     level = (
         StorageLevel.MEMORY_AND_DISK
         if opts.get("storage") == "memory"
@@ -573,15 +675,10 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # estimated pairs (default 1e8 ~= a 14k-member cluster, an order
     # above the paper's ~1k regime and two below catastrophe) the op
     # refuses with the levers. {'max_cluster_pairs': 0} disables;
-    # raising the number is the explicit "I mean it" override.
-    try:
-        max_pairs = int(opts.get("max_cluster_pairs", 100_000_000))
-    except (TypeError, ValueError):
-        raise ArityError(
-            "semdedup max_cluster_pairs must be an int (0 disables), got "
-            f"{opts.get('max_cluster_pairs')!r}"
-        ) from None
-    if max_pairs:
+    # raising the number is the explicit "I mean it" override, and
+    # {'hot_split': m} (pre-checked above, which also skips this agg)
+    # is the built-in constructive alternative.
+    if max_pairs and not hot_split:
         top = (
             ranked.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -600,13 +697,18 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                     f"{max_pairs}) — the centroids sample is too sparse for "
                     "this corpus. Levers: densify {'centroids': ...} (the "
                     "paper's K knob; ~0.1% of N keeps clusters ~1k rows), "
-                    "refine the sample with kmeans-centroids first, or "
-                    "override with {'max_cluster_pairs': n} (0 disables)"
+                    "refine the sample with kmeans-centroids first, "
+                    "sub-partition hot clusters with {'hot_split': m} "
+                    "(bounded work, slight recall trade), or override with "
+                    "{'max_cluster_pairs': n} (0 disables)"
                 )
-    earlier = ranked.select(
+    earlier_cols = [
         F.col("cluster").alias("__cl"), F.col("__rk").alias("__rke"),
         F.col("__v").alias("__ve"), F.col("__n").alias("__ne"),
-    )
+    ]
+    if split_ids:
+        earlier_cols.append(F.col("__sub").alias("__sube"))
+    earlier = ranked.select(*earlier_cols)
     # plain division: inside `ranked`, cluster IS NOT NULL proves the
     # member norm > 0 (a zero-norm vector has every centroid sim NULL and
     # was filtered), so the ANSI divide-by-zero case cannot occur and the
@@ -635,16 +737,18 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # predicates and folding the cosine into a per-member max aggregate
     # keeps the chain in whole-stage codegen AND map-side-combines the
     # pair fan-out down to one row per member before the only shuffle.
+    pair_cond = (
+        (F.col("cluster") == F.col("__cl"))
+        & (F.col("__blk") == F.col("__blke"))
+        & (F.col("__rke") < F.col("__rk"))
+    )
+    if split_ids:
+        pair_cond = pair_cond & (F.col("__sub") == F.col("__sube"))
     dup_ids = (
         ranked.withColumn(
             "__blk", F.explode(F.sequence(F.lit(0), blk(F.col("__rk"))))
         )
-        .join(
-            earlier.withColumn("__blke", blk(F.col("__rke"))),
-            (F.col("cluster") == F.col("__cl"))
-            & (F.col("__blk") == F.col("__blke"))
-            & (F.col("__rke") < F.col("__rk")),
-        )
+        .join(earlier.withColumn("__blke", blk(F.col("__rke"))), pair_cond)
         .select(F.col(idc), pair_cos.alias("__pc"))
         .groupBy(idc)
         .agg(F.max("__pc").alias("__maxcos"))

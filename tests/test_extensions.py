@@ -1162,6 +1162,56 @@ def test_semdedup_oversized_cluster_guard(spark):
     assert decisions({"max_cluster_pairs": 10**6}) == base  # raised
 
 
+def test_semdedup_hot_split_bounds_work_and_preserves_exact_dups(spark):
+    """{'hot_split': m}: over-cap clusters sub-partition by a second
+    nearest-centroid assignment. Contracts: (1) it completes where the
+    guard would refuse; (2) the keep set is a SUPERSET of the unsplit
+    decision (splitting can only miss pairs, never invent them);
+    (3) EXACT duplicate pairs always share a sub-cluster and are still
+    caught; (4) with no over-cap cluster, decisions are identical to
+    the default path; (5) hot_split=1 / junk is a curated error."""
+    import pytest
+
+    from ksml_spark.errors import ArityError
+
+    rnd_rows = [("c0", [1.0, 0.0, 0.0])] + [
+        (f"v{i:02d}", [1.0, float(i % 9) / 4.0, float(i % 7) / 3.0])
+        for i in range(40)
+    ]
+    # planted exact duplicates (identical vectors, distinct ids)
+    rnd_rows += [("dupA1", [2.0, 1.0, 1.0]), ("dupA2", [2.0, 1.0, 1.0])]
+    df = spark.createDataFrame(
+        rnd_rows, "vec_id string, embedding array<double>")
+    form = {"id": "vec_id", "vec": "embedding", "dim": 3,
+            "centroids": "vec_id = 'c0'", "threshold": 0.995,
+            "max_cluster_pairs": 100}  # 43 members -> 903 pairs, over cap
+
+    def keeps(extra):
+        out = ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+                    dict(form, **extra)], spark=spark)
+        return {r["vec_id"]: r["keep"] for r in out.df.collect()}
+
+    with pytest.raises(ArityError, match="hot_split.*>= 2"):
+        keeps({"hot_split": 1})
+    with pytest.raises(ArityError, match="hot_split"):
+        keeps({"hot_split": "many"})
+    with pytest.raises(ArityError, match="too sparse"):
+        keeps({})  # guard still refuses without the lever
+
+    split = keeps({"hot_split": 4})
+    unsplit = keeps({"max_cluster_pairs": 0})
+    assert set(split) == set(unsplit)
+    kept_split = {k for k, v in split.items() if v}
+    kept_unsplit = {k for k, v in unsplit.items() if v}
+    assert kept_split >= kept_unsplit          # suppression only shrinks
+    # exact duplicates share a sub-cluster: exactly one of the pair drops
+    assert (split["dupA1"], split["dupA2"]) == (True, False)
+
+    # no over-cap cluster: hot_split must not change anything
+    easy = dict(form, max_cluster_pairs=10**6)
+    assert keeps(dict(easy, hot_split=4)) == keeps(dict(easy))
+
+
 def test_semdedup_nonfinite_vectors_flow_to_degenerate_branch(spark):
     """A NaN/Inf-component vector must behave exactly like a zero-norm
     one: cluster NULL + keep NULL in annotate mode, dropped under
