@@ -607,6 +607,9 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
         split_ids = [r["cluster"] for r in pre]
     if split_ids:
+        # the m-lowest-id pick runs row_number over each hot cluster —
+        # one O(c log c) single-partition sort per hot cluster, paid
+        # once and dwarfed by the c^2/(2m) pair work it prevents
         wsc = Window.partitionBy("cluster").orderBy(F.col(idc).asc())
         subc = (
             members.filter(F.col("cluster").isin(split_ids))
