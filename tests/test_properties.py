@@ -444,3 +444,41 @@ def test_relational_composition_laws(spark, data, thr, n):
     # select preserves row count and renames reach the schema
     sel = pipe(rel, ["select", {"k2": "key", "vv": "v * 2"}], spark=spark).df
     assert sel.count() == total and sel.columns == ["k2", "vv"]
+
+
+# -- BPE train/encode round-trip --------------------------------------------
+
+_bpe_word = st.text(alphabet="abcde01", min_size=1, max_size=8)
+_bpe_corpus = st.lists(
+    st.lists(_bpe_word, min_size=1, max_size=12), min_size=1, max_size=8)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_bpe_corpus, merges=st.integers(min_value=0, max_value=40))
+def test_bpe_train_encode_roundtrip_property(spark, docs, merges):
+    """For ANY corpus and ANY merge budget: stripping the '</w>' markers
+    from a doc's encoded tokens and re-joining reproduces the doc's
+    normalized (lowercased, tokenizer-split) words — BPE segments, it
+    never alters or drops content — and every emitted token is either a
+    trained merge product or a single char + optional marker. The
+    distinct encode impl agrees token-for-token."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    table = ksml(["bpe-train", ["stream", df, {"key": "doc_id"}],
+                  {"merges": merges, "min_freq": 1, "min_pair_freq": 1}],
+                 spark=spark)
+    merged_syms = {r["merged"] for r in table.df.collect()}
+    out = {}
+    for impl in ("perrow", "distinct"):
+        enc = ksml(["bpe-encode", ["stream", df, {"key": "doc_id"}], table,
+                    {"col": "text", "impl": impl}], spark=spark)
+        out[impl] = {r["doc_id"]: list(r["bpe_tokens"])
+                     for r in enc.df.collect()}
+    assert out["perrow"] == out["distinct"]
+    for i, ws in enumerate(docs):
+        toks = out["perrow"][i]
+        rebuilt = "".join(toks).replace("</w>", " ").split()
+        assert rebuilt == [w for w in " ".join(ws).lower().split() if w]
+        for t in toks:
+            core = t
+            assert core in merged_syms or len(core.replace("</w>", "")) <= 1
