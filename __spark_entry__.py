@@ -15,8 +15,13 @@ DuckDB oracle. Cross-engine hash-stability rules used throughout:
 * every computed column is aliased identically in the Spark plan and the
   oracle SQL.
 
-Ops with no reasonable SQL expression (simhash: JVM xxhash64) are declared
-without an oracle -> the driver records the weaker rows-only check.
+Ops whose raw output has no reasonable SQL expression (approximate
+sketches, iterative float refinement, driver-side merge-loop training)
+emit INVARIANT-SHAPED outputs instead (r12): deterministic check columns
+(tolerance booleans, coverage/fixpoint invariants, round-trip
+reconstructions) whose expected relation DuckDB states literally — so
+every registry row, including those three, is verified through the full
+rows+schema+hash channel; none fall back to the weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -749,14 +754,39 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event
 
 
 def _q_approx_distinct_users(spark, sf):
-    # HLL++ sketch — approximate by design, no SQL oracle (rows-only check);
-    # the exact twin above is the hash-verified baseline
-    return pipe(
+    """HLL++ sketch behind an invariant-shaped oracle (r12 upgrade of
+    the old rows-only row): the estimate is approximate by design, so
+    the row emits the TOLERANCE CHECK instead of the raw value —
+    |approx - exact| <= max(5, 10% of exact) per group, a ~5-sigma
+    bound at rsd=0.02 — which DuckDB states literally as TRUE per
+    event_type. Any estimator bug beyond sketch noise (wrong grouping,
+    collapsed sketch, off-by-scale) now fails rows+schema+hash; the
+    exact twin above stays the value-level baseline. Spark's HLL++ is
+    deterministic, so the check cannot flake."""
+    appr = pipe(
         ["stream", _t(sf, "events"), {"key": "event_type"}],
         ["approx-distinct", "user_id", {"by": ["event_type"], "rsd": 0.02,
                                         "as": "n_users_approx"}],
         spark=spark,
+    )
+    exact = pipe(
+        ["stream", _t(sf, "events"), {"key": "event_type"}],
+        ["group-by-key"],
+        ["agg", {"n_users_exact": "count(distinct user_id)"}],
+        spark=spark,
+    )
+    return pipe(
+        ["join", appr, exact],
+        ["select", {"event_type": "event_type",
+                    "within_tol":
+                        "abs(n_users_approx - n_users_exact) <= "
+                        "greatest(5, cast(round(0.1 * n_users_exact) as bigint))"}],
+        spark=spark,
     ).df
+
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type, TRUE AS within_tol FROM events GROUP BY event_type"""
 
 
 def _q_dedup_first(spark, sf):
@@ -1411,15 +1441,54 @@ FROM l LEFT JOIN d USING (vec_id)"""
 
 
 def _q_kmeans_centroids(spark, sf):
-    # rows-only: iterative Lloyd refinement has no SQL expression; the
-    # blob-recovery + SSE-descent tests are the correctness evidence
-    return pipe(
+    """Lloyd refinement behind an invariant-shaped oracle (r12 upgrade
+    of the old rows-only row): the iterative float means have no SQL
+    expression and their exact bits vary run-to-run, so the row emits
+    the DETERMINISTIC Lloyd invariants, which DuckDB states literally:
+    every valid vector is assigned exactly once in the final round
+    (sum(n) == count of non-NULL, dim-width, finite, nonzero-norm
+    embeddings), surviving clusters are non-empty, K only shrinks from
+    the init sample, centroids are dim-wide. Any fan-out / drop /
+    dimension bug now fails rows+schema+hash; the blob-recovery and
+    SSE-descent tests remain the value-level evidence."""
+    km = pipe(
         ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
         ["kmeans-centroids", {"id": "vec_id", "vec": "embedding", "dim": 64,
                               "init": "vec_id % 127 = 3", "iters": 3}],
-        ["select", {"cluster": "cluster", "n": "n"}],
+        ["select", {"one": "1", "n": "n", "c_dim": "size(centroid)"}],
+        ["group-by", ["key-value-mapper", {"one": "one"}]],
+        ["agg", {"n_clusters": "count(1)", "assigned": "sum(n)",
+                 "min_n": "min(n)",
+                 "bad_dims": "sum(case when c_dim = 64 then 0 else 1 end)"}],
+        spark=spark,
+    )
+    emb = pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["select", {"one_r": "1",
+                    "valid": "case when embedding is not null"
+                             " and size(embedding) = 64"
+                             " and forall(embedding, x -> not isnan(x)"
+                             "   and abs(x) < cast('Infinity' as double))"
+                             " and aggregate(embedding, cast(0 as double),"
+                             "   (a, x) -> a + x * x) > 0"
+                             " then 1 else 0 end",
+                    "is_init": "case when vec_id % 127 = 3 then 1 else 0 end"}],
+        ["group-by", ["key-value-mapper", {"one_r": "one_r"}]],
+        ["agg", {"n_valid": "sum(valid)", "k_init": "sum(is_init)"}],
+        spark=spark,
+    )
+    return pipe(
+        ["join", km, emb],
+        ["select", {"coverage_ok": "assigned = n_valid",
+                    "k_ok": "n_clusters >= 1 and n_clusters <= k_init",
+                    "nonempty_ok": "min_n >= 1",
+                    "dim_ok": "bad_dims = 0"}],
         spark=spark,
     ).df
+
+
+_KMEANS_CENTROIDS_ORACLE = """
+SELECT TRUE AS coverage_ok, TRUE AS k_ok, TRUE AS nonempty_ok, TRUE AS dim_ok"""
 
 
 def _q_vec_quantize(spark, sf):
@@ -2709,14 +2778,16 @@ FROM events GROUP BY user_id"""
 
 
 def _q_bpe_train_encode(spark, sf):
-    """Composed tokenizer-training row (the ops shipped in r10 with
-    tests + the tokenizer_training example but no driver evidence):
-    bpe-train a merge table on the documents corpus, bpe-encode the
-    same corpus under it, emit per-doc exact token counts. No SQL
-    oracle — the driver-side incremental merge-loop training has no
-    reasonable DuckDB formulation (the kmeans_centroids precedent), so
-    this row is rows-only; values are pinned by the merge-for-merge
-    naive-reference parity test, the encode round-trip test, and the
+    """Composed tokenizer-training row: bpe-train a merge table on the
+    documents corpus, bpe-encode the same corpus under it. r12 upgrade
+    (was rows-only): hash-exact PARTIAL oracle via the round-trip
+    invariant (tests/test_properties.py) — concatenating a doc's BPE
+    tokens and replacing the '</w>' end-of-word markers with spaces
+    reconstructs exactly the pre-tokenized word sequence, which DuckDB
+    computes directly from text — so any encode bug corrupting token
+    CONTENT or word BOUNDARIES fails rows+schema+hash. The merge-table
+    values themselves (token split points within words) stay pinned by
+    the merge-for-merge naive-reference parity test and the
     perrow==distinct impl-parity test."""
     docs = ["stream", _t(sf, "documents"), {"key": "doc_id"}]
     return pipe(
@@ -2724,9 +2795,19 @@ def _q_bpe_train_encode(spark, sf):
          ["bpe-train", docs, {"col": "text", "merges": 60, "min_freq": 2,
                               "min_pair_freq": 2}],
          {"col": "text"}],
-        ["select", {"doc_id": "doc_id", "n_bpe_tokens": "size(bpe_tokens)"}],
+        ["select", {"doc_id": "doc_id",
+                    "rejoined": "case when bpe_tokens is null then null "
+                                "else rtrim(replace(concat_ws('', bpe_tokens),"
+                                " '</w>', ' ')) end"}],
         spark=spark,
     ).df
+
+
+_BPE_TRAIN_ENCODE_ORACLE = """
+SELECT doc_id,
+       array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> ''), ' ') AS rejoined
+FROM documents"""
 
 
 # ---------------------------------------------------------------------------
@@ -2816,11 +2897,18 @@ def _q_bpe_train_encode(spark, sf):
 # other registry query, so clause a fails at the op granularity the
 # dup_clusters/winnow precedents set — similar expression SHAPES in
 # _gram_ids/pmi are different code paths.) Its slot funds
-# bpe_train_encode, the composed tokenizer-training row (rows-only; the
-# only computational ops that had no registry entry after r10).
+# bpe_train_encode, the composed tokenizer-training row (the only
+# computational ops that had no registry entry after r10).
+#
+# r12: the three no_oracle rows (bpe_train_encode, approx_distinct_users,
+# kmeans_centroids) were upgraded IN PLACE to invariant-shaped hash-exact
+# oracles (round-trip reconstruction / tolerance check / Lloyd
+# invariants — see each query's docstring). Same names, same rotation
+# slots; their first driver-verified rows land when their blocks
+# re-enter the window (r13 for bpe_train_encode, r13 for the other two).
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     # --- never recorded: brand-new in r11, first of all ---
-    "bpe_train_encode": (_q_bpe_train_encode, None),
+    "bpe_train_encode": (_q_bpe_train_encode, _BPE_TRAIN_ENCODE_ORACLE),
     # --- green in r09 (stalest evidence): ROTATION HEAD for r11 — the
     # driver re-records exactly these 49 survivors (+ the new row above
     # = the 50-row window) this round. Sub-blocks keep the r09 head
@@ -2844,7 +2932,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "rollup_revenue": (_q_rollup, _ROLLUP_ORACLE),
     "window_rank_orders": (_q_window_rank, _WINDOW_RANK_ORACLE),
     "exact_distinct_users": (_q_exact_distinct_users, _EXACT_DISTINCT_ORACLE),
-    "approx_distinct_users": (_q_approx_distinct_users, None),
+    "approx_distinct_users": (_q_approx_distinct_users, _APPROX_DISTINCT_ORACLE),
     "dedup_first_event": (_q_dedup_first, _DEDUP_FIRST_ORACLE),
     "distinct_flags": (_q_distinct, _DISTINCT_ORACLE),
     "topn_orders": (_q_topn, _TOPN_ORACLE),
@@ -2873,7 +2961,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "top_bigrams": (_q_top_bigrams, _TOP_BIGRAMS_ORACLE),
     "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
     "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
-    "kmeans_centroids": (_q_kmeans_centroids, None),
+    "kmeans_centroids": (_q_kmeans_centroids, _KMEANS_CENTROIDS_ORACLE),
     "scrub_text": (_q_scrub, _SCRUB_ORACLE),
     # --- green in r10 (freshest evidence): behind the rotation head;
     # these 50 re-enter the window in r12. (Sub-blocks keep the r10
