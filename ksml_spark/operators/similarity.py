@@ -506,7 +506,15 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
        Recall trade: near-dup pairs straddling sub-clusters are not
        compared, so the keep set can only GROW vs the unsplit decision
        (pinned by test); densifying ``centroids`` remains the lossless
-       fix. Defense in
+       fix. The split is RE-CHECKED (r12): one agg over the already-
+       pinned ranked relation re-measures the largest (cluster, sub)
+       group, and a geometry the sub-centroids failed to spread (still
+       over ``max_cluster_pairs``) emits a curated ResourceWarning
+       naming the levers — the constructive path completes, but never
+       absorbs the quadratic work silently. ``{'max_cluster_pairs': 0}``
+       together with ``hot_split`` is refused at construction (the cap
+       is the split's trigger, so the combination would do nothing).
+       Defense in
        depth for when K is still wrong but under the guard: the join
        key is (cluster,
        rank-block of ``pair_bucket`` rows, default 128), so one hot
@@ -572,6 +580,16 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             f"semdedup hot_split must be an int >= 2 (0 disables), got "
             f"{hot_split}"
         )
+    if hot_split and not max_pairs:
+        # contradictory request (ADVICE r11): hot_split sub-partitions
+        # the clusters max_cluster_pairs flags, so disabling the cap
+        # while asking for the split would silently yield NEITHER
+        raise ArityError(
+            "semdedup {'max_cluster_pairs': 0} disables the oversized-"
+            f"cluster check that {{'hot_split': {hot_split}}} acts on — "
+            "the combination does nothing. Drop hot_split, or keep a "
+            "positive max_cluster_pairs as the split trigger"
+        )
 
     # {'hot_split': m} — the CONSTRUCTIVE alternative to the oversized-
     # cluster refusal below (the error's "recursive split" lever, built
@@ -594,8 +612,25 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # never driver state. Output columns are unchanged (``cluster``
     # stays the original assignment). With no over-cap cluster the
     # plan is bit-identical to the default path.
+    from .util import pin
+
+    level = (
+        StorageLevel.MEMORY_AND_DISK
+        if opts.get("storage") == "memory"
+        else StorageLevel.DISK_ONLY
+    )
     split_ids: list = []
+    members_pin = None
     if hot_split and max_pairs:
+        # Pin members BEFORE the hot_split branches (ADVICE r11): the
+        # pre-check collect below plus the subc / sub_pick / join-back
+        # branches are four consumers of the scan + centroid assignment
+        # — unpinned, each re-ran the full corpus pass (3 extra scans at
+        # 100 TB). The pre-check collect materializes the pin; it is
+        # released as soon as the ranked pin below is materialized (or
+        # immediately when no cluster is over the cap).
+        members_pin = pin(members, level)
+        members = members_pin
         pre = (
             members.filter(F.col("cluster").isNotNull())
             .groupBy("cluster")
@@ -606,6 +641,11 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             .collect()
         )
         split_ids = [r["cluster"] for r in pre]
+        if not split_ids:
+            # nothing over the cap: drop the pin now — downstream is
+            # then the default path (one derivation into the ranked pin)
+            members_pin.unpersist(blocking=False)
+            members_pin = None
     if split_ids:
         # the m-lowest-id pick runs row_number over each hot cluster —
         # one O(c log c) single-partition sort per hot cluster, paid
@@ -654,15 +694,8 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # the pinned rows carry the corpus vectors, which would thrash
     # executor storage memory at 100 TB; {"storage": "memory"} opts into
     # MEMORY_AND_DISK for small interactive runs.
-    from .util import pin
-
     w = Window.partitionBy(*part_cols).orderBy(
         F.col("sim").asc(), F.col(idc).asc()
-    )
-    level = (
-        StorageLevel.MEMORY_AND_DISK
-        if opts.get("storage") == "memory"
-        else StorageLevel.DISK_ONLY
     )
     pinned = pin(members.withColumn("__rk", F.row_number().over(w)), level)
     ranked = pinned.filter(F.col("cluster").isNotNull())
@@ -704,6 +737,49 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                     "sub-partition hot clusters with {'hot_split': m} "
                     "(bounded work, slight recall trade), or override with "
                     "{'max_cluster_pairs': n} (0 disables)"
+                )
+    if split_ids:
+        # Post-split re-check (VERDICT r11): sub-partitioning m ways
+        # bounds a c-member cluster at ~c^2/(2m) pairs only in
+        # EXPECTATION — a pathological geometry (every member nearest
+        # the same sub-centroid) can leave one (cluster, sub) group
+        # still over the cap, and the pre-check above never sees it.
+        # One agg over the pinned relation (materializing the pin the
+        # real plan reuses) measures the largest post-split group; over
+        # the cap the op WARNS with the guard's levers (not a refusal:
+        # the user explicitly chose the constructive path and its
+        # documented work/recall trade — the class being fixed is
+        # SILENT quadratic absorption, and the warning names the fix).
+        top = (
+            ranked.filter(F.col("cluster").isin(split_ids))
+            .groupBy("cluster", "__sub")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.col("__n").desc())
+            .limit(1)
+            .collect()
+        )
+        if members_pin is not None:
+            # the ranked pin is materialized now; the members pin has
+            # served its four consumers
+            members_pin.unpersist(blocking=False)
+            members_pin = None
+        if top:
+            c_max, hot, sub = top[0]["__n"], top[0]["cluster"], top[0]["__sub"]
+            est = c_max * (c_max - 1) // 2
+            if est > max_pairs:
+                import warnings
+
+                warnings.warn(
+                    f"semdedup: hot_split={hot_split} still leaves "
+                    f"(cluster {hot!r}, sub {sub}) at {c_max} members "
+                    f"(~{est} within-group pairs > max_cluster_pairs="
+                    f"{max_pairs}) — the sub-centroids did not spread this "
+                    "cluster; the pair join will absorb that quadratic "
+                    "work. Levers: raise {'hot_split': m}, densify "
+                    "{'centroids': ...} (the lossless fix), or raise "
+                    "{'max_cluster_pairs': n}",
+                    ResourceWarning,
+                    stacklevel=3,
                 )
     earlier_cols = [
         F.col("cluster").alias("__cl"), F.col("__rk").alias("__rke"),

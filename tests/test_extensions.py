@@ -1197,8 +1197,32 @@ def test_semdedup_hot_split_bounds_work_and_preserves_exact_dups(spark):
         keeps({"hot_split": "many"})
     with pytest.raises(ArityError, match="too sparse"):
         keeps({})  # guard still refuses without the lever
+    # cap disabled + split requested = contradictory (ADVICE r11): the
+    # cap is the split's trigger, so the combo would silently do neither
+    with pytest.raises(ArityError, match="combination does nothing"):
+        keeps({"max_cluster_pairs": 0, "hot_split": 4})
 
-    split = keeps({"hot_split": 4})
+    # post-split re-check (r12): this layout is degenerate — m=4
+    # sub-centroids fail to spread the 43-member cluster under the
+    # 100-pair cap — so the split completes but must WARN with the
+    # levers instead of absorbing the quadratic work silently
+    import warnings
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        split = keeps({"hot_split": 4})
+    assert any(
+        issubclass(w.category, ResourceWarning)
+        and "did not spread" in str(w.message)
+        for w in rec
+    ), [str(w.message) for w in rec]
+    # ...and stays SILENT when the split does satisfy the cap: 800 still
+    # triggers the split (903 estimated pairs) but the largest post-split
+    # group (39 members = 741 pairs) now fits under it
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        keeps({"hot_split": 4, "max_cluster_pairs": 800})
+    assert not any("did not spread" in str(w.message) for w in rec2)
     unsplit = keeps({"max_cluster_pairs": 0})
     assert set(split) == set(unsplit)
     kept_split = {k for k, v in split.items() if v}

@@ -342,7 +342,11 @@ def test_no_query_plans_a_cartesian_or_stray_nested_loop(spark):
                "dist_shift_js",
                # dsir attaches one-row (__tp, __tq) hash-total aggregates
                # onto the <=8192-row lambda table — same scalar-attach class
-               "dsir_scores"}
+               "dsir_scores",
+               # r12 invariant oracle: joins TWO one-row global aggregates
+               # (cluster invariants x corpus validity counts) on constant
+               # keys Catalyst folds away — a 1x1 scalar attach
+               "kmeans_centroids"}
     bad = []
     for name, fn in m.queries().items():
         p = (fn(spark, "/root/testdata/sf0.001")
