@@ -149,7 +149,11 @@ def _stream_bench(spark, sf_dir: str) -> dict:
 
             t0 = time.time()
             src = file_stream_source(spark, src_path or docs_path)
-            opts = {"verify": 0.7, "broadcast": True}
+            # unbounded_ok: the bench measures the bounded-duration
+            # default deliberately (the r12 construction warning would
+            # otherwise fire per pass); the dedup_within-bounded shape
+            # is probed by scripts/stream_scale_probe.py
+            opts = {"verify": 0.7, "broadcast": True, "unbounded_ok": True}
             if impl:
                 opts["impl"] = impl
             out = _ksml(

@@ -587,13 +587,38 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     # bounded cross-batch pair dedup: by default the streaming pair
     # dedup state (distinct / dropDuplicates below) grows with every
     # pair ever emitted — correct, but unbounded on a continuous
-    # stream. {"dedup_within": "1 hour"} applies an event-time
+    # stream, and LOUD about it since r12 (ResourceWarning at
+    # construction; {"unbounded_ok": True} acknowledges).
+    # {"dedup_within": "1 hour"} applies an event-time
     # watermark on the left and uses dropDuplicatesWithinWatermark, so
     # state is bounded by the delay window (re-emission of a pair after
     # the window is the documented trade).
     dedup_within = opts.get("dedup_within")
     ltc = None
     ldf = left.df
+    if (
+        left.df.isStreaming
+        and dedup_within is None
+        and not opts.get("unbounded_ok")
+    ):
+        # loud-at-construction (VERDICT r11): the cross-batch pair-dedup
+        # store below is the engine's ONE unbounded default state — the
+        # r11 probe measured it linear in corpus history (109k rows and
+        # growing), while every sibling cap (cooccurrence window, vocab
+        # collect, semdedup guard) announces itself at construction.
+        import warnings
+
+        warnings.warn(
+            "lsh-join on a STREAMING left without {'dedup_within': ...} "
+            "keeps every emitted pair in cross-batch dedup state — state "
+            "grows with the full corpus history (measured linear; "
+            "docs/SCALE.md). Bound it with {'dedup_within': '<delay>'} "
+            "(needs a left time column; bounds state by the watermark "
+            "window, measured 20-40x smaller), or acknowledge with "
+            "{'unbounded_ok': True}.",
+            ResourceWarning,
+            stacklevel=3,
+        )
     if dedup_within is not None:
         if not left.df.isStreaming:
             raise ArityError(

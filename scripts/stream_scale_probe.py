@@ -188,7 +188,7 @@ def main():
         for files in (BASE_FILES, BASE_FILES * 10):
             dp = os.path.join(tmp, f"docs_{files}")
             gen_docs(spark, dp, n_docs, files)
-            for label, extra in (("nodedupwin", {}),
+            for label, extra in (("nodedupwin", {"unbounded_ok": True}),
                                  ("dedupwin", {"dedup_within": "30 minutes"})):
                 src = stream_src(spark, dp)
                 out = ksml(

