@@ -734,7 +734,8 @@ def op_bpe_train(ctx: Ctx, rel: Rel, *rest) -> Rel:
     vocabulary (ADVICE r10). Pass {'tokenizer': 'unicode'} to split on
     Unicode letter/digit runs instead, giving non-Latin words
     character-level BPE fallback; train and encode must use the SAME
-    tokenizer (parity pinned by test).
+    tokenizer — the choice is STAMPED into the merge table (rank-field
+    metadata, r12) and bpe-encode refuses a mismatch.
 
     Scale shape (the kmeans-centroids contract applied to tokenizers):
     the 100 TB corpus is scanned ONCE — explode words -> hash-agg to the
@@ -789,7 +790,14 @@ def op_bpe_train(ctx: Ctx, rel: Rel, *rest) -> Rel:
         StructField("right", StringType(), False),
         StructField("merged", StringType(), False),
     ])
-    out = ctx.spark.createDataFrame(table, schema)
+    # stamp the training tokenizer into the rank field's metadata
+    # (ADVICE r11): bpe-encode validates it and refuses a mismatched
+    # pre-tokenization, which otherwise silently degrades or empties
+    # encodings. Metadata keeps the (rank,left,right,merged) schema
+    # unchanged for hand-built tables (which skip the check).
+    out = ctx.spark.createDataFrame(table, schema).withMetadata(
+        "rank", {"bpe_tokenizer": tokenizer}
+    )
     return rel.with_df(out, key_cols=("rank",), time_col=None)
 
 
@@ -854,7 +862,10 @@ def op_bpe_encode(ctx: Ctx, rel: Rel, merges: Rel, *rest) -> Rel:
     Pre-tokenization ({'tokenizer': ...}) must MATCH bpe-train's: the
     default 'ascii' split is ASCII-ONLY — non-Latin text encodes to
     EMPTY token arrays (ADVICE r10); 'unicode' splits on Unicode
-    letter/digit runs so such words get character-level fallback.
+    letter/digit runs so such words get character-level fallback. A
+    bpe-train table carries its tokenizer stamped in the rank field's
+    metadata (r12) and a mismatch is REFUSED with a curated error;
+    hand-built tables carry no stamp and are trusted as-is.
 
     Two batch-equivalent impls (values pinned identical by test):
 
@@ -922,6 +933,25 @@ def op_bpe_encode(ctx: Ctx, rel: Rel, merges: Rel, *rest) -> Rel:
             f"bpe-encode merge table is missing column(s) "
             f"{sorted(missing)} — expected the (rank, left, right, "
             "merged) relation bpe-train returns"
+        )
+    # tokenizer-mismatch guard (ADVICE r11): bpe-train stamps its
+    # pre-tokenizer into the rank field's metadata; encoding under a
+    # different split silently produces degraded or empty encodings
+    # (e.g. unicode-trained vocabulary applied to ascii-split words),
+    # so a stamped mismatch is refused. Hand-built tables carry no
+    # stamp and skip the check.
+    try:
+        trained_tok = (merges.df.schema["rank"].metadata or {}).get(
+            "bpe_tokenizer"
+        )
+    except Exception:
+        trained_tok = None
+    if trained_tok is not None and trained_tok != tokenizer:
+        raise ArityError(
+            f"bpe-encode tokenizer {tokenizer!r} does not match the merge "
+            f"table's training tokenizer {trained_tok!r} — train and "
+            "encode must share the pre-tokenization split; pass "
+            f"{{'tokenizer': {trained_tok!r}}} to bpe-encode"
         )
     mrows = []
     for r in merges.df.select("rank", "left", "right").collect():

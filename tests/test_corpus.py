@@ -532,6 +532,46 @@ def test_bpe_unicode_tokenizer_non_latin_fallback(spark):
     assert uni_distinct == uni
 
 
+def test_bpe_encode_refuses_tokenizer_mismatch(spark):
+    """ADVICE r11: bpe-train stamps its tokenizer into the merge table
+    (rank-field metadata, schema unchanged) and bpe-encode refuses a
+    mismatched pre-tokenization — a unicode-trained vocabulary applied
+    under the ascii split (or vice versa) silently degrades or empties
+    encodings. Hand-built tables carry no stamp and are trusted."""
+    from ksml_spark import ksml
+
+    rows = [(1, "déjà vu déjà"), (2, "plain ascii words")]
+    corpus = _docs(spark, rows)
+
+    def train(tok_opts):
+        return ksml(["bpe-train", ["stream", corpus, {"key": "doc_id"}],
+                     dict({"merges": 10, "min_freq": 1, "min_pair_freq": 1},
+                          **tok_opts)], spark=spark)
+
+    uni_table = train({"tokenizer": "unicode"})
+    # mismatch (explicit AND by-default): curated refusal naming the fix
+    for enc_opts in ({}, {"tokenizer": "ascii"}):
+        with pytest.raises(ArityError, match="training tokenizer 'unicode'"):
+            ksml(["bpe-encode", ["stream", corpus, {"key": "doc_id"}],
+                  uni_table, dict({"col": "text"}, **enc_opts)], spark=spark)
+    ascii_table = train({})
+    with pytest.raises(ArityError, match="training tokenizer 'ascii'"):
+        ksml(["bpe-encode", ["stream", corpus, {"key": "doc_id"}],
+              ascii_table, {"col": "text", "tokenizer": "unicode"}],
+             spark=spark)
+    # matching stamp: works (both directions)
+    got = _train_encode(spark, corpus, corpus,
+                        {"tokenizer": "unicode"}, {"tokenizer": "unicode"})
+    assert got[1] and "".join(got[1]).replace("</w>", " ").strip() == "déjà vu déjà"
+    # hand-built table (no stamp): trusted as-is under any tokenizer
+    hand = ksml(["stream", spark.createDataFrame(
+        [(0, "a", "b", "ab")], "rank int, left string, right string, "
+        "merged string"), {"key": "rank"}], spark=spark)
+    out = ksml(["bpe-encode", ["stream", corpus, {"key": "doc_id"}],
+                hand, {"col": "text", "tokenizer": "unicode"}], spark=spark)
+    assert out.df.count() == 2
+
+
 # ---------------------------------------------------------------------------
 # tfidf-topk
 
