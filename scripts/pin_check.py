@@ -25,7 +25,10 @@ def load_pins():
             if not m:
                 continue
             name, val, note = m.group(1), float(m.group(2)), m.group(3)
-            if "RETIRED" in note or "re-pinned r08 as" in note:
+            # skip retired rows and rows renamed away in ANY round
+            # (ADVICE r11: the r08-only literal double-counted future
+            # re-pin rounds)
+            if "RETIRED" in note or re.search(r"re-pinned r\d+ as", note):
                 continue
             pins[name] = val
     return pins
@@ -58,7 +61,9 @@ def main():
           f"n={bench.get('n_queries')}")
     print(f"pinned rows compared: {len(ratios)}")
     if ratios:
-        med = ratios[len(ratios) // 2]
+        import statistics
+
+        med = statistics.median(ratios)
         print(f"median ratio {med:.2f}   pin-sum ratio "
               f"{pin_sum_n / pin_sum_d:.2f}   worst "
               f"{max(ratios):.2f}")
