@@ -188,7 +188,13 @@ def _stream_bench(spark, sf_dir: str) -> dict:
                 ckpt, small_group=1 << 62, paths=(hlp, hrp)),
             "stream_table_join": st_join,
             "session_fold": session_fold,
-            "lsh_join_stream": lsh_join_stream,  # auto -> km since r09
+            # auto -> km since r09; 8x-replicated layout since r12: the
+            # 5k-doc input twice drew cold-start adjudications (r10
+            # outlier, r11 suite 1,093 vs isolated 2,500 docs/s) because
+            # one availableNow micro-batch carries ~2.4s fixed cost —
+            # the larger input measures throughput, not setup
+            "lsh_join_stream": lambda ckpt: lsh_join_stream(
+                ckpt, src_path=docs8_path, rows=8 * n_docs),
             "lsh_join_stream_md5": lambda ckpt: lsh_join_stream(ckpt, impl="md5"),
             "lsh_join_stream_km": lambda ckpt: lsh_join_stream(
                 ckpt, impl="km", src_path=docs8_path, rows=8 * n_docs),
