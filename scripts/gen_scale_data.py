@@ -17,7 +17,9 @@ Matched properties (measured on /root/testdata/sf0.1):
   embeddings: n = 20_000*sf rows; embedding = 64 iid N(0, 0.125)
     float32; label ~ U[0, 9].
 
-Usage: python scripts/gen_scale_data.py <sf> <out_dir>
+Usage: python scripts/gen_scale_data.py <sf> <out_dir> [vec_sf]
+       (vec_sf scales ONLY the embeddings table — the vector-axis probe
+       holds documents constant while growing the vector count)
 """
 import os
 import sys
@@ -36,7 +38,7 @@ LANGS = ["en", "zh", "es", "fr", "de"]
 LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
 
 
-def gen(sf: float, out_dir: str, seed: int = 42) -> None:
+def gen(sf: float, out_dir: str, seed: int = 42, vec_sf: float = None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     n_docs = int(50_000 * sf)
@@ -58,7 +60,7 @@ def gen(sf: float, out_dir: str, seed: int = 42) -> None:
     })
     pq.write_table(docs, f"{out_dir}/documents.parquet")
 
-    n_vec = int(20_000 * sf)
+    n_vec = int(20_000 * (sf if vec_sf is None else vec_sf))
     mat = rng.normal(0.0, 0.125, size=(n_vec, 64)).astype(np.float32)
     emb = pa.table({
         "vec_id": pa.array(np.arange(n_vec), pa.int64()),
@@ -70,4 +72,5 @@ def gen(sf: float, out_dir: str, seed: int = 42) -> None:
 
 
 if __name__ == "__main__":
-    gen(float(sys.argv[1]), sys.argv[2])
+    gen(float(sys.argv[1]), sys.argv[2],
+        vec_sf=float(sys.argv[3]) if len(sys.argv) > 3 else None)
