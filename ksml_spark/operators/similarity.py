@@ -119,6 +119,145 @@ def _nearest_order() -> Column:
     )
 
 
+# the {"assign_impl": "auto"} cutover: below this K the codegen
+# crossJoin fan-out wins (zero Arrow transfer, stays in whole-stage
+# codegen); at or above it the N x K dot work dominates and one BLAS
+# matmul per Arrow batch is 1-2 orders faster per element. 257 keeps
+# every bundled-testdata query (K <= ~16 at the %127 sampling) on the
+# oracle-reference expr plan.
+_BLAS_ASSIGN_MIN_K = 257
+
+
+def _seqdot(a, b) -> float:
+    """Strictly left-to-right IEEE-double accumulation — the exact
+    summation order of dot_col's unrolled chain and DuckDB's
+    list_dot_product, so re-decided values agree with the oracle
+    BIT-FOR-BIT (shared by the semdedup-join near-tie pass and the
+    kmeans-assign/ann-ivf blas path)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _blas_assign_udf(ctx: Ctx, cid_type, init_rows, dim: int):
+    """Build the exact-argmax BLAS assignment UDF over a collected
+    centroid set, or None when no centroid is usable (caller falls back
+    to the expr plan, whose all-NULL sims produce the same all-NULL
+    assignment).
+
+    Bit-exactness contract (the semdedup-join r11 near-tie machinery,
+    generalized): argmax by cosine with ties to the smallest centroid id
+    must equal the expr plan's min_by((-sim, cid)) — and through it the
+    DuckDB oracle's row_number ORDER BY sim DESC, cid — on EVERY input:
+
+    * centroids sort ascending by id and np.argmax keeps the first max,
+      so exact ties pick the smallest id;
+    * rows whose best/second-best cosine gap is within summation-order
+      error (<= 1e-9 of cosine scale; BLAS reassociation is ~1e-13
+      relative at these dims) are re-decided with left-to-right
+      sequential dots on the RAW centroid vectors — the oracle's exact
+      arithmetic;
+    * degenerate rows (NULL / non-finite / zero-norm vectors) return
+      NULL, matching the expr plan's NULL-sim skip; vectors LONGER
+      than dim are truncated to the first dim components, exactly like
+      the unrolled getItem chain. One forgiving divergence:
+      shorter-than-dim vectors return NULL here, where the expr plan's
+      getItem raises ANSI INVALID_ARRAY_INDEX (a job failure — blas is
+      strictly more tolerant of that malformed-input class);
+    * degenerate centroids (NULL id / short / non-finite / zero-norm)
+      are skipped, matching their never-winning NULL sims."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = []
+    for r in sorted(
+        init_rows, key=lambda r: (r["__cid"] is None, r["__cid"])
+    ):
+        v = r["__cv"]
+        if r["__cid"] is None or v is None or len(v) < dim:
+            continue
+        a = np.asarray(v[:dim], dtype=np.float64)
+        n = float(np.linalg.norm(a))
+        if not np.isfinite(a).all() or n <= 0.0:
+            continue
+        cents.append((r["__cid"], a / n, a, math.sqrt(_seqdot(a, a))))
+    if not cents:
+        return None
+    cids = [c for c, _, _, _ in cents]
+    cmat = np.vstack([u for _, u, _, _ in cents])
+    craw = np.vstack([a for _, _, a, _ in cents])
+    crn = np.asarray([sn for _, _, _, sn in cents])
+    bc = ctx.spark.sparkContext.broadcast((cids, cmat, craw, crn))
+
+    @pandas_udf(cid_type)
+    def _assign(vs):
+        import math as _math
+
+        cids_, cn, craw_, crn_ = bc.value
+        arrs = vs.to_numpy()
+        res = np.full(len(arrs), None, dtype=object)
+        ok = np.fromiter(
+            (a is not None and len(a) >= cn.shape[1] for a in arrs),
+            dtype=bool, count=len(arrs),
+        )
+        if ok.any():
+            mat = np.vstack([
+                np.asarray(a[: cn.shape[1]], dtype=np.float64)
+                for a in arrs[ok]
+            ])
+            rn = np.linalg.norm(mat, axis=1)
+            good = np.isfinite(mat).all(axis=1) & (rn > 0.0)
+            scores = mat @ cn.T
+            idx = scores.argmax(axis=1)
+            if cn.shape[0] > 1:
+                part = np.partition(scores, -2, axis=1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    gap = (part[:, -1] - part[:, -2]) / rn
+                for i in np.flatnonzero(good & (gap <= 1e-9)):
+                    v = mat[i]
+                    nv = _math.sqrt(_seqdot(v, v))
+                    best, bi = None, idx[i]
+                    for k in range(craw_.shape[0]):
+                        cosk = _seqdot(v, craw_[k]) / (nv * crn_[k])
+                        if best is None or cosk > best:
+                            best, bi = cosk, k
+                    idx[i] = bi
+            picks = np.asarray(cids_, dtype=object)[idx]
+            picks[~good] = None
+            res[np.flatnonzero(ok)] = picks
+        return pd.Series(res)
+
+    return _assign
+
+
+def _assign_impl_opts(opts, op_name: str, dim):
+    """Parse the shared {'assign_impl': ..., 'max_k': ...} options."""
+    from ..errors import ArityError
+
+    impl = opts.get("assign_impl", "auto")
+    if impl not in ("auto", "expr", "blas"):
+        raise ArityError(
+            f"{op_name} assign_impl must be 'auto', 'expr' or 'blas', "
+            f"got {impl!r}"
+        )
+    try:
+        max_k = int(opts.get("max_k", 65536))
+    except (TypeError, ValueError):
+        raise ArityError(
+            f"{op_name} max_k must be an int, got {opts.get('max_k')!r}"
+        ) from None
+    if impl == "blas" and not dim:
+        raise ArityError(
+            f"{op_name} {{'assign_impl': 'blas'}} needs {{'dim': n}} "
+            "(the matmul requires a fixed vector width)"
+        )
+    return impl, max_k
+
+
 from .util import spread as _spread  # noqa: E402  (shared plan helper)
 
 
@@ -214,7 +353,17 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     aggregation (no shuffle of the big side beyond the cluster-keyed
     candidate join); each query touches ~nprobe/K of the data. This is the
     100 TB inverted-file layout — on a real deployment the assignment
-    output is written bucketed by cluster id so probes prune partitions."""
+    output is written bucketed by cluster id so probes prune partitions.
+
+    {'assign_impl': 'auto'|'expr'|'blas'} + {'max_k': n} (r12): the
+    expr assignment pays K codegen dots per row, and with the centroid
+    sample growing with the corpus that branch is N x K — the r12
+    vector-axis probe measured this op superlinear (exp 1.56 on the
+    30x step) on exactly it. 'auto' (default) switches to the
+    bit-exact BLAS argmax pick at K >= 257 (the kmeans-assign
+    machinery; see its docstring), which also removes the expr plan's
+    corpus-wide argmax groupBy shuffle; the over-max_k centroid guard
+    applies on every path."""
     from pyspark.sql import Window
 
     opts = _opts(rest)
@@ -222,6 +371,9 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     k = int(opts.get("k", 3))
     dim = opts.get("dim")
     nprobe = int(opts.get("nprobe", 2))
+    from ..errors import ArityError
+
+    impl, max_k = _assign_impl_opts(opts, "ann-ivf-topk", dim)
     # spread ONLY the assignment branch below — spreading `prepared`
     # itself puts an exchange in front of every branch (centroids, query
     # probe) and measured slower; round-robin exchanges are not reused
@@ -231,15 +383,55 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     cents = prepared.filter(F.expr(_req(opts, "centroids", "ann-ivf-topk"))).select(
         F.col(idc).alias("__cid"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
     )
-    # nearest centroid per vector: argmax by (sim, then smallest cid);
-    # the K-way fan-out against broadcast centroids is the heavy branch,
-    # so a single-split source is spread across cores first
-    scored = _spread(prepared).crossJoin(F.broadcast(cents)).withColumn("__csim", _centroid_sim(dim))
-    assign = scored.groupBy(idc).agg(
-        F.first("__v").alias("__v"),  # constant within the group
-        F.first("__n").alias("__n"),
-        F.min_by(F.col("__cid"), _nearest_order()).alias("__cluster"),
+    # centroid-cardinality guard + blas/auto decision (r12, the
+    # kmeans-assign contract — see its docstring): the K-per-row codegen
+    # fan-out below is N x K work, superlinear when the centroid sample
+    # grows with the corpus (the r12 vector-axis probe measured exactly
+    # this row at exp 1.56 on the 30x step; blas re-measured it at ~N)
+    init_rows = cents.limit(max_k + 1).collect()
+    if not init_rows:
+        raise ArityError(
+            "ann-ivf-topk: centroids filter matched no rows"
+        )
+    if len(init_rows) > max_k:
+        raise ArityError(
+            "ann-ivf-topk: centroids filter matched more than "
+            f"max_k={max_k} rows — sample sparser or raise {{'max_k': n}}"
+        )
+    use_blas = impl == "blas" or (
+        impl == "auto"
+        and dim
+        and len(init_rows) >= _BLAS_ASSIGN_MIN_K
+        and all(r["__cid"] is not None for r in init_rows)
     )
+    assign = None
+    if use_blas:
+        cid_type = next(
+            f.dataType for f in prepared.schema.fields if f.name == idc
+        )
+        udf = _blas_assign_udf(ctx, cid_type, init_rows, int(dim))
+        if udf is not None:
+            # per-row pick, no groupBy: the expr plan's argmax agg
+            # shuffles the corpus (vectors included) once — the UDF pick
+            # keeps assignment exchange-free; NULL picks (degenerate
+            # vectors) drop here exactly as NULL clusters never match
+            # the candidate equi-join below
+            assign = (
+                _spread(prepared)
+                .withColumn("__cluster", udf(F.col("__v")))
+                .filter(F.col("__cluster").isNotNull())
+            )
+    if assign is None:
+        # nearest centroid per vector: argmax by (sim, then smallest
+        # cid); the K-way fan-out against broadcast centroids is the
+        # heavy branch, so a single-split source is spread across cores
+        # first
+        scored = _spread(prepared).crossJoin(F.broadcast(cents)).withColumn("__csim", _centroid_sim(dim))
+        assign = scored.groupBy(idc).agg(
+            F.first("__v").alias("__v"),  # constant within the group
+            F.first("__n").alias("__n"),
+            F.min_by(F.col("__cid"), _nearest_order()).alias("__cluster"),
+        )
 
     # queries probe their nprobe nearest clusters
     qw = Window.partitionBy("q_id").orderBy(F.col("__csim").desc(), F.col("__cid").asc())
@@ -414,7 +606,27 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     This is also exactly the partition-assignment
     step a bucketed IVF table build runs at 100 TB scale: one broadcast
     of K centroids, one codegen fan-out + hash-agg argmax, no shuffle of
-    the corpus side."""
+    the corpus side.
+
+    {'assign_impl': 'auto'|'expr'|'blas'} (r12): the codegen crossJoin
+    fan-out pays K unrolled dots per row — with K itself growing with
+    the corpus (the %127-style sampling), assignment work is N x K and
+    the r12 vector-axis probe measured ann-ivf superlinear on exactly
+    this branch. 'blas' collects the bounded centroid set (``max_k``
+    guard, default 65536 — the kmeans-centroids contract) and assigns
+    with one BLAS matmul + argmax per Arrow batch, bit-exact to the
+    expr plan via the semdedup-join near-tie machinery (sequential-dot
+    re-decision within a 1e-9 cosine gap; see _blas_assign_udf), then
+    recomputes `sim` against the PICKED centroid with the identical
+    codegen dot expression — one dot per row instead of K, and no
+    corpus shuffle (the expr plan's argmax groupBy exchanges the
+    corpus once). 'auto' (default) picks blas at K >= 257, keeping
+    small-K corpora on the oracle-reference expr plan. One observable
+    difference under MALFORMED input: duplicate ids collapse to one
+    output row on the expr plan (groupBy) but flow through per-row on
+    blas — unique ids are the op's key contract. A centroid filter
+    matching more than ``max_k`` rows is refused loudly on every path
+    (r12; previously the expr broadcast absorbed it silently)."""
     from ..errors import ArityError
 
     opts = _opts(rest)
@@ -423,6 +635,7 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     init = opts.get("centroids") or opts.get("init")
     if not init:
         raise ArityError("kmeans-assign needs {'centroids': <filter expr>}")
+    impl, max_k = _assign_impl_opts(opts, "kmeans-assign", dim)
     if rel.df.isStreaming:
         raise ArityError(
             "kmeans-assign is batch-only (the empty-centroid probe and "
@@ -434,13 +647,51 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     cents = prepared.filter(F.expr(init)).select(
         F.col(idc).alias("__cid"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
     )
-    # fail loudly, not with a silently-empty assignment: a centroid
-    # filter matching zero rows means every vector would be dropped by
-    # the crossJoin (one limit-1 probe; stops at the first hit)
-    if cents.isEmpty():
+    # fail loudly, not with a silently-empty assignment — and guard the
+    # centroid cardinality on every path: the K+1-capped collect (K rows
+    # of bounded driver state, the kmeans-centroids contract) also feeds
+    # the blas/auto decision
+    init_rows = cents.limit(max_k + 1).collect()
+    if not init_rows:
         raise ArityError(
             f"kmeans-assign: centroids filter {init!r} matched no rows"
         )
+    if len(init_rows) > max_k:
+        raise ArityError(
+            f"kmeans-assign: centroids filter {init!r} matched more than "
+            f"max_k={max_k} rows — sample sparser or raise {{'max_k': n}}"
+        )
+    use_blas = impl == "blas" or (
+        impl == "auto"
+        and dim
+        and len(init_rows) >= _BLAS_ASSIGN_MIN_K
+        and all(r["__cid"] is not None for r in init_rows)
+    )
+    if use_blas:
+        cid_type = next(
+            f.dataType for f in prepared.schema.fields if f.name == idc
+        )
+        udf = _blas_assign_udf(ctx, cid_type, init_rows, int(dim))
+        if udf is not None:
+            # sim recomputed against the PICKED centroid with the same
+            # codegen expression the expr plan evaluates — bit-exact by
+            # construction; a NULL cluster misses the broadcast join and
+            # sim stays NULL (the degenerate/audit branch)
+            picked = prepared.withColumn("cluster", udf(F.col("__v"))).join(
+                F.broadcast(
+                    cents.select(
+                        F.col("__cid").alias("cluster"), "__cv", "__cn"
+                    )
+                ),
+                "cluster",
+                "left",
+            )
+            assigned = picked.select(
+                F.col(idc), F.col("cluster"), _centroid_sim(dim).alias("sim")
+            )
+            return KStreamRel(assigned, key_cols=(idc,))
+        # no usable centroid: the expr plan's all-NULL sims produce the
+        # same all-NULL assignment — fall through
     # cluster = argmax sim (ties -> smallest centroid id, string-id
     # safe); sim = that max. A zero-norm vector gets (NULL, NULL) —
     # documented, instead of an ANSI DIVIDE_BY_ZERO job failure — and a
@@ -554,7 +805,19 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         # "kmeans-assign needs ..." for a form the user never wrote
         raise ArityError("semdedup needs {'centroids': <filter expr>}")
     assigned = op_kmeans_assign(
-        ctx, rel, {"id": idc, "vec": vecc, "dim": dim, "centroids": cents}
+        ctx, rel, {"id": idc, "vec": vecc, "dim": dim, "centroids": cents,
+                   # assignment levers threaded through (r12) — but the
+                   # DEFAULT here is expr, not auto: semdedup joins the
+                   # assignment back to the corpus on `idc`, and the
+                   # expr argmax's groupBy leaves its output hash-
+                   # partitioned by exactly that key, so the join adds
+                   # no exchange; the blas pick would re-shuffle and
+                   # pay the Arrow pass for nothing (measured A/B at
+                   # 60k x K=472: expr ~5.5-6.2s in-op vs blas
+                   # ~8.6-12s). Standalone kmeans-assign (no downstream
+                   # key reuse) keeps auto, where blas wins 3x.
+                   "assign_impl": opts.get("assign_impl", "expr"),
+                   "max_k": opts.get("max_k", 65536)}
     ).df
     members = assigned.join(_prepared(rel, idc, vecc, dim), idc)
 

@@ -1047,6 +1047,107 @@ def test_kmeans_assign_string_ids_ties_and_zero_norm(spark):
     assert got["c_a"] == ("c_a", 1.0) and got["c_b"] == ("c_a", 1.0)
 
 
+def test_kmeans_assign_blas_impl_bit_matches_expr(spark):
+    """r12 {'assign_impl': 'blas'}: BLAS matmul argmax + near-tie
+    sequential re-decision + picked-centroid codegen sim must equal the
+    expr crossJoin plan BIT-FOR-BIT — on exact centroid ties (smallest
+    id), near-tie centroids (1e-13 apart), and every degenerate row
+    class (NULL / zero-norm / NaN / short / long vectors)."""
+    rows = [
+        ("c_b", [1.0, 0.0, 0.0, 0.0]),          # exact duplicate of c_a
+        ("c_a", [1.0, 0.0, 0.0, 0.0]),
+        ("c_n", [1.0, 1e-13, 0.0, 0.0]),        # near-tie vs c_a/c_b
+        ("c_y", [0.0, 1.0, 0.0, 0.0]),
+        ("v1", [2.0, 0.0, 0.0, 0.0]),           # ties c_a/c_b, near c_n
+        ("v2", [0.5, 0.5, 0.0, 0.0]),
+        ("v3", [0.0, 3.0, 0.0, 0.0]),
+        ("v4", [1.0, 1e-10, 0.0, 0.0]),         # inside the 1e-9 gap
+        ("vnull", None),
+        ("vzero", [0.0, 0.0, 0.0, 0.0]),
+        ("vnan", [1.0, float("nan"), 0.0, 0.0]),
+        # (no shorter-than-dim row: the expr plan's unrolled getItem
+        # raises ANSI INVALID_ARRAY_INDEX on those — pre-existing
+        # contract; blas is strictly more forgiving and NULLs them)
+        ("vlong", [0.0, 1.0, 0.0, 0.0, 9.0, 9.0]),  # truncates to dim
+    ] + [(f"w{i:02d}", [1.0, i / 7.0, (i % 3) / 2.0, 0.1]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    def run(impl):
+        out = ksml(["kmeans-assign", ["stream", df, {"key": "vec_id"}],
+                    {"id": "vec_id", "vec": "embedding", "dim": 4,
+                     "centroids": "vec_id like 'c%'",
+                     "assign_impl": impl}], spark=spark)
+        return {r["vec_id"]: (r["cluster"], repr(r["sim"]))
+                for r in out.df.collect()}
+
+    expr, blas = run("expr"), run("blas")
+    assert expr == blas
+    assert expr["v1"][0] == "c_a"            # exact tie -> smallest id
+    assert expr["vnull"] == (None, "None")
+    assert expr["vzero"] == (None, "None")
+    assert expr["vnan"] == (None, "None")
+    assert expr["vlong"][0] == "c_y"         # truncation matches expr
+
+    from ksml_spark.errors import ArityError
+
+    with pytest.raises(ArityError, match="assign_impl"):
+        run("vectorized")
+    with pytest.raises(ArityError, match="needs .'dim'"):
+        ksml(["kmeans-assign", ["stream", df, {"key": "vec_id"}],
+              {"id": "vec_id", "vec": "embedding",
+               "centroids": "vec_id like 'c%'", "assign_impl": "blas"}],
+             spark=spark)
+    with pytest.raises(ArityError, match="more than max_k"):
+        ksml(["kmeans-assign", ["stream", df, {"key": "vec_id"}],
+              {"id": "vec_id", "vec": "embedding", "dim": 4,
+               "centroids": "vec_id like 'c%'", "max_k": 2}], spark=spark)
+
+
+def test_ann_ivf_blas_impl_matches_expr_and_auto_cutover(spark):
+    """r12: ann-ivf-topk with {'assign_impl': 'blas'} returns the exact
+    expr-plan result (same probes, same candidates, same ranked sims);
+    'auto' resolves to blas at K >= 257 and stays identical too."""
+    rows = [(i, [1.0 + (i % 17) / 7.0, (i % 5) / 3.0,
+                 (i % 11) / 9.0, 0.25]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    form = {"id": "vec_id", "vec": "embedding", "k": 3, "dim": 4,
+            "queries": "vec_id % 40 = 0", "centroids": "vec_id % 29 = 1",
+            "nprobe": 2}
+
+    def run(extra):
+        out = ksml(["ann-ivf-topk", ["stream", df, {"key": "vec_id"}],
+                    dict(form, **extra)], spark=spark)
+        return {(r["q_id"], r["rank"]): (r["n_id"], repr(r["sim"]))
+                for r in out.df.collect()}
+
+    expr = run({"assign_impl": "expr"})
+    assert expr == run({"assign_impl": "blas"})
+    # auto cutover: 300 centroids >= 257 -> blas; still identical
+    dense = dict(form, centroids="vec_id % 4 != 3")  # 300 of 400
+    assert run(dict(dense, assign_impl="expr")) == \
+        run(dict(dense, assign_impl="auto"))
+
+
+def test_semdedup_blas_assign_matches_default(spark):
+    """r12: semdedup threads assign_impl through to kmeans-assign; the
+    blas pick must leave every (cluster, sim, keep) decision unchanged
+    (sims feed the rank window, so bit-exactness is load-bearing)."""
+    rows = [(f"v{i:02d}", [1.0, (i % 9) / 4.0, (i % 7) / 3.0])
+            for i in range(40)] + [("vz", [0.0, 0.0, 0.0]), ("vn", None)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    form = {"id": "vec_id", "vec": "embedding", "dim": 3,
+            "centroids": "vec_id in ('v00', 'v03', 'v07')",
+            "threshold": 0.995}
+
+    def run(extra):
+        out = ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
+                    dict(form, **extra)], spark=spark)
+        return {r["vec_id"]: (r["cluster"], repr(r["sim_centroid"]),
+                              r["keep"]) for r in out.df.collect()}
+
+    assert run({}) == run({"assign_impl": "blas"})
+
+
 def test_semdedup_noncascading_triangular_rule(spark):
     """SemDeDup's keep rule, pinned on a hand-built 2-D chain: rank by
     (sim-to-centroid ASC, id), a member is a duplicate iff SOME
