@@ -482,3 +482,53 @@ def test_bpe_train_encode_roundtrip_property(spark, docs, merges):
         for t in toks:
             core = t
             assert core in merged_syms or len(core.replace("</w>", "")) <= 1
+
+
+# -- kmeans-assign expr/blas bit-parity --------------------------------------
+
+vec_corpus = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.one_of(
+                st.floats(min_value=-4, max_value=4,
+                          allow_nan=False, allow_infinity=False),
+                st.just(float("nan")),
+            ),
+            min_size=3, max_size=5,   # dim 3; longer vectors truncate
+        ),
+    ),
+    min_size=4, max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=vec_corpus, n_cents=st.integers(min_value=1, max_value=6))
+def test_kmeans_assign_blas_parity_property(spark, vecs, n_cents):
+    """r12 {'assign_impl': 'blas'} invariant: for ANY corpus — including
+    NULL / NaN / zero-norm / longer-than-dim vectors and duplicate
+    (exactly tied) centroids — the BLAS argmax + near-tie re-decision
+    returns the expr crossJoin plan's (cluster, sim) BIT-FOR-BIT."""
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    # centroid set = the first n_cents non-degenerate rows, duplicated
+    # once to force exact ties (smallest-id rule must decide them)
+    cent_ids = [i for i, v in rows
+                if v is not None and len(v) >= 3
+                and not any(x != x for x in v[:3])
+                and any(x != 0.0 for x in v[:3])][:n_cents]
+    if not cent_ids:
+        return  # expr and blas both refuse/degenerate identically
+    df = spark.createDataFrame(
+        rows + [(1000 + i, vecs[i]) for i in cent_ids],
+        "vec_id long, embedding array<double>")
+    cond = "vec_id in ({})".format(",".join(
+        str(i) for i in cent_ids + [1000 + i for i in cent_ids]))
+
+    def run(impl):
+        out = ksml(["kmeans-assign", ["stream", df, {"key": "vec_id"}],
+                    {"id": "vec_id", "vec": "embedding", "dim": 3,
+                     "centroids": cond, "assign_impl": impl}], spark=spark)
+        return sorted((r["vec_id"], r["cluster"], repr(r["sim"]))
+                      for r in out.df.collect())
+
+    assert run("expr") == run("blas")
