@@ -75,6 +75,24 @@ def main() -> None:
     )
     incoming.df.groupBy("keep").count().orderBy("keep").show()
 
+    # r12: the SemDeDup paper's refine-then-dedup loop — Lloyd-refine
+    # the centroid sample first, then cluster against the refined
+    # RELATION (the centroid-table operand; a persisted table works the
+    # same — train once, dedup every new corpus against it)
+    refined = ksml(
+        ["kmeans-centroids", ["stream", emb, {"key": "vec_id"}],
+         {"id": "vec_id", "vec": "embedding", "dim": 64,
+          "init": "vec_id % 127 = 3", "iters": 3}],
+        spark=spark,
+    )
+    refined_dedup = ksml(
+        ["semdedup", ["stream", emb, {"key": "vec_id"}], refined,
+         {"id": "vec_id", "vec": "embedding", "dim": 64,
+          "threshold": 0.3}],
+        spark=spark,
+    )
+    refined_dedup.df.groupBy("keep").count().orderBy("keep").show()
+
 
 if __name__ == "__main__":
     main()

@@ -234,6 +234,41 @@ def _blas_assign_udf(ctx: Ctx, cid_type, init_rows, dim: int):
     return _assign
 
 
+def _cents_of_rel(cents_rel: Rel, opts, op_name: str, dim):
+    """Resolve a centroid RELATION operand to the (__cid, __cv, __cn)
+    shape the assignment plans consume (r12): accepts kmeans-centroids
+    output (cluster, centroid, n) by default, or any relation via
+    {'centroid_id': col, 'centroid_vec': col} — e.g. a centroid table
+    read from parquet, the train-once / assign-many 100 TB pattern.
+    The norm expression is identical to the filter-expr path's, so an
+    assignment against a relation holding exactly the filter's rows is
+    bit-identical (pinned by test). Must be batch: the centroid set is
+    broadcast (expr plan) or collected (blas plan) whole."""
+    from ..errors import ArityError
+
+    cidc = opts.get("centroid_id", "cluster")
+    cvec = opts.get("centroid_vec", "centroid")
+    if cents_rel.df.isStreaming:
+        raise ArityError(
+            f"{op_name} centroid relation must be batch (it is "
+            "broadcast/collected once); snapshot or materialize the "
+            "stream first"
+        )
+    missing = {cidc, cvec} - set(cents_rel.df.columns)
+    if missing:
+        raise ArityError(
+            f"{op_name} centroid relation is missing column(s) "
+            f"{sorted(missing)} — expected the (cluster, centroid) shape "
+            "kmeans-centroids returns, or name yours with "
+            "{'centroid_id': col, 'centroid_vec': col}"
+        )
+    v = F.col(cvec).cast("array<double>")
+    return cents_rel.df.select(
+        F.col(cidc).alias("__cid"), v.alias("__cv"),
+        norm_col(v, dim).alias("__cn"),
+    )
+
+
 def _assign_impl_opts(opts, op_name: str, dim):
     """Parse the shared {'assign_impl': ..., 'max_k': ...} options."""
     from ..errors import ArityError
@@ -343,7 +378,10 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                                "centroids": <filter expr>, "nprobe": 2}]
 
     1. centroids = deterministically sampled rows (the ``centroids``
-       filter; a k-means refinement drops in without changing the plan);
+       filter) — or, r12, a centroid RELATION operand
+       (``["ann-ivf-topk", rel, kmeans_output, {...}]``), so a k-means
+       refinement genuinely drops in: (cluster, centroid) by default,
+       any shape via {'centroid_id'/'centroid_vec': col};
     2. every vector is assigned to its nearest centroid — broadcast join
        against the (tiny) centroid set, argmax by (sim, centroid id);
     3. each query probes its ``nprobe`` nearest clusters and ranks only
@@ -374,14 +412,27 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     from ..errors import ArityError
 
     impl, max_k = _assign_impl_opts(opts, "ann-ivf-topk", dim)
+    cents_rel = next((r for r in rest if isinstance(r, Rel)), None)
+    if cents_rel is not None and (opts.get("centroids") or opts.get("init")):
+        raise ArityError(
+            "ann-ivf-topk takes EITHER a centroid relation operand OR "
+            "{'centroids': <filter expr>}, not both"
+        )
     # spread ONLY the assignment branch below — spreading `prepared`
     # itself puts an exchange in front of every branch (centroids, query
     # probe) and measured slower; round-robin exchanges are not reused
     # across branches
     prepared = _prepared(rel, idc, vecc, dim)
 
-    cents = prepared.filter(F.expr(_req(opts, "centroids", "ann-ivf-topk"))).select(
-        F.col(idc).alias("__cid"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    cents = (
+        _cents_of_rel(cents_rel, opts, "ann-ivf-topk", dim)
+        if cents_rel is not None
+        else prepared.filter(
+            F.expr(_req(opts, "centroids", "ann-ivf-topk"))
+        ).select(
+            F.col(idc).alias("__cid"), F.col("__v").alias("__cv"),
+            F.col("__n").alias("__cn"),
+        )
     )
     # centroid-cardinality guard + blas/auto decision (r12, the
     # kmeans-assign contract — see its docstring): the K-per-row codegen
@@ -406,8 +457,10 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     )
     assign = None
     if use_blas:
+        # cluster ids come from the CENTROID side (a relation operand
+        # may carry a different id type than the corpus key)
         cid_type = next(
-            f.dataType for f in prepared.schema.fields if f.name == idc
+            f.dataType for f in cents.schema.fields if f.name == "__cid"
         )
         udf = _blas_assign_udf(ctx, cid_type, init_rows, int(dim))
         if udf is not None:
@@ -598,6 +651,15 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         ["kmeans-assign", rel, {"id": "vec_id", "vec": "embedding",
                                 "dim": 64, "centroids": "vec_id % 127 = 3"}]
 
+        ["kmeans-assign", rel, centroid_table, {"id": ..., "dim": 64}]
+        -> r12: the centroid set can be a RELATION operand instead of a
+           corpus filter — kmeans-centroids output (cluster, centroid)
+           by default, any relation via {'centroid_id'/'centroid_vec':
+           col}. This closes the refine->assign composition (and the
+           train-once / assign-many pattern: persist the centroid
+           table, assign every new corpus against it). Bit-identical
+           to the filter path on the same rows (pinned by test).
+
     Assigns every vector to its nearest ``centroids``-sampled row by
     cosine (ties → smallest centroid id; numeric OR string ids) and
     returns (id, cluster, sim). Zero-norm vectors get (cluster NULL,
@@ -633,8 +695,18 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     dim = opts.get("dim")
     init = opts.get("centroids") or opts.get("init")
-    if not init:
-        raise ArityError("kmeans-assign needs {'centroids': <filter expr>}")
+    cents_rel = next((r for r in rest if isinstance(r, Rel)), None)
+    if cents_rel is not None and init:
+        raise ArityError(
+            "kmeans-assign takes EITHER a centroid relation operand OR "
+            "{'centroids': <filter expr>}, not both"
+        )
+    if not init and cents_rel is None:
+        raise ArityError(
+            "kmeans-assign needs {'centroids': <filter expr>} or a "
+            "centroid relation operand (e.g. kmeans-centroids output)"
+        )
+    src_desc = f"filter {init!r}" if cents_rel is None else "relation"
     impl, max_k = _assign_impl_opts(opts, "kmeans-assign", dim)
     if rel.df.isStreaming:
         raise ArityError(
@@ -644,8 +716,13 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
 
     prepared = _prepared(rel, idc, vecc, dim)
-    cents = prepared.filter(F.expr(init)).select(
-        F.col(idc).alias("__cid"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    cents = (
+        _cents_of_rel(cents_rel, opts, "kmeans-assign", dim)
+        if cents_rel is not None
+        else prepared.filter(F.expr(init)).select(
+            F.col(idc).alias("__cid"), F.col("__v").alias("__cv"),
+            F.col("__n").alias("__cn"),
+        )
     )
     # fail loudly, not with a silently-empty assignment — and guard the
     # centroid cardinality on every path: the K+1-capped collect (K rows
@@ -654,11 +731,11 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     init_rows = cents.limit(max_k + 1).collect()
     if not init_rows:
         raise ArityError(
-            f"kmeans-assign: centroids filter {init!r} matched no rows"
+            f"kmeans-assign: centroids {src_desc} matched no rows"
         )
     if len(init_rows) > max_k:
         raise ArityError(
-            f"kmeans-assign: centroids filter {init!r} matched more than "
+            f"kmeans-assign: centroids {src_desc} matched more than "
             f"max_k={max_k} rows — sample sparser or raise {{'max_k': n}}"
         )
     use_blas = impl == "blas" or (
@@ -668,8 +745,10 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         and all(r["__cid"] is not None for r in init_rows)
     )
     if use_blas:
+        # cluster ids come from the CENTROID side (a relation operand
+        # may carry a different id type than the corpus key)
         cid_type = next(
-            f.dataType for f in prepared.schema.fields if f.name == idc
+            f.dataType for f in cents.schema.fields if f.name == "__cid"
         )
         udf = _blas_assign_udf(ctx, cid_type, init_rows, int(dim))
         if udf is not None:
@@ -718,6 +797,12 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         ["semdedup", rel, {"id": "vec_id", "vec": "embedding", "dim": 64,
                            "centroids": "vec_id % 127 = 3",
                            "threshold": 0.9, "action": "annotate"}]
+
+        ["semdedup", rel, centroid_table, {...}]  (r12)
+        -> cluster against a centroid RELATION instead of a corpus
+           filter — kmeans-centroids output drops in directly, closing
+           the paper's refine-then-dedup loop (shape contract in
+           kmeans-assign's docstring).
 
     Three stages, one logical plan (no iteration):
 
@@ -800,12 +885,22 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
 
     cents = opts.get("centroids") or opts.get("init")
-    if not cents:
+    cents_rel = next((r for r in rest if isinstance(r, Rel)), None)
+    if cents_rel is not None and cents:
+        raise ArityError(
+            "semdedup takes EITHER a centroid relation operand OR "
+            "{'centroids': <filter expr>}, not both"
+        )
+    if not cents and cents_rel is None:
         # raise under THIS op's name — delegating would surface
         # "kmeans-assign needs ..." for a form the user never wrote
-        raise ArityError("semdedup needs {'centroids': <filter expr>}")
+        raise ArityError(
+            "semdedup needs {'centroids': <filter expr>} or a centroid "
+            "relation operand (e.g. kmeans-centroids output)"
+        )
     assigned = op_kmeans_assign(
-        ctx, rel, {"id": idc, "vec": vecc, "dim": dim, "centroids": cents,
+        ctx, rel, *(() if cents_rel is None else (cents_rel,)),
+        {"id": idc, "vec": vecc, "dim": dim, "centroids": cents,
                    # assignment levers threaded through (r12) — but the
                    # DEFAULT here is expr, not auto: semdedup joins the
                    # assignment back to the corpus on `idc`, and the
@@ -817,7 +912,9 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                    # ~8.6-12s). Standalone kmeans-assign (no downstream
                    # key reuse) keeps auto, where blas wins 3x.
                    "assign_impl": opts.get("assign_impl", "expr"),
-                   "max_k": opts.get("max_k", 65536)}
+                   "max_k": opts.get("max_k", 65536),
+                   "centroid_id": opts.get("centroid_id", "cluster"),
+                   "centroid_vec": opts.get("centroid_vec", "centroid")}
     ).df
     members = assigned.join(_prepared(rel, idc, vecc, dim), idc)
 
@@ -1438,7 +1535,11 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                                    "iters": 5}]
 
     Starts from the deterministic ``init`` sample (same contract as
-    ann-ivf-topk's "centroids") and runs ``iters`` fixed Lloyd rounds:
+    ann-ivf-topk's "centroids") — or, r12, from an init RELATION
+    operand (``["kmeans-centroids", rel, prior_output, {...}]``): warm
+    start from a previous run's (cluster, centroid) output or any
+    centroid table via {'centroid_id'/'centroid_vec': col} — and runs
+    ``iters`` fixed Lloyd rounds:
     assign every vector to its nearest centroid by cosine, recompute
     each centroid as the coordinate-wise mean (dim unrolled
     avg(getItem(i)) aggregates with map-side partials). Returns
@@ -1487,35 +1588,52 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     except (TypeError, ValueError) as e:
         raise ArityError(f"kmeans-centroids: bad numeric option: {e}") from None
     init = opts.get("init") or opts.get("centroids")
-    if not init:
-        raise ArityError("kmeans-centroids needs {'init': <filter expr>}")
+    init_rel = next((r for r in rest if isinstance(r, Rel)), None)
+    if init_rel is not None and init:
+        raise ArityError(
+            "kmeans-centroids takes EITHER an init relation operand OR "
+            "{'init': <filter expr>}, not both"
+        )
+    if not init and init_rel is None:
+        raise ArityError(
+            "kmeans-centroids needs {'init': <filter expr>} or an init "
+            "relation operand (warm start from a previous run's output)"
+        )
+    src_desc = f"filter {init!r}" if init_rel is None else "relation"
     if rel.df.isStreaming:
         raise ArityError("kmeans-centroids is batch-only")
 
     prepared = _prepared(rel, idc, vecc, dim)
     vecs = _spread(prepared).localCheckpoint() if iters > 0 else prepared
-    cid_type = next(f.dataType for f in prepared.schema.fields if f.name == idc)
+    # cluster ids come from the INIT side (a warm-start relation may
+    # carry a different id type than the corpus key)
+    init_src = (
+        _cents_of_rel(init_rel, opts, "kmeans-centroids", dim)
+        .select("__cid", "__cv")
+        if init_rel is not None
+        else vecs.filter(F.expr(init)).select(
+            F.col(idc).alias("__cid"), F.col("__v").alias("__cv")
+        )
+    )
+    cid_type = next(
+        f.dataType for f in init_src.schema.fields if f.name == "__cid"
+    )
 
     # the centroid set is bounded driver state: limit(max_k+1) caps the
     # fetch so a too-dense init fails loudly instead of collecting the
     # corpus onto the driver
-    init_rows = (
-        vecs.filter(F.expr(init))
-        .select(F.col(idc).alias("__cid"), F.col("__v").alias("__cv"))
-        .limit(max_k + 1)
-        .collect()
-    )
+    init_rows = init_src.limit(max_k + 1).collect()
     if not init_rows:
         if iters > 0:
             vecs.unpersist()
         raise ArityError(
-            f"kmeans-centroids: init filter {init!r} matched no rows"
+            f"kmeans-centroids: init {src_desc} matched no rows"
         )
     if len(init_rows) > max_k:
         if iters > 0:
             vecs.unpersist()
         raise ArityError(
-            f"kmeans-centroids: init filter {init!r} matched more than "
+            f"kmeans-centroids: init {src_desc} matched more than "
             f"max_k={max_k} rows — sample sparser or raise {{'max_k': n}}"
         )
     # (cid, centroid ndarray-or-None, n-or-None), ascending by cid so a

@@ -1128,6 +1128,69 @@ def test_ann_ivf_blas_impl_matches_expr_and_auto_cutover(spark):
         run(dict(dense, assign_impl="auto"))
 
 
+def test_centroid_relation_operand_matches_filter_and_composes(spark):
+    """r12: kmeans-assign / ann-ivf-topk / semdedup accept a centroid
+    RELATION operand. Contracts: (1) a relation holding exactly the
+    filter's rows is bit-identical to the filter path; (2) the
+    kmeans-centroids -> ann-ivf / semdedup / assign composition runs
+    end-to-end (the docstrings' 'refinement drops in' promise);
+    (3) kmeans-centroids warm-starts from a prior run's output;
+    (4) curated errors: both-given, missing columns, streaming."""
+    rows = [(i, [1.0 + (i % 9) / 4.0, (i % 5) / 3.0, 0.2]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = ["stream", df, {"key": "vec_id"}]
+    flt = "vec_id % 7 = 1"
+    # a relation with exactly the filter's rows, in kmeans-centroids'
+    # (cluster, centroid) column shape
+    cents_tbl = ksml(["select", src,
+                      {"cluster": "vec_id", "centroid": "embedding"}],
+                     spark=spark)
+    cents_tbl = ksml(["where", cents_tbl, flt.replace("vec_id", "cluster")],
+                     spark=spark)
+
+    def assign(*ops):
+        out = ksml(["kmeans-assign", src, *ops], spark=spark)
+        return sorted((r["vec_id"], r["cluster"], repr(r["sim"]))
+                      for r in out.df.collect())
+
+    base_form = {"id": "vec_id", "vec": "embedding", "dim": 3}
+    assert assign(dict(base_form, centroids=flt)) == \
+        assign(cents_tbl, base_form)                      # (1) bit-parity
+
+    km = ksml(["kmeans-centroids", src,
+               {"id": "vec_id", "vec": "embedding", "dim": 3,
+                "init": flt, "iters": 2}], spark=spark)
+    # (2) refined centroids drop into all three consumers
+    ivf = ksml(["ann-ivf-topk", src, km,
+                {"id": "vec_id", "vec": "embedding", "k": 2, "dim": 3,
+                 "queries": "vec_id % 20 = 0", "nprobe": 1}], spark=spark)
+    got = ivf.df.collect()
+    assert got and all(r["rank"] <= 2 for r in got)
+    sd = ksml(["semdedup", src, km,
+               {"id": "vec_id", "vec": "embedding", "dim": 3,
+                "threshold": 0.999}], spark=spark)
+    sdrows = sd.df.collect()
+    assert len(sdrows) == 60 and any(r["keep"] is False for r in sdrows)
+    asg = ksml(["kmeans-assign", src, km, base_form], spark=spark)
+    km_ids = {r["cluster"] for r in km.df.collect()}
+    assert {r["cluster"] for r in asg.df.collect()} <= km_ids
+    # (3) warm start from the prior run's output
+    km2 = ksml(["kmeans-centroids", src, km,
+                {"id": "vec_id", "vec": "embedding", "dim": 3,
+                 "iters": 1}], spark=spark)
+    n2 = km2.df.collect()
+    assert n2 and sum(r["n"] for r in n2) == 60 and len(n2) <= len(km_ids)
+
+    from ksml_spark.errors import ArityError
+
+    with pytest.raises(ArityError, match="not both"):
+        ksml(["kmeans-assign", src, km, dict(base_form, centroids=flt)],
+             spark=spark)
+    with pytest.raises(ArityError, match="missing column"):
+        ksml(["kmeans-assign", src, ksml(["select", src,
+              {"cid": "vec_id"}], spark=spark), base_form], spark=spark)
+
+
 def test_semdedup_blas_assign_matches_default(spark):
     """r12: semdedup threads assign_impl through to kmeans-assign; the
     blas pick must leave every (cluster, sim, keep) decision unchanged
