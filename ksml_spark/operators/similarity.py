@@ -140,6 +140,109 @@ def _seqdot(a, b) -> float:
     return s
 
 
+def _build_blas_cents(init_rows, dim: int):
+    """Collected centroid rows -> (cids asc, unit matrix, raw matrix,
+    sequential norms), skipping degenerate centroids (NULL id / short /
+    non-finite / zero-norm — the rows whose expr-plan sims are NULL and
+    never win). None when nothing is usable."""
+    import math
+
+    import numpy as np
+
+    cents = []
+    for r in sorted(
+        init_rows, key=lambda r: (r["__cid"] is None, r["__cid"])
+    ):
+        v = r["__cv"]
+        if r["__cid"] is None or v is None or len(v) < dim:
+            continue
+        a = np.asarray(v[:dim], dtype=np.float64)
+        n = float(np.linalg.norm(a))
+        if not np.isfinite(a).all() or n <= 0.0:
+            continue
+        cents.append((r["__cid"], a / n, a, math.sqrt(_seqdot(a, a))))
+    if not cents:
+        return None
+    return (
+        [c for c, _, _, _ in cents],
+        np.vstack([u for _, u, _, _ in cents]),
+        np.vstack([a for _, _, a, _ in cents]),
+        np.asarray([sn for _, _, _, sn in cents]),
+    )
+
+
+def _blas_probe_udf(ctx: Ctx, cid_type, init_rows, dim: int, nprobe: int):
+    """Top-``nprobe`` nearest-centroid probe as one BLAS matmul +
+    stable argsort per Arrow batch — the query-side twin of
+    _blas_assign_udf (r12): returns array<cid> of the nprobe nearest
+    usable centroids by (cosine DESC, cid ASC), bit-matching the expr
+    plan's row_number window on every input that matters downstream:
+
+    * the stable argsort on ascending-id centroids reproduces the
+      cid-ASC tie-break;
+    * a BOUNDARY near-tie (rank-nprobe vs rank-nprobe+1 cosine gap
+      within 1e-9) is re-ranked with exact sequential dots — order
+      INSIDE the probe set is immaterial (the candidate join consumes
+      it as a set), so only the boundary needs the exact pass;
+    * degenerate centroids are skipped — the guarded expr plan ranks
+      their NULL sims last, and no member is ever ASSIGNED to one, so
+      probing them matches nothing: candidate sets agree;
+    * degenerate queries (NULL / short / non-finite / zero-norm)
+      probe the nprobe smallest usable ids, mirroring the all-NULL-sim
+      ordering; their pair cosines are NULL/failing downstream on both
+      plans (outside the supported envelope)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
+
+    built = _build_blas_cents(init_rows, dim)
+    if built is None:
+        return None
+    bc = ctx.spark.sparkContext.broadcast(built)
+
+    @pandas_udf(ArrayType(cid_type))
+    def _probe(vs):
+        import math as _math
+
+        cids_, cn, craw_, crn_ = bc.value
+        k = cn.shape[0]
+        take = min(nprobe, k)
+        smallest = list(cids_[:take])
+        arrs = vs.to_numpy()
+        out = []
+        for a in arrs:
+            if a is None or len(a) < cn.shape[1]:
+                out.append(smallest)
+                continue
+            v = np.asarray(a[: cn.shape[1]], dtype=np.float64)
+            rn = float(np.linalg.norm(v))
+            if not np.isfinite(v).all() or rn <= 0.0:
+                out.append(smallest)
+                continue
+            scores = cn @ v
+            idx = np.argsort(-scores, kind="stable")
+            if k > take:
+                gap = (scores[idx[take - 1]] - scores[idx[take]]) / rn
+                if gap <= 1e-9:
+                    # exact boundary re-rank: sequential cosines on the
+                    # raw vectors, ordered by (-cos, cid position)
+                    nv = _math.sqrt(_seqdot(v, v))
+                    exact = sorted(
+                        range(k),
+                        key=lambda j: (
+                            -(_seqdot(v, craw_[j]) / (nv * crn_[j])),
+                            j,
+                        ),
+                    )
+                    out.append([cids_[j] for j in exact[:take]])
+                    continue
+            out.append([cids_[j] for j in idx[:take]])
+        return pd.Series(out)
+
+    return _probe
+
+
 def _blas_assign_udf(ctx: Ctx, cid_type, init_rows, dim: int):
     """Build the exact-argmax BLAS assignment UDF over a collected
     centroid set, or None when no centroid is usable (caller falls back
@@ -167,31 +270,14 @@ def _blas_assign_udf(ctx: Ctx, cid_type, init_rows, dim: int):
       strictly more tolerant of that malformed-input class);
     * degenerate centroids (NULL id / short / non-finite / zero-norm)
       are skipped, matching their never-winning NULL sims."""
-    import math
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    cents = []
-    for r in sorted(
-        init_rows, key=lambda r: (r["__cid"] is None, r["__cid"])
-    ):
-        v = r["__cv"]
-        if r["__cid"] is None or v is None or len(v) < dim:
-            continue
-        a = np.asarray(v[:dim], dtype=np.float64)
-        n = float(np.linalg.norm(a))
-        if not np.isfinite(a).all() or n <= 0.0:
-            continue
-        cents.append((r["__cid"], a / n, a, math.sqrt(_seqdot(a, a))))
-    if not cents:
+    built = _build_blas_cents(init_rows, dim)
+    if built is None:
         return None
-    cids = [c for c, _, _, _ in cents]
-    cmat = np.vstack([u for _, u, _, _ in cents])
-    craw = np.vstack([a for _, _, a, _ in cents])
-    crn = np.asarray([sn for _, _, _, sn in cents])
-    bc = ctx.spark.sparkContext.broadcast((cids, cmat, craw, crn))
+    bc = ctx.spark.sparkContext.broadcast(built)
 
     @pandas_udf(cid_type)
     def _assign(vs):
@@ -487,16 +573,49 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
 
     # queries probe their nprobe nearest clusters
-    qw = Window.partitionBy("q_id").orderBy(F.col("__csim").desc(), F.col("__cid").asc())
-    qprobe = (
-        prepared.filter(F.expr(_req(opts, "queries", "ann-ivf-topk")))
-        .select(F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__csim", dot_col(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")))
-        .withColumn("__pr", F.row_number().over(qw))
-        .filter(F.col("__pr") <= nprobe)
-        .select("q_id", "__qv", "__qn", F.col("__cid").alias("__cluster"))
+    qsrc = prepared.filter(F.expr(_req(opts, "queries", "ann-ivf-topk"))).select(
+        F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
     )
+    qprobe = None
+    if use_blas:
+        # query-side twin of the blas assignment (r12): the expr probe
+        # below pays K codegen dots per QUERY — the next N x K term
+        # when the query set grows with the corpus (a full self-top-k).
+        # One matmul + stable top-nprobe per Arrow batch, candidate-set
+        # exact (see _blas_probe_udf); also drops the per-query
+        # row_number window.
+        probe_udf = _blas_probe_udf(
+            ctx,
+            next(f.dataType for f in cents.schema.fields if f.name == "__cid"),
+            init_rows, int(dim), nprobe,
+        )
+        if probe_udf is not None:
+            qprobe = (
+                qsrc.withColumn("__cluster", F.explode(probe_udf(F.col("__qv"))))
+                .select("q_id", "__qv", "__qn", "__cluster")
+            )
+    if qprobe is None:
+        qw = Window.partitionBy("q_id").orderBy(
+            F.col("__csim").desc(), F.col("__cid").asc()
+        )
+        # guarded cosine (r12 fix, the _centroid_sim rationale applied
+        # to the probe branch): the raw division failed the job on a
+        # zero-norm centroid (ANSI DIVIDE_BY_ZERO) and let a NaN
+        # centroid rank FIRST for every query under Spark's NaN
+        # ordering, hijacking all probes — NULL sims rank last instead,
+        # so degenerate centroids are simply never probed.
+        qden = F.col("__qn") * F.col("__cn")
+        qsim = F.nanvl(
+            F.when(qden > 0, dot_col(F.col("__qv"), F.col("__cv"), dim) / qden),
+            F.lit(None).cast("double"),
+        )
+        qprobe = (
+            qsrc.crossJoin(F.broadcast(cents))
+            .withColumn("__csim", qsim)
+            .withColumn("__pr", F.row_number().over(qw))
+            .filter(F.col("__pr") <= nprobe)
+            .select("q_id", "__qv", "__qn", F.col("__cid").alias("__cluster"))
+        )
 
     cand = assign.select(
         F.col(idc).alias("n_id"), F.col("__v").alias("__cv2"),

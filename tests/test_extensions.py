@@ -1123,9 +1123,44 @@ def test_ann_ivf_blas_impl_matches_expr_and_auto_cutover(spark):
     expr = run({"assign_impl": "expr"})
     assert expr == run({"assign_impl": "blas"})
     # auto cutover: 300 centroids >= 257 -> blas; still identical
+    # (the structured vectors repeat every lcm(17,5,11) ids, so the
+    # centroid set contains exact duplicates — probe-boundary ties are
+    # exercised, not just clean gaps)
     dense = dict(form, centroids="vec_id % 4 != 3")  # 300 of 400
     assert run(dict(dense, assign_impl="expr")) == \
         run(dict(dense, assign_impl="auto"))
+
+
+def test_ann_ivf_degenerate_centroids_rank_last_not_hijack(spark):
+    """r12 probe-branch fix: a zero-norm centroid used to fail the job
+    (ANSI DIVIDE_BY_ZERO in the raw probe cosine) and a NaN centroid
+    ranked FIRST for every query under Spark's NaN ordering, hijacking
+    all probes. Guarded sims rank them last; results on both impls
+    equal the clean-centroid-set answer."""
+    rows = [(i, [1.0 + (i % 7) / 3.0, (i % 4) / 2.0]) for i in range(40)]
+    # ids chosen OFF the queries filter (%10) and the clean centroid
+    # set (%3=1): degenerate QUERIES are outside the envelope (their
+    # pair cosine divides by a zero norm on every plan)
+    bad = [(104, [0.0, 0.0]), (107, [float("nan"), 1.0])]
+    clean = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dirty = spark.createDataFrame(rows + bad,
+                                  "vec_id long, embedding array<double>")
+    form = {"id": "vec_id", "vec": "embedding", "k": 2, "dim": 2,
+            "queries": "vec_id % 10 = 0", "nprobe": 2}
+
+    def run(df, cond, impl):
+        out = ksml(["ann-ivf-topk", ["stream", df, {"key": "vec_id"}],
+                    dict(form, centroids=cond, assign_impl=impl)],
+                   spark=spark)
+        return sorted((r["q_id"], r["rank"], r["n_id"], repr(r["sim"]))
+                      for r in out.df.collect())
+
+    base = run(clean, "vec_id % 3 = 1", "expr")
+    assert base
+    # degenerate centroids added to the SET: never assigned, never
+    # probed -> identical results, no crash, on both impls
+    assert run(dirty, "vec_id % 3 = 1 or vec_id >= 104", "expr") == base
+    assert run(dirty, "vec_id % 3 = 1 or vec_id >= 104", "blas") == base
 
 
 def test_centroid_relation_operand_matches_filter_and_composes(spark):
