@@ -532,3 +532,40 @@ def test_kmeans_assign_blas_parity_property(spark, vecs, n_cents):
                       for r in out.df.collect())
 
     assert run("expr") == run("blas")
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=vec_corpus, nprobe=st.integers(min_value=1, max_value=3))
+def test_ann_ivf_blas_parity_property(spark, vecs, nprobe):
+    """r12 blas query-probe invariant: for ANY corpus (degenerate rows
+    included as members/centroids — queries drawn from the valid rows
+    only, per the op's envelope) and any nprobe, the blas plan's full
+    (q_id, rank, n_id, sim) output equals the expr plan BIT-FOR-BIT:
+    the stable top-nprobe + boundary-tie exact re-rank must reproduce
+    the row_number window's candidate sets exactly."""
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    valid = [i for i, v in rows
+             if v is not None and len(v) >= 3
+             and not any(x != x for x in v[:3])
+             and any(x != 0.0 for x in v[:3])]
+    if len(valid) < 2:
+        return
+    cents = valid[:4]                 # may include duplicated vectors
+    queries = valid[1::2][:5]
+    if not queries:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    form = {"id": "vec_id", "vec": "embedding", "k": 2, "dim": 3,
+            "nprobe": nprobe,
+            "queries": "vec_id in ({})".format(
+                ",".join(str(i) for i in queries)),
+            "centroids": "vec_id in ({})".format(
+                ",".join(str(i) for i in cents))}
+
+    def run(impl):
+        out = ksml(["ann-ivf-topk", ["stream", df, {"key": "vec_id"}],
+                    dict(form, assign_impl=impl)], spark=spark)
+        return sorted((r["q_id"], r["rank"], r["n_id"], repr(r["sim"]))
+                      for r in out.df.collect())
+
+    assert run("expr") == run("blas")
