@@ -10,7 +10,11 @@ set arithmetic the round verdicts do by hand.
 
 Usage: python scripts/rotation_check.py <stale_round_json> <fresh_round_json>
        e.g. python scripts/rotation_check.py CORRECTNESS_r10.json CORRECTNESS_r11.json
-       (defaults: the two highest-numbered CORRECTNESS_r*.json present)
+       (defaults: the two highest-numbered CORRECTNESS_r*.json present;
+       if the newest artifact's keyset already equals the registry head —
+       i.e. the current round's driver pass has been recorded — the pair
+       swaps to (newest, second-newest), since post-round the head block
+       IS the just-recorded window and the tail is last round's)
 
 Exit 0 = rotation holds exactly; nonzero with a diff otherwise.
 """
@@ -25,6 +29,11 @@ sys.path.insert(0, HERE)
 
 
 def main() -> int:
+    import __spark_entry__ as m
+
+    names = list(m.queries())
+    head, tail = set(names[:50]), set(names[50:])
+
     if len(sys.argv) > 2:
         stale_p, fresh_p = sys.argv[1], sys.argv[2]
     else:
@@ -36,11 +45,14 @@ def main() -> int:
             print("need two CORRECTNESS_r*.json artifacts")
             return 2
         stale_p, fresh_p = arts[-2], arts[-1]
-
-    import __spark_entry__ as m
-
-    names = list(m.queries())
-    head, tail = set(names[:50]), set(names[50:])
+        # Post-round state: the newest artifact IS the head block the
+        # driver just recorded; the stale side is then the newest and
+        # the fresh side last round's (pre-round it's the other way).
+        if set(json.load(open(arts[-1]))) == head:
+            stale_p, fresh_p = arts[-1], arts[-2]
+            print(f"note: newest artifact matches registry head "
+                  f"(post-round state) — pairing ({os.path.basename(stale_p)}, "
+                  f"{os.path.basename(fresh_p)})")
     stale = set(json.load(open(stale_p)))
     fresh = set(json.load(open(fresh_p)))
 
