@@ -86,7 +86,8 @@ def _stream_bench(spark, sf_dir: str) -> dict:
         # no matter how fast the signatures are. The replicated source
         # amortizes the fixed cost so the km row reflects the MARGINAL
         # per-row rate (~37us/row measured => the number that scales);
-        # the md5 row keeps the original 5k stream for pin continuity.
+        # since r13 the md5 A/B row runs the same layout (a 5k cold
+        # rate vs a 40k marginal rate was not a comparable A/B).
         docs8_path = os.path.join(tmp, "docs_stream_8x")
         d8 = docs
         for _ in range(3):
@@ -195,7 +196,12 @@ def _stream_bench(spark, sf_dir: str) -> dict:
             # the larger input measures throughput, not setup
             "lsh_join_stream": lambda ckpt: lsh_join_stream(
                 ckpt, src_path=docs8_path, rows=8 * n_docs),
-            "lsh_join_stream_md5": lambda ckpt: lsh_join_stream(ckpt, impl="md5"),
+            # md5 moved to the 40k layout too (r13, VERDICT band-
+            # consistency item): with the default row on 8x, the md5
+            # A/B read a 5k-doc cold-start rate against a 40k-doc
+            # marginal rate — not comparable; re-pinned on this layout
+            "lsh_join_stream_md5": lambda ckpt: lsh_join_stream(
+                ckpt, impl="md5", src_path=docs8_path, rows=8 * n_docs),
             "lsh_join_stream_km": lambda ckpt: lsh_join_stream(
                 ckpt, impl="km", src_path=docs8_path, rows=8 * n_docs),
         }

@@ -157,10 +157,20 @@ def _build_blas_cents(init_rows, dim: int):
         if r["__cid"] is None or v is None or len(v) < dim:
             continue
         a = np.asarray(v[:dim], dtype=np.float64)
-        n = float(np.linalg.norm(a))
-        if not np.isfinite(a).all() or n <= 0.0:
+        # usability keyed on the SEQUENTIAL norm — the exact value the
+        # expr plan's norm_col computes — so the blas envelope (which
+        # centroids count as degenerate) matches the expr plan's by
+        # construction, not by a zero-ness-equivalence argument
+        # (ADVICE r12). For finite doubles the two CAN'T disagree on
+        # zero-ness anyway — per-term squares round identically and
+        # nonnegative addition is monotone in IEEE, so any positive
+        # term makes both sums positive — which also keeps the a/n
+        # unit division safe whenever sn > 0.
+        sn = math.sqrt(_seqdot(a, a))
+        if not np.isfinite(a).all() or sn <= 0.0:
             continue
-        cents.append((r["__cid"], a / n, a, math.sqrt(_seqdot(a, a))))
+        n = float(np.linalg.norm(a))
+        cents.append((r["__cid"], a / n, a, sn))
     if not cents:
         return None
     return (
@@ -187,10 +197,12 @@ def _blas_probe_udf(ctx: Ctx, cid_type, init_rows, dim: int, nprobe: int):
     * degenerate centroids are skipped — the guarded expr plan ranks
       their NULL sims last, and no member is ever ASSIGNED to one, so
       probing them matches nothing: candidate sets agree;
-    * degenerate queries (NULL / short / non-finite / zero-norm)
-      probe the nprobe smallest usable ids, mirroring the all-NULL-sim
-      ordering; their pair cosines are NULL/failing downstream on both
-      plans (outside the supported envelope)."""
+    * degenerate queries: zero-norm ones never reach this UDF
+      (ann-ivf filters ``__qn > 0`` at construction, r13); NaN/short
+      ones fall back to the nprobe smallest usable ids, which may
+      differ from the expr window's all-centroid ordering — immaterial
+      at the OUTPUT, since their pair cosines are NULL on both plans
+      and the guarded _topk drops NULL-sim pairs before ranking."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -252,7 +264,10 @@ def _blas_assign_udf(ctx: Ctx, cid_type, init_rows, dim: int):
     Bit-exactness contract (the semdedup-join r11 near-tie machinery,
     generalized): argmax by cosine with ties to the smallest centroid id
     must equal the expr plan's min_by((-sim, cid)) — and through it the
-    DuckDB oracle's row_number ORDER BY sim DESC, cid — on EVERY input:
+    DuckDB oracle's row_number ORDER BY sim DESC, cid — on every input
+    inside the op's envelope (vectors of >= dim finite doubles; rows
+    outside it get NULL on both plans, except the one forgiving
+    divergence noted below):
 
     * centroids sort ascending by id and np.argmax keeps the first max,
       so exact ties pick the smallest id;
@@ -382,12 +397,33 @@ def _assign_impl_opts(opts, op_name: str, dim):
 from .util import spread as _spread  # noqa: E402  (shared plan helper)
 
 
+def _pair_sim(dot: Column, den: Column) -> Column:
+    """Guarded pair cosine (r13, the _centroid_sim rationale applied to
+    the candidate-pair divisions): NULL instead of an ANSI
+    DIVIDE_BY_ZERO job abort when a zero-norm vector reaches the
+    division, and NULL instead of NaN when a NaN component does (a NaN
+    sim would otherwise rank FIRST under Spark's NaN ordering and pass
+    ``>= threshold`` filters). The zero-norm side is normally excluded
+    at construction (queries/candidates filter ``__n > 0``), but a NaN
+    norm passes that filter — NaN > 0 is TRUE in Spark — so the guard
+    is load-bearing for the NaN channel and belt-and-suspenders for
+    zero. One zero/NaN vector in 100 TB must cost one NULL pair, not
+    the job."""
+    return F.nanvl(F.when(den > 0, dot / den), F.lit(None).cast("double"))
+
+
 def _topk(pairs: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), F.col("n_id").asc())
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        # NULL sims are degenerate pairs (NaN vector past the norm
+        # filters) — a pair with no defined cosine is not a neighbor,
+        # and dropping it keeps the expr and blas plans' outputs
+        # identical on degenerate corpora (NULLS LAST would otherwise
+        # let probe-set differences for degenerate rows leak into ranks)
+        pairs.filter(F.col("__sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", F.round(F.col("__sim"), 6).alias("sim"))
     )
@@ -401,7 +437,12 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     k = int(opts.get("k", 3))
     dim = opts.get("dim")
-    prepared = _prepared(rel, idc, vecc, dim)
+    # zero-norm rows have no cosine: excluded on BOTH sides at
+    # construction (r13 — "degenerate rows match nothing", the same
+    # envelope as assignment's NULL cluster; changes zero output rows
+    # for valid corpora and keeps one all-zero/underflow vector from
+    # aborting the whole job under ANSI)
+    prepared = _prepared(rel, idc, vecc, dim).filter(F.col("__n") > 0)
     q = prepared.filter(F.expr(_req(opts, "queries", "ann-topk"))).select(
         F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
     )
@@ -411,7 +452,10 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     pairs = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("__sim", dot_col(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")))
+        .withColumn("__sim", _pair_sim(
+            dot_col(F.col("__qv"), F.col("__cv"), dim),
+            F.col("__qn") * F.col("__cn"),
+        ))
     )
     return KStreamRel(_topk(pairs, k), key_cols=("q_id", "rank"))
 
@@ -427,12 +471,13 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     dims = int(opts.get("sign_dims", 8))
     dim = opts.get("dim")
     v = F.col(vecc).cast("array<double>")
+    # zero-norm rows excluded at construction (the ann-topk r13 envelope)
     prepared = rel.df.select(
         F.col(idc),
         v.alias("__v"),
         norm_col(v, dim).alias("__n"),
         sign_bucket_col(F.col(vecc), dims).alias("__bucket"),
-    )
+    ).filter(F.col("__n") > 0)
     q = prepared.filter(F.expr(_req(opts, "queries", "ann-lsh-topk"))).select(
         F.col(idc).alias("q_id"),
         F.col("__v").alias("__qv"),
@@ -451,7 +496,10 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     pairs = (
         c.join(F.broadcast(q), "__bucket", "inner")
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("__sim", dot_col(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")))
+        .withColumn("__sim", _pair_sim(
+            dot_col(F.col("__qv"), F.col("__cv"), dim),
+            F.col("__qn") * F.col("__cn"),
+        ))
     )
     return KStreamRel(_topk(pairs, k), key_cols=("q_id", "rank"))
 
@@ -572,9 +620,18 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             F.min_by(F.col("__cid"), _nearest_order()).alias("__cluster"),
         )
 
-    # queries probe their nprobe nearest clusters
-    qsrc = prepared.filter(F.expr(_req(opts, "queries", "ann-ivf-topk"))).select(
-        F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
+    # queries probe their nprobe nearest clusters; zero-norm queries
+    # have no cosine against anything — excluded at construction (r13),
+    # which also makes the expr and blas probes agree trivially on
+    # degenerate queries (they used to probe DIFFERENT fallback
+    # cluster sets, a silent out-of-envelope divergence — ADVICE r12)
+    qsrc = (
+        prepared.filter(F.expr(_req(opts, "queries", "ann-ivf-topk")))
+        .filter(F.col("__n") > 0)
+        .select(
+            F.col(idc).alias("q_id"), F.col("__v").alias("__qv"),
+            F.col("__n").alias("__qn"),
+        )
     )
     qprobe = None
     if use_blas:
@@ -624,7 +681,10 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     pairs = (
         cand.join(F.broadcast(qprobe), "__cluster", "inner")
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("__sim", dot_col(F.col("__qv"), F.col("__cv2"), dim) / (F.col("__qn") * F.col("__cn2")))
+        .withColumn("__sim", _pair_sim(
+            dot_col(F.col("__qv"), F.col("__cv2"), dim),
+            F.col("__qn") * F.col("__cn2"),
+        ))
     )
     return KStreamRel(_topk(pairs, k), key_cols=("q_id", "rank"))
 
@@ -663,12 +723,14 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             "pass {'block': col}, {'lsh_dims': d} (sign-LSH buckets), or "
             "{'allow_full': true} to opt in for small data"
         )
+    # zero-norm rows excluded at construction (the ann-topk r13
+    # envelope: no cosine, match nothing — and never abort the job)
     prepared = rel.df.select(
         F.col(idc),
         *blockers,
         v.alias("__v"),
         norm_col(v, dim).alias("__n"),
-    )
+    ).filter(F.col("__n") > 0)
     from .util import source_bytes
 
     spread = _spread(prepared)
@@ -694,7 +756,13 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     cond = F.col(f"a.{idc}") < F.col(f"b.{idc}")
     if block:
         cond = (F.col(f"a.{block}") == F.col(f"b.{block}")) & cond
-    sim = dot_col(F.col("a.__v"), F.col("b.__v"), dim) / (F.col("a.__n") * F.col("b.__n"))
+    # guarded (r13): a NaN-component pair yields NULL (fails >= thr)
+    # instead of NaN (which passes >= thr under Spark's NaN ordering,
+    # silently marking the row a duplicate)
+    sim = _pair_sim(
+        dot_col(F.col("a.__v"), F.col("b.__v"), dim),
+        F.col("a.__n") * F.col("b.__n"),
+    )
     pairs = (
         a.join(b, cond, "inner")
         .select(

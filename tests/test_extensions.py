@@ -560,6 +560,82 @@ def test_neardup_lsh_mode_matches_block_on_precomputed_bucket(spark, tables):
     assert a == b and len(a) > 0
 
 
+def test_degenerate_vectors_never_abort_similarity_ops(spark):
+    """r13 regression (VERDICT r12 #1, pinned as a plain test — not only
+    Hypothesis): zero-norm vectors (all-zero, or nonzero components like
+    1e-200 whose SQUARES underflow to a 0.0 norm), NaN-component vectors,
+    and NULL vectors must cost absent pairs — never an ANSI
+    DIVIDE_BY_ZERO job abort — in all four pair-cosine ops
+    (similarity.py pair divisions), whether they arrive as members,
+    queries, or centroids; and the valid rows' output must equal the
+    degenerate-free corpus's exactly (degenerate rows match nothing).
+    At 100 TB zero vectors are routine (empty docs, padding) — one of
+    them may not abort a corpus-wide job."""
+    base = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.1, 0.9, 0.0]),
+        (4, [0.5, 0.5, 0.1]),
+        (5, [0.0, 0.1, 1.0]),
+    ]
+    degenerate = [
+        (100, [0.0, 0.0, 0.0]),           # exactly zero norm
+        (101, [1e-200, 1e-200, 1e-200]),  # nonzero; squares underflow -> norm 0.0
+        (102, [float("nan"), 1.0, 0.0]),  # NaN component -> NaN norm (NaN > 0 is TRUE)
+        (103, None),                      # NULL vector
+    ]
+    assert (1e-200) ** 2 == 0.0  # the underflow premise the test pins
+    clean = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    dirty = spark.createDataFrame(
+        base + degenerate, "vec_id long, embedding array<double>")
+    deg_ids = ", ".join(str(i) for i, _ in degenerate)
+
+    def rows(rel):
+        return sorted(tuple(r) for r in rel.df.collect())
+
+    def run(df, op, opts):
+        return rows(ksml([op, ["stream", df, {"key": "vec_id"}], opts],
+                         spark=spark))
+
+    # ann-topk: degenerate members AND degenerate queries
+    topk_opts = {"id": "vec_id", "vec": "embedding", "k": 2, "dim": 3}
+    want = run(clean, "ann-topk", dict(topk_opts, queries="vec_id in (0, 2)"))
+    assert want  # the clean corpus must actually produce neighbors
+    assert run(dirty, "ann-topk",
+               dict(topk_opts, queries=f"vec_id in (0, 2, {deg_ids})")) == want
+
+    # ann-lsh-topk: same envelope through the sign-bucket join
+    lsh_opts = dict(topk_opts, sign_dims=1)
+    want = run(clean, "ann-lsh-topk", dict(lsh_opts, queries="vec_id in (0, 2)"))
+    assert want
+    assert run(dirty, "ann-lsh-topk",
+               dict(lsh_opts, queries=f"vec_id in (0, 2, {deg_ids})")) == want
+
+    # ann-ivf-topk: degenerate members, queries AND centroids, on both
+    # assignment impls — expr and blas must agree with each other and
+    # with the clean corpus (the r12 parity property's failing class)
+    ivf_opts = dict(topk_opts, nprobe=2)
+    want = run(clean, "ann-ivf-topk",
+               dict(ivf_opts, queries="vec_id in (0, 2)",
+                    centroids="vec_id in (0, 2, 5)"))
+    assert want
+    for impl in ("expr", "blas"):
+        got = run(dirty, "ann-ivf-topk",
+                  dict(ivf_opts, assign_impl=impl,
+                       queries=f"vec_id in (0, 2, {deg_ids})",
+                       centroids=f"vec_id in (0, 2, 5, {deg_ids})"))
+        assert got == want, impl
+
+    # neardup-pairs: degenerate rows on both join sides; a NaN pair
+    # cosine must FAIL the threshold (NULL), not pass it as NaN
+    nd_opts = {"id": "vec_id", "vec": "embedding", "dim": 3,
+               "threshold": 0.5, "lsh_dims": 1}
+    want = run(clean, "neardup-pairs", nd_opts)
+    assert want
+    assert run(dirty, "neardup-pairs", nd_opts) == want
+
+
 def test_jaccard_prefix_matches_plain_plan(spark, tables):
     """AllPairs prefix filtering must return bit-identical pairs to the
     plain inverted-index plan (same threshold, same blocks)."""

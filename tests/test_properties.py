@@ -453,7 +453,7 @@ _bpe_corpus = st.lists(
     st.lists(_bpe_word, min_size=1, max_size=12), min_size=1, max_size=8)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=_bpe_corpus, merges=st.integers(min_value=0, max_value=40))
 def test_bpe_train_encode_roundtrip_property(spark, docs, merges):
     """For ANY corpus and ANY merge budget: stripping the '</w>' markers
@@ -502,7 +502,7 @@ vec_corpus = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(vecs=vec_corpus, n_cents=st.integers(min_value=1, max_value=6))
 def test_kmeans_assign_blas_parity_property(spark, vecs, n_cents):
     """r12 {'assign_impl': 'blas'} invariant: for ANY corpus — including
@@ -534,7 +534,7 @@ def test_kmeans_assign_blas_parity_property(spark, vecs, n_cents):
     assert run("expr") == run("blas")
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(vecs=vec_corpus, nprobe=st.integers(min_value=1, max_value=3))
 def test_ann_ivf_blas_parity_property(spark, vecs, nprobe):
     """r12 blas query-probe invariant: for ANY corpus (degenerate rows
