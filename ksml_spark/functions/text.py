@@ -602,6 +602,15 @@ def op_bm25(ctx: Ctx, rel: Rel, *rest) -> Rel:
 
         n_docs = float(stats["n_docs"])
         avgdl = float(stats["avgdl"])
+        if avgdl <= 0:
+            from ..errors import ArityError
+
+            raise ArityError(
+                "bm25 frozen stats need avgdl > 0 — an avgdl of "
+                f"{avgdl!r} (an empty/degenerate reference corpus) "
+                "divides by zero on the first matching row and aborts "
+                "the whole job under ANSI"
+            )
         dfs = {t: float((stats.get("df") or {}).get(t, 0.0)) for t in terms}
         w = words(F.col(col))
         dl = F.size(w).cast("double")

@@ -46,17 +46,24 @@ def dot_col(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     bit-for-bit on identical inputs).
 
     With a known ``dim`` the sum is unrolled into a left-associated
-    getItem (0-based GetArrayItem) chain — whole-stage-codegen'd, ~10x
-    faster than the higher-order aggregate (which Spark evaluates
+    F.get (0-based, NULL out-of-range) chain — whole-stage-codegen'd,
+    ~10x faster than the higher-order aggregate (which Spark evaluates
     interpreted) and ~2.5x faster than an element_at chain (element_at
     carries 1-based index translation + invalid-index branches), with the
-    identical sequential float addition order. The chain seeds from the
-    first product, not a 0.0 literal: (0.0 + t0) would flip the sign of a
-    -0.0 first term and break bit-reproducibility."""
+    identical sequential float addition order. F.get over getItem (r13):
+    under ANSI, GetArrayItem carries an INVALID_ARRAY_INDEX throw branch
+    per element, so ONE shorter-than-dim vector in 100 TB aborted every
+    expr-plan ANN/kmeans/semdedup job — Get returns NULL instead (the
+    dot and norm go NULL, and the degenerate-row envelope drops the row
+    exactly like the blas path always did), and the branchless access
+    also measured ~25% FASTER at dim 64 (0.43 vs 0.57s min-warm on the
+    128k-row A/B). The chain seeds from the first product, not a 0.0
+    literal: (0.0 + t0) would flip the sign of a -0.0 first term and
+    break bit-reproducibility."""
     if dim:
-        acc = a.getItem(0) * b.getItem(0)
+        acc = F.get(a, 0) * F.get(b, 0)
         for i in range(1, dim):
-            acc = acc + a.getItem(i) * b.getItem(i)
+            acc = acc + F.get(a, i) * F.get(b, i)
         return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -197,12 +204,11 @@ def _blas_probe_udf(ctx: Ctx, cid_type, init_rows, dim: int, nprobe: int):
     * degenerate centroids are skipped — the guarded expr plan ranks
       their NULL sims last, and no member is ever ASSIGNED to one, so
       probing them matches nothing: candidate sets agree;
-    * degenerate queries: zero-norm ones never reach this UDF
-      (ann-ivf filters ``__qn > 0`` at construction, r13); NaN/short
-      ones fall back to the nprobe smallest usable ids, which may
-      differ from the expr window's all-centroid ordering — immaterial
-      at the OUTPUT, since their pair cosines are NULL on both plans
-      and the guarded _topk drops NULL-sim pairs before ranking."""
+    * degenerate queries never reach this UDF: ann-ivf filters
+      ``_valid_vec()`` at construction (r13), which drops zero-norm,
+      NaN, short and NULL vectors outright. The NULL/short fallback
+      branch below is therefore defensive only — both plans emit zero
+      rows for such queries either way."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -266,8 +272,7 @@ def _blas_assign_udf(ctx: Ctx, cid_type, init_rows, dim: int):
     must equal the expr plan's min_by((-sim, cid)) — and through it the
     DuckDB oracle's row_number ORDER BY sim DESC, cid — on every input
     inside the op's envelope (vectors of >= dim finite doubles; rows
-    outside it get NULL on both plans, except the one forgiving
-    divergence noted below):
+    outside it get NULL on both plans):
 
     * centroids sort ascending by id and np.argmax keeps the first max,
       so exact ties pick the smallest id;
@@ -276,13 +281,13 @@ def _blas_assign_udf(ctx: Ctx, cid_type, init_rows, dim: int):
       relative at these dims) are re-decided with left-to-right
       sequential dots on the RAW centroid vectors — the oracle's exact
       arithmetic;
-    * degenerate rows (NULL / non-finite / zero-norm vectors) return
-      NULL, matching the expr plan's NULL-sim skip; vectors LONGER
-      than dim are truncated to the first dim components, exactly like
-      the unrolled getItem chain. One forgiving divergence:
-      shorter-than-dim vectors return NULL here, where the expr plan's
-      getItem raises ANSI INVALID_ARRAY_INDEX (a job failure — blas is
-      strictly more tolerant of that malformed-input class);
+    * degenerate rows (NULL / short / non-finite / zero-norm vectors)
+      return NULL, matching the expr plan's NULL-sim skip; vectors
+      LONGER than dim are truncated to the first dim components,
+      exactly like the unrolled chain. (Since the r13 F.get switch the
+      expr plan also NULLs shorter-than-dim vectors — the envelopes
+      match on every degenerate class now, where getItem used to abort
+      the expr job with ANSI INVALID_ARRAY_INDEX);
     * degenerate centroids (NULL id / short / non-finite / zero-norm)
       are skipped, matching their never-winning NULL sims."""
     import numpy as np
@@ -412,18 +417,51 @@ def _pair_sim(dot: Column, den: Column) -> Column:
     return F.nanvl(F.when(den > 0, dot / den), F.lit(None).cast("double"))
 
 
+def _valid_vec(v: Column, dim: Optional[int]) -> Column:
+    """Construction-time envelope predicate for the pair-cosine ops
+    (r13): TRUE iff the vector has a finite POSITIVE norm — i.e. it is
+    non-NULL, has >= dim elements, no NaN in the first dim, and some
+    element whose SQUARE is > 0.0 (``x != 0`` is not enough: 1e-200
+    squares underflow to 0.0, so the norm is zero for a nonzero
+    vector; a positive squared term is exactly "the sequential sum of
+    squares is positive", nonnegative IEEE addition being monotone).
+
+    Deliberately built from higher-order exists/forall (interpreted,
+    codegen-fallback) rather than the norm column itself: a predicate
+    containing the dim-unrolled norm chain gets pushed past the
+    projection by Catalyst and REPEATS the whole chain in the scan
+    filter (measured: ann-lsh 0.56s -> 2.7s at sf0.1, almost all
+    Janino compile of the duplicated 64-term predicate), and a
+    post-join ``isnotnull(sim)`` filter is worse still — it lands in
+    the JOIN CONDITION and doubles the per-PAIR dot work. One
+    interpreted lambda pass per row costs microseconds and keeps every
+    chain evaluated exactly once."""
+    checks = [v.isNotNull()]
+    if dim:
+        s = F.slice(v, 1, int(dim))
+        checks.append(F.size(v) >= int(dim))
+    else:
+        s = v
+    checks.append(~F.exists(s, lambda x: F.isnan(x)))
+    checks.append(F.exists(s, lambda x: x * x > 0))
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
 def _topk(pairs: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), F.col("n_id").asc())
+    # no NULL-sim filter here: the _valid_vec construction filters make
+    # NULL sims structurally impossible (the one residual class — an
+    # Inf/Inf overflow cosine from ~1e154-magnitude components — ranks
+    # NULLS LAST and can only surface when a query has fewer than k
+    # finite candidates; a post-join filter would land in the join
+    # condition and double the pair loop)
     return (
-        # NULL sims are degenerate pairs (NaN vector past the norm
-        # filters) — a pair with no defined cosine is not a neighbor,
-        # and dropping it keeps the expr and blas plans' outputs
-        # identical on degenerate corpora (NULLS LAST would otherwise
-        # let probe-set differences for degenerate rows leak into ranks)
-        pairs.filter(F.col("__sim").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", F.round(F.col("__sim"), 6).alias("sim"))
     )
@@ -437,12 +475,12 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     k = int(opts.get("k", 3))
     dim = opts.get("dim")
-    # zero-norm rows have no cosine: excluded on BOTH sides at
-    # construction (r13 — "degenerate rows match nothing", the same
-    # envelope as assignment's NULL cluster; changes zero output rows
-    # for valid corpora and keeps one all-zero/underflow vector from
-    # aborting the whole job under ANSI)
-    prepared = _prepared(rel, idc, vecc, dim).filter(F.col("__n") > 0)
+    # degenerate rows (zero-norm / NaN / short / NULL vectors) have no
+    # cosine: excluded on BOTH sides at construction (r13 — "match
+    # nothing", the same envelope as assignment's NULL cluster; changes
+    # zero output rows for valid corpora and keeps one bad vector from
+    # aborting the whole job under ANSI — see _valid_vec)
+    prepared = _prepared(rel, idc, vecc, dim).filter(_valid_vec(F.col("__v"), dim))
     q = prepared.filter(F.expr(_req(opts, "queries", "ann-topk"))).select(
         F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
     )
@@ -471,13 +509,14 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     dims = int(opts.get("sign_dims", 8))
     dim = opts.get("dim")
     v = F.col(vecc).cast("array<double>")
-    # zero-norm rows excluded at construction (the ann-topk r13 envelope)
+    # degenerate rows excluded at construction (the ann-topk r13
+    # envelope — see _valid_vec)
     prepared = rel.df.select(
         F.col(idc),
         v.alias("__v"),
         norm_col(v, dim).alias("__n"),
         sign_bucket_col(F.col(vecc), dims).alias("__bucket"),
-    ).filter(F.col("__n") > 0)
+    ).filter(_valid_vec(F.col("__v"), dim))
     q = prepared.filter(F.expr(_req(opts, "queries", "ann-lsh-topk"))).select(
         F.col(idc).alias("q_id"),
         F.col("__v").alias("__qv"),
@@ -627,7 +666,7 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # cluster sets, a silent out-of-envelope divergence — ADVICE r12)
     qsrc = (
         prepared.filter(F.expr(_req(opts, "queries", "ann-ivf-topk")))
-        .filter(F.col("__n") > 0)
+        .filter(_valid_vec(F.col("__v"), dim))
         .select(
             F.col(idc).alias("q_id"), F.col("__v").alias("__qv"),
             F.col("__n").alias("__qn"),
@@ -730,7 +769,7 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         *blockers,
         v.alias("__v"),
         norm_col(v, dim).alias("__n"),
-    ).filter(F.col("__n") > 0)
+    ).filter(_valid_vec(F.col("__v"), dim))
     from .util import source_bytes
 
     spread = _spread(prepared)
@@ -789,7 +828,7 @@ def op_vec_quantize(ctx: Ctx, rel: Rel, *rest) -> Rel:
     exact on floats). Zero vectors quantize to all-zero with scale 0.
 
     With a known dim the max and the quantized array are UNROLLED
-    getItem chains (whole-stage codegen); without it, higher-order
+    F.get chains (whole-stage codegen); without it, higher-order
     transform/array_max (interpreted — fine off the hot path). The max
     is MATERIALIZED as its own projection first: inlining it into each
     of the dim quantize terms repeats the 2·dim-op greatest chain per
@@ -804,17 +843,26 @@ def op_vec_quantize(ctx: Ctx, rel: Rel, *rest) -> Rel:
     scale_as = opts.get("scale_as", "q_scale")
     v = F.col(vecc).cast("array<double>")
     if dim:
-        mx_expr = F.greatest(*[F.abs(v.getItem(i)) for i in range(int(dim))])
+        # size guard (r13): a shorter-than-dim vector previously ABORTED
+        # the job (ANSI INVALID_ARRAY_INDEX in the unrolled chain); with
+        # F.get it would instead quantize PARTIALLY (greatest skips the
+        # NULL elements) — both wrong. NULL the max, so q and scale go
+        # NULL for the whole row, the same whole-column-NULL contract as
+        # vec-project.
+        mx_expr = F.when(
+            v.isNotNull() & (F.size(v) >= int(dim)),
+            F.greatest(*[F.abs(F.get(v, i)) for i in range(int(dim))]),
+        )
     else:
         mx_expr = F.array_max(F.transform(v, lambda x: F.abs(x)))
     staged = rel.df.withColumn("__mx", mx_expr)
     mx = F.col("__mx")
     if dim:
-        q = F.array(*[
-            F.when(mx > 0, F.floor(v.getItem(i) * 127 / mx + F.lit(0.5)))
+        q = F.when(mx.isNotNull(), F.array(*[
+            F.when(mx > 0, F.floor(F.get(v, i) * 127 / mx + F.lit(0.5)))
             .otherwise(F.lit(0)).cast("int")
             for i in range(int(dim))
-        ])
+        ]))
     else:
         q = F.transform(
             v,
@@ -2039,12 +2087,12 @@ def op_vec_project(ctx: Ctx, rel: Rel, *rest) -> Rel:
     scale = 1.0 / (k ** 0.5)
     comps = []
     for j in range(k):
-        acc = v.getItem(0) * F.lit(_sign(j, 0))
+        acc = F.get(v, 0) * F.lit(_sign(j, 0))
         for i in range(1, dim):
-            acc = acc + v.getItem(i) * F.lit(_sign(j, i))
+            acc = acc + F.get(v, i) * F.lit(_sign(j, i))
         comps.append(acc * F.lit(scale))
     # size guard: without it a short vector yields a non-NULL array of
-    # NULL elements (out-of-range getItem), which `proj IS NOT NULL`
+    # NULL elements (out-of-range F.get), which `proj IS NOT NULL`
     # would NOT drop — make the whole column NULL as documented
     proj = F.when(v.isNotNull() & (F.size(v) >= dim), F.array(*comps))
     return rel.with_df(rel.df.withColumn(out, proj))

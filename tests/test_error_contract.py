@@ -163,6 +163,21 @@ def test_junk_option_values_surface_curated_and_named(spark, probe_rel_df):
             ksml(form, spark=spark)
 
 
+def test_bm25_refuses_degenerate_frozen_stats(spark, probe_rel_df):
+    """r13: frozen stats with avgdl <= 0 (an empty/degenerate reference
+    corpus) previously compiled fine and aborted the JOB with ANSI
+    DIVIDE_BY_ZERO on the first matching row — the streaming-scoring
+    path's one-bad-config job killer. Refused curatedly at
+    construction instead."""
+    from ksml_spark.errors import ArityError
+
+    rel = ["stream", probe_rel_df, {"key": "doc_id"}]
+    with pytest.raises(ArityError, match="avgdl > 0"):
+        ksml(["bm25", rel, {"col": "text", "query": "alpha",
+                            "stats": {"n_docs": 3, "avgdl": 0.0,
+                                      "df": {"alpha": 2}}}], spark=spark)
+
+
 def test_user_callback_valueerror_not_relabelled_as_arityerror(spark, probe_rel_df):
     """Ops that execute user code eagerly (batch foreach/peek/
     foreach-batch) are opted OUT of the ValueError->ArityError retype:

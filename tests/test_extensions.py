@@ -584,6 +584,8 @@ def test_degenerate_vectors_never_abort_similarity_ops(spark):
         (101, [1e-200, 1e-200, 1e-200]),  # nonzero; squares underflow -> norm 0.0
         (102, [float("nan"), 1.0, 0.0]),  # NaN component -> NaN norm (NaN > 0 is TRUE)
         (103, None),                      # NULL vector
+        (104, [1.0, 2.0]),                # shorter than dim (NULL dot since the
+                                          # r13 F.get switch; getItem ABORTED)
     ]
     assert (1e-200) ** 2 == 0.0  # the underflow premise the test pins
     clean = spark.createDataFrame(base, "vec_id long, embedding array<double>")
@@ -1141,9 +1143,8 @@ def test_kmeans_assign_blas_impl_bit_matches_expr(spark):
         ("vnull", None),
         ("vzero", [0.0, 0.0, 0.0, 0.0]),
         ("vnan", [1.0, float("nan"), 0.0, 0.0]),
-        # (no shorter-than-dim row: the expr plan's unrolled getItem
-        # raises ANSI INVALID_ARRAY_INDEX on those — pre-existing
-        # contract; blas is strictly more forgiving and NULLs them)
+        ("vshort", [1.0, 2.0]),                  # NULL on both impls (r13
+                                                 # F.get; getItem ABORTED)
         ("vlong", [0.0, 1.0, 0.0, 0.0, 9.0, 9.0]),  # truncates to dim
     ] + [(f"w{i:02d}", [1.0, i / 7.0, (i % 3) / 2.0, 0.1]) for i in range(20)]
     df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
@@ -1162,6 +1163,7 @@ def test_kmeans_assign_blas_impl_bit_matches_expr(spark):
     assert expr["vnull"] == (None, "None")
     assert expr["vzero"] == (None, "None")
     assert expr["vnan"] == (None, "None")
+    assert expr["vshort"] == (None, "None")
     assert expr["vlong"][0] == "c_y"         # truncation matches expr
 
     from ksml_spark.errors import ArityError

@@ -495,7 +495,9 @@ vec_corpus = st.lists(
                           allow_nan=False, allow_infinity=False),
                 st.just(float("nan")),
             ),
-            min_size=3, max_size=5,   # dim 3; longer vectors truncate
+            # dim 3; shorter vectors are NULL on both impls since the
+            # r13 F.get switch, longer ones truncate
+            min_size=1, max_size=5,
         ),
     ),
     min_size=4, max_size=30,
