@@ -672,6 +672,8 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         impl = "km"
     wk = int(opts.get("k", SHINGLE_K))
     ww = int(opts.get("window", 4))
+    if wk < 1 or ww < 1:
+        raise ArityError("lsh-join winnow method needs k >= 1 and window >= 1")
 
     def _fp_long(df, id_col, text_col, out, keep=()):
         from .util import spread

@@ -168,6 +168,16 @@ def op_frame_sample(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     fb = int(opts.get("frame_bytes", 256))
     ev = int(opts.get("every", 1))
     mx = int(opts.get("max_frames", 8))
+    if fb < 1 or ev < 1 or mx < 1:
+        from ..errors import ArityError
+
+        # fb is a divisor (ANSI DIVIDE_BY_ZERO at first action) and ev a
+        # sequence step (zero-step sequence error) — refuse at construction
+        raise ArityError(
+            f"frame-sample needs frame_bytes >= 1, every >= 1 and "
+            f"max_frames >= 1, got frame_bytes={fb}, every={ev}, "
+            f"max_frames={mx}"
+        )
     frames = (
         f"transform("
         f"  slice(sequence(0, greatest(int(ceil(octet_length(`{col}`) / cast({fb} as double))), 1) - 1, {ev}), 1, {mx}),"

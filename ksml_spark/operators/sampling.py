@@ -218,6 +218,13 @@ def op_pack_chunks(ctx: Ctx, rel: Rel, *rest) -> Rel:
     order = opts.get("order", idc)
     budget = int(opts.get("budget", 4096))
     bucket_size = int(opts.get("bucket_size", 4096))
+    if budget < 1 or bucket_size < 1:
+        # both are divisors: 0 aborts the job with ANSI DIVIDE_BY_ZERO
+        # at first action — refuse loudly at construction instead
+        raise ArityError(
+            f"pack-chunks needs budget >= 1 and bucket_size >= 1, got "
+            f"budget={budget}, bucket_size={bucket_size}"
+        )
     if rel.df.isStreaming:
         raise ArityError(
             "pack-chunks is batch-only: chunk positions depend on the total "

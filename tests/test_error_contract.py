@@ -178,6 +178,29 @@ def test_bm25_refuses_degenerate_frozen_stats(spark, probe_rel_df):
                                       "df": {"alpha": 2}}}], spark=spark)
 
 
+def test_zero_divisor_options_refused_at_construction(spark, probe_rel_df):
+    """r13 divisor-option sweep: integer options that reach the plan as
+    DIVISORS or sequence steps (pack-chunks budget/bucket_size,
+    frame-sample frame_bytes/every/max_frames, lsh-join winnow k/window)
+    previously compiled fine at 0 and aborted the job at first action
+    (ANSI DIVIDE_BY_ZERO / zero-step sequence). Refused curatedly."""
+    from ksml_spark.errors import ArityError
+
+    rel = ["stream", probe_rel_df, {"key": "doc_id"}]
+    for form, match in [
+        (["pack-chunks", rel, {"tokens": "value", "budget": 0}], "budget >= 1"),
+        (["pack-chunks", rel, {"tokens": "value", "bucket_size": 0}],
+         "bucket_size >= 1"),
+        (["frame-sample", rel, {"col": "text", "frame_bytes": 0}],
+         "frame_bytes >= 1"),
+        (["frame-sample", rel, {"col": "text", "every": 0}], "every >= 1"),
+        (["lsh-join", rel, rel, {"method": "winnow", "window": 0,
+                                 "unbounded_ok": True}], "window >= 1"),
+    ]:
+        with pytest.raises(ArityError, match=match):
+            ksml(form, spark=spark)
+
+
 def test_user_callback_valueerror_not_relabelled_as_arityerror(spark, probe_rel_df):
     """Ops that execute user code eagerly (batch foreach/peek/
     foreach-batch) are opted OUT of the ValueError->ArityError retype:
