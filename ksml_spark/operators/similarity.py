@@ -408,12 +408,12 @@ def _pair_sim(dot: Column, den: Column) -> Column:
     DIVIDE_BY_ZERO job abort when a zero-norm vector reaches the
     division, and NULL instead of NaN when a NaN component does (a NaN
     sim would otherwise rank FIRST under Spark's NaN ordering and pass
-    ``>= threshold`` filters). The zero-norm side is normally excluded
-    at construction (queries/candidates filter ``__n > 0``), but a NaN
-    norm passes that filter — NaN > 0 is TRUE in Spark — so the guard
-    is load-bearing for the NaN channel and belt-and-suspenders for
-    zero. One zero/NaN vector in 100 TB must cost one NULL pair, not
-    the job."""
+    ``>= threshold`` filters). Degenerate rows are normally excluded at
+    construction (`_valid_vec` on the query and candidate sides), so
+    this guard is defensive depth: it covers the residual classes the
+    envelope can't (an Inf/Inf overflow cosine from ~1e154-magnitude
+    components) and any future call site that forgets the filter. One
+    bad vector in 100 TB must cost one NULL pair, not the job."""
     return F.nanvl(F.when(den > 0, dot / den), F.lit(None).cast("double"))
 
 
@@ -442,7 +442,11 @@ def _valid_vec(v: Column, dim: Optional[int]) -> Column:
         checks.append(F.size(v) >= int(dim))
     else:
         s = v
-    checks.append(~F.exists(s, lambda x: F.isnan(x)))
+    # NULL elements too: isnan(NULL) is false in Spark, so a
+    # [NULL, 1.0, ...] vector would slip past the NaN check with a NULL
+    # norm and surface NULL sims downstream (ranked, never aborting —
+    # but a row with no defined cosine must match nothing)
+    checks.append(~F.exists(s, lambda x: x.isNull() | F.isnan(x)))
     checks.append(F.exists(s, lambda x: x * x > 0))
     out = checks[0]
     for c in checks[1:]:

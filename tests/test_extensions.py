@@ -586,6 +586,9 @@ def test_degenerate_vectors_never_abort_similarity_ops(spark):
         (103, None),                      # NULL vector
         (104, [1.0, 2.0]),                # shorter than dim (NULL dot since the
                                           # r13 F.get switch; getItem ABORTED)
+        (105, [None, 1.0, 2.0]),          # NULL element -> NULL norm (and
+                                          # isnan(NULL) is false — needs its
+                                          # own _valid_vec clause)
     ]
     assert (1e-200) ** 2 == 0.0  # the underflow premise the test pins
     clean = spark.createDataFrame(base, "vec_id long, embedding array<double>")
