@@ -745,7 +745,22 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
       sign_bucket_col; approximate — a near-dup pair straddling one of
       the d hyperplanes is missed, the standard LSH recall trade).
     * {"allow_full": true} — explicit opt-in to the full O(N²) self-join,
-      for small relations only; omitting all three RAISES."""
+      for small relations only; omitting all three RAISES.
+
+    Oversized-block guard (r13, the semdedup max_cluster_pairs
+    precedent): blocking guarantees the pair join EXISTS, not that it
+    is tractable — within a block the pair space is c²/2, and a
+    CONSTANT-cardinality block key (a label column, a fixed lsh_dims)
+    only divides the corpus quadratic by a constant. The r13
+    vector-axis probe measured the registry shape at exp 1.78 on its
+    30x step (1.6s -> 108s at 60k vectors, 4 semantic blocks) — at
+    corpus scale a hot block silently absorbs quadratic work in one
+    task. Construction therefore counts the largest block (one cheap
+    block-key agg, batch only) and REFUSES curatedly when its estimated
+    pair count exceeds ``max_block_pairs`` (default 1e8); the levers
+    are a finer block key, a larger ``lsh_dims`` (each +1 halves bucket
+    population), or raising/disabling the cap ({'max_block_pairs': 0}).
+    Decisions are unchanged whenever the guard passes."""
     from ..errors import ArityError
 
     opts = _opts(rest)
@@ -774,6 +789,42 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         v.alias("__v"),
         norm_col(v, dim).alias("__n"),
     ).filter(_valid_vec(F.col("__v"), dim))
+
+    try:
+        max_pairs = int(opts.get("max_block_pairs", 100_000_000))
+    except (TypeError, ValueError):
+        raise ArityError(
+            "neardup-pairs max_block_pairs must be an int (0 disables), "
+            f"got {opts.get('max_block_pairs')!r}"
+        ) from None
+    if max_pairs and not rel.df.isStreaming:
+        # the docstring's oversized-block guard: one block-key count at
+        # construction; a block's pairs land on ONE join key, so the
+        # estimate is also the single-task work bound
+        if block:
+            hot = (
+                prepared.groupBy(block)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .orderBy(F.col("__c").desc())
+                .limit(1)
+                .collect()
+            )
+            c = hot[0]["__c"] if hot else 0
+            where = f"block {hot[0][block]!r}" if hot else ""
+        else:  # allow_full: the whole relation is one block
+            c = prepared.count()
+            where = "the unblocked relation"
+        est = c * (c - 1) // 2
+        if est > max_pairs:
+            raise ArityError(
+                f"neardup-pairs: {where} has {c} rows — an estimated "
+                f"{est} within-block pairs, over max_block_pairs="
+                f"{max_pairs}. A constant-cardinality block only divides "
+                "the corpus quadratic by a constant; use a finer "
+                "{'block': col}, raise {'lsh_dims': d} (each +1 halves "
+                "bucket population), or set {'max_block_pairs': n} "
+                "(0 disables) to absorb the quadratic work knowingly"
+            )
     from .util import source_bytes
 
     spread = _spread(prepared)

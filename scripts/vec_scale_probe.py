@@ -40,6 +40,19 @@ QUERIES = [
     "kmeans_centroids",
     "semdedup_embeddings",
     "ann_ivf_topk",
+    # r13 additions — the bucket-join families were never probed on
+    # this axis: ann_lsh_topk is the claimed ~N/2^dims-per-query scale
+    # path (exp should stay well under ann_topk's by-design O(N*Q)).
+    "ann_lsh_topk",
+    # the documented O(N*Q) exact baseline, probed for the record: its
+    # exponent SHOULD read ~superlinear (queries grow with N too) —
+    # that is the brute-force contract, ann-lsh/ivf are the scale paths
+    "ann_topk",
+    # neardup_embeddings was probed ONCE here (r13): exp 0.99 -> 1.78
+    # (1.6s -> 108s at 60k vectors over 4 constant semantic blocks) —
+    # the measurement that motivated the max_block_pairs guard, which
+    # now REFUSES the 30x shape (est ~112M pairs in one block > 1e8),
+    # so the row is deliberately NOT in the default list anymore.
 ]
 
 # (label, vec_sf): 2k / 20k / 60k vectors; documents constant at sf0.1

@@ -530,6 +530,43 @@ def test_neardup_pairs_lsh_blocked_subset_of_full(spark, tables):
     assert set(lsh_pairs) == expected
 
 
+def test_neardup_pairs_oversized_block_guard(spark):
+    """r13 (the semdedup max_cluster_pairs precedent, motivated by the
+    vector-axis probe's exp-1.78 reading): a hot block over the
+    estimated-pair cap refuses curatedly at construction; 0 disables;
+    decisions are unchanged when the guard passes; allow_full counts
+    the whole relation as one block; junk cap values are curated."""
+    from ksml_spark.errors import ArityError
+
+    rows = [(i, "hot" if i < 600 else f"g{i % 7}",
+             [1.0 + (i % 9) / 4.0, (i % 5) / 3.0, 0.3]) for i in range(650)]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    src = ["stream", df, {"key": "vec_id"}]
+    base = {"id": "vec_id", "vec": "embedding", "dim": 3, "threshold": 0.99,
+            "block": "label"}
+
+    # 600-row hot block -> 179,700 estimated pairs > a 100k cap
+    with pytest.raises(ArityError, match="max_block_pairs"):
+        ksml(["neardup-pairs", src, dict(base, max_block_pairs=100_000)],
+             spark=spark)
+    with pytest.raises(ArityError, match="unblocked relation"):
+        ksml(["neardup-pairs", src,
+              {"id": "vec_id", "vec": "embedding", "dim": 3,
+               "allow_full": True, "max_block_pairs": 100_000}], spark=spark)
+    with pytest.raises(ArityError, match="must be an int"):
+        ksml(["neardup-pairs", src, dict(base, max_block_pairs="lots")],
+             spark=spark)
+
+    def pairs(extra):
+        out = ksml(["neardup-pairs", src, dict(base, **extra)], spark=spark)
+        return sorted((r["id_a"], r["id_b"], r["sim"]) for r in out.df.collect())
+
+    # passing guard (default cap) == disabled guard, bit-for-bit
+    got = pairs({})
+    assert got == pairs({"max_block_pairs": 0})
+    assert got  # the hot block must actually produce duplicates
+
+
 def test_neardup_lsh_mode_matches_block_on_precomputed_bucket(spark, tables):
     """{"lsh_dims": d} must be bit-identical to {"block": col} run on a
     PRECOMPUTED sign-bucket column — after the bucket derivation
