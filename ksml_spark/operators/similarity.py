@@ -474,7 +474,19 @@ def _topk(pairs: DataFrame, k: int) -> DataFrame:
 @defop("ann-topk")
 def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """Exact brute-force cosine top-k. Query side is filtered + broadcast;
-    the candidate scan is never shuffled."""
+    the candidate scan is never shuffled. Batch-only: the op self-joins
+    one relation (queries broadcast against the same corpus), which a
+    stream can never close — refused at construction (r13; it used to
+    surface as an opaque unsupported-operation failure at
+    query.start())."""
+    from ..errors import TypeDispatchError
+
+    if rel.df.isStreaming:
+        raise TypeDispatchError(
+            "ann-topk self-joins the corpus (broadcast/candidate sides of one "
+            "relation) and is batch-only; score a STREAM against a static "
+            "corpus with semdedup-join or lsh-join instead"
+        )
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     k = int(opts.get("k", 3))
@@ -507,6 +519,14 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """Approximate cosine top-k: candidates restricted to the query's
     sign-hash bucket. Equi-join shuffle on the bucket key — the scale path
     (each query touches ~N/2^dims candidates, not N)."""
+    from ..errors import TypeDispatchError
+
+    if rel.df.isStreaming:
+        raise TypeDispatchError(
+            "ann-lsh-topk self-joins the corpus (broadcast/candidate sides of one "
+            "relation) and is batch-only; score a STREAM against a static "
+            "corpus with semdedup-join or lsh-join instead"
+        )
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     k = int(opts.get("k", 3))
@@ -586,8 +606,16 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     k = int(opts.get("k", 3))
     dim = opts.get("dim")
     nprobe = int(opts.get("nprobe", 2))
-    from ..errors import ArityError
+    from ..errors import ArityError, TypeDispatchError
 
+    if rel.df.isStreaming:
+        # r13: the centroid collect below would otherwise surface this
+        # as a raw AnalysisException mid-construction
+        raise TypeDispatchError(
+            "ann-ivf-topk self-joins the corpus (assignment + probe sides "
+            "of one relation) and is batch-only; score a STREAM against a "
+            "static corpus with semdedup-join or lsh-join instead"
+        )
     impl, max_k = _assign_impl_opts(opts, "ann-ivf-topk", dim)
     cents_rel = next((r for r in rest if isinstance(r, Rel)), None)
     if cents_rel is not None and (opts.get("centroids") or opts.get("init")):
@@ -761,8 +789,14 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     are a finer block key, a larger ``lsh_dims`` (each +1 halves bucket
     population), or raising/disabling the cap ({'max_block_pairs': 0}).
     Decisions are unchanged whenever the guard passes."""
-    from ..errors import ArityError
+    from ..errors import ArityError, TypeDispatchError
 
+    if rel.df.isStreaming:
+        raise TypeDispatchError(
+            "neardup-pairs self-joins the corpus within blocks and is "
+            "batch-only; score a STREAM against a static corpus with "
+            "semdedup-join or lsh-join instead"
+        )
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     thr = float(opts.get("threshold", 0.9))

@@ -142,6 +142,21 @@ def test_batch_only_ops_refuse_streaming_at_construction(spark, tmp_path):
         with pytest.raises(TypeDispatchError, match="batch-only"):
             ksml([op, stream_rel(), {}], spark=spark)
 
+    # r13: the corpus-self-join vector ops too — they used to construct
+    # on a stream and die at query.start() with an opaque unsupported-
+    # operation failure (ann-ivf: a raw AnalysisException from the eager
+    # centroid collect); vec-quantize/vec-project stay stream-legal
+    # (per-row expressions)
+    for op, o in [
+        ("ann-topk", {"queries": "doc_id = 1"}),
+        ("ann-lsh-topk", {"queries": "doc_id = 1"}),
+        ("ann-ivf-topk", {"queries": "doc_id = 1", "centroids": "doc_id = 1"}),
+        ("neardup-pairs", {"lsh_dims": 1}),
+    ]:
+        with pytest.raises(TypeDispatchError, match="batch-only"):
+            ksml([op, stream_rel(), dict(o, id="doc_id", vec="text", dim=3)],
+                 spark=spark)
+
     from ksml_spark.errors import ArityError
 
     with pytest.raises(ArityError, match="streaming parquet sink needs"):
