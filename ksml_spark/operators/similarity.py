@@ -41,6 +41,32 @@ from .util import opts_of as _opts  # noqa: E402  (shared option merging)
 from .util import req_opt as _req  # noqa: E402  (curated required-option fetch)
 
 
+def _pos_int_opt(opts: dict, key: str, op: str, default=None):
+    """Curated positive-int parse for vector-width / LSH-dims options
+    (late r13, the zero-divisor refusal class): a zero or negative
+    value otherwise reaches ``F.slice`` / the unrolled dot chain and
+    aborts at first action with an opaque runtime error (negative
+    slice length), and a junk string surfaces as a raw
+    TypeError/ValueError mid-construction. None stays None (the
+    dynamic-width zip_with paths). A literal 0 is REFUSED rather than
+    read as "unspecified" — omitting the key is the documented way to
+    get dynamic width."""
+    from ..errors import ArityError
+
+    raw = opts.get(key, default)
+    if raw is None:
+        return None
+    try:
+        val = int(raw)
+    except (TypeError, ValueError):
+        raise ArityError(
+            f"{op}: {key} must be a positive int, got {raw!r}"
+        ) from None
+    if val < 1:
+        raise ArityError(f"{op}: {key} must be >= 1, got {val}")
+    return val
+
+
 def dot_col(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     """Sequential-order dot product (matches DuckDB list_dot_product
     bit-for-bit on identical inputs).
@@ -490,7 +516,7 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     k = int(opts.get("k", 3))
-    dim = opts.get("dim")
+    dim = _pos_int_opt(opts, "dim", "ann-topk")
     # degenerate rows (zero-norm / NaN / short / NULL vectors) have no
     # cosine: excluded on BOTH sides at construction (r13 — "match
     # nothing", the same envelope as assignment's NULL cluster; changes
@@ -518,8 +544,24 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
 def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     """Approximate cosine top-k: candidates restricted to the query's
     sign-hash bucket. Equi-join shuffle on the bucket key — the scale path
-    (each query touches ~N/2^dims candidates, not N)."""
-    from ..errors import TypeDispatchError
+    (each query touches ~N/2^dims candidates, not N).
+
+    Hot-bucket guard (r13, the neardup max_block_pairs precedent): the
+    bucket join prunes pair work only while 2^sign_dims keeps pace with
+    the corpus — the r13 vector-axis probe measured the exponent
+    climbing (0.28 -> 0.74 on the 30x step at FIXED dims=8) because a
+    constant dims only divides the quadratic by a constant, and all of
+    one bucket's query x candidate pairs land on ONE join key (one
+    task). Construction therefore counts the hottest bucket's
+    candidates x queries product (one cheap agg, batch-only op) and
+    REFUSES curatedly when it exceeds ``max_bucket_pairs`` (default
+    1e8). The levers are a larger ``sign_dims`` (each +1 halves bucket
+    population — and the probe measured dims grown as log2(N/8) both
+    flattens the axis, exp 0.14/0.42, AND runs 1.5x faster absolute),
+    a narrower ``queries`` filter, or ``{'max_bucket_pairs': 0}`` to
+    absorb the work knowingly. Decisions are unchanged whenever the
+    guard passes."""
+    from ..errors import ArityError, TypeDispatchError
 
     if rel.df.isStreaming:
         raise TypeDispatchError(
@@ -530,8 +572,8 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     k = int(opts.get("k", 3))
-    dims = int(opts.get("sign_dims", 8))
-    dim = opts.get("dim")
+    dims = _pos_int_opt(opts, "sign_dims", "ann-lsh-topk", default=8)
+    dim = _pos_int_opt(opts, "dim", "ann-lsh-topk")
     v = F.col(vecc).cast("array<double>")
     # degenerate rows excluded at construction (the ann-topk r13
     # envelope — see _valid_vec)
@@ -541,12 +583,50 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         norm_col(v, dim).alias("__n"),
         sign_bucket_col(F.col(vecc), dims).alias("__bucket"),
     ).filter(_valid_vec(F.col("__v"), dim))
-    q = prepared.filter(F.expr(_req(opts, "queries", "ann-lsh-topk"))).select(
+    qpred = F.expr(_req(opts, "queries", "ann-lsh-topk"))
+    q = prepared.filter(qpred).select(
         F.col(idc).alias("q_id"),
         F.col("__v").alias("__qv"),
         F.col("__n").alias("__qn"),
         "__bucket",
     )
+    try:
+        max_pairs = int(opts.get("max_bucket_pairs", 100_000_000))
+    except (TypeError, ValueError):
+        raise ArityError(
+            "ann-lsh-topk max_bucket_pairs must be an int (0 disables), "
+            f"got {opts.get('max_bucket_pairs')!r}"
+        ) from None
+    if max_pairs:
+        # the docstring's hot-bucket guard: one bucket-key agg at
+        # construction; a bucket's query x candidate pairs land on ONE
+        # join key, so the product is also the single-task work bound
+        hot = (
+            prepared.groupBy("__bucket")
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.count(F.when(qpred, F.lit(1))).alias("__q"),
+            )
+            # double product: a long x long product overflows (ANSI
+            # abort) at ~3e9 x 3e9 — plausible bucket sizes at corpus
+            # scale, and the guard must never be the thing that aborts
+            .withColumn("__w", F.col("__c").cast("double") * F.col("__q"))
+            .orderBy(F.col("__w").desc())
+            .limit(1)
+            .collect()
+        )
+        est = int(hot[0]["__w"]) if hot else 0
+        if est > max_pairs:
+            raise ArityError(
+                f"ann-lsh-topk: bucket {hot[0]['__bucket']!r} has "
+                f"{hot[0]['__c']} candidates x {hot[0]['__q']} queries = "
+                f"{est} pairs on one join key, over max_bucket_pairs="
+                f"{max_pairs}. A fixed sign_dims only divides the corpus "
+                "quadratic by a constant; raise {'sign_dims': d} (each +1 "
+                "halves bucket population), narrow the 'queries' filter, "
+                "or set {'max_bucket_pairs': n} (0 disables) to absorb "
+                "the quadratic work knowingly"
+            )
     # no _spread here: the bucket join prunes candidates to ~N/2^dims per
     # query, so per-split work is already small — an extra exchange costs
     # more than the parallelism buys (measured at sf0.1: 1.8s -> 3.8s)
@@ -604,7 +684,7 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     k = int(opts.get("k", 3))
-    dim = opts.get("dim")
+    dim = _pos_int_opt(opts, "dim", "ann-ivf-topk")
     nprobe = int(opts.get("nprobe", 2))
     from ..errors import ArityError, TypeDispatchError
 
@@ -801,14 +881,16 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     thr = float(opts.get("threshold", 0.9))
     block = opts.get("block")
-    dim = opts.get("dim")
+    dim = _pos_int_opt(opts, "dim", "neardup-pairs")
     v = F.col(vecc).cast("array<double>")
     blockers = []
     if block:
         blockers = [F.col(block)]
     elif opts.get("lsh_dims"):
         block = "__bucket"
-        blockers = [sign_bucket_col(v, int(opts["lsh_dims"])).alias("__bucket")]
+        blockers = [sign_bucket_col(
+            v, _pos_int_opt(opts, "lsh_dims", "neardup-pairs")
+        ).alias("__bucket")]
     elif not opts.get("allow_full"):
         raise ArityError(
             "neardup-pairs without blocking is an O(N^2) all-pairs self-join; "
@@ -927,7 +1009,7 @@ def op_vec_quantize(ctx: Ctx, rel: Rel, *rest) -> Rel:
     1.5s at sf0.1) than just running the narrow projection in place."""
     opts = _opts(rest)
     vecc = opts.get("vec", "embedding")
-    dim = opts.get("dim")
+    dim = _pos_int_opt(opts, "dim", "vec-quantize")
     out = opts.get("as", "q")
     scale_as = opts.get("scale_as", "q_scale")
     v = F.col(vecc).cast("array<double>")
@@ -1017,7 +1099,7 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
 
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
-    dim = opts.get("dim")
+    dim = _pos_int_opt(opts, "dim", "kmeans-assign")
     init = opts.get("centroids") or opts.get("init")
     cents_rel = next((r for r in rest if isinstance(r, Rel)), None)
     if cents_rel is not None and init:
@@ -1200,7 +1282,7 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
 
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
-    dim = opts.get("dim")
+    dim = _pos_int_opt(opts, "dim", "semdedup")
     thr = float(opts.get("threshold", 0.9))
     action = opts.get("action", "annotate")
     if action not in ("annotate", "filter"):
@@ -1608,10 +1690,9 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     ridc = opts.get("right_id", idc)
     rvecc = opts.get("right_vec", vecc)
-    dim = opts.get("dim")
+    dim = _pos_int_opt(opts, "dim", "semdedup-join")
     if not dim:
         raise ArityError("semdedup-join needs {'dim': <vector length>}")
-    dim = int(dim)
     thr = float(opts.get("threshold", 0.9))
     max_k = int(opts.get("max_k", 65536))
     action = opts.get("action", "annotate")
@@ -1911,6 +1992,8 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         raise
     except (TypeError, ValueError) as e:
         raise ArityError(f"kmeans-centroids: bad numeric option: {e}") from None
+    if dim < 1:
+        raise ArityError(f"kmeans-centroids: dim must be >= 1, got {dim}")
     init = opts.get("init") or opts.get("centroids")
     init_rel = next((r for r in rest if isinstance(r, Rel)), None)
     if init_rel is not None and init:
@@ -2051,7 +2134,7 @@ def op_vec_norm(ctx: Ctx, rel: Rel, *rest) -> Rel:
     unrolled into codegen (see dot_col)."""
     opts = _opts(rest)
     colc = opts.get("col", "embedding")
-    dim = opts.get("dim")
+    dim = _pos_int_opt(opts, "dim", "vec-norm")
     out = opts.get("as", "unit")
     norm_as = opts.get("norm_as", "norm")
     # double math end to end (the ann-topk convention: DuckDB reproduces
@@ -2151,7 +2234,7 @@ def op_vec_project(ctx: Ctx, rel: Rel, *rest) -> Rel:
     opts = _opts(rest)
     colc = opts.get("col", "embedding")
     out = opts.get("as", "proj")
-    dim = opts.get("dim")
+    dim = _pos_int_opt(opts, "dim", "vec-project")
     k = opts.get("k")
     seed = int(opts.get("seed", 0))
     if not dim or not k:

@@ -216,6 +216,37 @@ def test_zero_divisor_options_refused_at_construction(spark, probe_rel_df):
             ksml(form, spark=spark)
 
 
+def test_nonpositive_vector_width_options_refused(spark, probe_rel_df):
+    """late r13 (the zero-divisor refusal class applied to vector
+    widths): a zero/negative `dim`, `sign_dims` or `lsh_dims`
+    previously reached F.slice / the unrolled dot chain and aborted at
+    first action with an opaque negative-slice-length runtime error
+    (or, for dim=0, was silently read as "unspecified"). Refused
+    curatedly at construction across the ten vector ops; junk strings
+    are curated too."""
+    from ksml_spark.errors import ArityError
+
+    rel = ["stream", probe_rel_df, {"key": "doc_id"}]
+    for form, match in [
+        (["ann-topk", rel, {"id": "doc_id", "vec": "text", "dim": -3,
+                            "queries": "doc_id = 1"}], "dim must be >= 1"),
+        (["ann-lsh-topk", rel, {"id": "doc_id", "vec": "text", "dim": 3,
+                                "sign_dims": -1, "queries": "doc_id = 1"}],
+         "sign_dims must be >= 1"),
+        (["neardup-pairs", rel, {"id": "doc_id", "vec": "text",
+                                 "lsh_dims": -2}], "lsh_dims must be >= 1"),
+        (["vec-norm", rel, {"vec": "text", "dim": 0}], "dim must be >= 1"),
+        (["semdedup-join", rel, rel, {"dim": -1}], "dim must be >= 1"),
+        (["kmeans-centroids", rel, {"id": "doc_id", "vec": "text",
+                                    "dim": 0, "init": "doc_id = 1"}],
+         "dim must be >= 1"),
+        (["vec-quantize", rel, {"vec": "text", "dim": "junk"}],
+         "dim must be a positive int"),
+    ]:
+        with pytest.raises(ArityError, match=match):
+            ksml(form, spark=spark)
+
+
 def test_user_callback_valueerror_not_relabelled_as_arityerror(spark, probe_rel_df):
     """Ops that execute user code eagerly (batch foreach/peek/
     foreach-batch) are opted OUT of the ValueError->ArityError retype:

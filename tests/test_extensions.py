@@ -567,6 +567,39 @@ def test_neardup_pairs_oversized_block_guard(spark):
     assert got  # the hot block must actually produce duplicates
 
 
+def test_ann_lsh_hot_bucket_guard(spark, tables):
+    """r13 (the neardup max_block_pairs precedent, motivated by the
+    vector-axis probe's climbing fixed-dims exponent): a hot sign
+    bucket over the estimated candidates x queries cap refuses
+    curatedly at construction; 0 disables; decisions are unchanged
+    when the guard passes; junk cap values are curated."""
+    from ksml_spark.errors import ArityError
+
+    src = ["stream", tables["embeddings"], {"key": "vec_id"}]
+    base = {"id": "vec_id", "vec": "embedding", "dim": 64, "k": 3,
+            "sign_dims": 2, "queries": "vec_id < 200"}
+
+    # sign_dims=2 -> at most 4 buckets over the 500-vector table, so the
+    # hottest bucket's candidates x queries product exceeds a 1000 cap
+    with pytest.raises(ArityError, match="max_bucket_pairs"):
+        ksml(["ann-lsh-topk", src, dict(base, max_bucket_pairs=1000)],
+             spark=spark)
+    with pytest.raises(ArityError, match="must be an int"):
+        ksml(["ann-lsh-topk", src, dict(base, max_bucket_pairs="lots")],
+             spark=spark)
+
+    def topk(extra):
+        out = ksml(["ann-lsh-topk", src, dict(base, **extra)], spark=spark)
+        return sorted(
+            (r["q_id"], r["rank"], r["n_id"], r["sim"]) for r in out.df.collect()
+        )
+
+    # passing guard (default cap) == disabled guard, bit-for-bit
+    got = topk({})
+    assert got == topk({"max_bucket_pairs": 0})
+    assert got  # the coarse buckets must actually produce neighbors
+
+
 def test_neardup_lsh_mode_matches_block_on_precomputed_bucket(spark, tables):
     """{"lsh_dims": d} must be bit-identical to {"block": col} run on a
     PRECOMPUTED sign-bucket column — after the bucket derivation
