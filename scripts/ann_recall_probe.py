@@ -1,0 +1,101 @@
+"""Measured recall/speed trade of the approximate ANN paths.
+
+SCALE.md's ann-lsh dims-scaling note says "the recall trade moves with
+it (more hyperplanes = more straddled pairs missed)" — argued from the
+LSH construction, not measured. This probe measures it: recall@k of
+ann-lsh-topk (sign_dims sweep) and ann-ivf-topk (nprobe sweep) against
+ann-topk exact brute-force ground truth on the driver testdata.
+
+    python scripts/ann_recall_probe.py [sf_dir] [k]
+
+Method: ground truth = ann-topk (exact cosine) top-k per query; a
+variant's recall@k = |variant top-k ∩ true top-k| / k, averaged over
+queries (a variant returning fewer than k rows — a bucket smaller than
+k — is penalized naturally). Timing = wall seconds of the variant's
+noop-sink run AFTER one untimed warm pass (min of 2 timed).
+
+Caveat recorded with the results: the synthetic embeddings are i.i.d.
+uniform, the WORST case for sign-LSH (no cluster structure, cosines
+concentrate near 0, near-ties everywhere), so these recalls are a
+floor — real embedding corpora are clustered and bucket neighbors
+together. The probe's value is the RANKING between variants and the
+shape of the recall-vs-dims / recall-vs-nprobe curves.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from ksml_spark import get_spark, pipe  # noqa: E402
+from ksml_spark.sources.files import load_table  # noqa: E402
+
+QUERIES = "vec_id % 50 = 0"
+
+
+def run(spark, sf_dir, form):
+    rel = pipe(
+        ["stream", load_table(spark, sf_dir, "embeddings"), {"key": "vec_id"}],
+        form,
+        spark=spark,
+    )
+    rel.df.write.mode("overwrite").format("noop").save()  # warm
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        rel.df.write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    rows = rel.df.collect()
+    out: dict[int, set] = {}
+    for r in rows:
+        out.setdefault(r["q_id"], set()).add(r["n_id"])
+    return out, round(best, 3)
+
+
+def recall(approx: dict[int, set], truth: dict[int, set], k: int) -> float:
+    if not truth:
+        return float("nan")
+    return round(
+        sum(len(approx.get(q, set()) & t) / k for q, t in truth.items())
+        / len(truth),
+        4,
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="ann-recall-probe")
+    base = {"id": "vec_id", "vec": "embedding", "dim": 64, "k": k,
+            "queries": QUERIES}
+
+    truth, t_brute = run(spark, sf_dir, ["ann-topk", dict(base)])
+    n_q = len(truth)
+    print(f"# ground truth: ann-topk k={k}, {n_q} queries, {t_brute}s")
+    print("| variant | recall@%d | sec | vs brute |" % k)
+    print("|---|---|---|---|")
+    print(f"| ann-topk (exact) | 1.0000 | {t_brute} | 1.00x |")
+
+    for dims in (4, 8, 11, 13):
+        approx, t = run(
+            spark, sf_dir,
+            ["ann-lsh-topk", dict(base, sign_dims=dims)],
+        )
+        print(f"| ann-lsh sign_dims={dims} | {recall(approx, truth, k)} "
+              f"| {t} | {round(t / t_brute, 2)}x |")
+
+    for nprobe in (1, 2, 4, 8):
+        approx, t = run(
+            spark, sf_dir,
+            ["ann-ivf-topk", dict(base, centroids="vec_id % 127 = 3",
+                                  nprobe=nprobe)],
+        )
+        print(f"| ann-ivf nprobe={nprobe} | {recall(approx, truth, k)} "
+              f"| {t} | {round(t / t_brute, 2)}x |")
+
+
+if __name__ == "__main__":
+    main()
