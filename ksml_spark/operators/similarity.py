@@ -100,13 +100,28 @@ def norm_col(a: Column, dim: Optional[int] = None) -> Column:
     return F.sqrt(dot_col(a, a, dim))
 
 
-def sign_bucket_col(vec: Column, dims: int) -> Column:
-    """Axis-aligned random-hyperplane LSH: the sign pattern of the first
-    ``dims`` coordinates, as a '0'/'1' string."""
+def sign_bucket_col(vec: Column, dims: int, start: int = 1) -> Column:
+    """Axis-aligned random-hyperplane LSH: the sign pattern of ``dims``
+    coordinates from 1-based position ``start``, as a '0'/'1' string."""
     return F.concat_ws(
         "",
-        F.transform(F.slice(vec, 1, dims), lambda x: F.when(x > 0, "1").otherwise("0")),
+        F.transform(
+            F.slice(vec, start, dims), lambda x: F.when(x > 0, "1").otherwise("0")
+        ),
     )
+
+
+def _band_buckets(vec: Column, dims: int, bands: int) -> Column:
+    """OR-construction banding: band j's bucket is the sign pattern of
+    coordinates [j*dims, (j+1)*dims), prefixed with the band index so
+    two bands never share a join key. array<string> of ``bands``
+    buckets per vector."""
+    return F.array(*[
+        F.concat_ws(
+            ":", F.lit(str(j)), sign_bucket_col(vec, dims, start=j * dims + 1)
+        )
+        for j in range(bands)
+    ])
 
 
 def _prepared(rel: Rel, idc: str, vecc: str, dim: Optional[int] = None) -> DataFrame:
@@ -546,6 +561,18 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     sign-hash bucket. Equi-join shuffle on the bucket key — the scale path
     (each query touches ~N/2^dims candidates, not N).
 
+    {'bands': b} (late r13) — OR-construction banding, the standard LSH
+    recall lever: band j hashes coordinates [j*sign_dims,
+    (j+1)*sign_dims) and a pair is a candidate if it co-buckets in ANY
+    band. Single-band recall on unclustered data decays as
+    (1-theta/pi)^sign_dims (measured at its theory floor by
+    scripts/ann_recall_probe.py: 0.01 at dims=8 on uniform vectors);
+    banding lifts it to 1-(1-p^r)^b at b x the candidate volume.
+    Requires dim >= bands*sign_dims (disjoint slices). bands=1
+    (default) is bit-compatible with every pre-bands release. Shape:
+    explode b bucket keys per vector -> same equi-join -> hash-agg
+    dedupe on the pair key before ranking.
+
     Hot-bucket guard (r13, the neardup max_block_pairs precedent): the
     bucket join prunes pair work only while 2^sign_dims keeps pace with
     the corpus — the r13 vector-axis probe measured the exponent
@@ -574,15 +601,44 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     k = int(opts.get("k", 3))
     dims = _pos_int_opt(opts, "sign_dims", "ann-lsh-topk", default=8)
     dim = _pos_int_opt(opts, "dim", "ann-lsh-topk")
+    bands = _pos_int_opt(opts, "bands", "ann-lsh-topk", default=1)
     v = F.col(vecc).cast("array<double>")
     # degenerate rows excluded at construction (the ann-topk r13
     # envelope — see _valid_vec)
-    prepared = rel.df.select(
-        F.col(idc),
-        v.alias("__v"),
-        norm_col(v, dim).alias("__n"),
-        sign_bucket_col(F.col(vecc), dims).alias("__bucket"),
-    ).filter(_valid_vec(F.col("__v"), dim))
+    if bands == 1:
+        # single-band path, bit-compatible with every pre-bands release
+        # (the registry oracle's shape)
+        prepared = rel.df.select(
+            F.col(idc),
+            v.alias("__v"),
+            norm_col(v, dim).alias("__n"),
+            sign_bucket_col(F.col(vecc), dims).alias("__bucket"),
+        ).filter(_valid_vec(F.col("__v"), dim))
+    else:
+        if not dim:
+            raise ArityError(
+                "ann-lsh-topk with bands > 1 needs {'dim': n} — band j "
+                "reads coordinates [j*sign_dims, (j+1)*sign_dims) and the "
+                "layout must be validated against the vector width"
+            )
+        if bands * dims > dim:
+            raise ArityError(
+                f"ann-lsh-topk: bands x sign_dims = {bands}x{dims} = "
+                f"{bands * dims} exceeds dim={dim} — bands read DISJOINT "
+                "coordinate slices; lower bands or sign_dims"
+            )
+        prepared = (
+            rel.df.select(
+                F.col(idc),
+                v.alias("__v"),
+                norm_col(v, dim).alias("__n"),
+                _band_buckets(F.col(vecc), dims, bands).alias("__bkts"),
+            )
+            .filter(_valid_vec(F.col("__v"), dim))
+            .select(
+                F.col(idc), "__v", "__n", F.explode("__bkts").alias("__bucket")
+            )
+        )
     qpred = F.expr(_req(opts, "queries", "ann-lsh-topk"))
     q = prepared.filter(qpred).select(
         F.col(idc).alias("q_id"),
@@ -644,6 +700,16 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             F.col("__qn") * F.col("__cn"),
         ))
     )
+    if bands > 1:
+        # a pair sharing several band buckets joins once per shared
+        # band — dedupe before ranking or it occupies several top-k
+        # slots. One hash agg on the pair key; the per-band sims are
+        # bit-identical (same vectors, same expression), max is the
+        # deterministic pick. Scoring before the dedupe re-computes the
+        # dot for multi-shared pairs, but carrying vectors THROUGH a
+        # pair-key shuffle to score after costs more than the rare
+        # duplicate dot (bands are discriminative by construction).
+        pairs = pairs.groupBy("q_id", "n_id").agg(F.max("__sim").alias("__sim"))
     return KStreamRel(_topk(pairs, k), key_cols=("q_id", "rank"))
 
 

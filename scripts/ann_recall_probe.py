@@ -87,6 +87,14 @@ def main():
         print(f"| ann-lsh sign_dims={dims} | {recall(approx, truth, k)} "
               f"| {t} | {round(t / t_brute, 2)}x |")
 
+    for r, b in ((4, 4), (4, 8), (4, 16), (8, 8)):
+        approx, t = run(
+            spark, sf_dir,
+            ["ann-lsh-topk", dict(base, sign_dims=r, bands=b)],
+        )
+        print(f"| ann-lsh r={r} bands={b} | {recall(approx, truth, k)} "
+              f"| {t} | {round(t / t_brute, 2)}x |")
+
     for nprobe in (1, 2, 4, 8):
         approx, t = run(
             spark, sf_dir,

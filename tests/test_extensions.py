@@ -600,6 +600,93 @@ def test_ann_lsh_hot_bucket_guard(spark, tables):
     assert got  # the coarse buckets must actually produce neighbors
 
 
+def test_ann_lsh_bands_exact_reference(spark, tables):
+    """late r13 OR-construction banding: output equals a sequential-order
+    Python reimplementation bit-for-bit (band buckets -> any-band
+    candidate union -> cosine with left-to-right float64 dots, Spark's
+    unrolled-chain order -> (sim desc, n_id asc) top-k)."""
+    import math
+
+    r, b, k = 4, 8, 3
+    out = pipe(
+        ["stream", tables["embeddings"], {"key": "vec_id"}],
+        ["ann-lsh-topk", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                          "k": k, "sign_dims": r, "bands": b,
+                          "queries": "vec_id % 50 = 0"}],
+        spark=spark,
+    ).df
+    got = sorted((x["q_id"], x["rank"], x["n_id"], x["sim"]) for x in out.collect())
+
+    vecs = {x["vec_id"]: list(x["embedding"])
+            for x in tables["embeddings"].select("vec_id", "embedding").collect()}
+
+    def seqdot(a, bb):
+        s = a[0] * bb[0]
+        for i in range(1, 64):
+            s = s + a[i] * bb[i]
+        return s
+
+    def buckets(v):
+        return {f"{j}:" + "".join("1" if x > 0 else "0" for x in v[j*r:(j+1)*r])
+                for j in range(b)}
+
+    bkt = {i: buckets(v) for i, v in vecs.items()}
+    nrm = {i: math.sqrt(seqdot(v, v)) for i, v in vecs.items()}
+    expected = []
+    for q in sorted(vecs):
+        if q % 50 != 0:
+            continue
+        cands = []
+        for n, v in vecs.items():
+            if n == q or not (bkt[q] & bkt[n]):
+                continue
+            cands.append((seqdot(vecs[q], v) / (nrm[q] * nrm[n]), n))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (sim, n) in enumerate(cands[:k], start=1):
+            expected.append((q, rank, n, round(sim, 6)))
+    assert got == sorted(expected)
+
+
+def test_ann_lsh_bands_dominate_single_band(spark, tables):
+    """The banded candidate set is a SUPERSET of single-band's (band 0
+    with the same sign_dims IS the single-band bucket), so for every
+    query the i-th best banded sim must be >= the i-th best
+    single-band sim."""
+    base = {"id": "vec_id", "vec": "embedding", "dim": 64, "k": 3,
+            "sign_dims": 4, "queries": "vec_id % 50 = 0"}
+
+    def ranks(extra):
+        out = pipe(["stream", tables["embeddings"], {"key": "vec_id"}],
+                   ["ann-lsh-topk", dict(base, **extra)], spark=spark).df
+        m = {}
+        for x in out.collect():
+            m[(x["q_id"], x["rank"])] = x["sim"]
+        return m
+
+    single, banded = ranks({}), ranks({"bands": 8})
+    assert single and banded
+    for key, sim in single.items():
+        assert key in banded and banded[key] >= sim
+
+
+def test_ann_lsh_bands_guard_and_refusals(spark, tables):
+    """Banded-path construction contracts: bands without dim, an
+    over-width band layout, and the hot-bucket guard on the exploded
+    band-bucket key all refuse curatedly."""
+    from ksml_spark.errors import ArityError
+
+    src = ["stream", tables["embeddings"], {"key": "vec_id"}]
+    base = {"id": "vec_id", "vec": "embedding", "k": 3, "sign_dims": 4,
+            "queries": "vec_id % 50 = 0"}
+    with pytest.raises(ArityError, match="needs \\{'dim'"):
+        ksml(["ann-lsh-topk", src, dict(base, bands=8)], spark=spark)
+    with pytest.raises(ArityError, match="exceeds dim"):
+        ksml(["ann-lsh-topk", src, dict(base, bands=20, dim=64)], spark=spark)
+    with pytest.raises(ArityError, match="max_bucket_pairs"):
+        ksml(["ann-lsh-topk", src,
+              dict(base, bands=8, dim=64, max_bucket_pairs=10)], spark=spark)
+
+
 def test_neardup_lsh_mode_matches_block_on_precomputed_bucket(spark, tables):
     """{"lsh_dims": d} must be bit-identical to {"block": col} run on a
     PRECOMPUTED sign-bucket column — after the bucket derivation
