@@ -918,6 +918,14 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
       same sign-pattern bucket of the first d coordinates (reuses
       sign_bucket_col; approximate — a near-dup pair straddling one of
       the d hyperplanes is missed, the standard LSH recall trade).
+      {"bands": b} (late r13) adds the OR-construction over it: band j
+      hashes coordinates [j*lsh_dims, (j+1)*lsh_dims) and a pair is
+      compared if it co-buckets in ANY band — at threshold 0.9 the
+      per-coordinate sign agreement is ~0.86, so a single d=8 band
+      finds only ~0.86^8 = 29% of true near-dups; banding lifts pair
+      recall to 1-(1-p^d)^b (measured on planted duplicates by
+      scripts/ann_recall_probe.py) at ~b x the join volume. Requires
+      dim >= bands*lsh_dims; bands=1 (default) is bit-compatible.
     * {"allow_full": true} — explicit opt-in to the full O(N²) self-join,
       for small relations only; omitting all three RAISES.
 
@@ -948,15 +956,36 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     thr = float(opts.get("threshold", 0.9))
     block = opts.get("block")
     dim = _pos_int_opt(opts, "dim", "neardup-pairs")
+    bands = _pos_int_opt(opts, "bands", "neardup-pairs", default=1)
     v = F.col(vecc).cast("array<double>")
+    if bands > 1 and not opts.get("lsh_dims"):
+        raise ArityError(
+            "neardup-pairs: {'bands': b} is the OR-construction over "
+            "{'lsh_dims': d} sign buckets — pass lsh_dims with it "
+            "(bands over a semantic {'block': col} would just duplicate "
+            "every within-block pair)"
+        )
     blockers = []
     if block:
         blockers = [F.col(block)]
     elif opts.get("lsh_dims"):
         block = "__bucket"
-        blockers = [sign_bucket_col(
-            v, _pos_int_opt(opts, "lsh_dims", "neardup-pairs")
-        ).alias("__bucket")]
+        ldims = _pos_int_opt(opts, "lsh_dims", "neardup-pairs")
+        if bands == 1:
+            blockers = [sign_bucket_col(v, ldims).alias("__bucket")]
+        else:
+            if not dim:
+                raise ArityError(
+                    "neardup-pairs with bands > 1 needs {'dim': n} — band "
+                    "j reads coordinates [j*lsh_dims, (j+1)*lsh_dims) and "
+                    "the layout must be validated against the vector width"
+                )
+            if bands * ldims > dim:
+                raise ArityError(
+                    f"neardup-pairs: bands x lsh_dims = {bands}x{ldims} = "
+                    f"{bands * ldims} exceeds dim={dim} — bands read "
+                    "DISJOINT coordinate slices; lower bands or lsh_dims"
+                )
     elif not opts.get("allow_full"):
         raise ArityError(
             "neardup-pairs without blocking is an O(N^2) all-pairs self-join; "
@@ -965,12 +994,29 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
     # zero-norm rows excluded at construction (the ann-topk r13
     # envelope: no cosine, match nothing — and never abort the job)
-    prepared = rel.df.select(
-        F.col(idc),
-        *blockers,
-        v.alias("__v"),
-        norm_col(v, dim).alias("__n"),
-    ).filter(_valid_vec(F.col("__v"), dim))
+    if bands > 1:
+        # norm chain + validity BEFORE the band explode: in one select
+        # with the generator they would re-evaluate per band-row (b x
+        # the dim-unrolled chain per vector)
+        prepared = (
+            rel.df.select(
+                F.col(idc),
+                v.alias("__v"),
+                norm_col(v, dim).alias("__n"),
+                _band_buckets(v, ldims, bands).alias("__bkts"),
+            )
+            .filter(_valid_vec(F.col("__v"), dim))
+            .select(
+                F.col(idc), F.explode("__bkts").alias("__bucket"), "__v", "__n"
+            )
+        )
+    else:
+        prepared = rel.df.select(
+            F.col(idc),
+            *blockers,
+            v.alias("__v"),
+            norm_col(v, dim).alias("__n"),
+        ).filter(_valid_vec(F.col("__v"), dim))
 
     try:
         max_pairs = int(opts.get("max_block_pairs", 100_000_000))
@@ -1023,6 +1069,11 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     small = (
         spread is not prepared and nbytes is not None and 0 < nbytes < bcast_limit
     )
+    if bands > 1:
+        # the exploded side is bands x the source bytes the heuristic
+        # measured — don't pin a broadcast off an underestimate; let
+        # Catalyst/AQE judge the real exchange sizes
+        small = False
     a = spread.alias("a")
     # when the relation fits in a broadcast, pin the broadcast DIRECTION:
     # Catalyst sees two equal-size sides and may broadcast the spread one,
@@ -1048,6 +1099,12 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
         .filter(F.col("sim") >= thr)
     )
+    if bands > 1:
+        # a pair co-bucketing in several bands joins once per shared
+        # band — dedupe on the pair key (per-band sims are bit-identical;
+        # max is the deterministic pick). After the threshold filter, so
+        # only surviving near-dups pay the agg.
+        pairs = pairs.groupBy("id_a", "id_b").agg(F.max("sim").alias("sim"))
     return KStreamRel(pairs, key_cols=("id_a", "id_b"))
 
 

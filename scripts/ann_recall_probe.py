@@ -104,6 +104,48 @@ def main():
         print(f"| ann-ivf nprobe={nprobe} | {recall(approx, truth, k)} "
               f"| {t} | {round(t / t_brute, 2)}x |")
 
+    neardup_recall(spark)
+
+
+def neardup_recall(spark):
+    """Pair recall of neardup-pairs blocking modes on PLANTED
+    near-duplicates: 800 base vectors + 400 noisy copies at cosine
+    ~0.94, threshold 0.9; truth = the exact allow_full pair set."""
+    import numpy as np
+
+    from ksml_spark import ksml
+
+    rng = np.random.default_rng(7)
+    b0 = rng.standard_normal((800, 64))
+    noisy = b0[:400] + 0.35 * rng.standard_normal((400, 64))
+    vecs = np.vstack([b0, noisy])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = ["stream", df, {"key": "vec_id"}]
+    base = {"id": "vec_id", "vec": "embedding", "dim": 64, "threshold": 0.9}
+
+    def pairs(extra):
+        t0 = time.time()
+        out = ksml(["neardup-pairs", src, dict(base, **extra)], spark=spark)
+        got = {(x["id_a"], x["id_b"]) for x in out.df.collect()}
+        return got, round(time.time() - t0, 3)
+
+    truth, t_full = pairs({"allow_full": True})
+    print(f"\n# neardup planted duplicates: {len(truth)} true pairs "
+          f"(allow_full exact, {t_full}s)")
+    print("| blocking | pair recall | sec |")
+    print("|---|---|---|")
+    print(f"| allow_full (exact) | 1.000 | {t_full} |")
+    for extra, label in [
+        ({"lsh_dims": 8}, "lsh_dims=8"),
+        ({"lsh_dims": 8, "bands": 4}, "lsh_dims=8 bands=4"),
+        ({"lsh_dims": 8, "bands": 8}, "lsh_dims=8 bands=8"),
+        ({"lsh_dims": 4, "bands": 16}, "lsh_dims=4 bands=16"),
+    ]:
+        got, t = pairs(extra)
+        assert got <= truth
+        print(f"| {label} | {round(len(got) / len(truth), 4)} | {t} |")
+
 
 if __name__ == "__main__":
     main()

@@ -687,6 +687,103 @@ def test_ann_lsh_bands_guard_and_refusals(spark, tables):
               dict(base, bands=8, dim=64, max_bucket_pairs=10)], spark=spark)
 
 
+def test_neardup_bands_exact_reference(spark, tables):
+    """late r13 neardup banding: output equals a sequential-order Python
+    reimplementation bit-for-bit (any-band co-bucket pairs, id_a < id_b,
+    cosine >= threshold)."""
+    import math
+
+    r, b, thr = 4, 8, 0.4
+    out = pipe(
+        ["stream", tables["embeddings"], {"key": "vec_id"}],
+        ["neardup-pairs", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                           "threshold": thr, "lsh_dims": r, "bands": b}],
+        spark=spark,
+    ).df
+    got = sorted((x["id_a"], x["id_b"], x["sim"]) for x in out.collect())
+
+    vecs = {x["vec_id"]: list(x["embedding"])
+            for x in tables["embeddings"].select("vec_id", "embedding").collect()}
+
+    def seqdot(p, q):
+        s = p[0] * q[0]
+        for i in range(1, 64):
+            s = s + p[i] * q[i]
+        return s
+
+    bkt = {i: {f"{j}:" + "".join("1" if x > 0 else "0" for x in v[j*r:(j+1)*r])
+               for j in range(b)} for i, v in vecs.items()}
+    nrm = {i: math.sqrt(seqdot(v, v)) for i, v in vecs.items()}
+    expected = []
+    ids = sorted(vecs)
+    for ia, a in enumerate(ids):
+        for bb in ids[ia + 1:]:
+            if not (bkt[a] & bkt[bb]):
+                continue
+            sim = round(seqdot(vecs[a], vecs[bb]) / (nrm[a] * nrm[bb]), 6)
+            if sim >= thr:
+                expected.append((a, bb, sim))
+    assert got == sorted(expected)
+    # and the banded pair set dominates the single-band one
+    single = pipe(
+        ["stream", tables["embeddings"], {"key": "vec_id"}],
+        ["neardup-pairs", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                           "threshold": thr, "lsh_dims": r}],
+        spark=spark,
+    ).df
+    single_pairs = {(x["id_a"], x["id_b"]) for x in single.collect()}
+    assert single_pairs <= {(a, bb) for a, bb, _ in got}
+
+
+def test_neardup_bands_recall_on_planted_duplicates(spark):
+    """The measurement that motivated banding, as a pinned regression:
+    on planted near-duplicates (cosine ~0.94, threshold 0.9) banded
+    blocking must recover strictly more true pairs than a single
+    lsh_dims=8 band, and every recovered pair must be in the exact
+    (allow_full) truth set."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((150, 64))
+    noisy = base[:75] + 0.35 * rng.standard_normal((75, 64))
+    vecs = np.vstack([base, noisy])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = ["stream", df, {"key": "vec_id"}]
+    base_opts = {"id": "vec_id", "vec": "embedding", "dim": 64,
+                 "threshold": 0.9}
+
+    def pairs(extra):
+        out = ksml(["neardup-pairs", src, dict(base_opts, **extra)],
+                   spark=spark)
+        return {(x["id_a"], x["id_b"]) for x in out.df.collect()}
+
+    truth = pairs({"allow_full": True})
+    single = pairs({"lsh_dims": 8})
+    banded = pairs({"lsh_dims": 8, "bands": 8})
+    assert truth, "planted duplicates must exist above the threshold"
+    assert single <= banded <= truth
+    assert len(banded) > len(single)
+
+
+def test_neardup_bands_refusals(spark, tables):
+    """Banded neardup construction contracts: bands without lsh_dims,
+    bands without dim, and an over-width band layout all refuse."""
+    from ksml_spark.errors import ArityError
+
+    src = ["stream", tables["embeddings"], {"key": "vec_id"}]
+    base = {"id": "vec_id", "vec": "embedding", "threshold": 0.9}
+    with pytest.raises(ArityError, match="pass lsh_dims"):
+        ksml(["neardup-pairs", src, dict(base, bands=4, block="vec_id")],
+             spark=spark)
+    with pytest.raises(ArityError, match="needs \\{'dim'"):
+        ksml(["neardup-pairs", src, dict(base, bands=4, lsh_dims=8)],
+             spark=spark)
+    with pytest.raises(ArityError, match="exceeds dim"):
+        ksml(["neardup-pairs", src,
+              dict(base, bands=16, lsh_dims=8, dim=64)], spark=spark)
+
+
 def test_neardup_lsh_mode_matches_block_on_precomputed_bucket(spark, tables):
     """{"lsh_dims": d} must be bit-identical to {"block": col} run on a
     PRECOMPUTED sign-bucket column — after the bucket derivation
