@@ -2906,6 +2906,20 @@ FROM documents"""
 # invariants — see each query's docstring). Same names, same rotation
 # slots; their first driver-verified rows land when their blocks
 # re-enter the window (r13 for bpe_train_encode, r13 for the other two).
+#
+# late r13: the new {'bands': b} OR-construction on ann-lsh-topk /
+# neardup-pairs gets NO new registry row, under the retired-neardup_lsh
+# clause-(a+c) reasoning in reverse (adding would require retiring from
+# the r12 block mid-window): every piece of the banded path keeps
+# hash-exact driver evidence through an existing row — the sign-bucket
+# expression via ann_lsh_topk, the pair join + guarded cosine + top-k
+# ranking via ann_lsh_topk/neardup_embeddings — and the only NEW
+# plumbing (band explode + pair-key dedupe) is pinned bit-for-bit by
+# sequential-order Python-reference tests (test_ann_lsh_bands_exact_
+# reference, test_neardup_bands_exact_reference) plus the planted-
+# duplicate recall regression. bands=1 stays the oracle shape of both
+# rows. If a future rotation frees a slot, a banded row is the first
+# candidate to register.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     # --- green in r11 (stalest evidence): ROTATION HEAD for r13 — the
     # driver re-records exactly these 50 rows this round (set-verified
