@@ -683,10 +683,19 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                 "or set {'max_bucket_pairs': n} (0 disables) to absorb "
                 "the quadratic work knowingly"
             )
-    # no _spread here: the bucket join prunes candidates to ~N/2^dims per
-    # query, so per-split work is already small — an extra exchange costs
-    # more than the parallelism buys (measured at sf0.1: 1.8s -> 3.8s)
-    c = prepared.select(
+    # single band: no _spread — the bucket join prunes candidates to
+    # ~N/2^dims per query, so per-split work is already small and an
+    # extra exchange costs more than the parallelism buys (measured at
+    # sf0.1: 1.8s -> 3.8s). Banded: SPREAD — the OR-construction
+    # multiplies pair work by b (and coarser per-band buckets multiply
+    # it further), and with the query side broadcast all of it lands on
+    # the scan's few splits; measured on the 30x vector axis the
+    # un-spread banded plan ground one task for minutes while 31 cores
+    # idled. At 100 TB the spread condition never fires (the scan
+    # already has thousands of splits) — it exists for exactly this
+    # small-file/large-work shape.
+    csrc = _spread(prepared) if bands > 1 else prepared
+    c = csrc.select(
         F.col(idc).alias("n_id"),
         F.col("__v").alias("__cv"),
         F.col("__n").alias("__cn"),
