@@ -571,3 +571,82 @@ def test_ann_ivf_blas_parity_property(spark, vecs, nprobe):
                       for r in out.df.collect())
 
     assert run("expr") == run("blas")
+
+
+# tiny-but-nonzero components whose SQUARES underflow to 0.0 — the
+# zero-norm envelope class the r12 blas-parity property first caught
+vec_corpus_uflow = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.one_of(
+                st.floats(min_value=-4, max_value=4,
+                          allow_nan=False, allow_infinity=False),
+                st.just(float("nan")),
+                st.just(1e-200),
+            ),
+            min_size=1, max_size=5,
+        ),
+    ),
+    min_size=4, max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=vec_corpus_uflow, bands=st.integers(min_value=2, max_value=3))
+def test_ann_lsh_bands_matches_reference_property(spark, vecs, bands):
+    """late-r13 banded ann-lsh invariant: for ANY corpus — NULL / NaN /
+    short / zero-norm / underflow-norm vectors included — the banded
+    output equals a sequential-order Python reference computed over the
+    _valid_vec envelope (degenerate rows match nothing and never
+    abort), bit-for-bit including the (sim desc, n_id asc) tie-break."""
+    import math
+
+    dim, r, k = 3, 1, 2
+    rows = [(i, v) for i, v in enumerate(vecs)]
+
+    def norm_sq_seq(v):
+        s = v[0] * v[0]
+        for x in v[1:dim]:
+            s = s + x * x
+        return s
+
+    valid = [i for i, v in rows
+             if v is not None and len(v) >= dim
+             and not any(x != x for x in v[:dim])
+             and norm_sq_seq(v) > 0.0]
+    queries = [i for i in valid if i % 3 == 0]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ksml(
+        ["ann-lsh-topk", ["stream", df, {"key": "vec_id"}],
+         {"id": "vec_id", "vec": "embedding", "dim": dim, "k": k,
+          "sign_dims": r, "bands": bands, "max_bucket_pairs": 0,
+          "queries": "vec_id % 3 = 0"}],
+        spark=spark,
+    )
+    got = sorted((x["q_id"], x["rank"], x["n_id"], repr(x["sim"]))
+                 for x in out.df.collect())
+
+    def seqdot(a, b):
+        s = a[0] * b[0]
+        for i in range(1, dim):
+            s = s + a[i] * b[i]
+        return s
+
+    def buckets(v):
+        return {f"{j}:" + ("1" if v[j * r] > 0 else "0") for j in range(bands)}
+
+    bkt = {i: buckets(vecs[i]) for i in valid}
+    nrm = {i: math.sqrt(norm_sq_seq(vecs[i])) for i in valid}
+    expected = []
+    for q in queries:
+        cands = []
+        for n in valid:
+            if n == q or not (bkt[q] & bkt[n]):
+                continue
+            cands.append((seqdot(vecs[q][:dim], vecs[n][:dim])
+                          / (nrm[q] * nrm[n]), n))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (sim, n) in enumerate(cands[:k], start=1):
+            expected.append((q, rank, n, repr(round(sim, 6))))
+    assert got == sorted(expected)
