@@ -1803,6 +1803,19 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     DuckDB oracle's list_dot_product/(n*cn) ordering — so duplicated
     or near-duplicated centroids assign identically on both engines.
 
+    {'nprobe': p} (late r13, batch-left only): the single-cluster dup
+    test misses near-dups straddling a cluster boundary, and the floor
+    WORSENS with K (measured on planted cos-0.94 duplicates: recall
+    0.69 at K~15, 0.60 at K~62 — finer clusters mean more boundaries,
+    the same K the op recommends raising for bounded work). nprobe
+    widens the test to the members of the left row's top-p clusters —
+    IVF's query-side knob — at ~p x the left-side probe volume;
+    `cluster` in the output stays the exact top-1 assignment, and
+    precision is unaffected (every flagged pair still passes the exact
+    cosine threshold). Streaming lefts refuse p > 1 curatedly (the
+    any-probed-copy decision needs a per-row aggregation the
+    stream-legal branches cannot express).
+
     Output: every left column plus (cluster, keep); NULL-assigned left
     rows pass through keep NULL (flagged, never silently kept or
     dropped). {"action": "filter"} returns survivors only (NULL
@@ -1827,6 +1840,15 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         raise ArityError("semdedup-join needs {'dim': <vector length>}")
     thr = float(opts.get("threshold", 0.9))
     max_k = int(opts.get("max_k", 65536))
+    nprobe = _pos_int_opt(opts, "nprobe", "semdedup-join", default=1)
+    if nprobe > 1 and left.df.isStreaming:
+        raise ArityError(
+            "semdedup-join nprobe > 1 is batch-left only: the any-probed-"
+            "cluster decision needs a per-row aggregation over the "
+            "exploded probe copies, which the stream-legal anti/semi "
+            "branches cannot express; run the sweep as a batch, or keep "
+            "nprobe=1 for the stream"
+        )
     action = opts.get("action", "annotate")
     if action not in ("annotate", "filter"):
         raise ArityError(
@@ -1964,6 +1986,37 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
             res[np.flatnonzero(ok)] = picks
         return pd.Series(res)
 
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(cid_type))
+    def _probe_topp(vs):
+        # top-nprobe nearest clusters for the LEFT side's dup test
+        # (IVF's query-side knob). Stable argsort on negated scores
+        # breaks exact ties by ascending centroid id (cids sorted at
+        # build) — the single-assign tie rule. No sequential near-tie
+        # re-rank here: the dup decision depends on the probed SET,
+        # which a top-1-vs-top-2 swap inside the set cannot change
+        # (only p-boundary ties can, a recall margin, not an oracle
+        # claim — the registry shape keeps nprobe=1, the exact path).
+        cids_, cn, _, _ = bc.value
+        p = min(nprobe, cn.shape[0])
+        arrs = vs.to_numpy()
+        res = np.full(len(arrs), None, dtype=object)
+        ok = np.fromiter(
+            (a is not None and len(a) == cn.shape[1] for a in arrs),
+            dtype=bool, count=len(arrs),
+        )
+        if ok.any():
+            mat = np.vstack([np.asarray(a, dtype=np.float64) for a in arrs[ok]])
+            good = np.isfinite(mat).all(axis=1) & (np.linalg.norm(mat, axis=1) > 0.0)
+            order = np.argsort(-(mat @ cn.T), axis=1, kind="stable")[:, :p]
+            carr = np.asarray(cids_, dtype=object)
+            picks = np.empty(len(mat), dtype=object)
+            for i in range(len(mat)):
+                picks[i] = list(carr[order[i]]) if good[i] else None
+            res[np.flatnonzero(ok)] = picks
+        return pd.Series(res)
+
     from pyspark import StorageLevel
 
     from .util import pin
@@ -2028,9 +2081,25 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         # set back halves the anti+semi double scan of the union shape
         # (each branch re-evaluated the candidate probe — Catalyst
         # shares no subtree across union branches without a pin).
-        dup_rows = assigned.join(members, cond, "left_semi").select(
-            F.col("__rid"), F.lit(True).alias("__dup")
-        )
+        if nprobe > 1:
+            # IVF query-side multi-probe: the dup test widens to the
+            # members of the left row's top-nprobe clusters. Explode
+            # the probe set (nprobe copies per row), semi-join each
+            # copy, then collapse to per-row via distinct __rid —
+            # `cluster` in the output stays the exact top-1 assignment.
+            probed = assigned.select(
+                "__rid", "__lv", "__ln",
+                F.explode(_probe_topp(F.col("__lv"))).alias("cluster"),
+            )
+            dup_rows = (
+                probed.join(members, cond, "left_semi")
+                .select("__rid").distinct()
+                .withColumn("__dup", F.lit(True))
+            )
+        else:
+            dup_rows = assigned.join(members, cond, "left_semi").select(
+                F.col("__rid"), F.lit(True).alias("__dup")
+            )
         keep_col = F.when(
             F.col("cluster").isNotNull(), F.col("__dup").isNull()
         ).cast("boolean")

@@ -105,6 +105,49 @@ def main():
               f"| {t} | {round(t / t_brute, 2)}x |")
 
     neardup_recall(spark)
+    semdedup_join_recall(spark)
+
+
+def semdedup_join_recall(spark):
+    """Dup-detection recall of semdedup-join's single-cluster test vs
+    the {'nprobe': p} widened test, on planted near-duplicates: 800
+    reference vectors, left = 400 noisy copies (cosine ~0.94) + 400
+    novel, threshold 0.9; truth = left rows with ANY exact reference
+    cosine over the threshold (numpy). Precision is 1.0 by
+    construction (the exact cosine still gates every flag)."""
+    import numpy as np
+
+    from ksml_spark import ksml
+
+    rng = np.random.default_rng(11)
+    ref = rng.standard_normal((800, 64))
+    left = np.vstack([ref[:400] + 0.35 * rng.standard_normal((400, 64)),
+                      rng.standard_normal((400, 64))])
+    refdf = spark.createDataFrame(
+        [(i, [float(x) for x in ref[i]]) for i in range(len(ref))],
+        "vec_id long, embedding array<double>")
+    leftdf = spark.createDataFrame(
+        [(i, [float(x) for x in left[i]]) for i in range(len(left))],
+        "vec_id long, embedding array<double>")
+    Ln = left / np.linalg.norm(left, axis=1)[:, None]
+    Rn = ref / np.linalg.norm(ref, axis=1)[:, None]
+    truth = set(np.flatnonzero(((Ln @ Rn.T) >= 0.9 - 1e-12).any(axis=1)))
+    print(f"\n# semdedup-join planted duplicates: {len(truth)} true dups")
+    print("| K | nprobe | dup recall | false flags |")
+    print("|---|---|---|---|")
+    for cexpr, klabel in (("vec_id % 53 = 3", "~15"), ("vec_id % 13 = 3", "~62")):
+        for p in (1, 2, 4, 8):
+            out = ksml(
+                ["semdedup-join", ["stream", leftdf, {"key": "vec_id"}],
+                 ["stream", refdf, {"key": "vec_id"}],
+                 {"id": "vec_id", "vec": "embedding", "dim": 64,
+                  "threshold": 0.9, "centroids": cexpr, "nprobe": p}],
+                spark=spark)
+            flagged = {r["vec_id"] for r in out.df.collect()
+                       if r["keep"] is False}
+            print(f"| {klabel} | {p} | "
+                  f"{round(len(flagged & truth) / len(truth), 4)} | "
+                  f"{len(flagged - truth)} |")
 
 
 def neardup_recall(spark):

@@ -1920,6 +1920,76 @@ def test_semdedup_join_null_and_duplicate_left_ids_decide_per_row(spark):
             for r in kept.df.collect()] == [("a", [0.0, 1.0])]
 
 
+def test_semdedup_join_nprobe_recall_and_reference(spark):
+    """late r13 {'nprobe': p} (the measured boundary-miss floor: single-
+    cluster dup tests missed 31% of planted cos-0.94 dups at K~15):
+    nprobe=4 must flag strictly more planted duplicates than nprobe=1,
+    every flag must be a TRUE duplicate (precision 1 — the exact
+    cosine threshold still gates), and the full keep column must match
+    a numpy reference of the widened semantics (dup iff any reference
+    member of the left row's top-p clusters reaches the threshold)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    ref = rng.standard_normal((200, 16))
+    left = np.vstack([ref[:80] + 0.35 * rng.standard_normal((80, 16)),
+                      rng.standard_normal((60, 16))])
+    refdf = spark.createDataFrame(
+        [(i, [float(x) for x in ref[i]]) for i in range(len(ref))],
+        "vec_id long, embedding array<double>")
+    leftdf = spark.createDataFrame(
+        [(i, [float(x) for x in left[i]]) for i in range(len(left))],
+        "vec_id long, embedding array<double>")
+    form = {"id": "vec_id", "vec": "embedding", "dim": 16,
+            "threshold": 0.9, "centroids": "vec_id % 17 = 3"}
+
+    def flags(p):
+        out = ksml(["semdedup-join", ["stream", leftdf, {"key": "vec_id"}],
+                    ["stream", refdf, {"key": "vec_id"}],
+                    dict(form, nprobe=p)], spark=spark)
+        return {r["vec_id"] for r in out.df.collect() if r["keep"] is False}
+
+    Ln = left / np.linalg.norm(left, axis=1)[:, None]
+    Rn = ref / np.linalg.norm(ref, axis=1)[:, None]
+    truth = set(np.flatnonzero(((Ln @ Rn.T) >= 0.9 - 1e-12).any(axis=1)))
+    f1, f4 = flags(1), flags(4)
+    assert f1 <= f4 <= truth
+    assert len(f4) > len(f1)
+
+    # numpy reference of the widened semantics, p=4
+    cid = [i for i in range(len(ref)) if i % 17 == 3]
+    C = Rn[cid]
+    ref_assign = np.asarray(cid)[(Rn @ C.T).argmax(axis=1)]
+    order = np.argsort(-(Ln @ C.T), axis=1, kind="stable")[:, :4]
+    expected = set()
+    for li in range(len(left)):
+        probed = {cid[j] for j in order[li]}
+        mask = np.isin(ref_assign, list(probed))
+        if ((Ln[li] @ Rn[mask].T) >= 0.9 - 1e-12).any():
+            expected.add(li)
+    assert f4 == expected
+
+
+def test_semdedup_join_nprobe_streaming_refused(spark, tmp_path):
+    """nprobe > 1 with a streaming left refuses curatedly (the
+    any-probed-copy decision is not stream-legal)."""
+    from ksml_spark.errors import ArityError
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    r = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+                              "vec_id long, embedding array<double>")
+    d = str(tmp_path / "l")
+    spark.createDataFrame([(5, [1.0, 0.1])],
+                          "vec_id long, embedding array<double>")\
+        .write.mode("overwrite").parquet(d)
+    stream = file_stream_source(spark, d, "vec_id long, embedding array<double>")
+    with pytest.raises(ArityError, match="nprobe > 1 is batch-left only"):
+        ksml(["semdedup-join", ["stream", stream, {"key": "vec_id"}],
+              ["stream", r, {"key": "vec_id"}],
+              {"id": "vec_id", "vec": "embedding", "dim": 2,
+               "centroids": "vec_id = 0", "nprobe": 2}], spark=spark)
+
+
 def test_semdedup_join_curated_errors(spark, tmp_path):
     """Construction-time refusals: streaming reference, missing dim /
     centroids, empty or over-max_k centroid sample, bad action, output
