@@ -70,7 +70,13 @@ def main() -> None:
          ["where", ["stream", emb, {"key": "vec_id"}], "vec_id % 2 = 1"],
          ["where", ["stream", emb, {"key": "vec_id"}], "vec_id % 2 = 0"],
          {"id": "vec_id", "vec": "embedding", "dim": 64,
-          "centroids": "vec_id % 126 = 2", "threshold": 0.3}],
+          "centroids": "vec_id % 126 = 2", "threshold": 0.3,
+          # late r13: the single-cluster dup test misses near-dups
+          # straddling a cluster boundary (measured: 31% missed at
+          # K~15, worse at higher K); nprobe widens the test to the
+          # top-p clusters' members — recall-sensitive batch sweeps
+          # run nprobe 4-8, streams keep the default 1
+          "nprobe": 4}],
         spark=spark,
     )
     incoming.df.groupBy("keep").count().orderBy("keep").show()
