@@ -495,7 +495,23 @@ def op_pmi(ctx: Ctx, rel: Rel, *rest) -> Rel:
     attach as broadcast one-row aggregates. Everything is hash aggs
     over exploded tokens — no Python, no cartesian.
 
+    The unigram and bigram COUNT relations are pinned (late r13, the
+    jaccard/lm-score rationale): c1 feeds three plan branches (w1
+    join, w2 join, the t1 total) and big feeds two (t2 total, the
+    filtered join side) — unpinned, Catalyst planned each branch its
+    OWN scan+tokenize+explode+agg (stage_audit caught the t1/t2
+    totals re-running the whole corpus pass single-task downstream:
+    4-5 corpus passes where 2 suffice, O(corpus) in one task at
+    scale). Pinned, the corpus is read exactly twice (once per
+    explode shape) and every branch reuses the counts; totals reduce
+    the CACHED count rows. MEMORY_AND_DISK: both relations are
+    count-bounded (vocab / distinct-bigram sized), not corpus-sized.
+
     Reference: no analog (§2.10 extension surface)."""
+    from pyspark import StorageLevel
+
+    from ..operators.util import pin
+
     opts = opts_of(rest)
     colc = opts.get("col", "text")
     min_count = int(opts.get("min_count", 5))
@@ -506,7 +522,10 @@ def op_pmi(ctx: Ctx, rel: Rel, *rest) -> Rel:
 
     w = words(F.col(colc))
     uni = spread(rel.df).select(F.explode(w).alias("__w"))
-    c1 = uni.groupBy("__w").agg(F.count(F.lit(1)).alias("__c1"))
+    c1 = pin(
+        uni.groupBy("__w").agg(F.count(F.lit(1)).alias("__c1")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     t1 = F.broadcast(c1.agg(F.sum("__c1").cast("double").alias("__t1")))
     pairs = F.when(
         F.coalesce(F.size(w), F.lit(0)) < 2,
@@ -520,12 +539,13 @@ def op_pmi(ctx: Ctx, rel: Rel, *rest) -> Rel:
             ),
         )
     )
-    big = (
+    big = pin(
         spread(rel.df)
         .select(F.explode(pairs).alias("__b"))
         .select(F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .agg(F.count(F.lit(1)).alias("pair_count")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     t2 = F.broadcast(big.agg(F.sum("pair_count").cast("double").alias("__t2")))
     filtered = big.filter(F.col("pair_count") >= min_count)
