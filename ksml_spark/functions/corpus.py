@@ -413,8 +413,16 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
         .groupBy("__p")
         .agg(F.count(F.lit(1)).alias("__cp"))
     )
-    # vocabulary size: for n=2 the prefix agg IS the unigram vocab
+    # vocabulary size: for n=2 the prefix agg IS the unigram vocab —
+    # which makes cp a TWO-consumer relation (the vdf total + the
+    # scored join); pin it or the total re-runs the training
+    # scan+explode single-task (the pmi/KN-types rationale, late r13)
     if n == 2:
+        from pyspark import StorageLevel
+
+        from ..operators.util import pin
+
+        cp = pin(cp, StorageLevel.MEMORY_AND_DISK)
         vdf = cp.agg(F.count(F.lit(1)).alias("__v"))
     else:
         vdf = (
