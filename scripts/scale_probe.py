@@ -40,6 +40,9 @@ QUERIES = [
     # merge loop) and gopher_filter after its spread fix
     "bpe_train_encode",
     "gopher_filter",
+    # late r13: pmi after its count-relation pin (4-5 corpus passes
+    # collapsed to 2) — probed because the plan changed shape
+    "pmi_collocations",
 ]
 
 
