@@ -106,6 +106,110 @@ def main():
 
     neardup_recall(spark)
     semdedup_join_recall(spark)
+    minhash_candidate_recall(spark, sf_dir)
+
+
+def minhash_candidate_recall(spark, sf_dir):
+    """Candidate recall of the FIXED MinHash family (4 bands x 4 rows,
+    the engine-portable md5 construction shared with the DuckDB
+    oracle) vs exact shingle-set Jaccard, bucketed by true similarity.
+    Expected S-curve: P(candidate) = 1 - (1 - s^4)^4. Truth is a
+    Python postings-intersection over the documents table's 3-word
+    shingle sets (exactly shingles_col's construction, short docs
+    falling back to the whole text)."""
+    from collections import Counter
+
+    from ksml_spark import ksml
+    from ksml_spark.operators.dedup import SHINGLE_K
+    from ksml_spark.sources.files import load_table
+
+    docs = {r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").collect() if r["text"] is not None}
+
+    def shingle_set(text):
+        toks = text.split(" ")
+        if len(toks) < SHINGLE_K:
+            return {text}
+        return {" ".join(toks[i:i + SHINGLE_K])
+                for i in range(len(toks) - SHINGLE_K + 1)}
+
+    sets = {i: shingle_set(t) for i, t in docs.items()}
+    postings = {}
+    for i, s in sets.items():
+        for sh in s:
+            postings.setdefault(sh, []).append(i)
+    inter = Counter()
+    for ids in postings.values():
+        if len(ids) < 2 or len(ids) > 200:   # hyper-common shingle cap
+            continue
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                inter[(ids[a], ids[b])] += 1
+    truth = {}
+    for (a, b), c in inter.items():
+        j = c / (len(sets[a]) + len(sets[b]) - c)
+        if j >= 0.3:
+            truth[(a, b) if a < b else (b, a)] = j
+
+    out = ksml(["lsh-candidates",
+                ["stream", load_table(spark, sf_dir, "documents"),
+                 {"key": "doc_id"}],
+                {"col": "text", "id": "doc_id"}], spark=spark)
+    cands = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+             for r in out.df.collect()}
+
+    print(f"\n# minhash candidate recall vs exact shingle Jaccard "
+          f"({len(truth)} true pairs >= 0.3; family fixed at 4x4)")
+    _recall_table(truth, cands)
+
+    # the documents table has no mid-similarity pairs, so the S-curve's
+    # interesting region is measured on a PLANTED corpus: doc pairs
+    # sharing a controlled token prefix, spreading true shingle
+    # jaccard across ~0.2-0.9
+    import random
+
+    rng = random.Random(5)
+    rows, planted_sets = [], {}
+    for i in range(300):
+        base = [f"w{rng.randrange(4000)}" for _ in range(60)]
+        keep = rng.randrange(15, 56)
+        partner = base[:keep] + [f"p{i}_{j}" for j in range(60 - keep)]
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(partner)))
+        planted_sets[2 * i] = shingle_set(" ".join(base))
+        planted_sets[2 * i + 1] = shingle_set(" ".join(partner))
+    pdf = spark.createDataFrame(rows, "doc_id long, text string")
+    ptruth = {}
+    for i in range(300):
+        a, b = planted_sets[2 * i], planted_sets[2 * i + 1]
+        j = len(a & b) / len(a | b)
+        if j >= 0.1:
+            ptruth[(2 * i, 2 * i + 1)] = j
+    pout = ksml(["lsh-candidates", ["stream", pdf, {"key": "doc_id"}],
+                 {"col": "text", "id": "doc_id"}], spark=spark)
+    pcands = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+              for r in pout.df.collect()}
+    print(f"\n# minhash candidate recall, planted prefix-overlap pairs "
+          f"({len(ptruth)} pairs)")
+    _recall_table(ptruth, pcands,
+                  buckets=((0.1, 0.3), (0.3, 0.5), (0.5, 0.7),
+                           (0.7, 0.9), (0.9, 1.01)))
+
+
+def _recall_table(truth, cands,
+                  buckets=((0.3, 0.5), (0.5, 0.7), (0.7, 0.9), (0.9, 1.01))):
+    print("| true jaccard | pairs | recall | S-curve 1-(1-s^4)^4 |")
+    print("|---|---|---|---|")
+    for lo, hi in buckets:
+        bucket = [p for p, j in truth.items() if lo <= j < hi]
+        if not bucket:
+            continue
+        got = sum(1 for p in bucket if p in cands)
+        mid = (lo + min(hi, 1.0)) / 2
+        pred = 1 - (1 - mid ** 4) ** 4
+        print(f"| [{lo},{min(hi, 1.0)}) | {len(bucket)} | "
+              f"{round(got / len(bucket), 4)} | {round(pred, 3)} (at s={mid}) |")
 
 
 def semdedup_join_recall(spark):
