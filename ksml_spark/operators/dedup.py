@@ -1565,7 +1565,16 @@ def op_simhash_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     max_hamming must be < 4 (the band count) for the pigeonhole bound;
     larger thresholds need more/smaller bands. Portable md5 hashes
     (see simhash_signatures), so the DuckDB oracle brute-forces the
-    same pairs from the same signatures."""
+    same pairs from the same signatures.
+
+    Operating envelope (measured, scripts/ann_recall_probe.py): 64-bit
+    hamming <= 3 requires ~99% feature sharing (per-bit correlation
+    ~cos(3pi/64)), so this op finds NEAR-IDENTICAL documents — 0.93 /
+    0.85 / 0.73 recall at 1/2/4 token edits on 400-token docs, and
+    ZERO pairs at shingle-jaccard 0.3-0.9. That is the construction's
+    math, not a defect: the 0.7-0.9 near-dup regime belongs to
+    lsh-candidates (minhash S-curve) and neardup-pairs (embedding
+    cosine); use simhash-pairs for crawl-boilerplate-class dedup."""
     if rel.df.isStreaming:
         raise TypeDispatchError(
             "simhash-pairs self-joins the corpus-global signature table "

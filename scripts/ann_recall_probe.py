@@ -107,6 +107,103 @@ def main():
     neardup_recall(spark)
     semdedup_join_recall(spark)
     minhash_candidate_recall(spark, sf_dir)
+    simhash_proxy_recall(spark)
+
+
+def simhash_proxy_recall(spark):
+    """SimHash's contract (pairs within max_hamming) is EXACT — the
+    4-band pigeonhole candidates provably cover hamming <= 3 and the
+    bit_count check is literal. What is approximate is hamming as a
+    PROXY for set similarity, so that is what gets measured: on the
+    planted prefix-overlap corpus, the fraction of true
+    shingle-jaccard pairs the op returns at each max_hamming."""
+    import random
+
+    from ksml_spark import ksml
+    from ksml_spark.operators.dedup import SHINGLE_K
+
+    rng = random.Random(5)
+    rows, sets = [], {}
+
+    def shingle_set(text):
+        toks = text.split(" ")
+        if len(toks) < SHINGLE_K:
+            return {text}
+        return {" ".join(toks[i:i + SHINGLE_K])
+                for i in range(len(toks) - SHINGLE_K + 1)}
+
+    for i in range(300):
+        base = [f"w{rng.randrange(4000)}" for _ in range(60)]
+        keep = rng.randrange(15, 56)
+        partner = base[:keep] + [f"p{i}_{j}" for j in range(60 - keep)]
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(partner)))
+        sets[2 * i] = shingle_set(" ".join(base))
+        sets[2 * i + 1] = shingle_set(" ".join(partner))
+    pdf = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {}
+    for i in range(300):
+        a, b = sets[2 * i], sets[2 * i + 1]
+        truth[(2 * i, 2 * i + 1)] = len(a & b) / len(a | b)
+
+    print("\n# simhash hamming-as-similarity proxy, planted pairs "
+          "(recall of true-jaccard buckets at each max_hamming)")
+    header = ["| true jaccard | pairs |"]
+    ks = (1, 2, 3)
+    got_by_k = {}
+    for k in ks:
+        out = ksml(["simhash-pairs", ["stream", pdf, {"key": "doc_id"}],
+                    {"col": "text", "id": "doc_id", "max_hamming": k}],
+                   spark=spark)
+        got_by_k[k] = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+                       for r in out.df.collect()}
+        header.append(f" h<={k} |")
+    print("".join(header))
+    print("|---|---|" + "---|" * len(ks))
+    for lo, hi in ((0.3, 0.5), (0.5, 0.7), (0.7, 0.9), (0.9, 1.01)):
+        bucket = [p for p, j in truth.items() if lo <= j < hi]
+        if not bucket:
+            continue
+        cells = []
+        for k in ks:
+            got = sum(1 for p in bucket if p in got_by_k[k])
+            cells.append(f" {round(got / len(bucket), 4)} |")
+        print(f"| [{lo},{min(hi, 1.0)}) | {len(bucket)} |" + "".join(cells))
+
+    # simhash's REAL operating regime — near-identical long documents
+    # (the crawl-dedup use case): 400-token docs with e token edits;
+    # feature sharing ~ (400-e)/(400+e), expected hamming ~
+    # 64*arccos(corr)/pi — k<=3 implies ~99% sharing
+    rows2 = []
+    edits_of = {}
+    for i in range(60):
+        base = [f"w{rng.randrange(4000)}" for _ in range(400)]
+        for gi, e in enumerate((1, 2, 4, 8, 16)):
+            doc = list(base)
+            for j in range(e):
+                doc[rng.randrange(400)] = f"e{i}_{gi}_{j}"
+            a, b = 1000 * (5 * i + gi), 1000 * (5 * i + gi) + 1
+            rows2.append((a, " ".join(base)))
+            rows2.append((b, " ".join(doc)))
+            edits_of[(a, b)] = e
+    pdf2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {}
+    for k in ks:
+        out = ksml(["simhash-pairs", ["stream", pdf2, {"key": "doc_id"}],
+                    {"col": "text", "id": "doc_id", "max_hamming": k}],
+                   spark=spark)
+        got2[k] = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+                   for r in out.df.collect()}
+    print("\n# simhash near-identical regime: 400-token docs, e token "
+          "edits (60 pairs per e)")
+    print("| edits | ~jaccard |" + "".join(f" h<={k} |" for k in ks))
+    print("|---|---|" + "---|" * len(ks))
+    for e in (1, 2, 4, 8, 16):
+        bucket = [p for p, pe in edits_of.items() if pe == e]
+        j = round((400 - e) / (400 + e), 3)
+        cells = [f" {round(sum(1 for p in bucket if p in got2[k]) / len(bucket), 3)} |"
+                 for k in ks]
+        print(f"| {e} | ~{j} |" + "".join(cells))
 
 
 def minhash_candidate_recall(spark, sf_dir):
