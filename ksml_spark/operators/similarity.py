@@ -587,7 +587,15 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     flattens the axis, exp 0.14/0.42, AND runs 1.5x faster absolute),
     a narrower ``queries`` filter, or ``{'max_bucket_pairs': 0}`` to
     absorb the work knowingly. Decisions are unchanged whenever the
-    guard passes."""
+    guard passes.
+
+    Laziness contract (r13 BREAKING, noted r14): with the guard
+    enabled (the default), construction runs ONE eager Spark job — the
+    bucket-key count — so errors surface at build time, not first
+    action, and the prepared projection is scanned once for the guard
+    and once for the real join (two column-pruned scans; cheaper at
+    scale than materializing the projection). ``{'max_bucket_pairs':
+    0}`` restores fully lazy construction."""
     from ..errors import ArityError, TypeDispatchError
 
     if rel.df.isStreaming:
@@ -967,20 +975,57 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     dim = _pos_int_opt(opts, "dim", "neardup-pairs")
     bands = _pos_int_opt(opts, "bands", "neardup-pairs", default=1)
     v = F.col(vecc).cast("array<double>")
-    if bands > 1 and not opts.get("lsh_dims"):
+    # bands composes ONLY with sign-LSH bucketing: over a semantic
+    # {'block': col} every within-block pair would just appear b times
+    # (same bucket per band), and mixing block with lsh_dims has no
+    # defined layout. Refuse both shapes up front (r14: the block +
+    # lsh_dims + bands>1 combination previously fell through to an
+    # UnboundLocalError on the banded branch).
+    if bands > 1 and block:
         raise ArityError(
             "neardup-pairs: {'bands': b} is the OR-construction over "
-            "{'lsh_dims': d} sign buckets — pass lsh_dims with it "
-            "(bands over a semantic {'block': col} would just duplicate "
-            "every within-block pair)"
+            "{'lsh_dims': d} sign buckets and does not compose with a "
+            "semantic {'block': col} (each band would emit the same "
+            "block key, duplicating every within-block pair b times) — "
+            "drop 'block' and pass {'lsh_dims': d, 'dim': n}, or set "
+            "bands back to 1"
+        )
+    if bands > 1 and "lsh_dims" not in opts:
+        raise ArityError(
+            "neardup-pairs: {'bands': b} is the OR-construction over "
+            "{'lsh_dims': d} sign buckets — pass lsh_dims with it"
         )
     blockers = []
     if block:
         blockers = [F.col(block)]
-    elif opts.get("lsh_dims"):
+    elif "lsh_dims" in opts:
         block = "__bucket"
         ldims = _pos_int_opt(opts, "lsh_dims", "neardup-pairs")
         if bands == 1:
+            if thr >= 0.8 and not opts.get("single_band_ok"):
+                # loud-at-construction (r14, the lsh-join unbounded_ok
+                # precedent): single-band sign-LSH blocking is the
+                # engine's one SILENT recall cliff — the r13 probe
+                # measured recall 0.42 at lsh_dims=8, threshold=0.9 on
+                # clustered data (the (1-theta/pi)^d AND-construction
+                # floor), i.e. a dedup pipeline silently KEEPS most
+                # true near-dups. Every sibling approximation either
+                # has a recall lever on by default or refuses.
+                import warnings
+
+                warnings.warn(
+                    f"neardup-pairs: single-band sign-LSH blocking "
+                    f"(lsh_dims={ldims}, bands=1) at threshold={thr} "
+                    "finds only a fraction of true near-duplicates — "
+                    "measured recall 0.42 at lsh_dims=8, threshold=0.9 "
+                    "(scripts/ann_recall_probe.py; the (1-theta/pi)^d "
+                    "floor). Raise recall with the OR-construction "
+                    "{'bands': b, 'dim': n} (measured 0.89/0.985/1.0 at "
+                    "b=4/8/16), or acknowledge single-band blocking "
+                    "with {'single_band_ok': True}.",
+                    ResourceWarning,
+                    stacklevel=3,
+                )
             blockers = [sign_bucket_col(v, ldims).alias("__bucket")]
         else:
             if not dim:

@@ -30,7 +30,11 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)
+        # + 0.0 collapses -0.0 to +0.0 (r14, VERDICT r13 #3): Spark's
+        # BigDecimal ROUND and DuckDB/Python IEEE rounding disagree on
+        # the sign of a zero result; the values are equal, so the
+        # signature must not distinguish them
+        return repr(v + 0.0)
     return str(v)
 
 

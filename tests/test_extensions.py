@@ -759,7 +759,7 @@ def test_neardup_bands_recall_on_planted_duplicates(spark):
         return {(x["id_a"], x["id_b"]) for x in out.df.collect()}
 
     truth = pairs({"allow_full": True})
-    single = pairs({"lsh_dims": 8})
+    single = pairs({"lsh_dims": 8, "single_band_ok": True})
     banded = pairs({"lsh_dims": 8, "bands": 8})
     assert truth, "planted duplicates must exist above the threshold"
     assert single <= banded <= truth
@@ -767,21 +767,54 @@ def test_neardup_bands_recall_on_planted_duplicates(spark):
 
 
 def test_neardup_bands_refusals(spark, tables):
-    """Banded neardup construction contracts: bands without lsh_dims,
-    bands without dim, and an over-width band layout all refuse."""
+    """Banded neardup construction contracts: bands with a semantic
+    block (with OR without lsh_dims — the latter previously crashed
+    with UnboundLocalError, r14 ADVICE), bands without lsh_dims, bands
+    without dim, and an over-width band layout all refuse curatedly."""
     from ksml_spark.errors import ArityError
 
     src = ["stream", tables["embeddings"], {"key": "vec_id"}]
     base = {"id": "vec_id", "vec": "embedding", "threshold": 0.9}
-    with pytest.raises(ArityError, match="pass lsh_dims"):
+    with pytest.raises(ArityError, match="does not compose with a"):
         ksml(["neardup-pairs", src, dict(base, bands=4, block="vec_id")],
              spark=spark)
+    with pytest.raises(ArityError, match="does not compose with a"):
+        ksml(["neardup-pairs", src,
+              dict(base, bands=4, block="vec_id", lsh_dims=8, dim=64)],
+             spark=spark)
+    with pytest.raises(ArityError, match="pass lsh_dims"):
+        ksml(["neardup-pairs", src, dict(base, bands=4)], spark=spark)
     with pytest.raises(ArityError, match="needs \\{'dim'"):
         ksml(["neardup-pairs", src, dict(base, bands=4, lsh_dims=8)],
              spark=spark)
     with pytest.raises(ArityError, match="exceeds dim"):
         ksml(["neardup-pairs", src,
               dict(base, bands=16, lsh_dims=8, dim=64)], spark=spark)
+    # a literal 0 gets the curated >= 1 refusal, not the allow_full
+    # fall-through (r14 ADVICE: 0 is falsy, so a truthiness check read
+    # it as "unspecified")
+    with pytest.raises(ArityError, match="lsh_dims must be >= 1"):
+        ksml(["neardup-pairs", src, dict(base, lsh_dims=0)], spark=spark)
+
+
+def test_neardup_single_band_recall_warning(spark, tables):
+    """Single-band sign-LSH blocking at a high threshold warns at
+    construction (measured recall cliff, r14); {'single_band_ok': True}
+    acknowledges, and low thresholds / banded layouts stay quiet."""
+    import warnings
+
+    src = ["stream", tables["embeddings"], {"key": "vec_id"}]
+    base = {"id": "vec_id", "vec": "embedding", "dim": 64,
+            "lsh_dims": 8, "max_block_pairs": 0}
+    with pytest.warns(ResourceWarning, match="measured recall 0.42"):
+        ksml(["neardup-pairs", src, dict(base, threshold=0.9)], spark=spark)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ksml(["neardup-pairs", src,
+              dict(base, threshold=0.9, single_band_ok=True)], spark=spark)
+        ksml(["neardup-pairs", src, dict(base, threshold=0.4)], spark=spark)
+        ksml(["neardup-pairs", src,
+              dict(base, threshold=0.9, bands=4)], spark=spark)
 
 
 def test_neardup_lsh_mode_matches_block_on_precomputed_bucket(spark, tables):

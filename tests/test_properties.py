@@ -5,7 +5,7 @@ computations. Complements the fixed-fixture suites."""
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from ksml_spark import ksml, pipe, vthread
 
@@ -486,6 +486,34 @@ def test_bpe_train_encode_roundtrip_property(spark, docs, merges):
 
 # -- kmeans-assign expr/blas bit-parity --------------------------------------
 
+
+def _repr_f(v):
+    """repr with IEEE signed zero normalized (r14, VERDICT r13 #1):
+    Spark's ROUND goes through BigDecimal HALF_UP and returns +0.0 for
+    a ~-2e-200 similarity, while Python's round preserves the sign bit
+    and reprs '-0.0'. The values are numerically equal (-0.0 == 0.0),
+    so bit-parity comparators must not distinguish their reprs;
+    ``v + 0.0`` collapses -0.0 to +0.0 and leaves every other value
+    (incl. NaN) unchanged."""
+    return repr(v + 0.0) if isinstance(v, float) else repr(v)
+
+
+# adjudicated Hypothesis counterexamples, pinned as @example decorators
+# so a passing run can't garbage-collect them out of the .hypothesis DB
+# (VERDICT r13 #2: three restore-commits and counting). The r12
+# division corpus: every degenerate envelope class at once — NULL row,
+# underflow norm (1e-200 squares to 0.0), NaN component, exact zero
+# vector, plus an exactly-duplicated valid pair to force ties.
+_R12_DIVISION_CORPUS = [
+    None,
+    [1e-200, 1e-200, 1e-200],
+    [float("nan"), 1.0, 2.0],
+    [0.0, 0.0, 0.0],
+    [1.0, -2.0, 3.0],
+    [1.0, -2.0, 3.0],
+    [2.0],
+]
+
 vec_corpus = st.lists(
     st.one_of(
         st.none(),
@@ -505,6 +533,7 @@ vec_corpus = st.lists(
 
 
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@example(vecs=_R12_DIVISION_CORPUS, n_cents=3)
 @given(vecs=vec_corpus, n_cents=st.integers(min_value=1, max_value=6))
 def test_kmeans_assign_blas_parity_property(spark, vecs, n_cents):
     """r12 {'assign_impl': 'blas'} invariant: for ANY corpus — including
@@ -530,13 +559,14 @@ def test_kmeans_assign_blas_parity_property(spark, vecs, n_cents):
         out = ksml(["kmeans-assign", ["stream", df, {"key": "vec_id"}],
                     {"id": "vec_id", "vec": "embedding", "dim": 3,
                      "centroids": cond, "assign_impl": impl}], spark=spark)
-        return sorted((r["vec_id"], r["cluster"], repr(r["sim"]))
+        return sorted((r["vec_id"], r["cluster"], _repr_f(r["sim"]))
                       for r in out.df.collect())
 
     assert run("expr") == run("blas")
 
 
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@example(vecs=_R12_DIVISION_CORPUS, nprobe=2)
 @given(vecs=vec_corpus, nprobe=st.integers(min_value=1, max_value=3))
 def test_ann_ivf_blas_parity_property(spark, vecs, nprobe):
     """r12 blas query-probe invariant: for ANY corpus (degenerate rows
@@ -567,7 +597,7 @@ def test_ann_ivf_blas_parity_property(spark, vecs, nprobe):
     def run(impl):
         out = ksml(["ann-ivf-topk", ["stream", df, {"key": "vec_id"}],
                     dict(form, assign_impl=impl)], spark=spark)
-        return sorted((r["q_id"], r["rank"], r["n_id"], repr(r["sim"]))
+        return sorted((r["q_id"], r["rank"], r["n_id"], _repr_f(r["sim"]))
                       for r in out.df.collect())
 
     assert run("expr") == run("blas")
@@ -592,7 +622,23 @@ vec_corpus_uflow = st.lists(
 )
 
 
+# the r13-adjudicated signed-zero falsifying class (VERDICT r13 #1),
+# pinned deterministically: the query/neighbor pair co-buckets on band
+# 1 ("1:1"), their dot is exactly -1e-200 (the 1e-200^2 terms underflow
+# out of both norms, so cosine = -1e-200), and round(-1e-200, 6) is
+# -0.0 in Python but +0.0 through Spark's BigDecimal ROUND — the repr
+# comparison must normalize signed zero or it fails on equal values.
+_SIGNED_ZERO_CORPUS = [
+    [1.0, 1e-200, 0.0],
+    [-2e-200, 1.0, 0.0],
+    None,
+    [float("nan")],
+]
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@example(vecs=_SIGNED_ZERO_CORPUS, bands=2)
+@example(vecs=_R12_DIVISION_CORPUS, bands=3)
 @given(vecs=vec_corpus_uflow, bands=st.integers(min_value=2, max_value=3))
 def test_ann_lsh_bands_matches_reference_property(spark, vecs, bands):
     """late-r13 banded ann-lsh invariant: for ANY corpus — NULL / NaN /
@@ -624,7 +670,7 @@ def test_ann_lsh_bands_matches_reference_property(spark, vecs, bands):
           "queries": "vec_id % 3 = 0"}],
         spark=spark,
     )
-    got = sorted((x["q_id"], x["rank"], x["n_id"], repr(x["sim"]))
+    got = sorted((x["q_id"], x["rank"], x["n_id"], _repr_f(x["sim"]))
                  for x in out.df.collect())
 
     def seqdot(a, b):
@@ -648,5 +694,5 @@ def test_ann_lsh_bands_matches_reference_property(spark, vecs, bands):
                           / (nrm[q] * nrm[n]), n))
         cands.sort(key=lambda t: (-t[0], t[1]))
         for rank, (sim, n) in enumerate(cands[:k], start=1):
-            expected.append((q, rank, n, repr(round(sim, 6))))
+            expected.append((q, rank, n, _repr_f(round(sim, 6))))
     assert got == sorted(expected)
