@@ -1135,6 +1135,74 @@ SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM (
 ) WHERE rank <= 3"""
 
 
+def _q_ann_lsh_banded(spark, sf):
+    """The late-r13 {'bands': b} OR-construction path of ann-lsh-topk
+    (registered r14, funded by the anti_join_customers retirement —
+    see the rotation notes): band j hashes coordinates [j*4, (j+1)*4),
+    a pair is a candidate if it co-buckets in ANY band, and the pair
+    dedupe + (sim desc, n_id) ranking run after the band explode."""
+    return pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["ann-lsh-topk", {"id": "vec_id", "vec": "embedding", "k": 3,
+                          "dim": 64, "queries": "vec_id % 50 = 0",
+                          "sign_dims": 4, "bands": 4}],
+        spark=spark,
+    ).df
+
+
+_ANN_LSH_BANDED_ORACLE = """
+WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings),
+bb AS (SELECT vec_id, v, n,
+         CAST(j AS VARCHAR) || ':' ||
+         array_to_string(list_transform(v[j*4+1 : j*4+4],
+                         x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+       FROM p CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(j)),
+cand AS (SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
+         FROM bb qb JOIN bb cb USING (bucket)
+         WHERE qb.vec_id % 50 = 0 AND cb.vec_id != qb.vec_id),
+sims AS (SELECT c.q_id, c.n_id,
+                list_dot_product(qp.v, np.v) / (qp.n * np.n) AS sim
+         FROM cand c JOIN p qp ON qp.vec_id = c.q_id
+                     JOIN p np ON np.vec_id = c.n_id)
+SELECT q_id, n_id, rank, round(sim, 6) AS sim FROM (
+  SELECT q_id, n_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+  FROM sims
+) WHERE rank <= 3"""
+
+
+def _q_neardup_banded(spark, sf):
+    """The banded neardup-pairs path (registered r14, funded by the
+    table_filter_mapvalues retirement): sign-LSH blocking with the
+    OR-construction recall lever — candidates co-bucket in any of the
+    4 bands, each reading a disjoint 4-coordinate slice."""
+    return pipe(
+        ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
+        ["neardup-pairs", {"id": "vec_id", "vec": "embedding", "dim": 64,
+                           "lsh_dims": 4, "bands": 4, "threshold": 0.4}],
+        spark=spark,
+    ).df
+
+
+_NEARDUP_BANDED_ORACLE = """
+WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings),
+bb AS (SELECT vec_id,
+         CAST(j AS VARCHAR) || ':' ||
+         array_to_string(list_transform(v[j*4+1 : j*4+4],
+                         x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+       FROM p CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(j)),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bb a JOIN bb b USING (bucket) WHERE a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(pa.v, pb.v) / (pa.n * pb.n), 6) AS sim
+FROM cand c JOIN p pa ON pa.vec_id = c.id_a JOIN p pb ON pb.vec_id = c.id_b
+WHERE round(list_dot_product(pa.v, pb.v) / (pa.n * pb.n), 6) >= 0.4"""
+
+
 def _q_ann_ivf(spark, sf):
     return pipe(
         ["stream", _t(sf, "embeddings"), {"key": "vec_id"}],
@@ -2920,13 +2988,91 @@ FROM documents"""
 # duplicate recall regression. bands=1 stays the oracle shape of both
 # rows. If a future rotation frees a slot, a banded row is the first
 # candidate to register.
+#
+# r14: the rotation freed the r12 block for the swap the late-r13 note
+# promised — the banded paths register (ann_lsh_banded, neardup_banded)
+# funded by two retirements from the incoming head:
+# - table_filter_mapvalues (clause a, the dup_clusters ⊂
+#   substring_dedup_prep composition precedent): every op it invokes is
+#   Rel-type-agnostic and keeps hash-exact driver evidence through a
+#   still-oracled row — the latest-per-key table construction via
+#   table_latest_event (identical QUALIFY CTE in its oracle), op_filter
+#   via filter_highqty, op_map_values via map_values_net, to-stream via
+#   anomaly_detection; the composition itself stays pinned bit-for-bit
+#   by test_table_filter_mapvalues_composition_pin (pandas reference).
+# - anti_join_customers (clause c, the neardup_lsh how-option
+#   precedent): anti-join is a one-line how-string dispatch into the
+#   SAME _do_join construction as the still-oracled semi_join_customers
+#   / left_join_counts / outer_join_nations rows; the how-specific
+#   surface is pinned by test_anti_join_is_semi_complement (anti ∪ semi
+#   partition the left exactly, disjoint, on the driver tables).
+# Their swap keeps the 50-row arithmetic: r14 window = r12 window − 2
+# retired + 2 banded rows (ROTATION_SWAPS below feeds
+# scripts/rotation_check.py the adjustment).
+ROTATION_SWAPS = {
+    "retired": ["table_filter_mapvalues", "anti_join_customers"],
+    "added": ["ann_lsh_banded", "neardup_banded"],
+}
+
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
-    # --- green in r11 (stalest evidence): ROTATION HEAD for r13 — the
+    # --- ROTATION HEAD for r14: the 48 r12-green survivors + the two
+    # banded rows registered this round (first driver evidence). The
     # driver re-records exactly these 50 rows this round (set-verified
-    # against CORRECTNESS_r11.json at round-end; the three r12 in-place
-    # oracle upgrades get their first driver hash rows here). Sub-block
-    # order kept from the r11 window: bpe_train_encode, then 5 r09-new
-    # rows, then the 44 r07-block survivors. ---
+    # by scripts/rotation_check.py with the ROTATION_SWAPS adjustment).
+    # Sub-block order kept from the r12 window. ---
+    "ann_lsh_banded": (_q_ann_lsh_banded, _ANN_LSH_BANDED_ORACLE),
+    "neardup_banded": (_q_neardup_banded, _NEARDUP_BANDED_ORACLE),
+    "freq_items_priority": (_q_freq_items, _FREQ_ITEMS_ORACLE),
+    "profile_persist_lineitem": (_q_profile_persist, _PROFILE_PERSIST_ORACLE),
+    "intersect_except_custkeys": (_q_intersect_except, _INTERSECT_EXCEPT_ORACLE),
+    "vec_project_embeddings": (_q_vec_project, _vec_project_oracle()),
+    "substring_dedup_prep": (_q_substring_dedup, _SUBSTRING_DEDUP_ORACLE),
+    "asof_join_tolerance": (_q_asof_join, _ASOF_JOIN_ORACLE),
+    "histogram_log_chars": (_q_histogram, _HISTOGRAM_ORACLE),
+    "lm_ppl_kn": (_q_lm_kn, _LM_KN_ORACLE),
+    "pmi_collocations": (_q_pmi, _PMI_ORACLE),
+    "bpe_pair_counts": (_q_bpe_pairs, _BPE_PAIRS_ORACLE),
+    "tfidf_topk_terms": (_q_tfidf_topk, _TFIDF_TOPK_ORACLE),
+    "cooccurrence_window": (_q_cooccurrence, _COOCCURRENCE_ORACLE),
+    "chunk_overlap": (_q_chunk, _CHUNK_ORACLE),
+    "sentence_split": (_q_sentence_split, _SENTENCE_SPLIT_ORACLE),
+    "lsh_join_verified": (_q_lsh_join_verified, _LSH_JOIN_VERIFIED_ORACLE),
+    "dist_shift_js": (_q_dist_shift, _DIST_SHIFT_ORACLE),
+    "lm_ppl_frozen": (_q_lm_frozen, _LM_FROZEN_ORACLE),
+    "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
+    "bm25_scores": (_q_bm25, _BM25_ORACLE),
+    "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),
+    "doc_entropy": (_q_entropy, _ENTROPY_ORACLE),
+    "mix_sources": (_q_mix_sources, _MIX_ORACLE),
+    "sessionize_events": (_q_sessionize, _SESSIONIZE_ORACLE),
+    "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
+    "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
+    "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
+    "q5_local_supplier_revenue": (_q_q5, _Q5_ORACLE),
+    "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
+    "filter_highqty": (_q_filter, _FILTER_ORACLE),
+    "filter_not_returns": (_q_filter_not, _FILTER_NOT_ORACLE),
+    "map_values_net": (_q_map_values, _MAP_VALUES_ORACLE),
+    "select_key_count": (_q_select_key, _SELECT_KEY_ORACLE),
+    "flat_map_pairs": (_q_flat_map, _FLAT_MAP_ORACLE),
+    "branch_orders": (_q_branch, _BRANCH_ORACLE),
+    "merge_event_types": (_q_merge, _MERGE_ORACLE),
+    "table_latest_event": (_q_table_latest, _TABLE_LATEST_ORACLE),
+    "table_regroup": (_q_table_regroup, _TABLE_REGROUP_ORACLE),
+    "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
+    "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
+    "windowed_count": (_q_windowed_count, _WINDOWED_COUNT_ORACLE),
+    "hopping_count": (_q_hopping_count, _HOPPING_COUNT_ORACLE),
+    "session_count": (_q_session_count, _SESSION_COUNT_ORACLE),
+    "anomaly_detection": (_q_anomaly, _ANOMALY_ORACLE),
+    "join_stream_table": (_q_join_stream_table, _JOIN_STREAM_TABLE_ORACLE),
+    "left_join_counts": (_q_left_join, _LEFT_JOIN_ORACLE),
+    "outer_join_nations": (_q_outer_join, _OUTER_JOIN_ORACLE),
+    "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
+    "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
+    # --- green in r13 (freshest evidence): behind the rotation head;
+    # these 50 re-enter the window in r15. Sub-block order kept from
+    # the r13 window. ---
     "bpe_train_encode": (_q_bpe_train_encode, _BPE_TRAIN_ENCODE_ORACLE),
     "gopher_filter": (_q_gopher_filter, _GOPHER_FILTER_ORACLE),
     "transform_with_state_fold": (_q_transform_with_state, _TRANSFORM_WITH_STATE_ORACLE),
@@ -2977,64 +3123,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
     "kmeans_centroids": (_q_kmeans_centroids, _KMEANS_CENTROIDS_ORACLE),
     "scrub_text": (_q_scrub, _SCRUB_ORACLE),
-    # --- green in r12 (freshest evidence): behind the rotation head;
-    # these 50 re-enter the window in r14. Sub-blocks keep the r12
-    # head order: 7 r08-new/renamed rows, then the 43 r06-block
-    # survivors. ---
-    "freq_items_priority": (_q_freq_items, _FREQ_ITEMS_ORACLE),
-    "profile_persist_lineitem": (_q_profile_persist, _PROFILE_PERSIST_ORACLE),
-    "intersect_except_custkeys": (_q_intersect_except, _INTERSECT_EXCEPT_ORACLE),
-    "vec_project_embeddings": (_q_vec_project, _vec_project_oracle()),
-    "substring_dedup_prep": (_q_substring_dedup, _SUBSTRING_DEDUP_ORACLE),
-    "asof_join_tolerance": (_q_asof_join, _ASOF_JOIN_ORACLE),
-    "histogram_log_chars": (_q_histogram, _HISTOGRAM_ORACLE),
-    # --- last driver-green in r06 (45 survivors of the 50; 5 retired
-    # above): all land in CORRECTNESS_r08, staleness stays <= 2 rounds.
-    # lm_ppl_kn / dist_shift_js are in-place option re-pins of r06-green
-    # slots (new name, same rotation position) ---
-    "lm_ppl_kn": (_q_lm_kn, _LM_KN_ORACLE),
-    "pmi_collocations": (_q_pmi, _PMI_ORACLE),
-    "bpe_pair_counts": (_q_bpe_pairs, _BPE_PAIRS_ORACLE),
-    "tfidf_topk_terms": (_q_tfidf_topk, _TFIDF_TOPK_ORACLE),
-    "cooccurrence_window": (_q_cooccurrence, _COOCCURRENCE_ORACLE),
-    "chunk_overlap": (_q_chunk, _CHUNK_ORACLE),
-    "sentence_split": (_q_sentence_split, _SENTENCE_SPLIT_ORACLE),
-    "lsh_join_verified": (_q_lsh_join_verified, _LSH_JOIN_VERIFIED_ORACLE),
-    "dist_shift_js": (_q_dist_shift, _DIST_SHIFT_ORACLE),
-    "lm_ppl_frozen": (_q_lm_frozen, _LM_FROZEN_ORACLE),
-    "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
-    "bm25_scores": (_q_bm25, _BM25_ORACLE),
-    "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),
-    "doc_entropy": (_q_entropy, _ENTROPY_ORACLE),
-    "mix_sources": (_q_mix_sources, _MIX_ORACLE),
-    "sessionize_events": (_q_sessionize, _SESSIONIZE_ORACLE),
-    "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
-    "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
-    "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
-    "q5_local_supplier_revenue": (_q_q5, _Q5_ORACLE),
-    "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
-    "filter_highqty": (_q_filter, _FILTER_ORACLE),
-    "filter_not_returns": (_q_filter_not, _FILTER_NOT_ORACLE),
-    "map_values_net": (_q_map_values, _MAP_VALUES_ORACLE),
-    "select_key_count": (_q_select_key, _SELECT_KEY_ORACLE),
-    "flat_map_pairs": (_q_flat_map, _FLAT_MAP_ORACLE),
-    "branch_orders": (_q_branch, _BRANCH_ORACLE),
-    "merge_event_types": (_q_merge, _MERGE_ORACLE),
-    "table_latest_event": (_q_table_latest, _TABLE_LATEST_ORACLE),
-    "table_filter_mapvalues": (_q_table_ops, _TABLE_OPS_ORACLE),
-    "table_regroup": (_q_table_regroup, _TABLE_REGROUP_ORACLE),
-    "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
-    "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
-    "windowed_count": (_q_windowed_count, _WINDOWED_COUNT_ORACLE),
-    "hopping_count": (_q_hopping_count, _HOPPING_COUNT_ORACLE),
-    "session_count": (_q_session_count, _SESSION_COUNT_ORACLE),
-    "anomaly_detection": (_q_anomaly, _ANOMALY_ORACLE),
-    "join_stream_table": (_q_join_stream_table, _JOIN_STREAM_TABLE_ORACLE),
-    "left_join_counts": (_q_left_join, _LEFT_JOIN_ORACLE),
-    "outer_join_nations": (_q_outer_join, _OUTER_JOIN_ORACLE),
-    "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
-    "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
-    "anti_join_customers": (_q_anti_join, _ANTI_JOIN_ORACLE),
 }
 
 

@@ -56,14 +56,28 @@ def main() -> int:
     stale = set(json.load(open(stale_p)))
     fresh = set(json.load(open(fresh_p)))
 
+    # r14+: a round may swap head rows under the retirement clauses
+    # (retire N rows whose ops keep evidence through other rows, register
+    # N new rows). The swap is declared as ROTATION_SWAPS in
+    # __spark_entry__; the expected head is then (stale − retired) ∪
+    # added. Exact match (no swap this round) is still accepted first.
+    swaps = getattr(m, "ROTATION_SWAPS", None) or {}
+    retired = set(swaps.get("retired", ()))
+    added = set(swaps.get("added", ()))
+    stale_adj = (stale - retired) | added
+
     ok = True
     print(f"registry: {len(names)} rows; head block = first 50")
+    if retired or added:
+        print(f"declared swaps: retired={sorted(retired)} added={sorted(added)}")
     for label, want, got in (
         (f"head == {os.path.basename(stale_p)} window", stale, head),
         (f"tail == {os.path.basename(fresh_p)} window", fresh, tail),
     ):
         if want == got:
             print(f"OK    {label}")
+        elif want is stale and got == stale_adj:
+            print(f"OK    {label} (with declared swaps applied)")
         else:
             ok = False
             print(f"FAIL  {label}")

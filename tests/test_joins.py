@@ -188,3 +188,26 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     assert rows2[2] == 2
     with pytest.raises(ArityError, match="tolerance must be >= 0"):
         ksml(["asof-join", l, r, {"tolerance": -1}], spark=spark)
+
+
+def test_anti_join_is_semi_complement(spark, tables):
+    """Retirement pin (r14, clause c — see the registry rotation notes):
+    anti-join is a one-line how-string dispatch into the same _do_join
+    construction as the still-oracled semi/left/outer rows; its
+    how-specific surface is exactly the complement contract. On the
+    driver tables, semi and anti against the same right side partition
+    the left EXACTLY: disjoint, union = every left row."""
+    lt = ["stream", tables["customer"], {"key": "c_custkey"}]
+    rt = ["stream", tables["orders"], {"key": "o_custkey"}]
+    semi = ksml(["semi-join", lt, rt], spark=spark).df
+    anti = ksml(["anti-join", lt, rt], spark=spark).df
+    s = {r["c_custkey"] for r in semi.select("c_custkey").collect()}
+    a = {r["c_custkey"] for r in anti.select("c_custkey").collect()}
+    allk = {r["c_custkey"]
+            for r in tables["customer"].select("c_custkey").collect()}
+    assert s & a == set()
+    assert s | a == allk
+    # and the semi side agrees with the orders key set (EXISTS semantics)
+    okeys = {r["o_custkey"]
+             for r in tables["orders"].select("o_custkey").collect()}
+    assert s == allk & okeys

@@ -70,3 +70,34 @@ def test_global_table_is_broadcast(spark, tables):
     plan = joined.df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert joined.df.count() == tables["customer"].count()
+
+
+def test_table_filter_mapvalues_composition_pin(spark, tables):
+    """Retirement pin (r14, clause a — see the registry rotation notes):
+    the retired table_filter_mapvalues registry row's exact shape —
+    latest-per-key table → filter → map-values → to-stream — checked
+    bit-for-bit against a pandas reference. Every op it invokes keeps
+    driver oracle evidence through a still-registered row (op_filter via
+    filter_highqty, op_map_values via map_values_net, the table QUALIFY
+    via table_latest_event); this test pins the composition itself."""
+    out = pipe(
+        ["table", tables["events"],
+         {"key": "user_id", "time": "ts", "order": ["ts", "event_id"]}],
+        ["filter", ["predicate", "value > 50"]],
+        ["map-values", ["value-mapper",
+                        {"val_bucket": "cast(floor(value / 10) as bigint)"}]],
+        ["to-stream"],
+        ["select", {"user_id": "user_id", "val_bucket": "val_bucket"}],
+        spark=spark,
+    ).df
+    got = sorted((r["user_id"], r["val_bucket"]) for r in out.collect())
+
+    pdf = tables["events"].select("user_id", "ts", "event_id", "value").toPandas()
+    latest = (pdf.sort_values(["ts", "event_id"])
+              .groupby("user_id", as_index=False).last())
+    latest = latest[latest["value"] > 50]
+    expected = sorted(
+        (int(u), int(v // 10))
+        for u, v in zip(latest["user_id"], latest["value"])
+    )
+    assert got == expected
