@@ -357,23 +357,9 @@ SELECT user_id, event_id, event_type, value FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"""
 
 
-def _q_table_ops(spark, sf):
-    return pipe(
-        ["table", _t(sf, "events"),
-         {"key": "user_id", "time": "ts", "order": ["ts", "event_id"]}],
-        ["filter", ["predicate", "value > 50"]],
-        ["map-values", ["value-mapper", {"val_bucket": "cast(floor(value / 10) as bigint)"}]],
-        ["to-stream"],
-        ["select", {"user_id": "user_id", "val_bucket": "val_bucket"}],
-        spark=spark,
-    ).df
-
-
-_TABLE_OPS_ORACLE = """
-SELECT user_id, CAST(floor(value / 10) AS BIGINT) AS val_bucket FROM (
-  SELECT user_id, value FROM events
-  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
-) WHERE value > 50"""
+# (the table->filter->map-values->to-stream composition row was
+# retired r14 — clause a; its shape lives on as
+# tests/test_table.py::test_table_filter_mapvalues_composition_pin)
 
 
 def _q_table_regroup(spark, sf):
@@ -624,22 +610,8 @@ SELECT c_custkey, c_name FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
 
 
-def _q_anti_join(spark, sf):
-    big = ksml(["where", ["stream", _t(sf, "orders"), {"key": "o_custkey"}],
-                "o_totalprice > 400000"], spark=spark)
-    return pipe(
-        ["anti-join",
-         ["stream", _t(sf, "customer"), {"key": "c_custkey"}],
-         big],
-        ["select", {"c_custkey": "c_custkey", "c_name": "c_name"}],
-        spark=spark,
-    ).df
-
-
-_ANTI_JOIN_ORACLE = """
-SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)"""
+# (the anti-join row was retired r14 — clause c; its complement
+# contract lives on as tests/test_joins.py::test_anti_join_is_semi_complement)
 
 
 def _q_interval_join(spark, sf):

@@ -990,7 +990,12 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             "drop 'block' and pass {'lsh_dims': d, 'dim': n}, or set "
             "bands back to 1"
         )
-    if bands > 1 and "lsh_dims" not in opts:
+    # present-but-None means "unset" (the _pos_int_opt 'None stays
+    # None' contract — programmatic opts-building passes None for
+    # absent); a literal 0 still reaches _pos_int_opt's curated >= 1
+    # refusal below
+    has_ldims = opts.get("lsh_dims") is not None
+    if bands > 1 and not has_ldims:
         raise ArityError(
             "neardup-pairs: {'bands': b} is the OR-construction over "
             "{'lsh_dims': d} sign buckets — pass lsh_dims with it"
@@ -998,7 +1003,7 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     blockers = []
     if block:
         blockers = [F.col(block)]
-    elif "lsh_dims" in opts:
+    elif has_ldims:
         block = "__bucket"
         ldims = _pos_int_opt(opts, "lsh_dims", "neardup-pairs")
         if bands == 1:

@@ -41,27 +41,40 @@ SUMMARY_SHAPED = {
     "expect_contract",
 }
 
+# the adjudicated curated-refusal set (see the module docstring) —
+# drift in EITHER direction is a contract change to re-adjudicate
+CURATED_ON_EMPTY = {
+    "semdedup_embeddings",
+    "semdedup_join",
+    "ann_ivf_topk",
+    "kmeans_centroids",
+}
 
-def run(only=()):
-    import __spark_entry__ as m
-    from ksml_spark import get_spark
-    from ksml_spark.errors import ArityError, TypeDispatchError
+
+def build_empty_dir(spark, dest=None) -> str:
     from ksml_spark.sources.files import TABLE_NAMES, load_table
 
-    spark = get_spark()
-    src = "/root/testdata/sf0.001"
-    tmp = tempfile.mkdtemp(prefix="ksml_empty_")
+    tmp = dest or tempfile.mkdtemp(prefix="ksml_empty_")
     for t in TABLE_NAMES:
-        load_table(spark, src, t).limit(0).write.parquet(
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.parquet(
             os.path.join(tmp, f"{t}.parquet")
         )
+    return tmp
+
+
+def sweep(spark, empty_dir, only=()):
+    """Classify every registry query on the zero-row tables. Returns
+    (ok, curated, opaque, unexplained) — the suite test and the CLI
+    share this one implementation."""
+    import __spark_entry__ as m
+    from ksml_spark.errors import ArityError, TypeDispatchError
 
     ok, curated, opaque, unexplained = [], [], [], []
     for name, fn in m.queries().items():
         if only and name not in only:
             continue
         try:
-            n = fn(spark, tmp).count()
+            n = fn(spark, empty_dir).count()
             ok.append((name, n))
             if n != 0 and name not in SUMMARY_SHAPED:
                 unexplained.append((name, n))
@@ -69,6 +82,16 @@ def run(only=()):
             curated.append((name, type(e).__name__, str(e).split("\n")[0]))
         except Exception as e:  # noqa: BLE001 — the class under audit
             opaque.append((name, type(e).__name__, str(e).split("\n")[0][:160]))
+    return ok, curated, opaque, unexplained
+
+
+def run(only=()):
+    from ksml_spark import get_spark
+
+    spark = get_spark()
+    ok, curated, opaque, unexplained = sweep(
+        spark, build_empty_dir(spark), only
+    )
 
     print(f"ok (ran on empty): {len(ok)}")
     print(f"curated refusals: {len(curated)}")
@@ -79,7 +102,12 @@ def run(only=()):
     print(f"OPAQUE failures: {len(opaque)}")
     for n, c, msg in opaque:
         print(f"  OPAQUE {n}: {c}: {msg}")
-    return 1 if (opaque or unexplained) else 0
+    refused = {n for n, _, _ in curated}
+    drift = (not only) and refused != CURATED_ON_EMPTY
+    if drift:
+        print(f"CURATED-SET DRIFT: new={sorted(refused - CURATED_ON_EMPTY)} "
+              f"gone={sorted(CURATED_ON_EMPTY - refused)}")
+    return 1 if (opaque or unexplained or drift) else 0
 
 
 if __name__ == "__main__":

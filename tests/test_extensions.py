@@ -795,6 +795,14 @@ def test_neardup_bands_refusals(spark, tables):
     # it as "unspecified")
     with pytest.raises(ArityError, match="lsh_dims must be >= 1"):
         ksml(["neardup-pairs", src, dict(base, lsh_dims=0)], spark=spark)
+    # an explicit None means "unset" (programmatic opts-building) —
+    # the curated blocking refusal, not an opaque NoneType crash in
+    # sign_bucket_col / the band-width arithmetic (r14 review)
+    with pytest.raises(ArityError, match="allow_full"):
+        ksml(["neardup-pairs", src, dict(base, lsh_dims=None)], spark=spark)
+    with pytest.raises(ArityError, match="pass lsh_dims"):
+        ksml(["neardup-pairs", src,
+              dict(base, bands=4, dim=64, lsh_dims=None)], spark=spark)
 
 
 def test_neardup_single_band_recall_warning(spark, tables):
