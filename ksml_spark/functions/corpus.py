@@ -302,7 +302,8 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
         if isinstance(r, Rel):
             train = r
         elif isinstance(r, dict):
-            opts.update(r)
+            # None-valued keys mean "unset" (the opts_of contract)
+            opts.update({k: v for k, v in r.items() if v is not None})
     n = int(opts.get("n", 2))
     k = float(opts.get("k", 0.1))
     if n < 2:
@@ -1124,10 +1125,7 @@ def op_dist_shift(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
             f"dist-shift right operand must be a stream/table, "
             f"got {type(right).__name__}"
         )
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     colc = opts.get("col", "text")
     rcolc = opts.get("right_col", colc)
     k = float(opts.get("k", 0.5))

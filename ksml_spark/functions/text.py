@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..model import Rel
+from ..operators.util import opts_of
 
 # ---------------------------------------------------------------------------
 # column-expression factories (usable directly or via the DSL ops)
@@ -227,10 +228,7 @@ def _signal_quality(textc: str) -> Column:
 # DSL ops
 
 def _col_opts(rest, default_col="text"):
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     return opts.get("col", default_col), opts
 
 
@@ -710,10 +708,7 @@ def op_decontaminate(ctx: Ctx, corpus: Rel, bench: Rel, *rest) -> Rel:
             f"decontaminate right operand must be a stream/table, "
             f"got {type(bench).__name__}"
         )
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     n = int(opts.get("n", 8))
     min_shared = int(opts.get("min_shared", 1))
     idc = opts.get("id", "doc_id")
@@ -780,10 +775,7 @@ def op_dedup_paragraphs(ctx: Ctx, rel: Rel, *rest) -> Rel:
             "(unwatermarked keyed aggregation) and is batch-only; run "
             "per micro-batch via foreach-batch"
         )
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     colc = opts.get("col", "text")
     idc = opts.get("id", "doc_id")
     sep = opts.get("sep", "\n\n")
@@ -877,10 +869,7 @@ def op_chunk(ctx: Ctx, rel: Rel, *rest) -> Rel:
     per doc, the downstream partition-sizing number to plan around.
 
     Reference: no analog (§2.10 extension surface)."""
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     colc = opts.get("col", "text")
     out = opts.get("as", "chunk")
     size = int(opts.get("size", 512))
@@ -931,10 +920,7 @@ def op_sentence_split(ctx: Ctx, rel: Rel, *rest) -> Rel:
     segmentation is engine-identical by construction.
 
     Reference: no analog (§2.10 extension surface)."""
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     colc = opts.get("col", "text")
     out = opts.get("as", "sentence")
     idx = opts.get("idx", "sent_idx")

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import ArityError, TypeDispatchError
+from .util import opts_of
 from ..eval import Ctx, defop
 from ..exprs import Aggregator, Initializer, Merger, Reducer, to_col
 from ..model import GroupedRel, KTableRel, Rel, WindowSpec
@@ -269,10 +270,7 @@ def op_agg_salted(ctx: Ctx, grouped: GroupedRel, aggs: dict, *rest) -> KTableRel
 
     if not isinstance(aggs, dict) or not aggs:
         raise ArityError("agg-salted needs a non-empty {name: aggregate-expr} dict")
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     n = int(opts.get("salt", 16))
     partials, finals = [], []
     for name, expr in aggs.items():
@@ -608,10 +606,7 @@ def op_sessionize(ctx: Ctx, rel: Rel, *rest) -> Rel:
     aggregation above, or tag per micro-batch via foreach-batch)."""
     from pyspark.sql import Window
 
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     if rel.df.isStreaming:
         raise TypeDispatchError(
             "sessionize is batch-only (running windows over a non-time "

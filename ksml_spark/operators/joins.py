@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import ArityError, TypeDispatchError
+from .util import opts_of
 from ..eval import Ctx, defop
 from ..exprs import KeyValueMapper, ValueJoiner, named_cols, to_col
 from ..model import GlobalKTableRel, GroupedRel, KStreamRel, KTableRel, Rel, WindowSpec
@@ -162,10 +163,7 @@ def _do_join(ctx: Ctx, left: Rel, right: Rel, how: str, rest) -> Rel:
 
     ldf, rdf, lmap, rmap = _disambiguate(left, right)
 
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     hint = opts.get("hint")
     if hint is not None:
         # physical-strategy hint on the RIGHT side — the 100 TB tuning
@@ -300,10 +298,7 @@ def op_asof_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
             )
     from pyspark.sql import Window
 
-    opts: dict = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     lk, rk = left.key_cols, right.key_cols
     lt, rt = left.time_col, right.time_col
     if not (lk and rk and lt and rt):

@@ -42,12 +42,7 @@ from ..eval import Ctx, defop
 from ..model import KStreamRel, Rel
 
 
-def _opts(rest) -> dict:
-    o = {}
-    for r in rest:
-        if isinstance(r, dict):
-            o.update(r)
-    return o
+from .util import opts_of as _opts  # noqa: E402  (shared option merging)
 
 
 @defop("binarize")

@@ -32,6 +32,7 @@ from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..exprs import to_col
 from ..model import GroupedRel, KStreamRel, KTableRel, Rel
+from .util import opts_of
 
 
 def _as_rel(x) -> Rel:
@@ -152,10 +153,7 @@ def op_over(ctx: Ctx, rel: Rel, cols: dict, *rest) -> Rel:
     "partition" is a single-reducer antipattern and is refused)."""
     from pyspark.sql import Window
 
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     part = opts.get("partition")
     if not part:
         raise ArityError("over requires {'partition': cols} (no global windows)")
@@ -225,10 +223,7 @@ def op_approx_distinct(ctx: Ctx, rel: Rel, col: str, *rest) -> KTableRel:
     ["approx-distinct", rel_or_grouped, col, {"by": cols, "rsd": 0.05}].
     Constant memory per group at any cardinality — the sketch path for
     100 TB distinct counts (exact distinct shuffles every value)."""
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     if not isinstance(col, str):
         raise ArityError(f"approx-distinct needs a column name, got {col!r}")
     rsd = float(opts.get("rsd", 0.05))
@@ -295,10 +290,7 @@ def op_expect(ctx: Ctx, rel: Rel, *rest) -> Rel:
     from ..errors import ArityError
 
     rel = _as_rel(rel)
-    opts: dict = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     if rel.df.isStreaming:
         raise ArityError("expect is batch-only (global counts close the input)")
     df = rel.df
@@ -377,10 +369,7 @@ def op_histogram(ctx: Ctx, rel: Rel, *rest) -> Rel:
     and the reported (lo, hi) edges are the back-transformed powers of
     the bin boundaries."""
     rel = _as_rel(rel)
-    opts: dict = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     col = opts.get("col")
     if not col or "min" not in opts or "max" not in opts:
         raise ArityError("histogram needs {'col', 'min', 'max'} (+ optional 'bins')")
@@ -464,10 +453,7 @@ def op_quantiles(ctx: Ctx, rel: Rel, *rest) -> Rel:
 
     Reference: no analog (§2.10 extension surface)."""
     rel = _as_rel(rel)
-    opts: dict = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     col = opts.get("col")
     if not col:
         raise ArityError("quantiles needs {'col': ...}")
@@ -515,10 +501,7 @@ def op_pivot(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
     ``str(value)``; multi-agg cells are ``{value}_{aggname}`` (Spark's
     convention, pinned by test)."""
     rel = _as_rel(rel)
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     group = opts.get("group")
     on = opts.get("on")
     values = opts.get("values")
@@ -552,10 +535,7 @@ def op_unpivot(ctx: Ctx, rel: Rel, *rest) -> Rel:
     columns must share a least-common type (Spark's unpivot contract —
     cast upstream otherwise; the error is curated here)."""
     rel = _as_rel(rel)
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     ids = opts.get("ids")
     cols = opts.get("cols")
     if not ids or not cols:
@@ -598,10 +578,7 @@ def op_corr(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
     then unpivoted to long form with a stack expression — no second
     scan, no Python."""
     rel = _as_rel(rel)
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     cols = opts.get("cols")
     if not cols or len(cols) < 2:
         raise ArityError("corr needs {'cols': [2+ numeric columns]}")
@@ -638,10 +615,7 @@ def op_collect_ordered(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
     truncates AFTER the sort — state is still the full group, so cap
     heavy groups upstream (cap-per-group) when a bound matters."""
     rel = _as_rel(rel)
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     by = opts.get("by")
     order = opts.get("order")
     col = opts.get("col")
@@ -696,10 +670,7 @@ def op_rolling(ctx: Ctx, rel: Rel, *rest) -> Rel:
     history; streaming trailing aggregates belong to windowed-by /
     sessionize)."""
     rel = _as_rel(rel)
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     by = opts.get("by")
     time_c = opts.get("time") or rel.time_col
     rng = opts.get("range")
@@ -730,10 +701,7 @@ def op_rolling(ctx: Ctx, rel: Rel, *rest) -> Rel:
 
 def _set_op(op: str, left: Rel, right, rest, fn_all, fn_distinct):
     right = _as_rel(right)
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     if left.df.isStreaming or right.df.isStreaming:
         raise ArityError(
             f"{op} is batch-only (Spark streaming has no set-operation "
@@ -797,10 +765,7 @@ def op_persist(ctx: Ctx, rel: Rel, *rest) -> Rel:
     long-lived session cannot accumulate cache blocks, unlike raw
     `df.persist()`. Streaming rels pass through unchanged (micro-batch
     caching is the engine's job)."""
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     rel = _as_rel(rel)
     if rel.df.isStreaming:
         return rel
@@ -832,10 +797,7 @@ def op_freq_items(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
     skewed keys BEFORE running a groupBy that would discover them the
     hard way. Batch-only (sketch merge is an unsupported streaming
     aggregation)."""
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     rel = _as_rel(rel)
     cols = opts.get("cols")
     if not cols:
@@ -864,10 +826,7 @@ def op_profile(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
 
     One pass; percentiles via the approximate quantile sketch, never a
     sort. Batch-only."""
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     rel = _as_rel(rel)
     if rel.df.isStreaming:
         raise ArityError("profile is batch-only (use expect/histogram on streams)")

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import ArityError
+from .util import opts_of
 from ..eval import Ctx, defop
 from ..exprs import ForeachAction, Serde
 from ..model import Rel
@@ -55,7 +56,8 @@ def op_to(ctx: Ctx, rel: Rel, *rest) -> SinkResult:
     topic = None
     for r in rest:
         if isinstance(r, dict):
-            opts.update(r)
+            # None-valued keys mean "unset" (the opts_of contract)
+            opts.update({k: v for k, v in r.items() if v is not None})
         elif isinstance(r, str):
             topic = r
     kserde = serdes[0] if serdes else None
@@ -139,10 +141,7 @@ def op_foreach_batch(ctx: Ctx, rel: Rel, fn, *rest) -> SinkResult:
         raise ArityError(
             f"foreach-batch needs fn(batch_df, batch_id), got {type(fn).__name__}"
         )
-    opts = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     if rel.df.isStreaming:
         w = rel.df.writeStream.foreachBatch(fn)
         if "checkpoint" in opts:

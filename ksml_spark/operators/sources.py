@@ -113,7 +113,8 @@ def _split_opts(args) -> tuple[list, dict]:
         if isinstance(a, Consumed):
             opts.update(a.options)
         elif isinstance(a, dict):
-            opts.update(a)
+            # None-valued keys mean "unset" (the opts_of contract)
+            opts.update({k: v for k, v in a.items() if v is not None})
         else:
             pos.append(a)
     return pos, opts

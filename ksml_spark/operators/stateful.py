@@ -35,6 +35,7 @@ from typing import Any, Iterator, Optional
 from pyspark.sql import functions as F
 
 from ..errors import ArityError
+from .util import opts_of
 from ..eval import Ctx, defop
 from ..exprs import Lambda
 from ..model import KStreamRel, Rel
@@ -87,7 +88,8 @@ def op_process(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         elif callable(r) and not isinstance(r, dict):
             fn = r
         elif isinstance(r, dict):
-            opts.update(r)
+            # None-valued keys mean "unset" (the opts_of contract)
+            opts.update({k: v for k, v in r.items() if v is not None})
     if fn is None:
         raise ArityError("process needs a (key, batches, state) function")
     schema = opts.get("schema")
@@ -339,10 +341,11 @@ def op_transform_with_state(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     changelog checkpointing — the Kafka Streams state-store model,
     verbatim."""
     proc = None
-    opts: dict = {}
+    opts = {}
     for r in rest:
         if isinstance(r, dict):
-            opts.update(r)
+            # None-valued keys mean "unset" (the opts_of contract)
+            opts.update({k: v for k, v in r.items() if v is not None})
         elif r is not None:
             proc = r
     schema = opts.get("schema")

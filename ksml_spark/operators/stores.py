@@ -83,7 +83,8 @@ def op_stores(ctx: Ctx, which, *args) -> StoreSpec:
     opts = {}
     for a in args:
         if isinstance(a, dict):
-            opts.update(a)
+            # None-valued keys mean "unset" (the opts_of contract)
+            opts.update({k: v for k, v in a.items() if v is not None})
     if kind == "lru" and not opts.get("unbounded_ok"):
         # Stores.lruMap(name, maxEntries) (eval.clj:222) is a BOUNDED kv
         # store: past maxEntries, Kafka Streams silently evicts the

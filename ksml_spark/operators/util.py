@@ -9,12 +9,19 @@ from pyspark.sql import functions as F
 
 
 def opts_of(rest) -> dict:
-    """Merge the dict arguments of an operator form (last wins)."""
+    """Merge the dict arguments of an operator form (last wins).
+
+    None-valued keys are DROPPED: an explicit ``{"opt": None}`` means
+    "unset" — the programmatic opts-building contract (r14). Every
+    option reads a missing key as absence, and letting None through
+    instead produced opaque NoneType crashes downstream (option
+    arithmetic, F.col(None), int(None)) for what a user meant as
+    "use the default"."""
     o: dict = {}
     for r in rest:
         if isinstance(r, dict):
             o.update(r)
-    return o
+    return {k: v for k, v in o.items() if v is not None}
 
 
 def req_opt(opts: dict, key: str, op: str):

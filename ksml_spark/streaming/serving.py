@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..errors import ArityError
+from ..operators.util import opts_of
 from ..eval import Ctx, defop
 from ..model import KTableRel, Rel
 
@@ -314,10 +315,7 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
     """["serve", rel, {"name": ..., "key": cols?, "storage":
     "memory"|"table", "buckets": N, "trigger": ..., "output_mode": ...}]
     — materialize + return a lookup handle."""
-    opts: dict = {}
-    for r in rest:
-        if isinstance(r, dict):
-            opts.update(r)
+    opts = opts_of(rest)
     name = opts.get("name") or rel.name
     if not name:
         raise ArityError("serve needs {'name': ...}")

@@ -290,3 +290,39 @@ def test_defop_reregistration_invalidates_signature_cache(spark, probe_rel_df):
         assert out.df.count() == 3
     finally:
         defop("peek", retype_value_errors=False)(orig)
+
+
+def test_explicit_none_option_means_unset(spark, tables, probe_rel_df):
+    """The opts_of contract (r14): an explicit {"opt": None} — the
+    natural output of programmatic opts-building — behaves exactly like
+    omitting the key, across every option-parsing path (shared opts_of,
+    _split_opts, the sink/store loops). Previously None leaked into
+    option arithmetic / F.col(None) / int(None) as opaque crashes."""
+    emb = ["stream", tables["embeddings"], {"key": "vec_id"}]
+    docs = ["stream", tables["documents"], {"key": "doc_id"}]
+
+    cases = [
+        # (form-with-None, form-without) — results must be identical
+        (["ann-lsh-topk", emb, {"id": "vec_id", "vec": "embedding",
+                                "queries": "vec_id % 100 = 0",
+                                "sign_dims": None, "bands": None,
+                                "dim": None, "k": None}],
+         ["ann-lsh-topk", emb, {"id": "vec_id", "vec": "embedding",
+                                "queries": "vec_id % 100 = 0"}]),
+        (["chunk", docs, {"col": "text", "size": None, "overlap": None}],
+         ["chunk", docs, {"col": "text"}]),
+        (["token-count", docs, {"col": "text", "mode": None}],
+         ["token-count", docs, {"col": "text"}]),
+        (["histogram", docs,
+          {"col": "n_chars", "min": 0, "max": 1000, "bins": None}],
+         ["histogram", docs, {"col": "n_chars", "min": 0, "max": 1000}]),
+    ]
+    for with_none, without in cases:
+        a = sorted(map(tuple, ksml(with_none, spark=spark).df.collect()))
+        b = sorted(map(tuple, ksml(without, spark=spark).df.collect()))
+        assert a == b, f"None-option divergence in {with_none[0]}"
+
+    # source path (_split_opts): a None key/time option reads as unset
+    got = ksml(["stream", tables["nation"],
+                {"key": "n_nationkey", "time": None}], spark=spark)
+    assert got.df.count() == tables["nation"].count()
