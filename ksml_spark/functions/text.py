@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..model import Rel
-from ..operators.util import opts_of
+from ..operators.util import opts_of, pos_int_opt
 
 # ---------------------------------------------------------------------------
 # column-expression factories (usable directly or via the DSL ops)
@@ -483,7 +483,9 @@ def op_ngrams(ctx: Ctx, rel: Rel, *rest) -> Rel:
     contract uniform and points at the bounded alternative (per
     micro-batch stats via foreach-batch)."""
     col, opts = _col_opts(rest)
-    n = int(opts.get("n", 2))
+    # curated >= 1 parse (r14): n=0 built empty-string grams (one
+    # garbage row), negatives aborted opaquely in F.slice at action
+    n = pos_int_opt(opts, "n", "ngrams", default=2)
     top = opts.get("top")
     if rel.df.isStreaming:
         from ..errors import TypeDispatchError
@@ -709,8 +711,11 @@ def op_decontaminate(ctx: Ctx, corpus: Rel, bench: Rel, *rest) -> Rel:
             f"got {type(bench).__name__}"
         )
     opts = opts_of(rest)
-    n = int(opts.get("n", 8))
-    min_shared = int(opts.get("min_shared", 1))
+    # curated >= 1 parses (r14): n=0 shingled every doc into the SAME
+    # empty gram — decontaminate silently flagged the whole corpus as
+    # contaminated (the silent-wrong class, worse than the abort)
+    n = pos_int_opt(opts, "n", "decontaminate", default=8)
+    min_shared = pos_int_opt(opts, "min_shared", "decontaminate", default=1)
     idc = opts.get("id", "doc_id")
     bidc = opts.get("bench_id", idc)
     colc = opts.get("col", "text")

@@ -64,6 +64,7 @@ def minhash_slice(j: int) -> tuple[int, int]:
 
 
 from .util import opts_of as _opts  # noqa: E402  (shared option merging)
+from .util import pos_int_opt  # noqa: E402  (curated >= 1 int parse)
 
 
 @defop("dedup")
@@ -897,8 +898,11 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # k-word shingles (n-gram Jaccard — word-order-sensitive, the
     # resemblance measure minhash approximates; same shingles_col
     # construction, so exact-verify composes with lsh-candidates).
-    shingle = opts.get("shingle")
-    units = (shingles_col(F.col(col), int(shingle)) if shingle
+    # curated >= 1 parse (r14, the lsh_dims falsy-zero class): 0/negative
+    # reached shingles_col's F.slice — garbage shingles at 0, an opaque
+    # INVALID_PARAMETER_VALUE abort at first action for negatives
+    shingle = pos_int_opt(opts, "shingle", "jaccard-pairs")
+    units = (shingles_col(F.col(col), shingle) if shingle
              else tokens_col(F.col(col)))
     from .util import md5_long_col, spread
 
@@ -1064,8 +1068,9 @@ def op_containment_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     blocks = [block] if isinstance(block, str) else list(block or [])
     from .util import md5_long_col, shuffle_partitions, spread
 
-    shingle = opts.get("shingle")  # {"shingle": k}: n-gram containment
-    units = (shingles_col(F.col(col), int(shingle)) if shingle
+    # curated >= 1 parse (r14 — see jaccard-pairs)
+    shingle = pos_int_opt(opts, "shingle", "containment-pairs")
+    units = (shingles_col(F.col(col), shingle) if shingle
              else tokens_col(F.col(col)))
     tok_ids = F.array_distinct(
         F.transform(units, lambda x: md5_long_col(x))

@@ -39,32 +39,7 @@ from ..model import KStreamRel, Rel
 
 from .util import opts_of as _opts  # noqa: E402  (shared option merging)
 from .util import req_opt as _req  # noqa: E402  (curated required-option fetch)
-
-
-def _pos_int_opt(opts: dict, key: str, op: str, default=None):
-    """Curated positive-int parse for vector-width / LSH-dims options
-    (late r13, the zero-divisor refusal class): a zero or negative
-    value otherwise reaches ``F.slice`` / the unrolled dot chain and
-    aborts at first action with an opaque runtime error (negative
-    slice length), and a junk string surfaces as a raw
-    TypeError/ValueError mid-construction. None stays None (the
-    dynamic-width zip_with paths). A literal 0 is REFUSED rather than
-    read as "unspecified" — omitting the key is the documented way to
-    get dynamic width."""
-    from ..errors import ArityError
-
-    raw = opts.get(key, default)
-    if raw is None:
-        return None
-    try:
-        val = int(raw)
-    except (TypeError, ValueError):
-        raise ArityError(
-            f"{op}: {key} must be a positive int, got {raw!r}"
-        ) from None
-    if val < 1:
-        raise ArityError(f"{op}: {key} must be >= 1, got {val}")
-    return val
+from .util import pos_int_opt as _pos_int_opt  # noqa: E402  (curated >= 1 int parse)
 
 
 def dot_col(a: Column, b: Column, dim: Optional[int] = None) -> Column:

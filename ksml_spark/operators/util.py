@@ -24,6 +24,32 @@ def opts_of(rest) -> dict:
     return {k: v for k, v in o.items() if v is not None}
 
 
+def pos_int_opt(opts: dict, key: str, op: str, default=None):
+    """Curated positive-int parse for vector-width / LSH-dims options
+    (late r13, the zero-divisor refusal class): a zero or negative
+    value otherwise reaches ``F.slice`` / the unrolled dot chain and
+    aborts at first action with an opaque runtime error (negative
+    slice length), and a junk string surfaces as a raw
+    TypeError/ValueError mid-construction. None stays None (the
+    dynamic-width zip_with paths). A literal 0 is REFUSED rather than
+    read as "unspecified" — omitting the key is the documented way to
+    get dynamic width."""
+    from ..errors import ArityError
+
+    raw = opts.get(key, default)
+    if raw is None:
+        return None
+    try:
+        val = int(raw)
+    except (TypeError, ValueError):
+        raise ArityError(
+            f"{op}: {key} must be a positive int, got {raw!r}"
+        ) from None
+    if val < 1:
+        raise ArityError(f"{op}: {key} must be >= 1, got {val}")
+    return val
+
+
 def req_opt(opts: dict, key: str, op: str):
     """Fetch a REQUIRED option or raise the curated ArityError — a
     missing mandatory option is a DSL usage error and must never

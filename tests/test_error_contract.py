@@ -326,3 +326,35 @@ def test_explicit_none_option_means_unset(spark, tables, probe_rel_df):
     got = ksml(["stream", tables["nation"],
                 {"key": "n_nationkey", "time": None}], spark=spark)
     assert got.df.count() == tables["nation"].count()
+
+
+def test_ngram_width_options_refused_curated(spark, tables):
+    """The n-gram/shingle-width class (r14, the lsh_dims falsy-zero
+    precedent): zero widths silently degraded (ngrams built empty-string
+    grams; jaccard/containment fell back to plain tokens; decontaminate
+    n=0 flagged EVERY doc contaminated via the shared empty gram) and
+    negative widths aborted opaquely in F.slice at first action. All
+    refuse curatedly now; positive widths are untouched."""
+    from ksml_spark.errors import ArityError
+
+    docs = ["stream", tables["documents"], {"key": "doc_id"}]
+    bench = ["stream", tables["documents"], {"key": "doc_id"}]
+    for form, match in [
+        (["ngrams", docs, {"col": "text", "n": 0, "top": 5}], "n must be >= 1"),
+        (["ngrams", docs, {"col": "text", "n": -1, "top": 5}], "n must be >= 1"),
+        (["jaccard-pairs", docs,
+          {"col": "text", "shingle": 0, "allow_full": True}],
+         "shingle must be >= 1"),
+        (["jaccard-pairs", docs,
+          {"col": "text", "shingle": -2, "allow_full": True}],
+         "shingle must be >= 1"),
+        (["containment-pairs", docs,
+          {"col": "text", "shingle": 0, "allow_full": True}],
+         "shingle must be >= 1"),
+        (["decontaminate", docs, bench, {"col": "text", "n": 0}],
+         "n must be >= 1"),
+        (["decontaminate", docs, bench,
+          {"col": "text", "min_shared": 0}], "min_shared must be >= 1"),
+    ]:
+        with pytest.raises(ArityError, match=match):
+            ksml(form, spark=spark)
