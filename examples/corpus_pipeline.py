@@ -15,7 +15,9 @@ reproducible.
 
 import sys
 
-from ksml_spark import get_spark, ksml, pipe
+sys.path.insert(0, ".")
+
+from ksml_spark import get_spark, ksml, pipe  # noqa: E402
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 spark = get_spark(app_name="corpus-pipeline")
