@@ -9,9 +9,10 @@ inside one hour window.
 Run:  python examples/anomaly_detection.py [sf_dir] [threshold]
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ksml_spark import get_spark, pipe  # noqa: E402
 from ksml_spark.sources.files import load_table  # noqa: E402

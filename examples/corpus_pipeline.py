@@ -13,9 +13,10 @@ engine, and partitioning — the property that makes a 100 TB data recipe
 reproducible.
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ksml_spark import get_spark, ksml, pipe  # noqa: E402
 

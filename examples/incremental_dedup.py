@@ -11,10 +11,11 @@ signatures; no stateful aggregation).
 Run:  python examples/incremental_dedup.py [sf_dir]
 """
 
+import os
 import sys
 import tempfile
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ksml_spark import get_spark, pipe  # noqa: E402
 from ksml_spark.sources.files import load_table  # noqa: E402

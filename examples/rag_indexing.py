@@ -12,9 +12,10 @@ DataFrame plans end to end (no Python in any row path).
 Run:  python examples/rag_indexing.py [sf_dir]
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ksml_spark import get_spark, pipe  # noqa: E402
 from ksml_spark.sources.files import load_table  # noqa: E402

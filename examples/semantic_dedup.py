@@ -15,9 +15,10 @@ vectors against a frozen reference corpus (the streaming shape).
 Run:  python examples/semantic_dedup.py [sf_dir]
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 

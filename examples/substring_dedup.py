@@ -14,9 +14,10 @@ never all-pairs, no Python in any hot path.
 Run:  python examples/substring_dedup.py [sf_dir]
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ksml_spark import get_spark, pipe  # noqa: E402
 from ksml_spark.sources.files import load_table  # noqa: E402

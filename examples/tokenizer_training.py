@@ -22,9 +22,10 @@ once per distinct word per corpus instead of per Arrow batch.
 Run:  python examples/tokenizer_training.py [sf_dir] [merges]
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ksml_spark import get_spark, ksml, pipe  # noqa: E402
 from ksml_spark.sources.files import load_table  # noqa: E402

@@ -8,9 +8,10 @@ and prints the top 20 words.
 Run:  python examples/wordcount.py [/root/testdata/sf0.001/documents.parquet]
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ksml_spark import get_spark, pipe  # noqa: E402
 

@@ -57,7 +57,8 @@ def op_consumed(ctx: Ctx, *mods) -> Consumed:
         elif isinstance(m, str) and m.upper() in ("EARLIEST", "LATEST"):
             opts["startingOffsets"] = m.lower()
         elif isinstance(m, dict):
-            opts.update(m)
+            # None-valued keys mean "unset" (the opts_of contract)
+            opts.update({k: v for k, v in m.items() if v is not None})
     if serdes:
         opts["key_serde"] = serdes[0]
         if len(serdes) > 1:

@@ -965,10 +965,9 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             "drop 'block' and pass {'lsh_dims': d, 'dim': n}, or set "
             "bands back to 1"
         )
-    # present-but-None means "unset" (the _pos_int_opt 'None stays
-    # None' contract — programmatic opts-building passes None for
-    # absent); a literal 0 still reaches _pos_int_opt's curated >= 1
-    # refusal below
+    # opts_of already drops None-valued keys (explicit None = unset),
+    # so not-None here equals key-present; a literal 0 still reaches
+    # _pos_int_opt's curated >= 1 refusal below
     has_ldims = opts.get("lsh_dims") is not None
     if bands > 1 and not has_ldims:
         raise ArityError(

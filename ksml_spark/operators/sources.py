@@ -111,7 +111,8 @@ def _split_opts(args) -> tuple[list, dict]:
     pos, opts = [], {}
     for a in args:
         if isinstance(a, Consumed):
-            opts.update(a.options)
+            # defensive: a hand-built Consumed(...) may carry Nones
+            opts.update({k: v for k, v in a.options.items() if v is not None})
         elif isinstance(a, dict):
             # None-valued keys mean "unset" (the opts_of contract)
             opts.update({k: v for k, v in a.items() if v is not None})

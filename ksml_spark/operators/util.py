@@ -20,8 +20,11 @@ def opts_of(rest) -> dict:
     o: dict = {}
     for r in rest:
         if isinstance(r, dict):
-            o.update(r)
-    return {k: v for k, v in o.items() if v is not None}
+            # filter BEFORE merging: a later {"opt": None} is "as if the
+            # key were absent" and must NOT erase an earlier dict's real
+            # value (matching every bespoke parse site's semantics)
+            o.update({k: v for k, v in r.items() if v is not None})
+    return o
 
 
 def pos_int_opt(opts: dict, key: str, op: str, default=None):

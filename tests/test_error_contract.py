@@ -292,7 +292,7 @@ def test_defop_reregistration_invalidates_signature_cache(spark, probe_rel_df):
         defop("peek", retype_value_errors=False)(orig)
 
 
-def test_explicit_none_option_means_unset(spark, tables, probe_rel_df):
+def test_explicit_none_option_means_unset(spark, tables):
     """The opts_of contract (r14): an explicit {"opt": None} — the
     natural output of programmatic opts-building — behaves exactly like
     omitting the key, across every option-parsing path (shared opts_of,
@@ -326,6 +326,23 @@ def test_explicit_none_option_means_unset(spark, tables, probe_rel_df):
     got = ksml(["stream", tables["nation"],
                 {"key": "n_nationkey", "time": None}], spark=spark)
     assert got.df.count() == tables["nation"].count()
+
+    # multi-dict merge order (r14 review): a LATER {"opt": None} is "as
+    # if the key were absent" — it must NOT erase an EARLIER dict's real
+    # value (filter-before-merge, uniform across opts_of and the bespoke
+    # sites)
+    from ksml_spark.operators.util import opts_of
+
+    assert opts_of([{"k": 3}, {"k": None}]) == {"k": 3}
+    assert opts_of([{"k": None}, {"k": 3}]) == {"k": 3}
+    assert opts_of([{"k": 3}, {"k": 5}]) == {"k": 5}
+
+    # consumed path: Nones inside a ["consumed", {...}] bag are dropped
+    # too — {"stream": None} must not silently flip a source to batch
+    from ksml_spark.operators.consumed import Consumed
+
+    c = ksml(["consumed", {"stream": None, "x": 1}], spark=spark)
+    assert isinstance(c, Consumed) and c.options == {"x": 1}
 
 
 def test_ngram_width_options_refused_curated(spark, tables):
