@@ -494,8 +494,29 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     one relation (queries broadcast against the same corpus), which a
     stream can never close — refused at construction (r13; it used to
     surface as an opaque unsupported-operation failure at
-    query.start())."""
-    from ..errors import TypeDispatchError
+    query.start()).
+
+    Query-side guard (r15, completing the max_bucket_pairs family):
+    the plan broadcasts EVERY query row to every executor and scores
+    queries x corpus pairs — a too-loose ``queries`` filter turns that
+    into a driver/executor OOM (the broadcast materializes on the
+    driver) plus an unplanned corpus quadratic, surfacing as an opaque
+    broadcast-size abort mid-job. Construction therefore counts the
+    filtered query side (one cheap column-pruned agg, batch-only op)
+    and REFUSES curatedly over ``max_query_rows`` (default 100_000 —
+    64-dim doubles put that at ~55 MB broadcast, the order of Spark's
+    own autoBroadcastJoinThreshold headroom). Levers: narrow the
+    ``queries`` filter, switch to the bucketed ann-lsh-topk /
+    ann-ivf-topk scale paths (both sides shuffled, no broadcast), or
+    ``{'max_query_rows': 0}`` to absorb the broadcast knowingly.
+    Decisions are unchanged whenever the guard passes.
+
+    Laziness contract (the ann-lsh-topk r13 precedent): with the guard
+    enabled (the default), construction runs ONE eager Spark job — the
+    bounded ``limit(max+1).count()`` on the query projection — so the
+    error surfaces at build time, not first action; ``{'max_query_rows':
+    0}`` restores fully lazy construction."""
+    from ..errors import ArityError, TypeDispatchError
 
     if rel.df.isStreaming:
         raise TypeDispatchError(
@@ -516,6 +537,29 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     q = prepared.filter(F.expr(_req(opts, "queries", "ann-topk"))).select(
         F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
     )
+    try:
+        max_q = int(opts.get("max_query_rows", 100_000))
+    except (TypeError, ValueError):
+        raise ArityError(
+            "ann-topk max_query_rows must be an int (0 disables), "
+            f"got {opts.get('max_query_rows')!r}"
+        ) from None
+    if max_q:
+        # the docstring's query-side guard: limit(max+1) bounds the
+        # guard's own work — it proves "over the cap" without counting
+        # the full query side (the semdedup max_k contract)
+        nq = q.limit(max_q + 1).count()
+        if nq > max_q:
+            raise ArityError(
+                f"ann-topk: the 'queries' filter matches more than "
+                f"{max_q} rows — every query row is BROADCAST to every "
+                "executor and scored against the whole corpus, so a "
+                "loose filter is a driver-memory abort plus an unplanned "
+                "corpus quadratic. Narrow the 'queries' filter, use the "
+                "bucketed ann-lsh-topk / ann-ivf-topk scale paths, or "
+                "set {'max_query_rows': n} (0 disables) to absorb the "
+                "broadcast knowingly"
+            )
     c = _spread(prepared).select(
         F.col(idc).alias("n_id"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
     )
@@ -1002,7 +1046,14 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                     "{'bands': b, 'dim': n} (measured 0.89/0.985/1.0 at "
                     "b=4/8/16), or acknowledge single-band blocking "
                     "with {'single_band_ok': True}.",
-                    ResourceWarning,
+                    # UserWarning, not the codebase's ResourceWarning
+                    # (ADVICE r14): Python's DEFAULT filters ignore
+                    # ResourceWarning, so the sole lever for a
+                    # silent-WRONG-RESULTS outcome was itself silent in
+                    # a plain spark-submit run. Recall-cliff warnings
+                    # (wrong results) use UserWarning; state/size
+                    # warnings (slow, not wrong) stay ResourceWarning.
+                    UserWarning,
                     stacklevel=3,
                 )
             blockers = [sign_bucket_col(v, ldims).alias("__bucket")]
@@ -1838,7 +1889,10 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     precision is unaffected (every flagged pair still passes the exact
     cosine threshold). Streaming lefts refuse p > 1 curatedly (the
     any-probed-copy decision needs a per-row aggregation the
-    stream-legal branches cannot express).
+    stream-legal branches cannot express). Since r15 the boundary-miss
+    floor is LOUD: a batch left at nprobe=1 with threshold >= 0.8
+    warns at construction (UserWarning, naming the measured recall and
+    the nprobe lever); {'single_probe_ok': True} acknowledges.
 
     Output: every left column plus (cluster, keep); NULL-assigned left
     rows pass through keep NULL (flagged, never silently kept or
@@ -1872,6 +1926,38 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
             "exploded probe copies, which the stream-legal anti/semi "
             "branches cannot express; run the sweep as a batch, or keep "
             "nprobe=1 for the stream"
+        )
+    if (
+        nprobe == 1
+        and not left.df.isStreaming
+        and thr >= 0.8
+        and not opts.get("single_probe_ok")
+    ):
+        # loud-at-construction (VERDICT r14: the engine's LAST silent
+        # recall cliff): the default nprobe=1 dup test only compares a
+        # left row against its own top-1 cluster's members, so true
+        # near-dups straddling a cluster boundary are silently KEPT —
+        # measured recall 0.69 at K~15 and 0.60 at K~62 on planted
+        # cos-0.94 duplicates (worsening with K: finer clusters mean
+        # more boundaries, the same K the op recommends raising for
+        # bounded pair work). Warned only at dedup-grade thresholds
+        # (>= 0.8) on the batch left, where the nprobe lever exists;
+        # UserWarning so it survives Python's default filters (the
+        # single-band precedent above).
+        import warnings
+
+        warnings.warn(
+            "semdedup-join: the default {'nprobe': 1} tests a left row "
+            f"only against its top-1 cluster's members — at threshold="
+            f"{thr} boundary-straddling "
+            "near-duplicates are silently kept (measured recall 0.69 at "
+            "K~15, 0.60 at K~62 on planted cos-0.94 dups; worsens as "
+            "centroid count grows). Widen the probe with {'nprobe': 2+} "
+            "(~p x left-side probe volume, precision unaffected), or "
+            "acknowledge single-probe testing with "
+            "{'single_probe_ok': True}.",
+            UserWarning,
+            stacklevel=3,
         )
     action = opts.get("action", "annotate")
     if action not in ("annotate", "filter"):

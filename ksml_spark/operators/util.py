@@ -39,9 +39,23 @@ def pos_int_opt(opts: dict, key: str, op: str, default=None):
     get dynamic width."""
     from ..errors import ArityError
 
-    raw = opts.get(key, default)
+    # None-safe independently of opts_of (ADVICE r14): a caller that
+    # skips opts_of and passes {'key': None} must read the DEFAULT, not
+    # bypass it — None means "unset" engine-wide, and get(key, default)
+    # would return the None instead of falling back.
+    raw = opts.get(key)
+    if raw is None:
+        raw = default
     if raw is None:
         return None
+    # booleans are ints in Python ({'shingle': True} -> 1) and floats
+    # truncate (int(2.9) -> 2): both would pass the "curated" parse
+    # with a DIFFERENT value than the user wrote (ADVICE r14) — refuse
+    # rather than reinterpret. Integral floats (2.0) stay accepted.
+    if isinstance(raw, bool) or (isinstance(raw, float) and not raw.is_integer()):
+        raise ArityError(
+            f"{op}: {key} must be a positive int, got {raw!r}"
+        )
     try:
         val = int(raw)
     except (TypeError, ValueError):

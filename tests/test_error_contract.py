@@ -345,6 +345,33 @@ def test_explicit_none_option_means_unset(spark, tables):
     assert isinstance(c, Consumed) and c.options == {"x": 1}
 
 
+def test_pos_int_opt_contract_standalone():
+    """pos_int_opt is safe for ANY caller, not just opts_of-parsed dicts
+    (ADVICE r14): a present-but-None key reads the DEFAULT (None means
+    "unset" engine-wide, never "bypass the default"), and the curated
+    parse REFUSES values that int() would silently reinterpret — bools
+    (True -> 1) and fractional floats (2.9 -> 2) — instead of passing
+    with a different value than the user wrote. Integral floats and
+    integer strings still parse (the DSL's numeric literals)."""
+    import pytest as _pytest
+
+    from ksml_spark.errors import ArityError
+    from ksml_spark.operators.util import pos_int_opt
+
+    # None-with-key-present == absent == default
+    assert pos_int_opt({"n": None}, "n", "op", default=4) == 4
+    assert pos_int_opt({}, "n", "op", default=4) == 4
+    assert pos_int_opt({"n": None}, "n", "op") is None
+    # value-preserving parses
+    assert pos_int_opt({"n": 3}, "n", "op") == 3
+    assert pos_int_opt({"n": 2.0}, "n", "op") == 2
+    assert pos_int_opt({"n": "3"}, "n", "op") == 3
+    # value-changing parses are refused, not reinterpreted
+    for bad in (True, False, 2.9, "2.9", "junk", 0, -1):
+        with _pytest.raises(ArityError, match="n must be"):
+            pos_int_opt({"n": bad}, "n", "op")
+
+
 def test_ngram_width_options_refused_curated(spark, tables):
     """The n-gram/shingle-width class (r14, the lsh_dims falsy-zero
     precedent): zero widths silently degraded (ngrams built empty-string

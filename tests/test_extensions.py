@@ -315,6 +315,40 @@ def test_ann_topk_matches_numpy(spark, tables):
             assert abs(s - es) < 1e-4
 
 
+def test_ann_topk_query_side_guard(spark, tables):
+    """max_query_rows (r15, completing the max_bucket_pairs guard
+    family): a 'queries' filter matching more rows than the cap refuses
+    curatedly at construction — the query side is BROADCAST, so a loose
+    filter is a driver-memory abort at scale. 0 disables (the lazy
+    hatch), a junk value refuses curatedly, and decisions are unchanged
+    whenever the guard passes (guarded vs disabled runs are
+    row-identical)."""
+    from ksml_spark.errors import ArityError
+
+    src = ["stream", tables["embeddings"], {"key": "vec_id"}]
+    base = {"id": "vec_id", "vec": "embedding", "k": 3, "dim": 64,
+            "queries": "vec_id % 50 = 0"}
+
+    # over the cap: every row matches 'queries' but max_query_rows=2
+    with pytest.raises(ArityError, match="max_query_rows"):
+        ksml(["ann-topk", src,
+              dict(base, queries="vec_id >= 0", max_query_rows=2)],
+             spark=spark)
+    # 0 disables — the same loose filter constructs (and stays lazy)
+    ksml(["ann-topk", src,
+          dict(base, queries="vec_id >= 0", max_query_rows=0)], spark=spark)
+    # junk value is a curated refusal, not a raw ValueError
+    with pytest.raises(ArityError, match="max_query_rows must be an int"):
+        ksml(["ann-topk", src, dict(base, max_query_rows="lots")],
+             spark=spark)
+    # guard passes -> decisions identical to the disabled path
+    guarded = ksml(["ann-topk", src, dict(base)], spark=spark).df
+    free = ksml(["ann-topk", src, dict(base, max_query_rows=0)],
+                spark=spark).df
+    assert sorted(map(tuple, guarded.collect())) == \
+        sorted(map(tuple, free.collect()))
+
+
 def test_ann_lsh_restricts_to_bucket(spark, tables):
     out = pipe(
         ["stream", tables["embeddings"], {"key": "vec_id"}],
@@ -814,7 +848,11 @@ def test_neardup_single_band_recall_warning(spark, tables):
     src = ["stream", tables["embeddings"], {"key": "vec_id"}]
     base = {"id": "vec_id", "vec": "embedding", "dim": 64,
             "lsh_dims": 8, "max_block_pairs": 0}
-    with pytest.warns(ResourceWarning, match="measured recall 0.42"):
+    # UserWarning, not ResourceWarning (ADVICE r14): default warning
+    # filters ignore ResourceWarning, and this is the sole lever for a
+    # silent-wrong-RESULTS outcome — it must surface in a plain
+    # spark-submit run, not only under pytest/-W
+    with pytest.warns(UserWarning, match="measured recall 0.42"):
         ksml(["neardup-pairs", src, dict(base, threshold=0.9)], spark=spark)
     with warnings.catch_warnings():
         warnings.simplefilter("error")
@@ -2029,6 +2067,57 @@ def test_semdedup_join_nprobe_streaming_refused(spark, tmp_path):
               ["stream", r, {"key": "vec_id"}],
               {"id": "vec_id", "vec": "embedding", "dim": 2,
                "centroids": "vec_id = 0", "nprobe": 2}], spark=spark)
+
+
+def test_semdedup_join_single_probe_recall_warning(spark, tmp_path):
+    """Batch-left nprobe=1 at a dedup-grade threshold (>= 0.8) warns at
+    construction (VERDICT r14: the measured 0.69/0.60 boundary-miss
+    recall was the engine's last SILENT recall cliff);
+    {'single_probe_ok': True}, nprobe>=2, or a sub-0.8 threshold stay
+    quiet, and the streaming left (which has no nprobe lever) is not
+    warned into an unactionable corner. UserWarning so the lever
+    survives Python's default filters (the single-band precedent)."""
+    import warnings
+
+    from ksml_spark.streaming.runtime import file_stream_source
+
+    r = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0]), (4, [0.7, 0.7])],
+        "vec_id long, embedding array<double>")
+    l = spark.createDataFrame([(5, [1.0, 0.1])],
+                              "vec_id long, embedding array<double>")
+    form = {"id": "vec_id", "vec": "embedding", "dim": 2,
+            "centroids": "vec_id = 0"}
+    lrel = ["stream", l, {"key": "vec_id"}]
+    rrel = ["stream", r, {"key": "vec_id"}]
+
+    with pytest.warns(UserWarning, match="measured recall 0.69"):
+        ksml(["semdedup-join", lrel, rrel,
+              dict(form, threshold=0.9)], spark=spark)
+    # default threshold is 0.9 — the default form warns too
+    with pytest.warns(UserWarning, match="single_probe_ok"):
+        ksml(["semdedup-join", lrel, rrel, form], spark=spark)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        # acknowledged
+        ksml(["semdedup-join", lrel, rrel,
+              dict(form, threshold=0.9, single_probe_ok=True)], spark=spark)
+        # the lever itself (decisions widen, no cliff)
+        ksml(["semdedup-join", lrel, rrel,
+              dict(form, threshold=0.9, nprobe=2)], spark=spark)
+        # sub-dedup-grade threshold: boundary misses matter less than
+        # the threshold's own looseness — quiet (the registry shape)
+        ksml(["semdedup-join", lrel, rrel,
+              dict(form, threshold=0.3)], spark=spark)
+        # streaming left: nprobe>1 is refused there, so the warning
+        # would have no in-op lever — quiet by design (docstring points
+        # batch sweeps at the lever instead)
+        d = str(tmp_path / "warn_l")
+        l.write.mode("overwrite").parquet(d)
+        stream = file_stream_source(
+            spark, d, "vec_id long, embedding array<double>")
+        ksml(["semdedup-join", ["stream", stream, {"key": "vec_id"}],
+              rrel, dict(form, threshold=0.9)], spark=spark)
 
 
 def test_semdedup_join_curated_errors(spark, tmp_path):
