@@ -93,6 +93,12 @@ def test_bench_output_lines_stay_driver_parseable():
     # small suites pass through un-degraded at full precision
     m2 = js.loads(format_output_lines(1.0, {"q1": 1.234}, {}, 0.01)[-1])
     assert m2["queries"]["q1"] == 1.234
+    assert "calib" not in m2  # only emitted when measured
+    # the calibration row survives every degradation rung (it is what
+    # makes a degraded line adjudicable against host heat, r15)
+    big = format_output_lines(321.1, q, streaming, 0.1, calib=1.012)
+    mc = js.loads(big[-1])
+    assert mc["calib"] == 1.012 and len(big[-1]) <= 1900
     # skew section rides on its own compact line; the metric line stays LAST
     lines3 = format_output_lines(1.0, {"q1": 1.234}, streaming, 0.01,
                                  skew={"jaccard_plain": 10.2, "agg_plain": 0.3})
