@@ -758,7 +758,13 @@ def _q_approx_distinct_users(spark, sf):
 
 
 _APPROX_DISTINCT_ORACLE = """
-SELECT event_type, TRUE AS within_tol FROM events GROUP BY event_type"""
+-- WHERE event_type IS NOT NULL mirrors the query's appr JOIN exact on
+-- event_type: an equi-join never matches NULL keys (and Kafka Streams
+-- drops null-key records from joins), so the NULL group has no
+-- tolerance-check row. No-op on the NULL-free driver testdata; exact
+-- under the r15 NULL-injection sweep.
+SELECT event_type, TRUE AS within_tol FROM events
+WHERE event_type IS NOT NULL GROUP BY event_type"""
 
 
 def _q_dedup_first(spark, sf):
@@ -918,16 +924,17 @@ def _q_fingerprint(spark, sf):
 _FINGERPRINT_ORACLE = """
 WITH norm AS (
   SELECT doc_id,
+    CASE WHEN text IS NULL THEN NULL ELSE
     array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                    x -> x <> ''), ' ') AS s
+                    x -> x <> ''), ' ') END AS s
   FROM documents
 )
 SELECT doc_id,
-  list_reduce(
+  CASE WHEN s IS NULL THEN NULL ELSE list_reduce(
     list_prepend([0::BIGINT, 1::BIGINT],
       list_transform(string_split_regex(s, ''), c -> [ord(c)::BIGINT, 0::BIGINT])),
     (acc, x) -> [(acc[1] + x[1] * acc[2]) % 1000000007, (acc[2] * 31) % 1000000007]
-  )[1] AS rolling_fp
+  )[1] END AS rolling_fp
 FROM norm"""
 
 
@@ -1639,7 +1646,7 @@ _SCRUB_ORACLE = r"""
 SELECT doc_id,
   regexp_replace(
     regexp_replace(
-      concat(text, ' http://x.io/', doc_id, ' u', doc_id, '@ex.com tail'),
+      text || ' http://x.io/' || doc_id::VARCHAR || ' u' || doc_id::VARCHAR || '@ex.com tail',
       'https?://[^\s]+', '<X>', 'g'),
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<X>', 'g') AS text
 FROM documents"""
@@ -1897,8 +1904,11 @@ wd AS (SELECT doc_id, unnest({_WORDS_DUCK}) AS u FROM documents),
 wc AS (SELECT doc_id, u, count(*) AS c FROM wd GROUP BY 1, 2),
 we AS (SELECT doc_id, log2(sum(c)) - sum(c * log2(c)) / sum(c) AS ent
        FROM wc GROUP BY 1)
-SELECT d.doc_id, round(coalesce(ce.ent, 0), 6) AS ent_char,
-       round(coalesce(we.ent, 0), 6) AS ent_word
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE round(coalesce(ce.ent, 0), 6) END AS ent_char,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE round(coalesce(we.ent, 0), 6) END AS ent_word
 FROM documents d LEFT JOIN ce USING (doc_id) LEFT JOIN we USING (doc_id)"""
 
 
@@ -2776,10 +2786,20 @@ def _q_transform_with_state(spark, sf):
                     b = self.bounds.get()
                     lo, hi = min(lo, b[0]), max(hi, b[1])
                 self.bounds.update((lo, hi))
+                # SQL NULL semantics, same as the oracle's aggregates
+                # (found by the r15 NULL-injection sweep): SUM skips
+                # NULL values and COUNT(DISTINCT) skips NULL keys. The
+                # unguarded astype("int64") turned a NaN cent into
+                # INT64_MIN garbage (silent-wrong) whose ledger sum then
+                # overflowed int64 and aborted opaquely in Arrow.
+                vals = pdf["value"].to_numpy()
+                vals = vals[~np.isnan(vals)]
                 self.cents.appendList(
                     [(int(c),) for c in
-                     np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")])
+                     np.floor(vals * 100.0 + 0.5).astype("int64")])
                 for t in pdf["event_type"]:
+                    if t is None or (isinstance(t, float) and t != t):
+                        continue
                     seen = self.types.getValue((t,)) if self.types.containsKey((t,)) else (0,)
                     self.types.updateValue((t,), (seen[0] + 1,))
             b = self.bounds.get()

@@ -23,10 +23,18 @@ from ksml_spark.sources.files import TABLE_NAMES  # noqa: E402
 
 
 def norm_cell(v) -> str:
+    import datetime
     import math
 
     if v is None:
         return "NULL"
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        # tz-aware vs naive is parquet ANNOTATION, not value: Spark
+        # returns session-local-naive datetimes while DuckDB returns
+        # aware ones for UTC-adjusted files (the r15 null_sweep copy is
+        # UTC-adjusted where the driver testdata is naive) — same
+        # instant, so the signature must not distinguish them
+        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -48,10 +56,12 @@ def table_signature(rows, cols):
     return h, normed
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_spark()
+def run_gate(spark, sf_dir: str, only=None) -> list:
+    """The full gate as a callable (r15, so the null_sweep suite test
+    reuses the ONE compare implementation in-process): runs every
+    queries() entry on Spark and its oracle on DuckDB over sf_dir's
+    parquet tables, returns the failure-name list. Printing unchanged —
+    main() is a thin argv wrapper."""
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -106,7 +116,13 @@ def main():
         else:
             print(f"OK    {name}: {len(rows)} rows, hash {h1} [{time.time()-t0:.1f}s]")
     print(f"\n{len(failures)} failures: {failures}")
-    return 1 if failures else 0
+    return failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    return 1 if run_gate(get_spark(), sf_dir, only) else 0
 
 
 if __name__ == "__main__":
