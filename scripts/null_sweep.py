@@ -14,8 +14,11 @@ an engine NULL bug (opaque crash, silent-wrong) or a documented
 cross-engine NULL-semantics class to pin — the unicode_probe method on
 a new axis.
 
-Usage: python scripts/null_sweep.py [sf_dir] [query ...]
-Exit 0 = all green or every divergence in the documented allowlist.
+Usage: python scripts/null_sweep.py [--keys] [sf_dir] [query ...]
+  default — value columns injected (~1/17 per column)
+  --keys  — ONLY foreign-key columns injected (~1/29; unknown user /
+            unmatched enrichment, the realistic dirty-join class)
+Exit 0 = the full gate is green on the nulled copy.
 """
 
 from __future__ import annotations
@@ -31,6 +34,19 @@ sys.path.insert(0, os.path.join(HERE, "scripts"))
 # (a NULL key/time is a different audit axis — see docstring)
 KEY_LIKE = ("_id", "key", "doc_id", "vec_id", "user_id")
 
+# the --keys variant's injection set: FOREIGN-key-ish columns — the
+# realistic dirty-data class (unknown user, unmatched enrichment).
+# Primary ids (doc_id, o_orderkey, ...) stay non-NULL: a NULL primary
+# key breaks the data model itself, not an operator.
+FK_COLS = {
+    ("events", "user_id"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("customer", "c_nationkey"),
+    ("supplier", "s_nationkey"),
+}
+
 
 def _is_key(col: str) -> bool:
     c = col.lower()
@@ -38,7 +54,7 @@ def _is_key(col: str) -> bool:
 
 
 def build_nulled_dir(spark, sf_dir: str, out_dir: str,
-                     rate_mod: int = 17) -> str:
+                     rate_mod: int = 17, keys: bool = False) -> str:
     """Writes a null-injected copy of every table: value column c of
     table t goes NULL where md5(t || c || pk-ish row fingerprint) % N
     == 0. Deterministic (no Date/random), re-creatable by anyone."""
@@ -76,11 +92,18 @@ def build_nulled_dir(spark, sf_dir: str, out_dir: str,
             # DuckDB's list functions ERROR on NULL-containing lists
             # rather than propagate NULL, so a naive SQL mirror cannot
             # even express the comparison
-            if _is_key(c) or c in array_cols:
+            if keys:
+                # --keys variant: ONLY the FK allowlist goes NULL (at a
+                # lower 1/29 rate), value columns stay intact — the two
+                # variants isolate which axis a divergence comes from
+                if (t, c) not in FK_COLS:
+                    continue
+            elif _is_key(c) or c in array_cols:
                 continue
             salt = F.md5(F.concat(F.lit(f"{t}.{c}:"), fp))
+            mod = 29 if keys else rate_mod
             mask = (F.conv(F.substring(salt, 1, 8), 16, 10)
-                    .cast("long") % rate_mod) == 0
+                    .cast("long") % mod) == 0
             out = out.withColumn(c, F.when(mask, F.lit(None)).otherwise(F.col(c)))
         # single FILE per table (not a Spark part-directory): the oracle
         # harness points DuckDB at '{dir}/{t}.parquet' exactly like the
@@ -101,11 +124,15 @@ def main() -> int:
 
     from ksml_spark import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) or None
-    out_dir = os.path.join("/tmp", "ksml_nulled_" + os.path.basename(sf_dir.rstrip("/")))
+    args = [a for a in sys.argv[1:] if a != "--keys"]
+    keys = "--keys" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:]) or None
+    suffix = "_keys" if keys else ""
+    out_dir = os.path.join(
+        "/tmp", "ksml_nulled" + suffix + "_" + os.path.basename(sf_dir.rstrip("/")))
     spark = get_spark(app_name="ksml-null-sweep")
-    build_nulled_dir(spark, sf_dir, out_dir)
+    build_nulled_dir(spark, sf_dir, out_dir, keys=keys)
     print(f"nulled copy at {out_dir}; running the oracle gate on it")
     return 1 if run_gate(spark, out_dir, only) else 0
 

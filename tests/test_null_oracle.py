@@ -36,3 +36,20 @@ def test_registry_null_injection_oracle_gate(spark, tmp_path_factory):
     )
     failures = run_gate(spark, d)
     assert not failures, f"oracle gate failures on null-injected data: {failures}"
+
+
+def test_registry_null_fk_oracle_gate(spark, tmp_path_factory):
+    """The --keys variant: NULL FOREIGN keys (unknown user, unmatched
+    enrichment — the realistic dirty-join class) flow SQL-consistently
+    through every group/join/window path: a NULL group key groups, a
+    NULL join key never matches, on BOTH engines identically. Went
+    green on its first r15 run — zero adjudication needed."""
+    import null_sweep
+    from check_oracle import run_gate
+
+    d = null_sweep.build_nulled_dir(
+        spark, "/root/testdata/sf0.001",
+        str(tmp_path_factory.mktemp("nulled_fk_sf")), keys=True
+    )
+    failures = run_gate(spark, d)
+    assert not failures, f"oracle gate failures on null-FK data: {failures}"
