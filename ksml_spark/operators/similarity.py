@@ -537,12 +537,15 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     q = prepared.filter(F.expr(_req(opts, "queries", "ann-topk"))).select(
         F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
     )
+    # None-safe independently of opts_of (the pos_int_opt r15 contract):
+    # a present-but-None cap reads the DEFAULT, never int(None)
+    raw_mq = opts.get("max_query_rows")
     try:
-        max_q = int(opts.get("max_query_rows", 100_000))
+        max_q = 100_000 if raw_mq is None else int(raw_mq)
     except (TypeError, ValueError):
         raise ArityError(
             "ann-topk max_query_rows must be an int (0 disables), "
-            f"got {opts.get('max_query_rows')!r}"
+            f"got {raw_mq!r}"
         ) from None
     if max_q:
         # the docstring's query-side guard: limit(max+1) bounds the
@@ -673,12 +676,14 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         F.col("__n").alias("__qn"),
         "__bucket",
     )
+    # None-safe independently of opts_of (the pos_int_opt r15 contract)
+    raw_mbp = opts.get("max_bucket_pairs")
     try:
-        max_pairs = int(opts.get("max_bucket_pairs", 100_000_000))
+        max_pairs = 100_000_000 if raw_mbp is None else int(raw_mbp)
     except (TypeError, ValueError):
         raise ArityError(
             "ann-lsh-topk max_bucket_pairs must be an int (0 disables), "
-            f"got {opts.get('max_bucket_pairs')!r}"
+            f"got {raw_mbp!r}"
         ) from None
     if max_pairs:
         # the docstring's hot-bucket guard: one bucket-key agg at

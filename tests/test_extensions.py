@@ -341,6 +341,12 @@ def test_ann_topk_query_side_guard(spark, tables):
     with pytest.raises(ArityError, match="max_query_rows must be an int"):
         ksml(["ann-topk", src, dict(base, max_query_rows="lots")],
              spark=spark)
+    # explicit None means "unset" = the default cap, even for a caller
+    # bypassing opts_of (the pos_int_opt r15 contract) — same for the
+    # sibling ann-lsh-topk guard
+    ksml(["ann-topk", src, dict(base, max_query_rows=None)], spark=spark)
+    ksml(["ann-lsh-topk", src,
+          dict(base, max_bucket_pairs=None)], spark=spark)
     # guard passes -> decisions identical to the disabled path
     guarded = ksml(["ann-topk", src, dict(base)], spark=spark).df
     free = ksml(["ann-topk", src, dict(base, max_query_rows=0)],
