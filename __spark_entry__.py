@@ -2803,10 +2803,16 @@ def _q_transform_with_state(spark, sf):
                     seen = self.types.getValue((t,)) if self.types.containsKey((t,)) else (0,)
                     self.types.updateValue((t,), (seen[0] + 1,))
             b = self.bounds.get()
+            # SQL SUM over an all-NULL group is NULL, not 0 — emit a
+            # typed NULL when the cents ledger is empty so a user whose
+            # every value was NULL matches the oracle's SUM (the latent
+            # gate mismatch ADVICE r15 flagged: Python sum([]) == 0).
+            ledger = [c[0] for c in self.cents.get()]
             yield pd.DataFrame({
                 "user_id": [key[0]],
                 "n_events": [self.n.get()[0]],
-                "total_cents": [sum(c[0] for c in self.cents.get())],
+                "total_cents": pd.array(
+                    [sum(ledger) if ledger else None], dtype="Int64"),
                 "n_types": [len(list(self.types.keys()))],
                 "first_s": [b[0]], "last_s": [b[1]],
             })

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from ..errors import ArityError, TypeDispatchError
 from ..eval import Ctx, defop
 from ..model import Rel
-from ..operators.util import md5_long_col, opts_of, spread
+from ..operators.util import int_opt, md5_long_col, opts_of, spread
 from .text import words
 
 
@@ -304,7 +304,7 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
         elif isinstance(r, dict):
             # None-valued keys mean "unset" (the opts_of contract)
             opts.update({k: v for k, v in r.items() if v is not None})
-    n = int(opts.get("n", 2))
+    n = int_opt(opts, "n", "lm-score", 2)
     k = float(opts.get("k", 0.1))
     if n < 2:
         raise ArityError("lm-score needs n >= 2 (unigram scoring has no prefix)")
@@ -523,7 +523,7 @@ def op_pmi(ctx: Ctx, rel: Rel, *rest) -> Rel:
 
     opts = opts_of(rest)
     colc = opts.get("col", "text")
-    min_count = int(opts.get("min_count", 5))
+    min_count = int_opt(opts, "min_count", "pmi", 5)
     top = opts.get("top")
     if min_count < 1:
         raise ArityError("pmi needs min_count >= 1")
@@ -783,10 +783,10 @@ def op_bpe_train(ctx: Ctx, rel: Rel, *rest) -> Rel:
     opts = opts_of(rest)
     colc = opts.get("col", "text")
     try:
-        merges = int(opts.get("merges", 100))
-        min_freq = int(opts.get("min_freq", 2))
-        min_pair_freq = int(opts.get("min_pair_freq", 2))
-        max_vocab = int(opts.get("max_vocab_rows", 65536))
+        merges = int_opt(opts, "merges", "bpe-train", 100)
+        min_freq = int_opt(opts, "min_freq", "bpe-train", 2)
+        min_pair_freq = int_opt(opts, "min_pair_freq", "bpe-train", 2)
+        max_vocab = int_opt(opts, "max_vocab_rows", "bpe-train", 65536)
     except (TypeError, ValueError) as e:
         raise ArityError(f"bpe-train: bad numeric option: {e}") from None
     tokenizer = _bpe_tokenizer_opt(opts)
@@ -1129,7 +1129,7 @@ def op_dist_shift(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
     colc = opts.get("col", "text")
     rcolc = opts.get("right_col", colc)
     k = float(opts.get("k", 0.5))
-    min_count = int(opts.get("min_count", 5))
+    min_count = int_opt(opts, "min_count", "dist-shift", 5)
     top = opts.get("top")
     metric = opts.get("metric", "kl")
     if metric not in ("kl", "js"):
@@ -1240,8 +1240,8 @@ def op_dsir(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
     colc = opts.get("col", "text")
     rcolc = opts.get("right_col", colc)
     idc = opts.get("id", "doc_id")
-    buckets = int(opts.get("buckets", 8192))
-    n = int(opts.get("n", 2))
+    buckets = int_opt(opts, "buckets", "dsir", 8192)
+    n = int_opt(opts, "n", "dsir", 2)
     a = float(opts.get("smoothing", 1.0))
     if buckets < 2:
         raise ArityError(f"dsir needs buckets >= 2, got {buckets}")
@@ -1313,6 +1313,204 @@ def op_dsir(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
     return left.with_df(out, key_cols=(idc,), time_col=None)
 
 
+@defop("classify")
+def op_classify(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Frozen linear hashed-n-gram document classifier — the
+    fastText-style scorer (Joulin et al. 2016, "Bag of Tricks for
+    Efficient Text Classification") real pipelines run after rule
+    filters like gopher-filter (CCNet/CCMatrix use exactly this shape
+    for quality/domain classification):
+
+        ["classify", rel, weights_rel,
+         {"col": "text", "id": "doc_id", "buckets": 8192, "n": 2,
+          "bias": 0.0, "pooling": "mean", "threshold": 0.5,
+          "bucket_col": "bucket", "weight_col": "weight"}]
+        -> (id, n_feats, score[, label])
+        ["classify", stream, {"weights": {bucket: w, ...}, ...}]
+        -> every input row + (n_feats, score[, label])
+
+    Features are the dsir hashing exactly: unigram(+bigram, up to
+    n<=3) word grams -> 60-bit md5 slice mod ``buckets`` (engine-
+    portable; DuckDB reproduces it verbatim, so oracles stay
+    hash-exact). The model is a FROZEN linear layer over that fixed
+    B-bucket space: z = bias + pool(w[h(g)]) with mean (fastText's
+    average pooling) or sum pooling, score = sigmoid(z); grams whose
+    bucket has no weight row contribute weight 0. With ``threshold``,
+    ``label`` = score >= threshold (1/0, NULL when unscorable). Docs
+    with no grams surface n_feats 0 and score NULL — flagged, never
+    silently ranked.
+
+    Two modes, the lm-score pattern:
+
+    * RELATIONAL (weights as a second rel, <= ``buckets`` rows of
+      (bucket, weight)): the weight table is BROADCAST into one
+      explode -> join -> per-doc hash-agg pass — the corpus shuffles
+      once as per-doc partial sums (explode keeps a doc's grams in one
+      task, so the float sum order is the array order on any
+      partitioning — and matches DuckDB's unnest order). Batch-only:
+      the per-doc re-aggregation reshapes the relation.
+    * FROZEN ({"weights": dict}): weights ship in an Arrow-batched
+      pandas UDF's closure (O(1) dict lookups) — shuffle-free,
+      STREAMING-legal, appends (n_feats, score[, label]) to EVERY row.
+      Driver-bounded by construction: the dict is user-supplied and
+      capped at ``buckets`` distinct keys.
+
+    Reference: no analog (§2.10 extension surface).
+    """
+    wrel = None
+    opts: dict = {}
+    for r in rest:
+        if isinstance(r, Rel):
+            wrel = r
+        elif isinstance(r, dict):
+            # None-valued keys mean "unset" (the opts_of contract)
+            opts.update({k: v for k, v in r.items() if v is not None})
+    colc = opts.get("col", "text")
+    idc = opts.get("id", "doc_id")
+    buckets = int_opt(opts, "buckets", "classify", 8192)
+    n = int_opt(opts, "n", "classify", 2)
+    bias = float(opts.get("bias", 0.0))
+    pooling = opts.get("pooling", "mean")
+    thr = opts.get("threshold")
+    if buckets < 2:
+        raise ArityError(f"classify needs buckets >= 2, got {buckets}")
+    if not 1 <= n <= 3:
+        raise ArityError(f"classify n-gram order must be 1, 2 or 3, got {n}")
+    if pooling not in ("mean", "sum"):
+        raise ArityError(
+            f"classify pooling must be 'mean' or 'sum', got {pooling!r}"
+        )
+    if thr is not None:
+        thr = float(thr)
+    frozen = opts.get("weights")
+    if (frozen is None) == (wrel is None):
+        raise ArityError(
+            "classify needs exactly one weight source: a weights "
+            "relation operand (bucket, weight) OR {'weights': "
+            "{bucket: w}} frozen dict"
+        )
+
+    def _grams(text_col):
+        w = words(F.col(text_col))
+        g = w
+        for order in range(2, n + 1):
+            g = F.concat(g, word_ngrams(w, order))
+        return F.transform(g, lambda x: md5_long_col(x) % buckets)
+
+    if frozen is not None:
+        # FROZEN mode: per-row dict lookups in an Arrow-batched UDF —
+        # streaming-legal, preserves the input shape (the lm-score
+        # frozen-stats contract). Tokenization/hashing mirror words()/
+        # md5_long_col bit-for-bit (regex + 15-hex-digit md5 slice).
+        if not isinstance(frozen, dict):
+            raise ArityError(
+                f"classify weights must be a dict of bucket -> weight, "
+                f"got {type(frozen).__name__}"
+            )
+        if len(frozen) > buckets:
+            raise ArityError(
+                f"classify frozen weights has {len(frozen)} entries for "
+                f"buckets={buckets} — the hashed feature space has only "
+                f"{buckets} buckets; raise 'buckets' or shrink the model"
+            )
+        import hashlib
+        import math
+        import re as _re
+
+        from pyspark.sql.functions import pandas_udf
+
+        wmap = {int(kk): float(vv) for kk, vv in frozen.items()}
+        is_mean = pooling == "mean"
+
+        @pandas_udf("n_feats long, score double")
+        def _score(texts):
+            import pandas as pd
+
+            nf, sc = [], []
+            for t in texts:
+                toks = (
+                    [w for w in _re.split(r"[^a-z0-9]+", t.lower()) if w]
+                    if isinstance(t, str)
+                    else []
+                )
+                grams = list(toks)
+                for order in range(2, n + 1):
+                    if len(toks) >= order:
+                        grams += [
+                            " ".join(toks[i: i + order])
+                            for i in range(len(toks) - order + 1)
+                        ]
+                if not grams:
+                    nf.append(0), sc.append(None)
+                    continue
+                z = 0.0
+                for g in grams:
+                    b = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % buckets
+                    z += wmap.get(b, 0.0)
+                if is_mean:
+                    z /= len(grams)
+                nf.append(len(grams))
+                sc.append(1.0 / (1.0 + math.exp(-(bias + z))))
+            return pd.DataFrame({"n_feats": nf, "score": sc})
+
+        # rounding OUTSIDE the UDF with F.round (HALF_UP, the shared
+        # cross-engine rule; Python round() is banker's)
+        out = (
+            rel.df.withColumn("__cl", _score(F.col(colc)))
+            .withColumn("n_feats", F.col("__cl.n_feats"))
+            .withColumn("score", F.round(F.col("__cl.score"), 6))
+            .drop("__cl")
+        )
+        if thr is not None:
+            out = out.withColumn(
+                "label", (F.col("score") >= F.lit(thr)).cast("int")
+            )
+        return rel.with_df(out)
+
+    # RELATIONAL mode
+    _refuse_streaming(rel, "classify (relational weights mode)")
+    _refuse_streaming(wrel, "classify (weights relation)")
+    bcol = opts.get("bucket_col", "bucket")
+    wcol = opts.get("weight_col", "weight")
+    for c in (bcol, wcol):
+        if c not in wrel.df.columns:
+            raise ArityError(
+                f"classify weights relation needs column {c!r} "
+                f"(have {wrel.df.columns})"
+            )
+    wtab = F.broadcast(
+        wrel.df.select(
+            F.col(bcol).cast("long").alias("__b"),
+            F.col(wcol).cast("double").alias("__w"),
+        )
+    )
+    pooled = F.sum(F.coalesce("__w", F.lit(0.0)))
+    if pooling == "mean":
+        # guard the division: count 0 -> NULL score, never a divide
+        # error under ANSI
+        pooled = pooled / F.count("__b")
+    z = F.lit(bias) + pooled
+    agg = (
+        spread(rel.df)
+        .select(F.col(idc), F.explode_outer(_grams(colc)).alias("__b"))
+        .join(wtab, "__b", "left")
+        .groupBy(idc)
+        .agg(
+            F.count("__b").alias("n_feats"),
+            F.round(
+                F.when(
+                    F.count("__b") > 0,
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-z)),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    if thr is not None:
+        agg = agg.withColumn("label", (F.col("score") >= F.lit(thr)).cast("int"))
+    return rel.with_df(agg, key_cols=(idc,), time_col=None)
+
+
 @defop("cooccurrence")
 def op_cooccurrence(ctx: Ctx, rel: Rel, *rest) -> Rel:
     """Windowed term co-occurrence counts — the GloVe/word2vec-style
@@ -1337,8 +1535,8 @@ def op_cooccurrence(ctx: Ctx, rel: Rel, *rest) -> Rel:
     Reference: no analog (§2.10 extension surface)."""
     opts = opts_of(rest)
     colc = opts.get("col", "text")
-    win = int(opts.get("window", 3))
-    min_count = int(opts.get("min_count", 1))
+    win = int_opt(opts, "window", "cooccurrence", 3)
+    min_count = int_opt(opts, "min_count", "cooccurrence", 1)
     top = opts.get("top")
     if win < 1:
         raise ArityError("cooccurrence needs window >= 1")
@@ -1415,7 +1613,7 @@ def op_tfidf_topk(ctx: Ctx, rel: Rel, *rest) -> Rel:
     opts = opts_of(rest)
     colc = opts.get("col", "text")
     idc = opts.get("id", "doc_id")
-    kk = int(opts.get("k", 5))
+    kk = int_opt(opts, "k", "tfidf-topk", 5)
     if kk < 1:
         raise ArityError("tfidf-topk needs k >= 1")
     _refuse_streaming(rel, "tfidf-topk")

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..model import Rel
-from ..operators.util import opts_of, pos_int_opt
+from ..operators.util import int_opt, opts_of, pos_int_opt
 
 # ---------------------------------------------------------------------------
 # column-expression factories (usable directly or via the DSL ops)
@@ -784,7 +784,7 @@ def op_dedup_paragraphs(ctx: Ctx, rel: Rel, *rest) -> Rel:
     colc = opts.get("col", "text")
     idc = opts.get("id", "doc_id")
     sep = opts.get("sep", "\n\n")
-    min_chars = int(opts.get("min_chars", 0))
+    min_chars = int_opt(opts, "min_chars", "dedup-paragraphs", 0)
     df = rel.df
     if opts.get("persist"):
         df = df.persist()
@@ -877,8 +877,8 @@ def op_chunk(ctx: Ctx, rel: Rel, *rest) -> Rel:
     opts = opts_of(rest)
     colc = opts.get("col", "text")
     out = opts.get("as", "chunk")
-    size = int(opts.get("size", 512))
-    overlap = int(opts.get("overlap", 0))
+    size = int_opt(opts, "size", "chunk", 512)
+    overlap = int_opt(opts, "overlap", "chunk", 0)
     if size < 1 or overlap < 0 or overlap >= size:
         from ..errors import ArityError
 
@@ -930,7 +930,7 @@ def op_sentence_split(ctx: Ctx, rel: Rel, *rest) -> Rel:
     out = opts.get("as", "sentence")
     idx = opts.get("idx", "sent_idx")
     _check_segment_names("sentence-split", rel.df.columns, colc, out, idx)
-    min_chars = int(opts.get("min_chars", 1))
+    min_chars = int_opt(opts, "min_chars", "sentence-split", 1)
     marked = F.regexp_replace(F.col(colc), r"([.?!])\s+", "$1\u001e")
     parts = F.split(marked, "\u001e", -1)
     other = [c for c in rel.df.columns if c != colc]

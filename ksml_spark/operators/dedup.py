@@ -64,7 +64,7 @@ def minhash_slice(j: int) -> tuple[int, int]:
 
 
 from .util import opts_of as _opts  # noqa: E402  (shared option merging)
-from .util import pos_int_opt  # noqa: E402  (curated >= 1 int parse)
+from .util import int_opt, pos_int_opt  # noqa: E402  (curated int parses)
 
 
 @defop("dedup")
@@ -671,8 +671,8 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
         # can still force either side of the trade with {"impl": ...}.
         # ONE family must be threaded to BOTH sides (band/bucket join).
         impl = "km"
-    wk = int(opts.get("k", SHINGLE_K))
-    ww = int(opts.get("window", 4))
+    wk = int_opt(opts, "k", "lsh-join", SHINGLE_K)
+    ww = int_opt(opts, "window", "lsh-join", 4)
     if wk < 1 or ww < 1:
         raise ArityError("lsh-join winnow method needs k >= 1 and window >= 1")
 
@@ -1293,7 +1293,7 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     a = opts.get("a", "doc_a")
     b = opts.get("b", "doc_b")
     out_id = opts.get("as", "doc_id")
-    max_iter = int(opts.get("max_iter", 15))
+    max_iter = int_opt(opts, "max_iter", "dup-clusters", 15)
     if rel.df.isStreaming:
         raise ArityError("dup-clusters is batch-only (see docstring)")
 
@@ -1588,7 +1588,7 @@ def op_simhash_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
-    k = int(opts.get("max_hamming", 3))
+    k = int_opt(opts, "max_hamming", "simhash-pairs", 3)
     if k >= 4:
         raise ArityError(
             "simhash-pairs: max_hamming must be < 4 for 4-band pigeonhole "
@@ -1688,7 +1688,7 @@ def op_dup_spans(ctx: Ctx, rel: Rel, *rest) -> Rel:
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     colc = opts.get("col", "text")
-    k = int(opts.get("k", SHINGLE_K))
+    k = int_opt(opts, "k", "dup-spans", SHINGLE_K)
     if k < 1:
         raise ArityError("dup-spans needs k >= 1")
     if rel.df.isStreaming:
@@ -1777,8 +1777,8 @@ def op_winnow(ctx: Ctx, rel: Rel, *rest) -> Rel:
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     colc = opts.get("col", "text")
-    k = int(opts.get("k", SHINGLE_K))
-    w = int(opts.get("window", 4))
+    k = int_opt(opts, "k", "winnow", SHINGLE_K)
+    w = int_opt(opts, "window", "winnow", 4)
     out = opts.get("as", "fp")
     if k < 1 or w < 1:
         raise ArityError("winnow needs k >= 1 and window >= 1")
@@ -1825,9 +1825,9 @@ def op_winnow_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     colc = opts.get("col", "text")
-    k = int(opts.get("k", SHINGLE_K))
-    w = int(opts.get("window", 4))
-    min_shared = int(opts.get("min_shared", 1))
+    k = int_opt(opts, "k", "winnow-pairs", SHINGLE_K)
+    w = int_opt(opts, "window", "winnow-pairs", 4)
+    min_shared = int_opt(opts, "min_shared", "winnow-pairs", 1)
     max_fp_docs = opts.get("max_fp_docs", 1000)
     out_as = opts.get("as", ["doc_a", "doc_b"])
     if not (isinstance(out_as, (list, tuple)) and len(out_as) == 2

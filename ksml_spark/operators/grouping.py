@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import ArityError, TypeDispatchError
-from .util import opts_of
+from .util import int_opt, opts_of
 from ..eval import Ctx, defop
 from ..exprs import Aggregator, Initializer, Merger, Reducer, to_col
 from ..model import GroupedRel, KTableRel, Rel, WindowSpec
@@ -37,7 +37,21 @@ def _ms_to_interval(ms) -> str:
         raise ArityError(
             f"window size must be milliseconds or an interval string, got {ms!r}"
         )
+    # the falsy-zero truncation class (r14 ngrams/shingle, finished here
+    # per the r15 verdict): int(0.5) silently made a ZERO interval that
+    # died downstream as an opaque Spark error or a degenerate window —
+    # fractional milliseconds refuse (Spark intervals are whole ms), and
+    # zero/negative sizes refuse instead of building a zero-width window
+    if isinstance(ms, float) and not ms.is_integer():
+        raise ArityError(
+            f"window size must be whole milliseconds, got {ms!r}"
+        )
     ms = int(ms)
+    if ms < 1:
+        raise ArityError(
+            f"window size must be >= 1 millisecond, got {ms} "
+            "(a zero-width window matches nothing)"
+        )
     if ms % 1000 == 0:
         return f"{ms // 1000} seconds"
     return f"{ms} milliseconds"
@@ -81,8 +95,26 @@ def op_duration(ctx: Ctx, iso: str) -> str:
     if not m:
         raise ArityError(f"bad ISO-8601 duration: {iso!r}")
     d, h, mi, s = (float(g) if g else 0 for g in m.groups())
-    total = int(d * 86400 + h * 3600 + mi * 60 + s)
-    return f"{total} seconds"
+    # sub-second durations emit MILLISECONDS instead of truncating to a
+    # zero interval (the r15-verdict falsy-zero: int(0.5) -> "0 seconds"
+    # silently); sub-millisecond precision refuses — Spark intervals in
+    # the window/watermark surface are whole milliseconds
+    s_ms = s * 1000.0
+    if abs(s_ms - round(s_ms)) > 1e-6:
+        raise ArityError(
+            f"duration has sub-millisecond precision: {iso!r} "
+            "(window/watermark intervals are whole milliseconds)"
+        )
+    total_ms = (int(d) * 86400 + int(h) * 3600 + int(mi) * 60) * 1000
+    total_ms += int(round(s_ms))
+    if total_ms <= 0:
+        raise ArityError(
+            f"duration must be positive, got {iso!r} — omit the "
+            "grace/retention option instead of passing a zero duration"
+        )
+    if total_ms % 1000 == 0:
+        return f"{total_ms // 1000} seconds"
+    return f"{total_ms} milliseconds"
 
 
 @defop("windowed-by")
@@ -271,7 +303,7 @@ def op_agg_salted(ctx: Ctx, grouped: GroupedRel, aggs: dict, *rest) -> KTableRel
     if not isinstance(aggs, dict) or not aggs:
         raise ArityError("agg-salted needs a non-empty {name: aggregate-expr} dict")
     opts = opts_of(rest)
-    n = int(opts.get("salt", 16))
+    n = int_opt(opts, "salt", "agg-salted", 16)
     partials, finals = [], []
     for name, expr in aggs.items():
         m = re.fullmatch(r"\s*(count|sum|min|max)\s*\((.*)\)\s*", expr, re.IGNORECASE)

@@ -42,6 +42,7 @@ from ..eval import Ctx, defop
 from ..model import KStreamRel, Rel
 
 
+from .util import int_opt  # noqa: E402  (curated int parse)
 from .util import opts_of as _opts  # noqa: E402  (shared option merging)
 
 
@@ -160,9 +161,9 @@ def op_frame_sample(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     opts = _opts(rest)
     col = opts.get("col", "payload")
     idc = opts.get("id", "doc_id")
-    fb = int(opts.get("frame_bytes", 256))
-    ev = int(opts.get("every", 1))
-    mx = int(opts.get("max_frames", 8))
+    fb = int_opt(opts, "frame_bytes", "frame-sample", 256)
+    ev = int_opt(opts, "every", "frame-sample", 1)
+    mx = int_opt(opts, "max_frames", "frame-sample", 8)
     if fb < 1 or ev < 1 or mx < 1:
         from ..errors import ArityError
 

@@ -32,7 +32,7 @@ from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..exprs import to_col
 from ..model import GroupedRel, KStreamRel, KTableRel, Rel
-from .util import opts_of
+from .util import int_opt, opts_of
 
 
 def _as_rel(x) -> Rel:
@@ -373,7 +373,7 @@ def op_histogram(ctx: Ctx, rel: Rel, *rest) -> Rel:
     col = opts.get("col")
     if not col or "min" not in opts or "max" not in opts:
         raise ArityError("histogram needs {'col', 'min', 'max'} (+ optional 'bins')")
-    bins = int(opts.get("bins", 20))
+    bins = int_opt(opts, "bins", "histogram", 20)
     lo, hi = float(opts["min"]), float(opts["max"])
     if not (hi > lo) or bins < 1:
         raise ArityError("histogram needs max > min and bins >= 1")
@@ -582,7 +582,7 @@ def op_corr(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
     cols = opts.get("cols")
     if not cols or len(cols) < 2:
         raise ArityError("corr needs {'cols': [2+ numeric columns]}")
-    nd = int(opts.get("round", 6))
+    nd = int_opt(opts, "round", "corr", 6)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     wide = rel.df.agg(
         *[F.round(F.corr(a, b), nd).alias(f"__c{i}") for i, (a, b) in enumerate(pairs)]

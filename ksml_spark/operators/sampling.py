@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..model import Rel
+from .util import int_opt
 from .util import opts_of as _opts
 
 
@@ -98,7 +99,7 @@ def op_cap_per_group(ctx: Ctx, rel: Rel, *rest) -> Rel:
     opts = _opts(rest)
     by = opts.get("by")
     order = opts.get("order")
-    n = int(opts.get("n", 0))
+    n = int_opt(opts, "n", "cap-per-group", 0)
     if not by or not order or n <= 0:
         raise ArityError("cap-per-group needs {'by': cols, 'order': cols, 'n': > 0}")
     if rel.df.isStreaming:
@@ -216,8 +217,8 @@ def op_pack_chunks(ctx: Ctx, rel: Rel, *rest) -> Rel:
         raise ArityError("pack-chunks needs {'tokens': <token-count column>}")
     idc = opts.get("id", "doc_id")
     order = opts.get("order", idc)
-    budget = int(opts.get("budget", 4096))
-    bucket_size = int(opts.get("bucket_size", 4096))
+    budget = int_opt(opts, "budget", "pack-chunks", 4096)
+    bucket_size = int_opt(opts, "bucket_size", "pack-chunks", 4096)
     if budget < 1 or bucket_size < 1:
         # both are divisors: 0 aborts the job with ANSI DIVIDE_BY_ZERO
         # at first action — refuse loudly at construction instead

@@ -39,6 +39,7 @@ from ..model import KStreamRel, Rel
 
 from .util import opts_of as _opts  # noqa: E402  (shared option merging)
 from .util import req_opt as _req  # noqa: E402  (curated required-option fetch)
+from .util import int_opt  # noqa: E402  (curated int parse)
 from .util import pos_int_opt as _pos_int_opt  # noqa: E402  (curated >= 1 int parse)
 
 
@@ -401,12 +402,7 @@ def _assign_impl_opts(opts, op_name: str, dim):
             f"{op_name} assign_impl must be 'auto', 'expr' or 'blas', "
             f"got {impl!r}"
         )
-    try:
-        max_k = int(opts.get("max_k", 65536))
-    except (TypeError, ValueError):
-        raise ArityError(
-            f"{op_name} max_k must be an int, got {opts.get('max_k')!r}"
-        ) from None
+    max_k = int_opt(opts, "max_k", op_name, 65536, lo=1)
     if impl == "blas" and not dim:
         raise ArityError(
             f"{op_name} {{'assign_impl': 'blas'}} needs {{'dim': n}} "
@@ -526,7 +522,7 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
-    k = int(opts.get("k", 3))
+    k = int_opt(opts, "k", "ann-topk", 3)
     dim = _pos_int_opt(opts, "dim", "ann-topk")
     # degenerate rows (zero-norm / NaN / short / NULL vectors) have no
     # cosine: excluded on BOTH sides at construction (r13 — "match
@@ -537,16 +533,9 @@ def op_ann_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     q = prepared.filter(F.expr(_req(opts, "queries", "ann-topk"))).select(
         F.col(idc).alias("q_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
     )
-    # None-safe independently of opts_of (the pos_int_opt r15 contract):
-    # a present-but-None cap reads the DEFAULT, never int(None)
-    raw_mq = opts.get("max_query_rows")
-    try:
-        max_q = 100_000 if raw_mq is None else int(raw_mq)
-    except (TypeError, ValueError):
-        raise ArityError(
-            "ann-topk max_query_rows must be an int (0 disables), "
-            f"got {raw_mq!r}"
-        ) from None
+    # shared nonneg parse (ADVICE r15): None reads the default, 0
+    # disables, bools/fractional floats refuse rather than reinterpret
+    max_q = int_opt(opts, "max_query_rows", "ann-topk", 100_000, lo=0)
     if max_q:
         # the docstring's query-side guard: limit(max+1) bounds the
         # guard's own work — it proves "over the cap" without counting
@@ -628,7 +617,7 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
-    k = int(opts.get("k", 3))
+    k = int_opt(opts, "k", "ann-lsh-topk", 3)
     dims = _pos_int_opt(opts, "sign_dims", "ann-lsh-topk", default=8)
     dim = _pos_int_opt(opts, "dim", "ann-lsh-topk")
     bands = _pos_int_opt(opts, "bands", "ann-lsh-topk", default=1)
@@ -676,15 +665,10 @@ def op_ann_lsh_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         F.col("__n").alias("__qn"),
         "__bucket",
     )
-    # None-safe independently of opts_of (the pos_int_opt r15 contract)
-    raw_mbp = opts.get("max_bucket_pairs")
-    try:
-        max_pairs = 100_000_000 if raw_mbp is None else int(raw_mbp)
-    except (TypeError, ValueError):
-        raise ArityError(
-            "ann-lsh-topk max_bucket_pairs must be an int (0 disables), "
-            f"got {raw_mbp!r}"
-        ) from None
+    # shared nonneg parse (ADVICE r15): None reads the default, 0
+    # disables, bools/fractional floats refuse rather than reinterpret
+    max_pairs = int_opt(opts, "max_bucket_pairs", "ann-lsh-topk",
+                        100_000_000, lo=0)
     if max_pairs:
         # the docstring's hot-bucket guard: one bucket-key agg at
         # construction; a bucket's query x candidate pairs land on ONE
@@ -790,9 +774,9 @@ def op_ann_ivf_topk(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
 
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
-    k = int(opts.get("k", 3))
+    k = int_opt(opts, "k", "ann-ivf-topk", 3)
     dim = _pos_int_opt(opts, "dim", "ann-ivf-topk")
-    nprobe = int(opts.get("nprobe", 2))
+    nprobe = int_opt(opts, "nprobe", "ann-ivf-topk", 2)
     from ..errors import ArityError, TypeDispatchError
 
     if rel.df.isStreaming:
@@ -1107,13 +1091,9 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             norm_col(v, dim).alias("__n"),
         ).filter(_valid_vec(F.col("__v"), dim))
 
-    try:
-        max_pairs = int(opts.get("max_block_pairs", 100_000_000))
-    except (TypeError, ValueError):
-        raise ArityError(
-            "neardup-pairs max_block_pairs must be an int (0 disables), "
-            f"got {opts.get('max_block_pairs')!r}"
-        ) from None
+    # 0 disables the guard; negatives refuse (shared nonneg contract)
+    max_pairs = int_opt(opts, "max_block_pairs", "neardup-pairs",
+                        100_000_000, lo=0)
     if max_pairs and not rel.df.isStreaming:
         # the docstring's oversized-block guard: one block-key count at
         # construction; a block's pairs land on ONE join key, so the
@@ -1539,21 +1519,11 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    try:
-        max_pairs = int(opts.get("max_cluster_pairs", 100_000_000))
-    except (TypeError, ValueError):
-        raise ArityError(
-            "semdedup max_cluster_pairs must be an int (0 disables), got "
-            f"{opts.get('max_cluster_pairs')!r}"
-        ) from None
-    try:
-        hot_split = int(opts.get("hot_split", 0) or 0)
-    except (TypeError, ValueError):
-        raise ArityError(
-            "semdedup hot_split must be an int >= 2 (0 disables), got "
-            f"{opts.get('hot_split')!r}"
-        ) from None
-    if hot_split < 0 or hot_split == 1:
+    # 0 disables either guard; negatives refuse (shared nonneg contract)
+    max_pairs = int_opt(opts, "max_cluster_pairs", "semdedup",
+                        100_000_000, lo=0)
+    hot_split = int_opt(opts, "hot_split", "semdedup", 0, lo=0)
+    if hot_split == 1:
         raise ArityError(
             f"semdedup hot_split must be an int >= 2 (0 disables), got "
             f"{hot_split}"
@@ -1782,7 +1752,7 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # smaller than one bucket behave exactly as before. Pair count and
     # decisions are unchanged — the __rke < __rk predicate still gates
     # the shared-block diagonal.
-    bucket = int(opts.get("pair_bucket", 128))
+    bucket = int_opt(opts, "pair_bucket", "semdedup", 128)
     if bucket < 1:
         raise ArityError(f"semdedup pair_bucket must be >= 1, got {bucket}")
     blk = lambda c: F.floor((c - F.lit(1)) / F.lit(bucket))  # noqa: E731
@@ -1922,7 +1892,7 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     if not dim:
         raise ArityError("semdedup-join needs {'dim': <vector length>}")
     thr = float(opts.get("threshold", 0.9))
-    max_k = int(opts.get("max_k", 65536))
+    max_k = int_opt(opts, "max_k", "semdedup-join", 65536)
     nprobe = _pos_int_opt(opts, "nprobe", "semdedup-join", default=1)
     if nprobe > 1 and left.df.isStreaming:
         raise ArityError(
@@ -2302,12 +2272,12 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # every other op gets it for free
     try:
         dim = int(_req(opts, "dim", "kmeans-centroids"))
-        iters = int(opts.get("iters", 5))
-        max_k = int(opts.get("max_k", 65536))
     except ArityError:
         raise
     except (TypeError, ValueError) as e:
         raise ArityError(f"kmeans-centroids: bad numeric option: {e}") from None
+    iters = int_opt(opts, "iters", "kmeans-centroids", 5, lo=1)
+    max_k = int_opt(opts, "max_k", "kmeans-centroids", 65536, lo=1)
     if dim < 1:
         raise ArityError(f"kmeans-centroids: dim must be >= 1, got {dim}")
     init = opts.get("init") or opts.get("centroids")
@@ -2552,7 +2522,7 @@ def op_vec_project(ctx: Ctx, rel: Rel, *rest) -> Rel:
     out = opts.get("as", "proj")
     dim = _pos_int_opt(opts, "dim", "vec-project")
     k = opts.get("k")
-    seed = int(opts.get("seed", 0))
+    seed = int_opt(opts, "seed", "vec-project", 0)
     if not dim or not k:
         raise ArityError(
             "vec-project needs {'dim': input width, 'k': output width} "

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import ArityError
-from .util import opts_of
+from .util import int_opt, opts_of
 from ..eval import Ctx, defop
 from ..exprs import ForeachAction, Serde
 from ..model import Rel
@@ -82,7 +82,7 @@ def op_to(ctx: Ctx, rel: Rel, *rest) -> SinkResult:
         bucket = opts.get("bucket_by")
         if bucket:
             cols = [bucket] if isinstance(bucket, str) else list(bucket)
-            writer = writer.bucketBy(int(opts.get("buckets", 8)), *cols)
+            writer = writer.bucketBy(int_opt(opts, "buckets", "to!", 8), *cols)
             sort = opts.get("sort_by") or cols
             writer = writer.sortBy(*([sort] if isinstance(sort, str) else list(sort)))
         writer.saveAsTable(name)

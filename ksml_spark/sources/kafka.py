@@ -28,6 +28,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.util import int_opt
+
 # the schema format("kafka") produces, replicated by the fake
 KAFKA_RECORD_DDL = (
     "key binary, value binary, topic string, partition int, "
@@ -139,7 +141,7 @@ def kafka_sink(df: DataFrame, topic: Optional[str], opts: dict, rel):
         raise ArityError("kafka sink needs a topic")
     fake = opts.get("fake_dir")
     if fake:
-        partitions = int(opts.get("partitions", 4))
+        partitions = int_opt(opts, "partitions", "kafka sink", 4)
         if df.isStreaming:
             # foreachBatch append == the kafka sink's per-batch produce;
             # update output mode matches KS emit-on-update tables

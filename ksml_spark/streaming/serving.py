@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..errors import ArityError
-from ..operators.util import opts_of
+from ..operators.util import int_opt, opts_of
 from ..eval import Ctx, defop
 from ..model import KTableRel, Rel
 
@@ -326,7 +326,7 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
     if not key_cols:
         raise ArityError("serve needs key columns (keyed rel or {'key': cols})")
     storage = opts.get("storage", "memory")
-    buckets = int(opts.get("buckets", 8))
+    buckets = int_opt(opts, "buckets", "serve", 8)
     if str(opts.get("overflow", "warn")) not in ("warn", "error"):
         raise ArityError(
             f"serve overflow must be 'warn' or 'error', got {opts['overflow']!r}")
@@ -366,7 +366,7 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
         # bucketed-overwritten), so the table stays O(current state),
         # not O(all emissions ever).
         append_mode = mode == "update"
-        compact_every = int(opts.get("compact_every", 32))
+        compact_every = int_opt(opts, "compact_every", "serve", 32)
 
         def write_batch(bdf: DataFrame, batch_id: int) -> None:
             if append_mode:
@@ -432,7 +432,8 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
         buckets=buckets if storage == "table" else 0,
         latest_by_seq=update_only,
         memory_rows_cap=(0 if storage == "table"
-                         else int(opts.get("max_memory_rows", 1_000_000))),
+                         else int_opt(opts, "max_memory_rows", "serve",
+                                      1_000_000)),
         overflow=str(opts.get("overflow", "warn")),
     )
     if trig == "available_now":

@@ -58,19 +58,33 @@ def build_nulled_dir(spark, sf_dir: str, out_dir: str,
     """Writes a null-injected copy of every table: value column c of
     table t goes NULL where md5(t || c || pk-ish row fingerprint) % N
     == 0. Deterministic (no Date/random), re-creatable by anyone."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import ArrayType
-
-    from ksml_spark.sources.files import TABLE_NAMES, load_table
-
     os.makedirs(out_dir, exist_ok=True)
     # the source events.ts is TIMESTAMP(NANOS); load_table converts it
     # to a micros TIMESTAMP, but Spark 4 write round-trips that column
     # back to timestamp[ns], which re-triggers the engine's nano-as-long
     # read path INCONSISTENTLY (Spark reads its own ns metadata as
     # TIMESTAMP while the footer says ns). Pin the copy to micros — the
-    # exact values load_table/DuckDB already compare on.
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    # exact values load_table/DuckDB already compare on. Save/restored
+    # around the writes (the read_parquet inferTimestampNTZ pattern) so
+    # a shared session — e.g. the pytest fixture — keeps its default
+    # timestamp encoding for everything written after the sweep.
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    ts_prev = spark.conf.get(ts_key)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        _write_nulled_tables(spark, sf_dir, out_dir, rate_mod, keys)
+    finally:
+        spark.conf.set(ts_key, ts_prev)
+    return out_dir
+
+
+def _write_nulled_tables(spark, sf_dir: str, out_dir: str,
+                         rate_mod: int, keys: bool) -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType
+
+    from ksml_spark.sources.files import TABLE_NAMES, load_table
+
     for t in TABLE_NAMES:
         df = load_table(spark, sf_dir, t)
         array_cols = {f.name for f in df.schema.fields
@@ -81,10 +95,14 @@ def build_nulled_dir(spark, sf_dir: str, out_dir: str,
         # check_oracle.norm_cell normalizes aware-UTC to naive (an NTZ
         # write was tried first and leaks TIMESTAMP_NTZ into the
         # engine's read path, which window/asof time arithmetic rejects)
-        # row fingerprint: every column's string form (stable, pk-free)
+        # row fingerprint: every column's string form (stable, pk-free),
+        # MATERIALIZED once from the pristine df so each column's
+        # injection mask is independent of injection order — an
+        # unresolved Column would re-resolve against already-nulled
+        # earlier columns (concat_ws skips NULLs), correlating the masks
         fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
                                          for c in df.columns]))
-        out = df
+        out = df.withColumn("__fp", fp)
         for c in df.columns:
             # array columns (embeddings.embedding) are NOT injected:
             # the engine's NULL/degenerate-vector envelope is already
@@ -100,11 +118,12 @@ def build_nulled_dir(spark, sf_dir: str, out_dir: str,
                     continue
             elif _is_key(c) or c in array_cols:
                 continue
-            salt = F.md5(F.concat(F.lit(f"{t}.{c}:"), fp))
+            salt = F.md5(F.concat(F.lit(f"{t}.{c}:"), F.col("__fp")))
             mod = 29 if keys else rate_mod
             mask = (F.conv(F.substring(salt, 1, 8), 16, 10)
                     .cast("long") % mod) == 0
             out = out.withColumn(c, F.when(mask, F.lit(None)).otherwise(F.col(c)))
+        out = out.drop("__fp")
         # single FILE per table (not a Spark part-directory): the oracle
         # harness points DuckDB at '{dir}/{t}.parquet' exactly like the
         # driver testdata layout
@@ -116,7 +135,6 @@ def build_nulled_dir(spark, sf_dir: str, out_dir: str,
         part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         shutil.move(part, os.path.join(out_dir, f"{t}.parquet"))
         shutil.rmtree(tmp)
-    return out_dir
 
 
 def main() -> int:

@@ -380,3 +380,30 @@ def test_sessionize_labels_match_session_window_aggregation(spark, tables):
     with _pytest.raises(ArityError, match="gap"):
         pipe(["stream", tables["events"], {"key": "user_id", "time": "ts"}],
              ["sessionize", {}], spark=spark)
+
+
+def test_duration_subsecond_and_zero_refusals(spark):
+    """The r15-verdict falsy-zero finish: sub-second durations emit
+    milliseconds instead of truncating to a silent zero interval, zero
+    and sub-millisecond durations refuse curatedly, and window sizes
+    refuse zero/negative/fractional milliseconds at construction."""
+    from ksml_spark.errors import ArityError
+
+    assert ksml(["duration", "PT0.5S"], spark=spark) == "500 milliseconds"
+    assert ksml(["duration", "PT1.25S"], spark=spark) == "1250 milliseconds"
+    assert ksml(["duration", "PT2.0S"], spark=spark) == "2 seconds"
+    with pytest.raises(ArityError, match="duration must be positive"):
+        ksml(["duration", "PT0S"], spark=spark)
+    with pytest.raises(ArityError, match="duration must be positive"):
+        ksml(["duration", "P0D"], spark=spark)
+    with pytest.raises(ArityError, match="sub-millisecond"):
+        ksml(["duration", "PT0.0005S"], spark=spark)
+    for bad in (0, -1000, 0.5):
+        with pytest.raises(ArityError, match="window size must be"):
+            ksml(["time-window", bad], spark=spark)
+    with pytest.raises(ArityError, match="window size must be"):
+        ksml(["time-window", 60_000, 0], spark=spark)  # zero advance
+    with pytest.raises(ArityError, match="window size must be"):
+        ksml(["session-window", -5], spark=spark)
+    with pytest.raises(ArityError, match="window size must be"):
+        ksml(["join-window", 0], spark=spark)

@@ -1777,3 +1777,130 @@ def test_dsir_refuses_streaming_and_broadcasts_model(spark, tmp_path):
     # the corpus itself is never SMJ'd
     assert "InMemoryTableScan" in plan
     assert plan.count("SortMergeJoin") == plan.count("FullOuter")
+
+
+def _py_classify(rows, wmap, buckets, n, bias, pooling):
+    """Pure-Python fastText-style reference: hashed unigram(+...n) grams,
+    frozen linear weights, sigmoid."""
+    import hashlib
+
+    out = {}
+    for did, text in rows:
+        toks = ([w for w in __import__("re").split(r"[^a-z0-9]+", text.lower()) if w]
+                if isinstance(text, str) else [])
+        grams = list(toks)
+        for order in range(2, n + 1):
+            if len(toks) >= order:
+                grams += [" ".join(toks[i:i + order])
+                          for i in range(len(toks) - order + 1)]
+        if not grams:
+            out[did] = (0, None)
+            continue
+        z = sum(wmap.get(
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % buckets, 0.0)
+            for g in grams)
+        if pooling == "mean":
+            z /= len(grams)
+        out[did] = (len(grams), 1.0 / (1.0 + math.exp(-(bias + z))))
+    return out
+
+
+def test_classify_relational_and_frozen_match_python_reference(spark):
+    """Both classify modes produce the SAME scores as the pure-Python
+    fastText-style reference — including the n_feats-0 / NULL-score
+    contract for empty and NULL docs, mean vs sum pooling, bias, and
+    the threshold label."""
+    rows = [(1, "the cat sat on the mat"),
+            (2, "quantum flux capacitor engaged"),
+            (3, "the dog sat on the log the dog"),
+            (4, ""), (5, None)]
+    buckets, n, bias = 64, 2, -0.25
+    wmap = {b: ((b % 13) - 6) / 10.0 for b in range(buckets)}
+    for pooling in ("mean", "sum"):
+        exp = _py_classify(rows, wmap, buckets, n, bias, pooling)
+        wrows = [(b, w) for b, w in wmap.items()]
+        wrel = ["stream", spark.createDataFrame(wrows, "bucket long, weight double"),
+                {"key": "bucket"}]
+        rel_out = pipe(["classify",
+                        ["stream", _docs(spark, rows), {"key": "doc_id"}],
+                        wrel,
+                        {"col": "text", "id": "doc_id", "buckets": buckets,
+                         "n": n, "bias": bias, "pooling": pooling,
+                         "threshold": 0.5}], spark=spark).df
+        frz_out = pipe(["classify",
+                        ["stream", _docs(spark, rows), {"key": "doc_id"}],
+                        {"col": "text", "id": "doc_id", "buckets": buckets,
+                         "n": n, "bias": bias, "pooling": pooling,
+                         "threshold": 0.5, "weights": wmap}], spark=spark).df
+        for mode, out in (("relational", rel_out), ("frozen", frz_out)):
+            got = {r["doc_id"]: (r["n_feats"], r["score"], r["label"])
+                   for r in out.collect()}
+            assert set(got) == set(exp), mode
+            for did, (nf, score) in exp.items():
+                gnf, gscore, glabel = got[did]
+                assert gnf == nf, (mode, did)
+                if score is None:
+                    assert gscore is None and glabel is None, (mode, did)
+                else:
+                    assert abs(gscore - round(score, 6)) < 1e-9, (mode, did)
+                    assert glabel == int(round(score, 6) >= 0.5), (mode, did)
+        # frozen preserves the input shape (every row, original columns)
+        assert "text" in frz_out.columns and frz_out.count() == len(rows)
+
+
+def test_classify_streaming_frozen_legal_relational_refused(spark, tmp_path):
+    """Frozen-weights classify is streaming-legal (shuffle-free scoring
+    against a broadcast-closure model); relational-weights mode refuses
+    streams curatedly on either side."""
+    rows = [(1, "the cat sat"), (2, "dog log fog")]
+    src = _stream_docs(spark, tmp_path, rows)
+    wmap = {b: 0.1 for b in range(16)}
+    out = pipe(["classify", ["stream", src, {"key": "doc_id"}],
+                {"buckets": 16, "weights": wmap, "threshold": 0.5}],
+               spark=spark)
+    assert out.df.isStreaming
+    exp = _py_classify(rows, wmap, 16, 2, 0.0, "mean")
+    q = (out.df.writeStream.format("memory").queryName("classify_frozen")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["doc_id"]: (r["n_feats"], r["score"])
+           for r in spark.sql("SELECT * FROM classify_frozen").collect()}
+    assert {d: (nf, round(s, 6)) for d, (nf, s) in exp.items()} == got
+
+    srel = ["stream", _stream_docs(spark, tmp_path / "b", rows), {"key": "doc_id"}]
+    wrel = ["stream", spark.createDataFrame([(0, 0.1)], "bucket long, weight double"),
+            {"key": "bucket"}]
+    with pytest.raises(TypeDispatchError, match="batch-only"):
+        pipe(["classify", srel, wrel, {}], spark=spark)
+
+
+def test_classify_option_errors_and_plan(spark):
+    """Curated refusals (weight-source arity, pooling, widths, oversize
+    frozen dict, missing weight columns) and the scale contract: the
+    weight table joins in as a BROADCAST — the corpus never shuffles
+    for the model."""
+    docs = ["stream", _docs(spark, [(1, "a b c")]), {"key": "doc_id"}]
+    wrel = ["stream", spark.createDataFrame([(0, 0.1)], "bucket long, weight double"),
+            {"key": "bucket"}]
+    with pytest.raises(ArityError, match="exactly one weight source"):
+        pipe(["classify", docs, {}], spark=spark)
+    with pytest.raises(ArityError, match="exactly one weight source"):
+        pipe(["classify", docs, wrel, {"weights": {0: 0.1}}], spark=spark)
+    with pytest.raises(ArityError, match="pooling must be"):
+        pipe(["classify", docs, wrel, {"pooling": "max"}], spark=spark)
+    with pytest.raises(ArityError, match="buckets >= 2"):
+        pipe(["classify", docs, wrel, {"buckets": 1}], spark=spark)
+    with pytest.raises(ArityError, match="order must be 1, 2 or 3"):
+        pipe(["classify", docs, wrel, {"n": 4}], spark=spark)
+    with pytest.raises(ArityError, match="n must be"):
+        pipe(["classify", docs, wrel, {"n": 2.5}], spark=spark)
+    with pytest.raises(ArityError, match="frozen weights has"):
+        pipe(["classify", docs, {"buckets": 2, "weights": {0: 1.0, 1: 1.0, 2: 1.0}}],
+             spark=spark)
+    with pytest.raises(ArityError, match="needs column 'weight'"):
+        pipe(["classify", docs,
+              ["stream", spark.createDataFrame([(0,)], "bucket long"), {"key": "bucket"}],
+              {}], spark=spark)
+    out = pipe(["classify", docs, wrel, {"buckets": 16}], spark=spark).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -402,3 +402,64 @@ def test_ngram_width_options_refused_curated(spark, tables):
     ]:
         with pytest.raises(ArityError, match=match):
             ksml(form, spark=spark)
+
+
+def test_int_opt_contract_standalone():
+    """int_opt (r16, closing the int(opts.get(k, d)) class the r15
+    verdict counted at ~53 sites): the pos_int_opt rules generalized —
+    None-safe independently of opts_of, bools / fractional floats /
+    junk strings refuse curatedly instead of reinterpreting, and the
+    optional lo bound covers the 0-disables guard caps (lo=0) and
+    width/count options (lo=1) with one implementation."""
+    import pytest as _pytest
+
+    from ksml_spark.errors import ArityError
+    from ksml_spark.operators.util import int_opt, pos_int_opt
+
+    # None-with-key-present == absent == default; None default stays None
+    assert int_opt({}, "n", "op", 7) == 7
+    assert int_opt({"n": None}, "n", "op", 7) == 7
+    assert int_opt({}, "n", "op") is None
+    # value-preserving parses, full int range when no bound is set
+    assert int_opt({"n": -3}, "n", "op", 7) == -3
+    assert int_opt({"n": 0}, "n", "op", 7) == 0
+    assert int_opt({"n": 2.0}, "n", "op", 7) == 2
+    assert int_opt({"n": "17"}, "n", "op", 7) == 17
+    # value-changing parses are refused, not reinterpreted
+    for bad in (True, False, 2.9, "junk", [3]):
+        with _pytest.raises(ArityError, match="n must be"):
+            int_opt({"n": bad}, "n", "op", 7)
+    # bounds: lo=0 (the "0 disables" guard caps) and lo=1 (widths)
+    assert int_opt({"n": 0}, "n", "op", 7, lo=0) == 0
+    with _pytest.raises(ArityError, match="n must be >= 0"):
+        int_opt({"n": -1}, "n", "op", 7, lo=0)
+    with _pytest.raises(ArityError, match="n must be >= 1"):
+        int_opt({"n": 0}, "n", "op", 7, lo=1)
+    # pos_int_opt is the lo=1 wrapper — one implementation, one contract
+    assert pos_int_opt({"n": 4}, "n", "op") == int_opt({"n": 4}, "n", "op", lo=1)
+
+
+def test_no_raw_int_opts_get_sites():
+    """Grep-pin for the closed class: zero raw ``int(opts.get(...))`` /
+    ``int(o.get(...))`` sites anywhere in the package — every integer
+    option read goes through util.int_opt / pos_int_opt, so the
+    None-safety and no-reinterpretation contracts can't silently
+    regress site by site (the r15 ANN-guard recurrence)."""
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ksml_spark")
+    pat = re.compile(r"int\((?:opts|o)\.get\(")
+    hits = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(root, fn)
+            if p.endswith(os.path.join("operators", "util.py")):
+                continue  # the implementation documents the closed class
+            for i, line in enumerate(open(p), 1):
+                if pat.search(line) and not line.lstrip().startswith("#"):
+                    hits.append(f"{p}:{i}: {line.strip()}")
+    assert not hits, "raw int(opts.get) sites reappeared:\n" + "\n".join(hits)

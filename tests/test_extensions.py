@@ -338,7 +338,7 @@ def test_ann_topk_query_side_guard(spark, tables):
     ksml(["ann-topk", src,
           dict(base, queries="vec_id >= 0", max_query_rows=0)], spark=spark)
     # junk value is a curated refusal, not a raw ValueError
-    with pytest.raises(ArityError, match="max_query_rows must be an int"):
+    with pytest.raises(ArityError, match="max_query_rows must be a non-negative int"):
         ksml(["ann-topk", src, dict(base, max_query_rows="lots")],
              spark=spark)
     # explicit None means "unset" = the default cap, even for a caller
@@ -593,7 +593,7 @@ def test_neardup_pairs_oversized_block_guard(spark):
         ksml(["neardup-pairs", src,
               {"id": "vec_id", "vec": "embedding", "dim": 3,
                "allow_full": True, "max_block_pairs": 100_000}], spark=spark)
-    with pytest.raises(ArityError, match="must be an int"):
+    with pytest.raises(ArityError, match="must be a non-negative int"):
         ksml(["neardup-pairs", src, dict(base, max_block_pairs="lots")],
              spark=spark)
 
@@ -1766,7 +1766,7 @@ def test_semdedup_oversized_cluster_guard(spark):
     with pytest.raises(ArityError, match="max_cluster_pairs.*0 disables"):
         ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
               dict(form, max_cluster_pairs=100)], spark=spark)
-    with pytest.raises(ArityError, match="max_cluster_pairs must be an int"):
+    with pytest.raises(ArityError, match="max_cluster_pairs must be a non-negative int"):
         ksml(["semdedup", ["stream", df, {"key": "vec_id"}],
               dict(form, max_cluster_pairs="lots")], spark=spark)
 

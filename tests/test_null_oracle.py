@@ -53,3 +53,46 @@ def test_registry_null_fk_oracle_gate(spark, tmp_path_factory):
     )
     failures = run_gate(spark, d)
     assert not failures, f"oracle gate failures on null-FK data: {failures}"
+
+
+def test_stateful_fold_all_null_user_matches_sql_sum(spark, tmp_path):
+    """ADVICE r15 (medium): a user whose EVERY value is NULL must fold
+    total_cents to SQL-NULL (SUM over an all-NULL group), not Python
+    sum([]) == 0. The driver SFs never produce such a user (~(1/17)^k
+    per user under the sweep's injection), so this pins the case the
+    sweep can't reach: Spark fold vs DuckDB oracle on a planted
+    all-NULL user, hash-exact via the one norm_cell implementation."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from check_oracle import norm_cell
+
+    ts = pa.array([1704067200000000 + i * 60_000_000 for i in range(6)],
+                  type=pa.timestamp("us"))
+    tbl = pa.table({
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], type=pa.int64()),
+        "event_type": pa.array(["click", "view", None, "click", "click", "buy"]),
+        # user 1: all values NULL; user 2: mixed NULL/non-NULL
+        "value": pa.array([None, None, None, 1.25, None, 3.5], type=pa.float64()),
+        "props": pa.array(["{}"] * 6),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    df = entrymod._q_transform_with_state(spark, str(tmp_path))
+    got = {tuple(norm_cell(v) for v in sorted(r.asDict().items()))
+           for r in df.collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    orc = con.sql(entrymod._QUERIES["transform_with_state_fold"][1])
+    cols = [d[0] for d in orc.description]
+    want = {tuple(norm_cell(v) for v in sorted(zip(cols, row)))
+            for row in orc.fetchall()}
+    assert got == want
+    # and the planted case really is exercised: user 1's sum is NULL
+    u1 = {r["user_id"]: r["total_cents"] for r in df.collect()}
+    assert u1[1] is None and u1[2] == 475
