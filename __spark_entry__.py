@@ -237,19 +237,8 @@ SELECT l_orderkey, l_linenumber, l_quantity, l_discount
 FROM lineitem WHERE l_quantity >= 49 AND l_discount > 0.05"""
 
 
-def _q_filter_not(spark, sf):
-    return pipe(
-        ["stream", _t(sf, "lineitem"), {"key": ["l_orderkey", "l_linenumber"]}],
-        ["filter-not", ["predicate", "l_returnflag = 'R'"]],
-        ["group-by", ["key-value-mapper", {"l_returnflag": "l_returnflag"}]],
-        ["agg", {"n": "count(1)"}],
-        spark=spark,
-    ).df
-
-
-_FILTER_NOT_ORACLE = """
-SELECT l_returnflag, COUNT(1) AS n FROM lineitem
-WHERE NOT (l_returnflag = 'R') GROUP BY l_returnflag"""
+# (the filter_not_returns row was retired r16 — clause c; its complement
+# contract lives on as tests/test_stateless.py::test_filter_not_is_filter_complement)
 
 
 def _q_map_values(spark, sf):
@@ -551,27 +540,8 @@ FROM customer LEFT JOIN (
 ) ON c_custkey = o_custkey"""
 
 
-def _q_outer_join(spark, sf):
-    cust = pipe(["stream", _t(sf, "customer"), {"key": "c_nationkey"}],
-                ["group-by-key"], ["agg", {"nc": "count(1)"}], spark=spark)
-    supp = pipe(["stream", _t(sf, "supplier"), {"key": "s_nationkey"}],
-                ["group-by-key"], ["agg", {"ns": "count(1)"}], spark=spark)
-    # outer-join emits the coalesced key as c_nationkey (right key column
-    # is merged in, never NULL)
-    return pipe(
-        ["outer-join", cust, supp],
-        ["select", {"nationkey": "c_nationkey",
-                    "n_cust": "coalesce(nc, 0)", "n_supp": "coalesce(ns, 0)"}],
-        spark=spark,
-    ).df
-
-
-_OUTER_JOIN_ORACLE = """
-SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
-       coalesce(nc, 0) AS n_cust, coalesce(ns, 0) AS n_supp
-FROM (SELECT c_nationkey, COUNT(1) AS nc FROM customer GROUP BY c_nationkey) a
-FULL OUTER JOIN (SELECT s_nationkey, COUNT(1) AS ns FROM supplier GROUP BY s_nationkey) b
-ON c_nationkey = s_nationkey"""
+# (the outer_join_nations row was retired r16 — clause c; its null-extension
+# contract lives on as tests/test_joins.py::test_outer_join_is_left_union_right_anti)
 
 
 def _q_join_global(spark, sf):
@@ -2204,6 +2174,73 @@ FROM p
 ORDER BY js_term DESC, token ASC LIMIT 100"""
 
 
+def _q_classify(spark, sf):
+    """Frozen linear hashed-bigram document classifier (fastText-style,
+    Joulin et al. 2016) over documents — relational weights mode: a
+    deterministic full-coverage weight table w(b) = ((b % 97) - 48)/100
+    over the 512-bucket hashed unigram+bigram feature space, BROADCAST
+    into one explode -> join -> per-doc agg pass; score = sigmoid(bias
+    + mean pooled weight), label = score >= 0.5. Registered r16, funded
+    by the filter_not_returns retirement (clause c — the complement pin
+    in tests/test_stateless.py)."""
+    from pyspark.sql import functions as F
+
+    w = spark.range(512).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") % 97) - 48) / 100.0).alias("weight"))
+    return pipe(
+        ["classify",
+         ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+         ["stream", w, {"key": "bucket"}],
+         {"col": "text", "id": "doc_id", "buckets": 512, "n": 2,
+          "bias": -0.1, "threshold": 0.5}],
+        spark=spark).df
+
+
+_CLASSIFY_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+g AS (SELECT doc_id,
+      w || CASE WHEN len(w) < 2 THEN [] ELSE
+           [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]
+           END AS g
+      FROM w),
+e AS (SELECT doc_id,
+      ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT % 512 AS b FROM g),
+s AS (SELECT d.doc_id, count(e.b) AS n_feats,
+      round(CASE WHEN count(e.b) > 0 THEN
+        1 / (1 + exp(-(-0.1 + sum(((e.b % 97) - 48) / 100.0) / count(e.b))))
+        END, 6) AS score
+      FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+      GROUP BY d.doc_id)
+SELECT doc_id, n_feats, score, CAST(score >= 0.5 AS INT) AS label FROM s"""
+
+
+def _q_shuffle(spark, sf):
+    """Seeded deterministic global shuffle: shard = 60-bit
+    md5('42|' || doc_id) mod 8, pos = 1-based rank within the shard
+    under the hash order — the training-data scatter whose permutation
+    is a pure function of (seed, id) on any partitioning (the
+    partition-invariance sweep covers it directly). Registered r16,
+    funded by the outer_join_nations retirement (clause c — the
+    null-extension pin in tests/test_joins.py)."""
+    return pipe(
+        ["shuffle", ["stream", _t(sf, "documents"), {"key": "doc_id"}],
+         {"id": "doc_id", "seed": 42, "shards": 8}],
+        ["select", {"doc_id": "doc_id", "lang": "lang",
+                    "shard": "shard", "pos": "pos"}],
+        spark=spark).df
+
+
+_SHUFFLE_ORACLE = """
+SELECT doc_id, lang,
+  CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       % 8 AS INT) AS shard,
+  CAST(row_number() OVER (
+    PARTITION BY ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+    ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+FROM documents"""
+
+
 def _q_dsir(spark, sf):
     """DSIR importance scores (Xie et al. 2023): every document scored
     by how target-like its hashed unigram+bigram distribution is, with
@@ -3011,10 +3048,27 @@ FROM documents"""
 # plain zero-slack 50/50 flip-flop (head = the r13 window going stale,
 # tail = the r14 window just recorded). Kept as an explicit empty
 # declaration so scripts/rotation_check.py reads the round's intent.
-# r16: starts as the plain flip-flop (head = the r14 window going
-# stale, tail = the r15 window just recorded); swaps added below if a
-# new op registers this round under the retirement clauses.
-ROTATION_SWAPS: dict = {}
+# r16: head = the r14 window going stale, tail = the r15 window just
+# recorded, with TWO clause-c swaps funding the round's new ops:
+# - filter_not_returns retired (clause c, the anti_join precedent):
+#   filter-not is a one-line `~` dispatch into the same
+#   predicate_condition + df.filter construction as the still-oracled
+#   filter_highqty row; the complement surface is pinned by
+#   tests/test_stateless.py::test_filter_not_is_filter_complement
+#   (filter ∪ filter-not partition the driver lineitem exactly).
+# - outer_join_nations retired (clause c): outer join is a one-line
+#   how-string dispatch ('full_outer') into the SAME _do_join
+#   construction as the still-oracled left_join_counts /
+#   semi_join_customers rows; the null-extension surface is pinned by
+#   tests/test_joins.py::test_outer_join_is_left_union_right_anti
+#   (outer = left-join rows ∪ null-extended right-anti rows).
+# The freed slots register the round's new ops, both DuckDB-oracled:
+# classify_quality (frozen linear hashed-ngram scorer) and
+# shuffle_shards (seeded deterministic global shuffle).
+ROTATION_SWAPS: dict = {
+    "retired": ("filter_not_returns", "outer_join_nations"),
+    "added": ("classify_quality", "shuffle_shards"),
+}
 
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     # --- ROTATION HEAD for r16: the 50 r14-green rows whose driver
@@ -3052,7 +3106,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "q5_local_supplier_revenue": (_q_q5, _Q5_ORACLE),
     "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
     "filter_highqty": (_q_filter, _FILTER_ORACLE),
-    "filter_not_returns": (_q_filter_not, _FILTER_NOT_ORACLE),
+    "classify_quality": (_q_classify, _CLASSIFY_ORACLE),
     "map_values_net": (_q_map_values, _MAP_VALUES_ORACLE),
     "select_key_count": (_q_select_key, _SELECT_KEY_ORACLE),
     "flat_map_pairs": (_q_flat_map, _FLAT_MAP_ORACLE),
@@ -3068,7 +3122,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "anomaly_detection": (_q_anomaly, _ANOMALY_ORACLE),
     "join_stream_table": (_q_join_stream_table, _JOIN_STREAM_TABLE_ORACLE),
     "left_join_counts": (_q_left_join, _LEFT_JOIN_ORACLE),
-    "outer_join_nations": (_q_outer_join, _OUTER_JOIN_ORACLE),
+    "shuffle_shards": (_q_shuffle, _SHUFFLE_ORACLE),
     "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
     "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
     # --- green in r15 (freshest evidence): behind the rotation head;

@@ -332,3 +332,78 @@ def op_mix(ctx: Ctx, rel: Rel, *rest) -> Rel:
         .drop("__cut")
     )
     return rel.with_df(out)
+
+
+@defop("shuffle")
+def op_shuffle(ctx: Ctx, rel: Rel, *rest) -> Rel:
+    """Seeded deterministic global shuffle — the training-data scatter
+    (corpus -> packed -> SHUFFLED shards) that randomizes example order
+    reproducibly:
+
+        ["shuffle", rel, {"id": "doc_id", "seed": 42, "shards": 64,
+                          "shard_as": "shard", "pos_as": "pos"}]
+        -> every input row + (shard, pos): shard = 60-bit
+           md5(seed || '|' || id) mod shards, pos = the row's 1-based
+           rank within its shard under the hash order (full md5 hex,
+           id tiebreak).
+
+    Reading shards in (shard, pos) order IS the shuffled epoch order:
+    md5 scatters ids uniformly and independently of any input layout,
+    so the permutation is a pure function of (seed, id) — same order
+    on every run, every engine, ANY partitioning (the hash-split
+    reproducibility property, extended to a total order). Changing
+    ``seed`` re-draws the whole permutation; a downstream ``to!`` sink
+    bucketed by the shard column writes ready-to-stream training
+    shards.
+
+    Scale posture: one hash-partition shuffle on the shard column plus
+    a per-shard local sort (the window is PARTITIONED — no global
+    ordering step, no driver collect); with shards >= cluster
+    parallelism every executor ranks its own shards. This is exactly
+    the repartition + sortWithinPartitions layout Spark would plan for
+    a bucketed write, expressed engine-portably. Batch-only: a rank is
+    a corpus-global statement (a stream can never close a shard) —
+    shuffle a stream per micro-batch via foreach-batch if approximate
+    within-batch order is acceptable.
+
+    Reference: no analog (§2.10 extension surface).
+    """
+    from pyspark.sql import Window
+
+    from ..errors import TypeDispatchError
+
+    opts = _opts(rest)
+    idc = opts.get("id", "doc_id")
+    seed = int_opt(opts, "seed", "shuffle", 0)
+    shards = int_opt(opts, "shards", "shuffle", 64)
+    shard_as = opts.get("shard_as", "shard")
+    pos_as = opts.get("pos_as", "pos")
+    if shards < 1:
+        raise ArityError(f"shuffle needs shards >= 1, got {shards}")
+    if rel.df.isStreaming:
+        raise TypeDispatchError(
+            "shuffle assigns a corpus-global order and is batch-only; "
+            "a stream never closes a shard — shuffle per micro-batch "
+            "via foreach-batch if within-batch order suffices"
+        )
+    if idc not in rel.df.columns:
+        raise ArityError(
+            f"shuffle id column {idc!r} not found (have {rel.df.columns})"
+        )
+    # NULL ids surface NULL shard AND NULL pos — flagged, never
+    # silently ranked (the hash-split NULL-labeling convention; the id
+    # IS the permutation domain, so a NULL id has no defined position).
+    # hb is util.md5_long_col's 60-bit expansion over the salted id; the
+    # raw hex h doubles as the within-shard sort key (same md5, CSE'd).
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(idc).cast("string")))
+    hb = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy(F.col(shard_as)).orderBy(h.asc(), F.col(idc).asc())
+    out = (
+        rel.df.withColumn(shard_as, (hb % F.lit(shards)).cast("int"))
+        .withColumn(
+            pos_as,
+            F.when(F.col(idc).isNull(), F.lit(None).cast("long"))
+            .otherwise(F.row_number().over(w).cast("long")),
+        )
+    )
+    return rel.with_df(out)

@@ -3342,3 +3342,87 @@ def test_histogram_log_scale(spark):
         pipe(["stream", df, {}],
              ["histogram", {"col": "v", "min": 1, "max": 10,
                             "scale": "sqrt"}], spark=spark)
+
+
+def test_shuffle_deterministic_seeded_permutation(spark, tables):
+    """The seeded global shuffle: a pure function of (seed, id) — same
+    (shard, pos) on every run and any partitioning; changing the seed
+    re-draws the permutation; pos is a dense 1..count(shard) rank;
+    NULL ids surface NULL shard/pos; streams and junk options refuse
+    curatedly."""
+    import hashlib
+
+    from ksml_spark.errors import ArityError, TypeDispatchError
+
+    docs = ["stream", tables["documents"], {"key": "doc_id"}]
+    out = ksml(["shuffle", docs, {"seed": 42, "shards": 8}], spark=spark).df
+    rows = out.select("doc_id", "shard", "pos").collect()
+
+    # python reference: shard + within-shard hash order
+    def ref(seed, shards, ids):
+        hs = {i: hashlib.md5(f"{seed}|{i}".encode()).hexdigest() for i in ids}
+        shard = {i: int(hs[i][:15], 16) % shards for i in ids}
+        pos = {}
+        for s in set(shard.values()):
+            members = sorted((hs[i], i) for i in ids if shard[i] == s)
+            for p, (_, i) in enumerate(members, 1):
+                pos[i] = p
+        return shard, pos
+
+    ids = [r["doc_id"] for r in rows]
+    eshard, epos = ref(42, 8, ids)
+    assert {r["doc_id"]: r["shard"] for r in rows} == eshard
+    assert {r["doc_id"]: r["pos"] for r in rows} == epos
+
+    # dense rank per shard: positions are exactly 1..n_s
+    from collections import Counter
+
+    per = Counter(r["shard"] for r in rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, per[s] + 1))
+
+    # layout-independence: a shattered repartition gives the same answer
+    shattered = tables["documents"].repartition(7)
+    out2 = ksml(["shuffle", ["stream", shattered, {"key": "doc_id"}],
+                 {"seed": 42, "shards": 8}], spark=spark).df
+    assert {(r["doc_id"], r["shard"], r["pos"])
+            for r in out2.select("doc_id", "shard", "pos").collect()} == \
+           {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+    # a different seed re-draws the permutation
+    out3 = ksml(["shuffle", docs, {"seed": 43, "shards": 8}], spark=spark).df
+    assert {(r["doc_id"], r["shard"], r["pos"])
+            for r in out3.select("doc_id", "shard", "pos").collect()} != \
+           {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+    # NULL id -> NULL shard and pos, never silently ranked
+    ndf = spark.createDataFrame([(None, "x"), (1, "y")], "doc_id long, t string")
+    nrows = ksml(["shuffle", ["stream", ndf, {"key": "doc_id"}],
+                  {"seed": 1, "shards": 4}], spark=spark).df.collect()
+    got = {r["t"]: (r["shard"], r["pos"]) for r in nrows}
+    assert got["x"] == (None, None) and got["y"][0] is not None
+
+    # refusals
+    with pytest.raises(ArityError, match="shards >= 1"):
+        ksml(["shuffle", docs, {"shards": 0}], spark=spark)
+    with pytest.raises(ArityError, match="seed must be an int"):
+        ksml(["shuffle", docs, {"seed": 1.5}], spark=spark)
+    with pytest.raises(ArityError, match="id column"):
+        ksml(["shuffle", docs, {"id": "nope"}], spark=spark)
+    from ksml_spark.streaming.runtime import file_stream_source
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tables["events"].limit(5).write.mode("overwrite").parquet(td + "/p")
+        s = file_stream_source(spark, td + "/p")
+        with pytest.raises(TypeDispatchError, match="batch-only"):
+            ksml(["shuffle", ["stream", s, {"key": "user_id"}],
+                  {"id": "user_id"}], spark=spark)
+
+    # scale contract: ONE exchange on the shard column, no global sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan.lower()

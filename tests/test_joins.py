@@ -211,3 +211,41 @@ def test_anti_join_is_semi_complement(spark, tables):
     okeys = {r["o_custkey"]
              for r in tables["orders"].select("o_custkey").collect()}
     assert s == allk & okeys
+
+
+def test_outer_join_is_left_union_right_anti(spark, tables):
+    """Retirement pin (r16, clause c — the anti-join precedent): outer
+    join is a one-line how-string dispatch ('full_outer') into the same
+    _do_join construction as the still-oracled left_join_counts /
+    semi_join_customers rows; its how-specific surface is exactly the
+    both-sides null extension. On the driver tables: outer = left-join
+    rows ∪ right rows with no left match (left columns null), the
+    matched-or-left part agrees row-for-row with the left join, and the
+    merged key column is never NULL."""
+    lt = ["stream", tables["customer"], {"key": "c_nationkey"}]
+    rt = ["stream", tables["supplier"], {"key": "s_nationkey"}]
+    outer = ksml(["outer-join", lt, rt], spark=spark).df
+    left = ksml(["left-join", lt, rt], spark=spark).df
+    # compare on the shared projection (outer merges the right key
+    # column into the left's; left-join keeps it)
+    cols = [c for c in outer.columns if c in left.columns]
+    assert "c_custkey" in cols and "s_suppkey" in cols
+    o_l = sorted(map(tuple, outer.filter("c_custkey is not null")
+                     .select(*cols).collect()))
+    l_l = sorted(map(tuple, left.select(*cols).collect()))
+    # every left-join row appears in outer, exactly once each ...
+    assert o_l == l_l
+    # ... plus exactly the right rows whose key has NO left match,
+    # null-extended on the left side
+    lkeys = {r["c_nationkey"]
+             for r in tables["customer"].select("c_nationkey").collect()}
+    extra = outer.filter("c_custkey is null")
+    ekeys = sorted(r["s_suppkey"] for r in extra.select("s_suppkey").collect())
+    expected_extra = sorted(
+        r["s_suppkey"]
+        for r in tables["supplier"].select("s_suppkey", "s_nationkey").collect()
+        if r["s_nationkey"] not in lkeys
+    )
+    assert ekeys == expected_extra
+    # the merged key column is the coalesced key: never NULL in outer
+    assert outer.filter("c_nationkey is null").count() == 0

@@ -169,3 +169,31 @@ def test_named_metadata(spark, tables):
         spark=spark,
     )
     assert out.name == "positive-values"
+
+
+def test_filter_not_is_filter_complement(spark, tables):
+    """Retirement pin (r16, clause c — the anti-join precedent):
+    filter-not is a one-line ``~`` dispatch into the same
+    predicate_condition + df.filter construction as the still-oracled
+    filter_highqty row. Its op-specific surface is exactly the
+    complement: on the driver tables, filter and filter-not with the
+    same predicate partition the stream EXACTLY — disjoint by the
+    predicate value, union = every row (row MULTISETS, since the
+    synthetic lineitem's (orderkey, linenumber) pairs are not unique)."""
+    src = ["stream", tables["lineitem"],
+           {"key": ["l_orderkey", "l_linenumber"]}]
+    pred = ["predicate", "l_returnflag = 'R'"]
+    keep = ksml(["filter", src, pred], spark=spark).df
+    drop = ksml(["filter-not", src, pred], spark=spark).df
+    cols = tables["lineitem"].columns
+    k = sorted(map(tuple, keep.select(*cols).collect()))
+    d = sorted(map(tuple, drop.select(*cols).collect()))
+    allrows = sorted(map(tuple, tables["lineitem"].select(*cols).collect()))
+    # disjoint by predicate value, and the union is the exact multiset
+    assert all(t[cols.index("l_returnflag")] == "R" for t in k)
+    assert all(t[cols.index("l_returnflag")] != "R" for t in d)
+    assert sorted(k + d) == allrows
+    # and the kept side agrees with the predicate applied directly
+    assert k == sorted(map(tuple, tables["lineitem"]
+                           .filter("l_returnflag = 'R'")
+                           .select(*cols).collect()))
