@@ -421,24 +421,8 @@ SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
 FROM events GROUP BY 1, 2"""
 
 
-def _q_hopping_count(spark, sf):
-    return pipe(
-        ["stream", _t(sf, "events"), {"key": "event_type", "time": "ts"}],
-        ["group-by-key"],
-        ["windowed-by", ["time-window", 7200000, 3600000]],
-        ["count"],
-        ["select", {"window_start_s": "cast(unix_timestamp(window_start) as bigint)",
-                    "event_type": "event_type", "n": "`count`"}],
-        spark=spark,
-    ).df
-
-
-_HOPPING_COUNT_ORACLE = """
-SELECT ws AS window_start_s, event_type, COUNT(*) AS n FROM (
-  SELECT unnest([((epoch_us(ts) // 3600000000) - 1) * 3600,
-                 (epoch_us(ts) // 3600000000) * 3600]) AS ws, event_type
-  FROM events
-) GROUP BY ws, event_type"""
+# (the hopping_count row was retired r16 — clause c; its overlap contract
+# lives on as tests/test_agg.py::test_hopping_count_is_rolling_sum_of_tumbling)
 
 
 def _q_anomaly(spark, sf):
@@ -2880,6 +2864,92 @@ SELECT user_id,
 FROM events GROUP BY user_id"""
 
 
+def _q_transform_with_state_ttl(spark, sf):
+    """Second transform-with-state exemplar (r16, the protobuf-seam
+    fallback of VERDICT r15 #5): driver evidence for the StatefulProcessor
+    handle surface the fold row doesn't touch —
+
+    - TTL-accepting state registration (``ttl_duration_ms`` on value and
+      map state; in batch the state lifetime is one group, so any TTL is
+      trivially satisfied — the native path forwards the same argument),
+    - ``deleteIfExists`` mid-group,
+    - the timeMode-'none' timer contract asserted INSIDE the processor
+      (``listTimers`` empty, ``deleteTimer`` a no-op,
+      ``getCurrentProcessingTimeInMs() == -1``) — a contract break fails
+      the row, not just a unit test,
+    - MULTI-ROW emission per key (one row per (user, event_type))
+      through the shim's chunk-concat path.
+
+    SQL NULL semantics throughout (the r15 fold fix): NULL event_type
+    GROUPS (SQL GROUP BY keeps a NULL group), NULL cents are skipped by
+    the sum and an all-NULL group sums to NULL. Deterministic: output is
+    a per-(user, type) aggregate, order-independent."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class PerType(StatefulProcessor):
+        def init(self, handle):
+            self.per_type = handle.getMapState(
+                "per_type", "t string", "n bigint", ttl_duration_ms=60_000)
+            self.cents = handle.getMapState(
+                "cents", "t string", "s bigint", ttl_duration_ms=60_000)
+            self.scratch = handle.getValueState(
+                "scratch", "x bigint", ttl_duration_ms=1)
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+            import pandas as pd
+
+            # timeMode-'none' timer contract (native batch rejects
+            # timer registration the same way the shim does)
+            assert list(self._handle.listTimers()) == []
+            self._handle.deleteTimer(0)  # no-op, must not raise
+            assert timer_values.getCurrentProcessingTimeInMs() == -1
+            self.scratch.update((1,))
+            for pdf in rows:
+                vals = pdf["value"].to_numpy()
+                for t, v in zip(pdf["event_type"], vals):
+                    tk = (None,) if (t is None or (isinstance(t, float) and t != t)) else (t,)
+                    n = self.per_type.getValue(tk)[0] if self.per_type.containsKey(tk) else 0
+                    self.per_type.updateValue(tk, (n + 1,))
+                    if not np.isnan(v):
+                        c = int(np.floor(v * 100.0 + 0.5))
+                        prev = self.cents.getValue(tk) if self.cents.containsKey(tk) else None
+                        self.cents.updateValue(tk, ((prev[0] if prev else 0) + c,))
+            self._handle.deleteIfExists("scratch")
+            out = []
+            for tk in self.per_type.keys():
+                cents = (self.cents.getValue(tk)[0]
+                         if self.cents.containsKey(tk) else None)
+                out.append((key[0], tk[0], self.per_type.getValue(tk)[0], cents))
+            yield pd.DataFrame({
+                "user_id": [r[0] for r in out],
+                "event_type": [r[1] for r in out],
+                "n": [r[2] for r in out],
+                "total_cents": pd.array([r[3] for r in out], dtype="Int64"),
+            })
+
+        def close(self):
+            pass
+
+    return pipe(
+        ["stream", _t(sf, "events"), {"key": "user_id"}],
+        ["select", {"user_id": "user_id", "event_type": "event_type",
+                    "value": "value"}],
+        ["transform-with-state", PerType(),
+         {"key": ["user_id"],
+          "schema": ("user_id long, event_type string, n bigint, "
+                     "total_cents bigint")}],
+        spark=spark,
+    ).df
+
+
+_TRANSFORM_WITH_STATE_TTL_ORACLE = """
+SELECT user_id, event_type, COUNT(1) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id, event_type"""
+
+
 def _q_bpe_train_encode(spark, sf):
     """Composed tokenizer-training row: bpe-train a merge table on the
     documents corpus, bpe-encode the same corpus under it. r12 upgrade
@@ -3065,9 +3135,18 @@ FROM documents"""
 # The freed slots register the round's new ops, both DuckDB-oracled:
 # classify_quality (frozen linear hashed-ngram scorer) and
 # shuffle_shards (seeded deterministic global shuffle).
+# - hopping_count retired (clause c): a hopping window is the same
+#   WindowSpec -> F.window construction as the still-oracled tumbling
+#   windowed_count row plus the slideDuration argument; the overlap
+#   arithmetic is pinned by tests/test_agg.py::
+#   test_hopping_count_is_rolling_sum_of_tumbling (hopping(2a, a) ==
+#   rolling sum of tumbling(a) on the driver events). Its slot funds
+#   transform_with_state_ttl — the protobuf-seam fallback of VERDICT
+#   r15 #5: driver evidence for TTL registration, deleteIfExists, the
+#   timeMode-'none' timer contract, and multi-row emission.
 ROTATION_SWAPS: dict = {
-    "retired": ("filter_not_returns", "outer_join_nations"),
-    "added": ("classify_quality", "shuffle_shards"),
+    "retired": ("filter_not_returns", "outer_join_nations", "hopping_count"),
+    "added": ("classify_quality", "shuffle_shards", "transform_with_state_ttl"),
 }
 
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
@@ -3117,7 +3196,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
     "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
     "windowed_count": (_q_windowed_count, _WINDOWED_COUNT_ORACLE),
-    "hopping_count": (_q_hopping_count, _HOPPING_COUNT_ORACLE),
+    "transform_with_state_ttl": (_q_transform_with_state_ttl, _TRANSFORM_WITH_STATE_TTL_ORACLE),
     "session_count": (_q_session_count, _SESSION_COUNT_ORACLE),
     "anomaly_detection": (_q_anomaly, _ANOMALY_ORACLE),
     "join_stream_table": (_q_join_stream_table, _JOIN_STREAM_TABLE_ORACLE),

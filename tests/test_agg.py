@@ -407,3 +407,40 @@ def test_duration_subsecond_and_zero_refusals(spark):
         ksml(["session-window", -5], spark=spark)
     with pytest.raises(ArityError, match="window size must be"):
         ksml(["join-window", 0], spark=spark)
+
+
+def test_hopping_count_is_rolling_sum_of_tumbling(spark, tables):
+    """Retirement pin (r16, clause c — the anti-join precedent): a
+    hopping window is the SAME WindowSpec -> F.window construction as
+    the still-oracled tumbling windowed_count row, plus one argument
+    (slideDuration). Its op-specific surface is exactly the overlap
+    arithmetic: with size = 2 x advance, the hopping count for a window
+    starting at ws equals tumbling(advance) at ws plus tumbling(advance)
+    at ws + advance — pinned here on the driver events table."""
+    size_ms, adv_ms = 7_200_000, 3_600_000
+    hop = pipe(
+        ["stream", tables["events"], {"key": "event_type", "time": "ts"}],
+        ["group-by-key"],
+        ["windowed-by", ["time-window", size_ms, adv_ms]],
+        ["count"],
+        ["select", {"ws": "cast(unix_timestamp(window_start) as bigint)",
+                    "event_type": "event_type", "n": "`count`"}],
+        spark=spark).df
+    tum = pipe(
+        ["stream", tables["events"], {"key": "event_type", "time": "ts"}],
+        ["group-by-key"],
+        ["windowed-by", ["time-window", adv_ms]],
+        ["count"],
+        ["select", {"ws": "cast(unix_timestamp(window_start) as bigint)",
+                    "event_type": "event_type", "n": "`count`"}],
+        spark=spark).df
+    t = {(r["ws"], r["event_type"]): r["n"] for r in tum.collect()}
+    adv_s = adv_ms // 1000
+    expected = {}
+    for (ws, et), n in t.items():
+        # a tumbling bucket at ws lands in hopping windows starting at
+        # ws and ws - advance (size = 2 x advance)
+        for hws in (ws, ws - adv_s):
+            expected[(hws, et)] = expected.get((hws, et), 0) + n
+    got = {(r["ws"], r["event_type"]): r["n"] for r in hop.collect()}
+    assert got == expected and got
