@@ -2,8 +2,9 @@
 composed the way a real pretraining data job would:
 
     quality gate -> entropy/garbage filter -> paragraph cleanup ->
-    exact near-dedup -> benchmark decontamination -> source mixing ->
-    train/val/test split -> sequence packing
+    exact near-dedup -> benchmark decontamination -> frozen classifier
+    gate -> source mixing -> train/val/test split -> sequence packing ->
+    seeded shuffle into shards
 
 Run:  python examples/corpus_pipeline.py [sf_dir]   (default sf0.001)
 
@@ -53,7 +54,23 @@ leak_keys = ksml(["select-key", leaks, ["key-value-mapper", {"doc_id": "corpus_i
                  spark=spark)
 clean = ksml(["anti-join", deduped, leak_keys], spark=spark)
 
-# 6-8: weighted source mixture -> deterministic split -> packed chunks
+# 6: frozen linear quality classifier (fastText-style) — keep docs the
+# model scores above threshold; the deterministic weight table stands in
+# for trained weights (classify is model-agnostic: any (bucket, weight))
+from pyspark.sql import functions as F  # noqa: E402
+
+wtab = spark.range(512).select(
+    F.col("id").alias("bucket"), (((F.col("id") % 97) - 48) / 100.0).alias("weight"))
+clean = pipe(
+    ["classify", clean, ["stream", wtab, {"key": "bucket"}],
+     {"col": "text", "id": "doc_id", "buckets": 512, "threshold": 0.45}],
+    ["where", "label = 1"],
+    ["select-key", ["key-value-mapper", {"doc_id": "doc_id"}]],
+    spark=spark,
+)
+clean = ksml(["join", deduped, clean], spark=spark)
+
+# 7-10: weighted source mixture -> deterministic split -> packed chunks
 final = pipe(
     ["mix", clean, {"by": "source",
                     "weights": {"src0": 3, "src1": 2, "src2": 1, "src3": 1},
@@ -63,10 +80,11 @@ final = pipe(
     ["token-count", {"col": "text"}],  # -> n_tokens_ws / n_tokens_bpe
     ["pack-chunks", {"tokens": "n_tokens_ws", "order": "doc_id",
                      "budget": 2048, "id": "doc_id"}],
+    ["shuffle", {"id": "doc_id", "seed": 7, "shards": 4}],
     spark=spark,
 )
 
-final.df.select("doc_id", "source", "split", "n_tokens_ws", "chunk", "offset") \
-    .orderBy("chunk", "offset").show(10, truncate=False)
+final.df.select("doc_id", "source", "split", "n_tokens_ws", "chunk", "shard", "pos") \
+    .orderBy("shard", "pos").show(10, truncate=False)
 final.df.groupBy("split").count().show()
 print("accounting: kept", final.df.count(), "docs")

@@ -2276,7 +2276,9 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         raise
     except (TypeError, ValueError) as e:
         raise ArityError(f"kmeans-centroids: bad numeric option: {e}") from None
-    iters = int_opt(opts, "iters", "kmeans-centroids", 5, lo=1)
+    # iters=0 is meaningful: emit the deterministic seeds unrefined
+    # (the kmeans-refined-IVF baseline path) — lo=0, not lo=1
+    iters = int_opt(opts, "iters", "kmeans-centroids", 5, lo=0)
     max_k = int_opt(opts, "max_k", "kmeans-centroids", 65536, lo=1)
     if dim < 1:
         raise ArityError(f"kmeans-centroids: dim must be >= 1, got {dim}")

@@ -624,7 +624,7 @@ def test_ann_lsh_hot_bucket_guard(spark, tables):
     with pytest.raises(ArityError, match="max_bucket_pairs"):
         ksml(["ann-lsh-topk", src, dict(base, max_bucket_pairs=1000)],
              spark=spark)
-    with pytest.raises(ArityError, match="must be an int"):
+    with pytest.raises(ArityError, match="must be a non-negative int"):
         ksml(["ann-lsh-topk", src, dict(base, max_bucket_pairs="lots")],
              spark=spark)
 
