@@ -280,9 +280,20 @@ def _transform_with_state_shim(rel: Rel, proc, schema, key_cols) -> KStreamRel:
     group, state discarded afterwards), compiled to applyInPandas.
 
     Same shuffle as the native path (one exchange on the grouping key);
-    state lives on the executor for the duration of one Arrow group."""
+    state lives on the executor for the duration of one Arrow group.
+
+    The exchange is an EXPLICIT repartition at the session's shuffle
+    parallelism (r16 stage-audit fix): the processor stage is Python-
+    CPU-heavy but often bytes-small, exactly the shape AQE's
+    byte-targeted coalescing collapses to one task — serializing ALL
+    the per-key Python work while 31 cores idle (observed on the
+    transform_with_state_ttl row: 1 task, 4.25s hot). An explicit
+    width is preserved by AQE, and groupBy on the same keys reuses the
+    hash partitioning, so the plan still has exactly one exchange."""
     import pandas as pd
     from pyspark.sql.types import StructType
+
+    from .util import shuffle_partitions
 
     st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
     out_names = st.fieldNames()
@@ -301,7 +312,9 @@ def _transform_with_state_shim(rel: Rel, proc, schema, key_cols) -> KStreamRel:
             return pd.DataFrame(columns=out_names)
         return pd.concat(chunks, ignore_index=True)
 
-    out = rel.df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(group_fn, st)
+    src = rel.df.repartition(
+        shuffle_partitions(rel.df), *[F.col(c) for c in key_cols])
+    out = src.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(group_fn, st)
     return KStreamRel(out, key_cols=tuple(key_cols))
 
 
