@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from ..errors import ArityError, TypeDispatchError
 from ..eval import Ctx, defop
 from ..model import Rel
-from ..operators.util import int_opt, md5_long_col, opts_of, spread
+from ..operators.util import float_opt, int_opt, md5_long_col, opts_of, spread
 from .text import words
 
 
@@ -305,7 +305,7 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
             # None-valued keys mean "unset" (the opts_of contract)
             opts.update({k: v for k, v in r.items() if v is not None})
     n = int_opt(opts, "n", "lm-score", 2)
-    k = float(opts.get("k", 0.1))
+    k = float_opt(opts, "k", "lm-score", 0.1)
     if n < 2:
         raise ArityError("lm-score needs n >= 2 (unigram scoring has no prefix)")
     if k <= 0:
@@ -320,7 +320,7 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
             "lm-score Kneser-Ney smoothing is implemented for n=2 "
             "(bigram continuation counts); use addk for higher orders"
         )
-    discount = float(opts.get("discount", 0.75))
+    discount = float_opt(opts, "discount", "lm-score", 0.75)
     if smoothing == "kn" and not (0.0 < discount < 1.0):
         raise ArityError(
             f"lm-score KN discount must be in (0, 1), got {discount!r}"
@@ -1128,7 +1128,7 @@ def op_dist_shift(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
     opts = opts_of(rest)
     colc = opts.get("col", "text")
     rcolc = opts.get("right_col", colc)
-    k = float(opts.get("k", 0.5))
+    k = float_opt(opts, "k", "dist-shift", 0.5)
     min_count = int_opt(opts, "min_count", "dist-shift", 5)
     top = opts.get("top")
     metric = opts.get("metric", "kl")
@@ -1242,7 +1242,7 @@ def op_dsir(ctx: Ctx, left: Rel, right: Rel, *rest) -> Rel:
     idc = opts.get("id", "doc_id")
     buckets = int_opt(opts, "buckets", "dsir", 8192)
     n = int_opt(opts, "n", "dsir", 2)
-    a = float(opts.get("smoothing", 1.0))
+    a = float_opt(opts, "smoothing", "dsir", 1.0)
     if buckets < 2:
         raise ArityError(f"dsir needs buckets >= 2, got {buckets}")
     if not 1 <= n <= 3:
@@ -1369,9 +1369,9 @@ def op_classify(ctx: Ctx, rel: Rel, *rest) -> Rel:
     idc = opts.get("id", "doc_id")
     buckets = int_opt(opts, "buckets", "classify", 8192)
     n = int_opt(opts, "n", "classify", 2)
-    bias = float(opts.get("bias", 0.0))
+    bias = float_opt(opts, "bias", "classify", 0.0)
     pooling = opts.get("pooling", "mean")
-    thr = opts.get("threshold")
+    thr = float_opt(opts, "threshold", "classify")
     if buckets < 2:
         raise ArityError(f"classify needs buckets >= 2, got {buckets}")
     if not 1 <= n <= 3:
@@ -1380,8 +1380,6 @@ def op_classify(ctx: Ctx, rel: Rel, *rest) -> Rel:
         raise ArityError(
             f"classify pooling must be 'mean' or 'sum', got {pooling!r}"
         )
-    if thr is not None:
-        thr = float(thr)
     frozen = opts.get("weights")
     if (frozen is None) == (wrel is None):
         raise ArityError(

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..model import Rel
-from ..operators.util import int_opt, opts_of, pos_int_opt
+from ..operators.util import float_opt, int_opt, opts_of, pos_int_opt
 
 # ---------------------------------------------------------------------------
 # column-expression factories (usable directly or via the DSL ops)
@@ -583,8 +583,8 @@ def op_bm25(ctx: Ctx, rel: Rel, *rest) -> Rel:
         from ..errors import ArityError
 
         raise ArityError('bm25 needs {"query": "terms ..."}')
-    k1 = float(opts.get("k1", 1.2))
-    b = float(opts.get("b", 0.75))
+    k1 = float_opt(opts, "k1", "bm25", 1.2)
+    b = float_opt(opts, "b", "bm25", 0.75)
     # normalize the query exactly like the document side (words()):
     # lowercase, alnum runs, deduped — term order never matters
     import re as _re

@@ -64,7 +64,7 @@ def minhash_slice(j: int) -> tuple[int, int]:
 
 
 from .util import opts_of as _opts  # noqa: E402  (shared option merging)
-from .util import int_opt, pos_int_opt  # noqa: E402  (curated int parses)
+from .util import float_opt, int_opt, pos_int_opt  # noqa: E402  (curated parses)
 
 
 @defop("dedup")
@@ -886,7 +886,7 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     block = opts.get("block")
-    thr = float(opts.get("threshold", 0.5))
+    thr = float_opt(opts, "threshold", "jaccard-pairs", 0.5)
     col = opts.get("col", "text")
     blocks = [block] if isinstance(block, str) else list(block or [])
     # tokens are hashed to 60-bit longs (engine-portable md5 slice, see
@@ -953,8 +953,8 @@ def op_jaccard_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                 use_prefix = postings >= int(
                     opts.get("auto_threshold", 50_000_000)
                 ) or hot_pairs >= max(
-                    float(opts.get("hot_ratio", 4.0)) * postings,
-                    float(opts.get("hot_min_pairs", 2_000_000)),
+                    float_opt(opts, "hot_ratio", "jaccard-pairs", 4.0) * postings,
+                    float_opt(opts, "hot_min_pairs", "jaccard-pairs", 2_000_000),
                 )
         else:
             use_prefix = bool(prefix_opt)
@@ -1057,7 +1057,7 @@ def op_containment_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     block = opts.get("block")
-    thr = float(opts.get("threshold", 0.9))
+    thr = float_opt(opts, "threshold", "containment-pairs", 0.9)
     col = opts.get("col", "text")
     if thr <= 0:
         raise TypeDispatchError(

@@ -32,7 +32,7 @@ from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..exprs import to_col
 from ..model import GroupedRel, KStreamRel, KTableRel, Rel
-from .util import int_opt, opts_of
+from .util import float_opt, int_opt, opts_of
 
 
 def _as_rel(x) -> Rel:
@@ -226,7 +226,7 @@ def op_approx_distinct(ctx: Ctx, rel: Rel, col: str, *rest) -> KTableRel:
     opts = opts_of(rest)
     if not isinstance(col, str):
         raise ArityError(f"approx-distinct needs a column name, got {col!r}")
-    rsd = float(opts.get("rsd", 0.05))
+    rsd = float_opt(opts, "rsd", "approx-distinct", 0.05)
     by = opts.get("by") or list(rel.key_cols)
     expr = F.approx_count_distinct(F.col(col), rsd).alias(opts.get("as", "approx_distinct"))
     df = rel.df.groupBy(*by).agg(expr) if by else rel.df.agg(expr)
@@ -374,8 +374,10 @@ def op_histogram(ctx: Ctx, rel: Rel, *rest) -> Rel:
     if not col or "min" not in opts or "max" not in opts:
         raise ArityError("histogram needs {'col', 'min', 'max'} (+ optional 'bins')")
     bins = int_opt(opts, "bins", "histogram", 20)
-    lo, hi = float(opts["min"]), float(opts["max"])
-    if not (hi > lo) or bins < 1:
+    lo = float_opt(opts, "min", "histogram")
+    hi = float_opt(opts, "max", "histogram")
+    # None here means present-but-None from an opts_of-bypassing caller
+    if lo is None or hi is None or not (hi > lo) or bins < 1:
         raise ArityError("histogram needs max > min and bins >= 1")
     scale = opts.get("scale", "linear")
     if scale not in ("linear", "log"):
@@ -806,7 +808,7 @@ def op_freq_items(ctx: Ctx, rel: Rel, *rest) -> KTableRel:
         cols = [cols]
     if rel.df.isStreaming:
         raise ArityError("freq-items is batch-only (sketch merge agg)")
-    support = float(opts.get("support", 0.01))
+    support = float_opt(opts, "support", "freq-items", 0.01)
     if not (1e-4 <= support < 1.0):
         raise ArityError(
             f"freq-items support must be in [1e-4, 1), got {support!r} "

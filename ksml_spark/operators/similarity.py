@@ -39,7 +39,7 @@ from ..model import KStreamRel, Rel
 
 from .util import opts_of as _opts  # noqa: E402  (shared option merging)
 from .util import req_opt as _req  # noqa: E402  (curated required-option fetch)
-from .util import int_opt  # noqa: E402  (curated int parse)
+from .util import float_opt, int_opt  # noqa: E402  (curated parses)
 from .util import pos_int_opt as _pos_int_opt  # noqa: E402  (curated >= 1 int parse)
 
 
@@ -978,7 +978,7 @@ def op_neardup_pairs(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
-    thr = float(opts.get("threshold", 0.9))
+    thr = float_opt(opts, "threshold", "neardup-pairs", 0.9)
     block = opts.get("block")
     dim = _pos_int_opt(opts, "dim", "neardup-pairs")
     bands = _pos_int_opt(opts, "bands", "neardup-pairs", default=1)
@@ -1475,7 +1475,7 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     opts = _opts(rest)
     idc, vecc = opts.get("id", "vec_id"), opts.get("vec", "embedding")
     dim = _pos_int_opt(opts, "dim", "semdedup")
-    thr = float(opts.get("threshold", 0.9))
+    thr = float_opt(opts, "threshold", "semdedup", 0.9)
     action = opts.get("action", "annotate")
     if action not in ("annotate", "filter"):
         raise ArityError(
@@ -1891,7 +1891,7 @@ def op_semdedup_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
     dim = _pos_int_opt(opts, "dim", "semdedup-join")
     if not dim:
         raise ArityError("semdedup-join needs {'dim': <vector length>}")
-    thr = float(opts.get("threshold", 0.9))
+    thr = float_opt(opts, "threshold", "semdedup-join", 0.9)
     max_k = int_opt(opts, "max_k", "semdedup-join", 65536)
     nprobe = _pos_int_opt(opts, "nprobe", "semdedup-join", default=1)
     if nprobe > 1 and left.df.isStreaming:

@@ -65,6 +65,46 @@ def int_opt(opts: dict, key: str, op: str, default=None, lo=None):
     return val
 
 
+def float_opt(opts: dict, key: str, op: str, default=None):
+    """Curated float option parse — the float sibling of int_opt (r16),
+    closing the same classes for the threshold/smoothing/bias surface:
+
+    - None-safe independently of opts_of (present-but-None reads the
+      DEFAULT, never ``float(None)``).
+    - booleans refuse: ``float(True) -> 1.0`` would pass a threshold
+      the user never wrote.
+    - NaN refuses (including ``"nan"`` strings): every comparison
+      against a NaN threshold is False, so a NaN silently drops ALL
+      pairs / disables a filter — the silent-wrong class, worse than a
+      crash. Infinities stay accepted (a +inf cap is a meaningful
+      "no limit").
+    - junk strings refuse curatedly instead of a raw ValueError
+      mid-construction. Ints and numeric strings parse as before.
+
+    Range checks stay at the call sites — each option documents its own
+    domain there (k > 0, 0 < discount < 1, ...)."""
+    from ..errors import ArityError
+
+    raw = opts.get(key)
+    if raw is None:
+        raw = default
+    if raw is None:
+        return None
+    if isinstance(raw, bool):
+        raise ArityError(f"{op}: {key} must be a number, got {raw!r}")
+    try:
+        val = float(raw)
+    except (TypeError, ValueError):
+        raise ArityError(f"{op}: {key} must be a number, got {raw!r}") from None
+    if val != val:
+        raise ArityError(
+            f"{op}: {key} is NaN — every comparison against NaN is false, "
+            "which silently disables the option; pass a real number or "
+            "omit the key"
+        )
+    return val
+
+
 def pos_int_opt(opts: dict, key: str, op: str, default=None):
     """Curated positive-int parse for vector-width / LSH-dims options
     (late r13, the zero-divisor refusal class): a zero or negative

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..errors import ArityError
-from ..operators.util import int_opt, opts_of
+from ..operators.util import float_opt, int_opt, opts_of
 from ..eval import Ctx, defop
 from ..model import KTableRel, Rel
 
@@ -425,7 +425,7 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
         w = w.option("checkpointLocation", opts["checkpoint"])
     q = w.start()
     if trig == "available_now":
-        q.awaitTermination(float(opts.get("timeout", 120.0)))
+        q.awaitTermination(float_opt(opts, "timeout", "serve", 120.0))
     handle = ServeHandle(
         ctx.spark, name, key_cols, query=q,
         bucketed=storage == "table",

@@ -440,17 +440,18 @@ def test_int_opt_contract_standalone():
 
 
 def test_no_raw_int_opts_get_sites():
-    """Grep-pin for the closed class: zero raw ``int(opts.get(...))`` /
-    ``int(o.get(...))`` sites anywhere in the package — every integer
-    option read goes through util.int_opt / pos_int_opt, so the
-    None-safety and no-reinterpretation contracts can't silently
-    regress site by site (the r15 ANN-guard recurrence)."""
+    """Grep-pin for the closed classes: zero raw ``int(opts.get(...))``
+    or ``float(opts.get(...))`` sites anywhere in the package — every
+    numeric option read goes through util.int_opt / pos_int_opt /
+    float_opt, so the None-safety and no-reinterpretation contracts
+    can't silently regress site by site (the r15 ANN-guard
+    recurrence)."""
     import os
     import re
 
     pkg = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "ksml_spark")
-    pat = re.compile(r"int\((?:opts|o)\.get\(")
+    pat = re.compile(r"(?:int|float)\((?:opts|o)\.get\(")
     hits = []
     for root, _dirs, files in os.walk(pkg):
         for fn in files:
@@ -463,3 +464,58 @@ def test_no_raw_int_opts_get_sites():
                 if pat.search(line) and not line.lstrip().startswith("#"):
                     hits.append(f"{p}:{i}: {line.strip()}")
     assert not hits, "raw int(opts.get) sites reappeared:\n" + "\n".join(hits)
+
+
+def test_float_opt_contract_standalone():
+    """float_opt (r16, the float sibling of the closed int class): the
+    threshold/smoothing/bias surface parses through one None-safe
+    implementation — bools refuse (float(True) -> 1.0 passes a
+    threshold the user never wrote), NaN refuses (every comparison
+    against NaN is False, silently disabling the option — the
+    silent-wrong class), junk strings refuse curatedly, and
+    present-but-None reads the default. Infinities stay accepted."""
+    import math
+
+    import pytest as _pytest
+
+    from ksml_spark.errors import ArityError
+    from ksml_spark.operators.util import float_opt
+
+    assert float_opt({}, "t", "op", 0.5) == 0.5
+    assert float_opt({"t": None}, "t", "op", 0.5) == 0.5
+    assert float_opt({}, "t", "op") is None
+    assert float_opt({"t": 2}, "t", "op", 0.5) == 2.0
+    assert float_opt({"t": "0.9"}, "t", "op", 0.5) == 0.9
+    assert float_opt({"t": float("inf")}, "t", "op") == math.inf
+    for bad in (True, False, "junk", [0.5]):
+        with _pytest.raises(ArityError, match="t must be a number"):
+            float_opt({"t": bad}, "t", "op", 0.5)
+    for nan in (float("nan"), "nan"):
+        with _pytest.raises(ArityError, match="NaN"):
+            float_opt({"t": nan}, "t", "op", 0.5)
+
+
+def test_float_threshold_options_refused_curated(spark, tables):
+    """The class applied end-to-end: a NaN or boolean threshold /
+    smoothing refuses at construction on representative ops from each
+    family instead of silently disabling the comparison."""
+    from ksml_spark.errors import ArityError
+
+    docs = ["stream", tables["documents"], {"key": "doc_id"}]
+    embs = ["stream", tables["embeddings"], {"key": "vec_id"}]
+    for form, match in [
+        (["jaccard-pairs", docs,
+          {"col": "text", "threshold": float("nan"), "allow_full": True}],
+         "NaN"),
+        (["neardup-pairs", embs,
+          {"id": "vec_id", "vec": "embedding", "dim": 64,
+           "threshold": True, "allow_full": True}],
+         "threshold must be a number"),
+        (["dsir", docs, docs, {"smoothing": "hot"}],
+         "smoothing must be a number"),
+        (["classify", docs, {"weights": {0: 1.0}, "buckets": 16,
+                             "threshold": float("nan")}],
+         "NaN"),
+    ]:
+        with pytest.raises(ArityError, match=match):
+            ksml(form, spark=spark)
