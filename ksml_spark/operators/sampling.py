@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..errors import ArityError
 from ..eval import Ctx, defop
 from ..model import Rel
-from .util import int_opt
+from .util import int_opt, str_opt
 from .util import opts_of as _opts
 
 
@@ -64,7 +64,7 @@ def op_hash_split(ctx: Ctx, rel: Rel, *rest) -> Rel:
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
     out = opts.get("as", "split")
-    salt = str(opts.get("salt", ""))
+    salt = str_opt(opts, "salt", "hash-split", "")
     fractions = opts.get("fractions") or {"train": 0.9, "val": 0.05, "test": 0.05}
     if not isinstance(fractions, dict) or not fractions:
         raise ArityError("hash-split needs {'fractions': {name: weight, ...}}")
@@ -143,7 +143,7 @@ def op_sample_hash(ctx: Ctx, rel: Rel, *rest) -> Rel:
     """
     opts = _opts(rest)
     idc = opts.get("id", "doc_id")
-    salt = str(opts.get("salt", ""))
+    salt = str_opt(opts, "salt", "sample-hash", "")
     by = opts.get("by")
     bucket = _bucket32(idc, salt)
 
@@ -300,7 +300,7 @@ def op_mix(ctx: Ctx, rel: Rel, *rest) -> Rel:
     if not by or not isinstance(weights, dict) or not weights:
         raise ArityError("mix needs {'by': col, 'weights': {group: w, ...}}")
     idc = opts.get("id", "doc_id")
-    salt = str(opts.get("salt", ""))
+    salt = str_opt(opts, "salt", "mix", "")
     w_map = {g: float(w) for g, w in weights.items() if float(w) > 0}
     if not w_map:
         raise ArityError("mix weights must include at least one group with w > 0")

@@ -105,6 +105,32 @@ def float_opt(opts: dict, key: str, op: str, default=None):
     return val
 
 
+def str_opt(opts: dict, key: str, op: str, default=None, choices=None):
+    """Curated string option parse — the string sibling of
+    int_opt/float_opt (r16). The dangerous case is the SALT surface:
+    ``str(opts.get("salt", ""))`` turns a present-but-None into the
+    literal string ``"None"``, silently re-drawing every hash-split /
+    sample / mix assignment — the silent-wrong class. None-safe like
+    the numeric parses; ints coerce faithfully (a numeric salt means
+    its digits); bools and other types refuse rather than reinterpret
+    (str(True) -> "True"). ``choices`` enforces an enum curatedly."""
+    from ..errors import ArityError
+
+    raw = opts.get(key)
+    if raw is None:
+        raw = default
+    if raw is None:
+        return None
+    if isinstance(raw, bool) or not isinstance(raw, (str, int)):
+        raise ArityError(f"{op}: {key} must be a string, got {raw!r}")
+    val = str(raw)
+    if choices is not None and val not in choices:
+        raise ArityError(
+            f"{op}: {key} must be one of {list(choices)}, got {val!r}"
+        )
+    return val
+
+
 def pos_int_opt(opts: dict, key: str, op: str, default=None):
     """Curated positive-int parse for vector-width / LSH-dims options
     (late r13, the zero-divisor refusal class): a zero or negative

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..errors import ArityError
-from ..operators.util import float_opt, int_opt, opts_of
+from ..operators.util import float_opt, int_opt, opts_of, str_opt
 from ..eval import Ctx, defop
 from ..model import KTableRel, Rel
 
@@ -327,9 +327,8 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
         raise ArityError("serve needs key columns (keyed rel or {'key': cols})")
     storage = opts.get("storage", "memory")
     buckets = int_opt(opts, "buckets", "serve", 8)
-    if str(opts.get("overflow", "warn")) not in ("warn", "error"):
-        raise ArityError(
-            f"serve overflow must be 'warn' or 'error', got {opts['overflow']!r}")
+    overflow = str_opt(opts, "overflow", "serve", "warn",
+                       choices=("warn", "error"))
     update_only = bool(getattr(rel, "update_only", False))
 
     if not rel.df.isStreaming:
@@ -434,7 +433,7 @@ def op_serve(ctx: Ctx, rel: Rel, *rest) -> ServeHandle:
         memory_rows_cap=(0 if storage == "table"
                          else int_opt(opts, "max_memory_rows", "serve",
                                       1_000_000)),
-        overflow=str(opts.get("overflow", "warn")),
+        overflow=overflow,
     )
     if trig == "available_now":
         handle._check_memory_ceiling()

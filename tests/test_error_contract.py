@@ -451,7 +451,7 @@ def test_no_raw_int_opts_get_sites():
 
     pkg = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "ksml_spark")
-    pat = re.compile(r"(?:int|float)\((?:opts|o)\.get\(")
+    pat = re.compile(r"(?:int|float|str)\((?:opts|o)\.get\(")
     hits = []
     for root, _dirs, files in os.walk(pkg):
         for fn in files:
@@ -519,3 +519,27 @@ def test_float_threshold_options_refused_curated(spark, tables):
     ]:
         with pytest.raises(ArityError, match=match):
             ksml(form, spark=spark)
+
+
+def test_str_opt_contract_standalone():
+    """str_opt (r16, the string sibling): the dangerous case is the
+    SALT surface — str(None) is the literal 'None', which silently
+    re-draws every hash-split/sample/mix assignment. None-safe; ints
+    coerce faithfully; bools and other types refuse; choices enforce
+    enums curatedly."""
+    import pytest as _pytest
+
+    from ksml_spark.errors import ArityError
+    from ksml_spark.operators.util import str_opt
+
+    assert str_opt({}, "salt", "op", "") == ""
+    assert str_opt({"salt": None}, "salt", "op", "") == ""
+    assert str_opt({}, "salt", "op") is None
+    assert str_opt({"salt": "v1"}, "salt", "op", "") == "v1"
+    assert str_opt({"salt": 42}, "salt", "op", "") == "42"
+    for bad in (True, False, 1.5, ["x"]):
+        with _pytest.raises(ArityError, match="salt must be a string"):
+            str_opt({"salt": bad}, "salt", "op", "")
+    assert str_opt({"m": "warn"}, "m", "op", choices=("warn", "error")) == "warn"
+    with _pytest.raises(ArityError, match="must be one of"):
+        str_opt({"m": "loud"}, "m", "op", choices=("warn", "error"))
