@@ -13,7 +13,11 @@ exactly two documented cross-engine unicode semantics classes:
    DuckDB's utf8proc simple mapping -> 'istanbul'. Verified: the token
    multisets of the two engines differ in EXACTLY this one word on the
    probe corpus. Cascades into wordcount, top_bigrams, doc_entropy
-   (ent_word), bpe_pair_counts, doc_fingerprint, repetition_scores.
+   (ent_word), bpe_pair_counts, doc_fingerprint, repetition_scores,
+   and (r16) classify_quality — re-verified per-row: ONLY the İstanbul
+   row diverges (9 vs 7 hashed grams; the label still agrees), every
+   other adversarial row is hash-exact. shuffle_shards hashes the ID,
+   not the text, and stays hash-exact on the whole corpus.
 2. WHITESPACE class on trim: DuckDB's utf8proc trim strips NBSP
    (U+00A0); the JVM's trim is ASCII-only and keeps it. Cascades into
    sentence_split and dedup_paragraphs on NBSP-adjacent boundaries.
@@ -46,13 +50,14 @@ TEXT_QUERIES = [
     "token_counts", "lang_id", "quality_scores", "doc_entropy",
     "scrub_text", "doc_fingerprint", "sentence_split", "chunk_overlap",
     "repetition_scores", "dedup_paragraphs", "top_bigrams",
-    "bpe_pair_counts", "wordcount",
+    "bpe_pair_counts", "wordcount", "classify_quality", "shuffle_shards",
 ]
 
 # adjudicated: diverge ONLY via the two classes in the module docstring
 EXPECTED_DIVERGENT = {
     "wordcount", "top_bigrams", "doc_entropy", "bpe_pair_counts",
-    "doc_fingerprint", "repetition_scores",          # class 1 (İ)
+    "doc_fingerprint", "repetition_scores",
+    "classify_quality",                              # class 1 (İ)
     "sentence_split", "dedup_paragraphs",            # class 2 (NBSP)
 }
 
