@@ -3144,69 +3144,18 @@ FROM documents"""
 #   transform_with_state_ttl — the protobuf-seam fallback of VERDICT
 #   r15 #5: driver evidence for TTL registration, deleteIfExists, the
 #   timeMode-'none' timer contract, and multi-row emission.
-ROTATION_SWAPS: dict = {
-    "retired": ("filter_not_returns", "outer_join_nations", "hopping_count"),
-    "added": ("classify_quality", "shuffle_shards", "transform_with_state_ttl"),
-}
+# r17: no retirements/registrations — the optimization round changes no
+# query surface, so the rotation is the plain zero-slack 50/50 flip-flop
+# (head = the r15 window going stale, tail = the r16 window just
+# recorded). Declared empty so scripts/rotation_check.py reads the
+# round's intent.
+ROTATION_SWAPS: dict = {}
 
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
-    # --- ROTATION HEAD for r16: the 50 r14-green rows whose driver
+    # --- ROTATION HEAD for r17: the 50 r15-green rows whose driver
     # evidence goes stale this round (the zero-slack 50/50 flip-flop —
     # set-verified by scripts/rotation_check.py). Sub-block order kept
-    # from the r14 window. ---
-    "ann_lsh_banded": (_q_ann_lsh_banded, _ANN_LSH_BANDED_ORACLE),
-    "neardup_banded": (_q_neardup_banded, _NEARDUP_BANDED_ORACLE),
-    "freq_items_priority": (_q_freq_items, _FREQ_ITEMS_ORACLE),
-    "profile_persist_lineitem": (_q_profile_persist, _PROFILE_PERSIST_ORACLE),
-    "intersect_except_custkeys": (_q_intersect_except, _INTERSECT_EXCEPT_ORACLE),
-    "vec_project_embeddings": (_q_vec_project, _vec_project_oracle()),
-    "substring_dedup_prep": (_q_substring_dedup, _SUBSTRING_DEDUP_ORACLE),
-    "asof_join_tolerance": (_q_asof_join, _ASOF_JOIN_ORACLE),
-    "histogram_log_chars": (_q_histogram, _HISTOGRAM_ORACLE),
-    "lm_ppl_kn": (_q_lm_kn, _LM_KN_ORACLE),
-    "pmi_collocations": (_q_pmi, _PMI_ORACLE),
-    "bpe_pair_counts": (_q_bpe_pairs, _BPE_PAIRS_ORACLE),
-    "tfidf_topk_terms": (_q_tfidf_topk, _TFIDF_TOPK_ORACLE),
-    "cooccurrence_window": (_q_cooccurrence, _COOCCURRENCE_ORACLE),
-    "chunk_overlap": (_q_chunk, _CHUNK_ORACLE),
-    "sentence_split": (_q_sentence_split, _SENTENCE_SPLIT_ORACLE),
-    "lsh_join_verified": (_q_lsh_join_verified, _LSH_JOIN_VERIFIED_ORACLE),
-    "dist_shift_js": (_q_dist_shift, _DIST_SHIFT_ORACLE),
-    "lm_ppl_frozen": (_q_lm_frozen, _LM_FROZEN_ORACLE),
-    "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
-    "bm25_scores": (_q_bm25, _BM25_ORACLE),
-    "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),
-    "doc_entropy": (_q_entropy, _ENTROPY_ORACLE),
-    "mix_sources": (_q_mix_sources, _MIX_ORACLE),
-    "sessionize_events": (_q_sessionize, _SESSIONIZE_ORACLE),
-    "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
-    "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
-    "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
-    "q5_local_supplier_revenue": (_q_q5, _Q5_ORACLE),
-    "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
-    "filter_highqty": (_q_filter, _FILTER_ORACLE),
-    "classify_quality": (_q_classify, _CLASSIFY_ORACLE),
-    "map_values_net": (_q_map_values, _MAP_VALUES_ORACLE),
-    "select_key_count": (_q_select_key, _SELECT_KEY_ORACLE),
-    "flat_map_pairs": (_q_flat_map, _FLAT_MAP_ORACLE),
-    "branch_orders": (_q_branch, _BRANCH_ORACLE),
-    "merge_event_types": (_q_merge, _MERGE_ORACLE),
-    "table_latest_event": (_q_table_latest, _TABLE_LATEST_ORACLE),
-    "table_regroup": (_q_table_regroup, _TABLE_REGROUP_ORACLE),
-    "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
-    "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
-    "windowed_count": (_q_windowed_count, _WINDOWED_COUNT_ORACLE),
-    "transform_with_state_ttl": (_q_transform_with_state_ttl, _TRANSFORM_WITH_STATE_TTL_ORACLE),
-    "session_count": (_q_session_count, _SESSION_COUNT_ORACLE),
-    "anomaly_detection": (_q_anomaly, _ANOMALY_ORACLE),
-    "join_stream_table": (_q_join_stream_table, _JOIN_STREAM_TABLE_ORACLE),
-    "left_join_counts": (_q_left_join, _LEFT_JOIN_ORACLE),
-    "shuffle_shards": (_q_shuffle, _SHUFFLE_ORACLE),
-    "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
-    "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
-    # --- green in r15 (freshest evidence): behind the rotation head;
-    # these 50 re-enter the window in r17. Sub-block order kept from
-    # the r15 window. ---
+    # from the r15 window. ---
     "bpe_train_encode": (_q_bpe_train_encode, _BPE_TRAIN_ENCODE_ORACLE),
     "gopher_filter": (_q_gopher_filter, _GOPHER_FILTER_ORACLE),
     "transform_with_state_fold": (_q_transform_with_state, _TRANSFORM_WITH_STATE_ORACLE),
@@ -3257,7 +3206,59 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
     "kmeans_centroids": (_q_kmeans_centroids, _KMEANS_CENTROIDS_ORACLE),
     "scrub_text": (_q_scrub, _SCRUB_ORACLE),
-
+    # --- green in r16 (freshest evidence): behind the rotation head;
+    # these 50 re-enter the window in r18. Sub-block order kept from
+    # the r16 window. ---
+    "ann_lsh_banded": (_q_ann_lsh_banded, _ANN_LSH_BANDED_ORACLE),
+    "neardup_banded": (_q_neardup_banded, _NEARDUP_BANDED_ORACLE),
+    "freq_items_priority": (_q_freq_items, _FREQ_ITEMS_ORACLE),
+    "profile_persist_lineitem": (_q_profile_persist, _PROFILE_PERSIST_ORACLE),
+    "intersect_except_custkeys": (_q_intersect_except, _INTERSECT_EXCEPT_ORACLE),
+    "vec_project_embeddings": (_q_vec_project, _vec_project_oracle()),
+    "substring_dedup_prep": (_q_substring_dedup, _SUBSTRING_DEDUP_ORACLE),
+    "asof_join_tolerance": (_q_asof_join, _ASOF_JOIN_ORACLE),
+    "histogram_log_chars": (_q_histogram, _HISTOGRAM_ORACLE),
+    "lm_ppl_kn": (_q_lm_kn, _LM_KN_ORACLE),
+    "pmi_collocations": (_q_pmi, _PMI_ORACLE),
+    "bpe_pair_counts": (_q_bpe_pairs, _BPE_PAIRS_ORACLE),
+    "tfidf_topk_terms": (_q_tfidf_topk, _TFIDF_TOPK_ORACLE),
+    "cooccurrence_window": (_q_cooccurrence, _COOCCURRENCE_ORACLE),
+    "chunk_overlap": (_q_chunk, _CHUNK_ORACLE),
+    "sentence_split": (_q_sentence_split, _SENTENCE_SPLIT_ORACLE),
+    "lsh_join_verified": (_q_lsh_join_verified, _LSH_JOIN_VERIFIED_ORACLE),
+    "dist_shift_js": (_q_dist_shift, _DIST_SHIFT_ORACLE),
+    "lm_ppl_frozen": (_q_lm_frozen, _LM_FROZEN_ORACLE),
+    "containment_pairs": (_q_containment_pairs, _CONTAINMENT_ORACLE),
+    "bm25_scores": (_q_bm25, _BM25_ORACLE),
+    "quantile_summary": (_q_quantile_summary, _QUANTILE_ORACLE),
+    "doc_entropy": (_q_entropy, _ENTROPY_ORACLE),
+    "mix_sources": (_q_mix_sources, _MIX_ORACLE),
+    "sessionize_events": (_q_sessionize, _SESSIONIZE_ORACLE),
+    "hash_split": (_q_hash_split, _HASH_SPLIT_ORACLE),
+    "cap_per_group": (_q_cap_per_group, _CAP_PER_GROUP_ORACLE),
+    "q1_pricing_summary": (_q_q1, _Q1_ORACLE),
+    "q5_local_supplier_revenue": (_q_q5, _Q5_ORACLE),
+    "wordcount": (_q_wordcount, _WORDCOUNT_ORACLE),
+    "filter_highqty": (_q_filter, _FILTER_ORACLE),
+    "classify_quality": (_q_classify, _CLASSIFY_ORACLE),
+    "map_values_net": (_q_map_values, _MAP_VALUES_ORACLE),
+    "select_key_count": (_q_select_key, _SELECT_KEY_ORACLE),
+    "flat_map_pairs": (_q_flat_map, _FLAT_MAP_ORACLE),
+    "branch_orders": (_q_branch, _BRANCH_ORACLE),
+    "merge_event_types": (_q_merge, _MERGE_ORACLE),
+    "table_latest_event": (_q_table_latest, _TABLE_LATEST_ORACLE),
+    "table_regroup": (_q_table_regroup, _TABLE_REGROUP_ORACLE),
+    "reduce_sum_by_user": (_q_reduce, _REDUCE_ORACLE),
+    "aggregate_orders": (_q_aggregate, _AGGREGATE_ORACLE),
+    "windowed_count": (_q_windowed_count, _WINDOWED_COUNT_ORACLE),
+    "transform_with_state_ttl": (_q_transform_with_state_ttl, _TRANSFORM_WITH_STATE_TTL_ORACLE),
+    "session_count": (_q_session_count, _SESSION_COUNT_ORACLE),
+    "anomaly_detection": (_q_anomaly, _ANOMALY_ORACLE),
+    "join_stream_table": (_q_join_stream_table, _JOIN_STREAM_TABLE_ORACLE),
+    "left_join_counts": (_q_left_join, _LEFT_JOIN_ORACLE),
+    "shuffle_shards": (_q_shuffle, _SHUFFLE_ORACLE),
+    "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
+    "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
 }
 
 

@@ -55,6 +55,45 @@ def _calibration_seconds(spark, passes: int = 4) -> float:
     return round(best, 3)
 
 
+def _calibration_py_seconds(spark, passes: int = 4) -> float:
+    """Python-stage constant-work calibration row (VERDICT r16 #2): the
+    JVM-only `_calibration_seconds` is structurally blind to
+    Python-worker contention — the r16 driver artifact read heat 1.00
+    while every applyInPandas/Arrow-stage row ran 2-3x slow. This row
+    routes fixed work through the same JVM->Arrow->Python->JVM boundary
+    those rows pay: 32 tasks x 256k rows each (Arrow-batched at the
+    session default) through one mapInPandas doing a small fixed NumPy
+    reduction per batch. No file
+    I/O, no shuffle, no data dependence — the number moves ONLY with
+    host speed and Python-worker scheduling pressure. Pinned alongside
+    `calib` in docs/PERF_BASELINE.md; scripts/pin_check.py prints both
+    heat factors."""
+
+    def _work(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            a = pdf["id"].to_numpy(dtype="int64")
+            # fixed per-batch arithmetic: enough NumPy work that the
+            # reading tracks Python-worker CPU share, not just transfer
+            x = (a * 2654435761) ^ (a >> 7)
+            for _ in range(8):
+                x = (x * 6364136223846793005 + 1442695040888963407) ^ (x >> 13)
+            yield pdf.iloc[:1].assign(id=int(x.sum()) & 0x7FFFFFFF)
+
+    df = (
+        spark.range(0, 32 * 262_144, 1, 32)
+        .mapInPandas(_work, "id long")
+    )
+    df.write.mode("overwrite").format("noop").save()  # untimed warm
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def _stream_bench(spark, sf_dir: str) -> dict:
     """Streaming throughput (rows/s, higher is better) over the three
     stateful streaming paths with no batch analog: the fake-kafka
@@ -487,6 +526,7 @@ def main() -> None:
     # (observed: 1.351 in one session window vs 0.76-0.89 steady state),
     # while a genuinely hot session reads hot at both ends
     calib = _calibration_seconds(spark)
+    calib_py = _calibration_py_seconds(spark)
 
     # multiple passes, per-query min: the container's virtualized CPU makes
     # first-execution JIT cost noisy, and external load on the shared host
@@ -509,6 +549,7 @@ def main() -> None:
             per_query[name] = round(min(dt, prev) if prev is not None and prev == prev else dt, 3)
     total = sum(v for v in per_query.values() if v == v)
     calib = min(calib, _calibration_seconds(spark))
+    calib_py = min(calib_py, _calibration_py_seconds(spark))
 
     streaming = {}
     if os.environ.get("BENCH_STREAMING", "1") != "0":
@@ -532,7 +573,7 @@ def main() -> None:
             json.dump(
                 {"metric": "suite_seconds", "value": round(total, 3),
                  "unit": "sec", "sf": sf, "n_queries": len(per_query),
-                 "calib": calib,
+                 "calib": calib, "calib_py": calib_py,
                  "queries": {k: (v if v == v else None)
                              for k, v in per_query.items()},
                  "streaming": streaming, "skew": skew},
@@ -542,12 +583,13 @@ def main() -> None:
         print(f"bench: could not write {full_path}: {e}", file=sys.stderr)
 
     for line in format_output_lines(total, per_query, streaming, sf, skew=skew,
-                                    calib=calib):
+                                    calib=calib, calib_py=calib_py):
         print(line)
 
 
 def format_output_lines(total, per_query, streaming, sf, budget: int = 1900,
-                        skew: dict | None = None, calib: float | None = None):
+                        skew: dict | None = None, calib: float | None = None,
+                        calib_py: float | None = None):
     """The driver-facing output contract, testable in isolation.
 
     The driver keeps only the LAST ~2000 chars of stdout and parses the
@@ -590,6 +632,10 @@ def format_output_lines(total, per_query, streaming, sf, budget: int = 1900,
             # it is what makes the rest of the line adjudicable): read
             # against the pin in docs/PERF_BASELINE.md 'Calibration'
             d["calib"] = calib
+        if calib_py is not None:
+            # Python-boundary twin of calib (r17): adjudicates
+            # Python-worker contention the JVM row cannot see
+            d["calib_py"] = calib_py
         if degraded:
             # every per-query number (plus streaming/skew) is in this
             # repo artifact, rewritten on each bench run

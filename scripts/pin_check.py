@@ -33,12 +33,15 @@ def load_pins():
     subset still sourced at the r01/r02 epoch (note begins 'r01' or
     'r02 local' with no later re-measure note), and the calibration
     pin ('Calibration pin: X') or None."""
-    pins, stale, calib_pin = {}, [], None
+    pins, stale, calib_pin, calib_py_pin = {}, [], None, None
     with open(os.path.join(HERE, "docs", "PERF_BASELINE.md")) as f:
         for line in f:
             c = re.search(r"Calibration pin:\s*([0-9.]+)", line)
             if c:
                 calib_pin = float(c.group(1))
+            cp = re.search(r"Python-stage calibration pin:\s*([0-9.]+)", line)
+            if cp:
+                calib_py_pin = float(cp.group(1))
             m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|(.*)\|", line)
             if not m:
                 continue
@@ -52,7 +55,7 @@ def load_pins():
             if re.match(r"\s*r0[12]\b", note) and "re-pin" not in note \
                     and "re-measure" not in note and "adjudicat" not in note:
                 stale.append(name)
-    return pins, stale, calib_pin
+    return pins, stale, calib_pin, calib_py_pin
 
 
 def main():
@@ -61,7 +64,7 @@ def main():
     with open(path) as f:
         bench = json.load(f)
     queries = bench.get("queries") or {}
-    pins, stale_epoch, calib_pin = load_pins()
+    pins, stale_epoch, calib_pin, calib_py_pin = load_pins()
 
     rows = []
     for name, sec in sorted(queries.items()):
@@ -88,6 +91,14 @@ def main():
               f"factor {heat:.2f}")
     elif calib is not None:
         print(f"calibration: {calib}s (no pin in PERF_BASELINE.md yet)")
+    calib_py = bench.get("calib_py")
+    if calib_py is not None and calib_py_pin:
+        print(f"py calibration: {calib_py}s vs pin {calib_py_pin}s -> "
+              f"Python-worker heat factor {calib_py / calib_py_pin:.2f} "
+              "(adjudicates Arrow/pandas-stage rows the JVM calib "
+              "cannot see)")
+    elif calib_py is not None:
+        print(f"py calibration: {calib_py}s (no pin in PERF_BASELINE.md yet)")
     print(f"pinned rows compared: {len(ratios)}")
     if ratios:
         import statistics
