@@ -42,11 +42,21 @@ def _tune(spark: SparkSession) -> SparkSession:
     """Runtime-settable engine conf for driver-owned sessions (JVM flags
     like the code-cache size can only help our own get_spark sessions)."""
     if id(spark) not in _TUNED:
+        # shuffle width follows the session's actual parallelism (the
+        # driver benches at MORE THAN ONE core count): a constant tuned
+        # for local[32] under-parallelizes nothing but over-splits a
+        # smaller session; AQE coalescing absorbs the small-partition
+        # side either way. On a real cluster this resolves to 2-3x
+        # executor cores via defaultParallelism, the documented posture.
+        try:
+            width = max(spark.sparkContext.defaultParallelism, 8)
+        except Exception:
+            width = 32
         for k, v in {
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.coalescePartitions.enabled": "true",
             "spark.sql.adaptive.skewJoin.enabled": "true",
-            "spark.sql.shuffle.partitions": "32",
+            "spark.sql.shuffle.partitions": str(width),
             "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         }.items():
             try:
@@ -2869,9 +2879,13 @@ def _q_transform_with_state_ttl(spark, sf):
     fallback of VERDICT r15 #5): driver evidence for the StatefulProcessor
     handle surface the fold row doesn't touch —
 
-    - TTL-accepting state registration (``ttl_duration_ms`` on value and
-      map state; in batch the state lifetime is one group, so any TTL is
-      trivially satisfied — the native path forwards the same argument),
+    - TTL-accepting state registration (``ttlDurationMs`` — the NATIVE
+      PySpark StatefulProcessorHandle spelling — on value and map state;
+      in batch the state lifetime is one group, so any TTL is trivially
+      satisfied. Caveat (ADVICE r16): native Spark REJECTS TTL configs
+      under timeMode 'none', so on a protobuf-equipped native path this
+      registration surface is exercisable only under processing-time
+      mode; the shim accepts it as the batch-lifecycle stand-in),
     - ``deleteIfExists`` mid-group,
     - the timeMode-'none' timer contract asserted INSIDE the processor
       (``listTimers`` empty, ``deleteTimer`` a no-op,
@@ -2889,11 +2903,11 @@ def _q_transform_with_state_ttl(spark, sf):
     class PerType(StatefulProcessor):
         def init(self, handle):
             self.per_type = handle.getMapState(
-                "per_type", "t string", "n bigint", ttl_duration_ms=60_000)
+                "per_type", "t string", "n bigint", ttlDurationMs=60_000)
             self.cents = handle.getMapState(
-                "cents", "t string", "s bigint", ttl_duration_ms=60_000)
+                "cents", "t string", "s bigint", ttlDurationMs=60_000)
             self.scratch = handle.getValueState(
-                "scratch", "x bigint", ttl_duration_ms=1)
+                "scratch", "x bigint", ttlDurationMs=1)
             self._handle = handle
 
         def handleInputRows(self, key, rows, timer_values):

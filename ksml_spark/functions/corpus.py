@@ -1476,6 +1476,37 @@ def op_classify(ctx: Ctx, rel: Rel, *rest) -> Rel:
                 f"classify weights relation needs column {c!r} "
                 f"(have {wrel.df.columns})"
             )
+    # the frozen-dict mode's model-size refusal, mirrored (ADVICE r16):
+    # duplicate bucket rows would multiply exploded grams through the
+    # join — silently inflating n_feats and score — and a table larger
+    # than the hashed feature space is the same mis-built model the
+    # len(frozen) > buckets check refuses. One bounded agg job at
+    # construction (the weight table is model-sized by contract).
+    # checked on the CASTED bucket — the value the join actually keys on
+    wn = wrel.df.select(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.col(bcol).cast("long")).alias("__nb"),
+        F.count_distinct(F.col(bcol).cast("long")).alias("__d"),
+    ).collect()[0]
+    if wn["__n"] > buckets:
+        raise ArityError(
+            f"classify weights relation has {wn['__n']} rows for "
+            f"buckets={buckets} — the hashed feature space has only "
+            f"{buckets} buckets; raise 'buckets' or shrink the model"
+        )
+    if wn["__n"] != wn["__nb"]:
+        raise ArityError(
+            f"classify weights relation has {wn['__n'] - wn['__nb']} "
+            f"NULL {bcol!r} row(s) — a NULL bucket never matches any "
+            "gram; drop or fix those rows upstream"
+        )
+    if wn["__nb"] != wn["__d"]:
+        raise ArityError(
+            f"classify weights relation has duplicate {bcol!r} rows "
+            f"({wn['__nb']} rows, {wn['__d']} distinct buckets) — each "
+            "duplicate multiplies that bucket's grams through the join, "
+            "silently inflating n_feats and score; deduplicate upstream"
+        )
     wtab = F.broadcast(
         wrel.df.select(
             F.col(bcol).cast("long").alias("__b"),

@@ -32,7 +32,19 @@ from .stateless import Named, key_result
 
 def _ms_to_interval(ms) -> str:
     if isinstance(ms, str):
-        return ms  # already an interval string
+        # already an interval string — but refuse a ZERO one here, the
+        # size consumption site (ADVICE r16: op_duration now allows
+        # "PT0S" because zero grace is legal — Kafka's
+        # ofSizeAndGrace(size, ZERO), Spark's 0-delay watermark — so the
+        # zero-size guard moves to where sizes are actually taken)
+        import re
+
+        if re.fullmatch(r"\s*0+\s*[a-z]+\s*", ms, re.IGNORECASE):
+            raise ArityError(
+                f"window size must be a positive interval, got {ms!r} "
+                "(a zero-width window matches nothing)"
+            )
+        return ms
     if not isinstance(ms, (int, float)) or isinstance(ms, bool):
         raise ArityError(
             f"window size must be milliseconds or an interval string, got {ms!r}"
@@ -107,11 +119,13 @@ def op_duration(ctx: Ctx, iso: str) -> str:
         )
     total_ms = (int(d) * 86400 + int(h) * 3600 + int(mi) * 60) * 1000
     total_ms += int(round(s_ms))
-    if total_ms <= 0:
-        raise ArityError(
-            f"duration must be positive, got {iso!r} — omit the "
-            "grace/retention option instead of passing a zero duration"
-        )
+    # zero is LEGAL here (ADVICE r16): PT0S is Kafka Streams'
+    # ofSizeAndGrace(size, ZERO) and a meaningful 0-delay Spark
+    # watermark — and omitting grace is NOT equivalent in streaming (no
+    # watermark at all means unbounded state). Zero window/advance/gap
+    # SIZES still refuse, at the consumption site (_ms_to_interval).
+    if total_ms == 0:
+        return "0 seconds"
     if total_ms % 1000 == 0:
         return f"{total_ms // 1000} seconds"
     return f"{total_ms} milliseconds"

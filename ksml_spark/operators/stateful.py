@@ -247,14 +247,23 @@ class _ShimHandle:
     def __init__(self) -> None:
         self._states: dict = {}
 
-    def getValueState(self, state_name: str, schema=None, ttl_duration_ms=None):
+    # ttlDurationMs is the NATIVE PySpark spelling
+    # (StatefulProcessorHandle.getValueState(stateName, schema,
+    # ttlDurationMs)); the snake_case alias is kept for callers written
+    # against older shim revisions (ADVICE r16) — a processor using the
+    # native spelling must run unchanged on both paths.
+
+    def getValueState(self, state_name: str, schema=None, ttl_duration_ms=None,
+                      ttlDurationMs=None):
         return self._states.setdefault(state_name, _ShimValueState())
 
-    def getListState(self, state_name: str, schema=None, ttl_duration_ms=None):
+    def getListState(self, state_name: str, schema=None, ttl_duration_ms=None,
+                     ttlDurationMs=None):
         return self._states.setdefault(state_name, _ShimListState())
 
     def getMapState(self, state_name: str, user_key_schema=None,
-                    value_schema=None, ttl_duration_ms=None):
+                    value_schema=None, ttl_duration_ms=None,
+                    ttlDurationMs=None):
         return self._states.setdefault(state_name, _ShimMapState())
 
     def deleteIfExists(self, state_name: str) -> None:

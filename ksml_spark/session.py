@@ -28,7 +28,13 @@ DEFAULT_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     # generous broadcast threshold: all dims in the star schema are small
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "32",
+    # shuffle width follows the configured core count (SPARK_GRAFT_CPUS)
+    # instead of a constant tuned for local[32]: the bench harness runs
+    # at more than one core count, and on a real cluster this is the
+    # knob to set ~2-3x total executor cores (or leave higher and let
+    # AQE coalesce). Floor of 8 keeps toy sessions from degenerating.
+    "spark.sql.shuffle.partitions": str(
+        max(int(os.environ.get("SPARK_GRAFT_CPUS") or 32), 8)),
     "spark.ui.enabled": "false",
     # local[32] runs driver + all executor threads in ONE heap: broadcasts,
     # shuffle buffers, and codegen classes for a 50-query suite accumulate,

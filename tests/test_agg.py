@@ -383,22 +383,24 @@ def test_sessionize_labels_match_session_window_aggregation(spark, tables):
 
 
 def test_duration_subsecond_and_zero_refusals(spark):
-    """The r15-verdict falsy-zero finish: sub-second durations emit
-    milliseconds instead of truncating to a silent zero interval, zero
-    and sub-millisecond durations refuse curatedly, and window sizes
-    refuse zero/negative/fractional milliseconds at construction."""
+    """The r15-verdict falsy-zero finish, amended per ADVICE r16:
+    sub-second durations emit milliseconds instead of truncating to a
+    silent zero interval; ZERO durations are now legal (PT0S is Kafka's
+    ofSizeAndGrace(size, ZERO) and a meaningful 0-delay watermark —
+    omitting grace is NOT equivalent in streaming); sub-millisecond
+    durations refuse curatedly; and window SIZES refuse zero/negative/
+    fractional at the consumption site — including a zero duration
+    STRING fed in as a size."""
     from ksml_spark.errors import ArityError
 
     assert ksml(["duration", "PT0.5S"], spark=spark) == "500 milliseconds"
     assert ksml(["duration", "PT1.25S"], spark=spark) == "1250 milliseconds"
     assert ksml(["duration", "PT2.0S"], spark=spark) == "2 seconds"
-    with pytest.raises(ArityError, match="duration must be positive"):
-        ksml(["duration", "PT0S"], spark=spark)
-    with pytest.raises(ArityError, match="duration must be positive"):
-        ksml(["duration", "P0D"], spark=spark)
+    assert ksml(["duration", "PT0S"], spark=spark) == "0 seconds"
+    assert ksml(["duration", "P0D"], spark=spark) == "0 seconds"
     with pytest.raises(ArityError, match="sub-millisecond"):
         ksml(["duration", "PT0.0005S"], spark=spark)
-    for bad in (0, -1000, 0.5):
+    for bad in (0, -1000, 0.5, "0 seconds", "0 milliseconds"):
         with pytest.raises(ArityError, match="window size must be"):
             ksml(["time-window", bad], spark=spark)
     with pytest.raises(ArityError, match="window size must be"):
@@ -407,6 +409,10 @@ def test_duration_subsecond_and_zero_refusals(spark):
         ksml(["session-window", -5], spark=spark)
     with pytest.raises(ArityError, match="window size must be"):
         ksml(["join-window", 0], spark=spark)
+    # a zero-duration string produced by op_duration refuses as a SIZE
+    with pytest.raises(ArityError, match="window size must be"):
+        ksml(["time-window", ksml(["duration", "PT0S"], spark=spark)],
+             spark=spark)
 
 
 def test_hopping_count_is_rolling_sum_of_tumbling(spark, tables):

@@ -1904,3 +1904,30 @@ def test_classify_option_errors_and_plan(spark):
     out = pipe(["classify", docs, wrel, {"buckets": 16}], spark=spark).df
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_classify_relational_weights_validation(spark):
+    """ADVICE r16: relational-mode weight tables are validated like the
+    frozen dict — duplicate bucket rows (which would multiply exploded
+    grams through the join, silently inflating n_feats and score), NULL
+    buckets, and tables larger than the hashed feature space all refuse
+    at construction instead of producing silent-wrong scores."""
+    docs = ["stream", _docs(spark, [(1, "a b c")]), {"key": "doc_id"}]
+
+    dup = ["stream", spark.createDataFrame(
+        [(0, 0.1), (0, 0.2), (1, 0.3)], "bucket long, weight double"),
+        {"key": "bucket"}]
+    with pytest.raises(ArityError, match="duplicate 'bucket' rows"):
+        pipe(["classify", docs, dup, {"buckets": 16}], spark=spark)
+
+    nullb = ["stream", spark.createDataFrame(
+        [(None, 0.1), (1, 0.3)], "bucket long, weight double"),
+        {"key": "bucket"}]
+    with pytest.raises(ArityError, match="NULL 'bucket' row"):
+        pipe(["classify", docs, nullb, {"buckets": 16}], spark=spark)
+
+    big = ["stream", spark.createDataFrame(
+        [(i, 0.1) for i in range(3)], "bucket long, weight double"),
+        {"key": "bucket"}]
+    with pytest.raises(ArityError, match="has 3 rows for buckets=2"):
+        pipe(["classify", docs, big, {"buckets": 2}], spark=spark)

@@ -303,6 +303,27 @@ def test_transform_with_state_shim_state_kinds_and_streaming_refusal(
              spark=spark)
 
 
+def test_shim_handle_accepts_native_ttl_spelling():
+    """ADVICE r16: native PySpark's StatefulProcessorHandle takes
+    ``ttlDurationMs`` (camelCase); a processor written against the
+    native signature must run unchanged on the shim, and the shim's
+    older snake_case spelling stays accepted. Positional TTL (the
+    native third/fourth positional arg) works too."""
+    from ksml_spark.operators.stateful import _ShimHandle
+
+    h = _ShimHandle()
+    v1 = h.getValueState("a", "x bigint", ttlDurationMs=1000)
+    v2 = h.getValueState("b", "x bigint", ttl_duration_ms=1000)
+    v3 = h.getValueState("c", "x bigint", 1000)  # positional, native order
+    l1 = h.getListState("d", "x bigint", ttlDurationMs=1000)
+    m1 = h.getMapState("e", "t string", "c bigint", ttlDurationMs=1000)
+    m2 = h.getMapState("f", "t string", "c bigint", 1000)
+    for s in (v1, v2, v3, l1, m1, m2):
+        assert s is not None
+    # same name returns the same store regardless of spelling
+    assert h.getValueState("a", "x bigint", ttl_duration_ms=5) is v1
+
+
 def test_to_memory_sink_and_watermark_op(spark, events_path):
     out = pipe(
         events_stream(spark, events_path),
