@@ -2242,26 +2242,38 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     state — collected once per round (guarded by ``max_k``, default
     65536; a too-dense init fails loudly instead of materializing the
     corpus on the driver) and shipped back as one executor broadcast of
-    a K x dim float64 matrix. Assignment is an Arrow-batched pandas UDF:
-    one BLAS matmul (batch x K x dim) + argmax per Arrow batch, with
-    first-match-wins over ascending centroid ids reproducing the
-    (-sim, id) tie-break of kmeans-assign. Per round exactly ONE Spark
-    job over the corpus: scan -> assign -> hash agg whose shuffle
-    carries only K x (dim+1) partial cells — the corpus itself is never
-    shuffled (the previous crossJoin+min_by form re-shuffled every
-    (id, vector) row through the argmax groupBy each round, a full-data
-    exchange per iteration at 100 TB). Batch-only; no SQL oracle
-    (iterative) — covered by blob-recovery and SSE-descent tests
-    instead. Empty clusters drop (standard Lloyd; K can shrink).
-    Zero-norm / wrong-width / NULL vectors assign to no cluster and stay
-    out of the means (cosine undefined), matching kmeans-assign. Means
-    are float sums in shuffle order, so exact bits vary run-to-run —
-    consumers rank by cosine, where last-bit noise is immaterial."""
+    a K x dim float64 matrix. Per round exactly ONE Spark job over the
+    corpus: a ``mapInPandas`` pass that both ASSIGNS (one BLAS matmul
+    (batch x K x dim) + argmax per Arrow batch, first-match-wins over
+    ascending centroid ids reproducing the (-sim, id) tie-break of
+    kmeans-assign) and PARTIALLY AGGREGATES — per-task per-cluster
+    (sum-vector, count) accumulators — so each task emits at most
+    K x (dim+1) partial cells, merged by one tiny posexplode+sum
+    aggregation whose collect is K x (dim+1) rows, bounded. The corpus
+    itself is never shuffled, and the round job carries no corpus-wide
+    Arrow return column (r17: the previous shape returned a per-row
+    assignment through ArrowEvalPython into a 64-wide dim-unrolled
+    avg aggregate — same shuffle bytes, but the per-round driver cost
+    of analyzing/codegen-launching the 130-buffer agg plan measured
+    1.71s vs 0.38s for the fused partials pass at sf0.1, a 4.5x
+    per-round win; see OPTIMIZATION_r17.md).
+
+    ``{"epsilon": e}`` (r17, default off): stop early when every
+    surviving centroid's mean moved less than ``e`` in L2 — converged
+    corpora stop paying the remaining rounds (each round is a full
+    corpus scan at 100 TB). ``e`` = 0.0 stops only on exact fixpoint.
+
+    Batch-only; no SQL oracle (iterative) — covered by blob-recovery
+    and SSE-descent tests instead. Empty clusters drop (standard Lloyd;
+    K can shrink). Zero-norm / wrong-width / NULL / non-finite vectors
+    assign to no cluster and stay out of the means (cosine undefined),
+    matching kmeans-assign. Means are float sums in scan order, so
+    exact bits vary run-to-run — consumers rank by cosine, where
+    last-bit noise is immaterial."""
     from ..errors import ArityError
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
     opts = _opts(rest)
@@ -2280,6 +2292,11 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # (the kmeans-refined-IVF baseline path) — lo=0, not lo=1
     iters = int_opt(opts, "iters", "kmeans-centroids", 5, lo=0)
     max_k = int_opt(opts, "max_k", "kmeans-centroids", 65536, lo=1)
+    epsilon = float_opt(opts, "epsilon", "kmeans-centroids")
+    if epsilon is not None and epsilon < 0:
+        raise ArityError(
+            f"kmeans-centroids epsilon must be >= 0, got {epsilon}"
+        )
     if dim < 1:
         raise ArityError(f"kmeans-centroids: dim must be >= 1, got {dim}")
     init = opts.get("init") or opts.get("centroids")
@@ -2299,7 +2316,13 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         raise ArityError("kmeans-centroids is batch-only")
 
     prepared = _prepared(rel, idc, vecc, dim)
-    vecs = _spread(prepared).localCheckpoint() if iters > 0 else prepared
+    # lazy: the init collect below is the first action, so the
+    # checkpoint materializes inside it instead of paying its own
+    # up-front job (r17 A/B: eager 0.42s vs lazy 0.35s for checkpoint +
+    # first use; MEMORY_AND_DISK persist ties lazy but keeps full
+    # lineage in every round plan — the truncated plan is the point)
+    vecs = (_spread(prepared).localCheckpoint(eager=False)
+            if iters > 0 else prepared)
     # cluster ids come from the INIT side (a warm-start relation may
     # carry a different id type than the corpus key)
     init_src = (
@@ -2340,56 +2363,88 @@ def op_kmeans_centroids(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     )
 
     sc = ctx.spark.sparkContext
+    corpus = vecs.select("__v")  # partials need only the vector column
     for _ in range(iters):
         usable = [(c, v) for c, v, _ in state
                   if v is not None and v.shape == (dim,) and float(np.linalg.norm(v)) > 0.0]
         if not usable:
             state = []  # every centroid degenerate -> nothing assignable
             break
+        # ascending cid order so the per-batch argmax's first-match-wins
+        # reproduces the (-sim, smallest-id) tie-break of kmeans-assign
         cids = [c for c, _ in usable]
         cmat = np.vstack([v for _, v in usable])
         cmat = cmat / np.linalg.norm(cmat, axis=1)[:, None]
-        bc = sc.broadcast((cids, cmat))
+        bc = sc.broadcast(cmat)
 
-        @pandas_udf(cid_type)
-        def _assign(vs):
-            cids_, cn = bc.value
-            arrs = vs.to_numpy()
-            res = np.full(len(arrs), None, dtype=object)
-            ok = np.fromiter(
-                (a is not None and len(a) == cn.shape[1] for a in arrs),
-                dtype=bool, count=len(arrs),
-            )
-            if ok.any():
-                mat = np.vstack([np.asarray(a, dtype=np.float64) for a in arrs[ok]])
-                picks = np.asarray(cids_, dtype=object)[(mat @ cn.T).argmax(axis=1)]
-                # NaN/Inf components would make argmax pick arbitrarily and
-                # poison that cluster's mean — exclude them like zero-norm
-                # vectors (the documented NULL/degenerate behavior)
-                bad = ~np.isfinite(mat).all(axis=1)
-                bad |= np.linalg.norm(mat, axis=1) == 0.0
-                picks[bad] = None
-                res[ok] = picks
-            return pd.Series(res)
+        def _partials(batches, _bc=bc, _dim=dim):
+            # fused assign + per-task partial aggregation: one BLAS
+            # matmul + argmax per Arrow batch, accumulated into
+            # K x (dim+1) per-task cells — the task emits its partials
+            # ONCE, so neither a per-row assignment column nor any
+            # corpus-sized relation crosses the Python boundary back
+            cn = _bc.value
+            k = cn.shape[0]
+            sums = np.zeros((k, _dim), dtype=np.float64)
+            cnts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                arrs = pdf["__v"].to_numpy()
+                ok = np.fromiter(
+                    (a is not None and len(a) == _dim for a in arrs),
+                    dtype=bool, count=len(arrs),
+                )
+                if not ok.any():
+                    continue
+                mat = np.vstack(
+                    [np.asarray(a, dtype=np.float64) for a in arrs[ok]])
+                # NaN/Inf components would make argmax pick arbitrarily
+                # and poison that cluster's mean — exclude them like
+                # zero-norm vectors (the documented NULL/degenerate
+                # behavior, identical to kmeans-assign)
+                good = np.isfinite(mat).all(axis=1)
+                good &= np.linalg.norm(mat, axis=1) > 0.0
+                if not good.any():
+                    continue
+                mat = mat[good]
+                picks = (mat @ cn.T).argmax(axis=1)
+                np.add.at(sums, picks, mat)
+                np.add.at(cnts, picks, 1)
+            live = np.nonzero(cnts)[0]
+            if len(live):
+                yield pd.DataFrame({
+                    "ci": live.astype("int32"),
+                    # count rides as cell dim (exact in a double far past
+                    # any real row count), so ONE exploded sum merges
+                    # sums and counts together
+                    "s": [sums[i].tolist() + [float(cnts[i])] for i in live],
+                })
 
-        mean_rows = (
-            vecs.withColumn("__cid", _assign(F.col("__v")))
-            .filter(F.col("__cid").isNotNull())
-            .groupBy("__cid")
-            .agg(
-                *[F.avg(F.col("__v").getItem(i)).alias(f"__m{i}") for i in range(dim)],
-                F.count(F.lit(1)).alias("__cnt"),
-            )
-            .collect()  # K rows — same bounded state that was broadcast
+        cell_rows = (
+            corpus.mapInPandas(_partials, "ci int, s array<double>")
+            .select("ci", F.posexplode("s").alias("pos", "v"))
+            .groupBy("ci", "pos")
+            .agg(F.sum("v").alias("v"))
+            .collect()  # K x (dim+1) rows — bounded driver state
         )
         bc.unpersist()
-        state = sorted(
-            ((r["__cid"],
-              np.asarray([r[f"__m{i}"] for i in range(dim)], dtype=np.float64),
-              int(r["__cnt"]))
-             for r in mean_rows),
-            key=lambda t: (t[0] is None, t[0]),
-        )
+        cells: dict = {}
+        for r in cell_rows:
+            cells.setdefault(r["ci"], {})[r["pos"]] = r["v"]
+        new_state = []
+        for ci, by_pos in cells.items():
+            n = int(by_pos[dim])
+            mean = np.asarray(
+                [by_pos[i] for i in range(dim)], dtype=np.float64) / n
+            new_state.append((cids[ci], mean, n))
+        prev = {c: v for c, v, _ in state}
+        state = sorted(new_state, key=lambda t: (t[0] is None, t[0]))
+        if epsilon is not None and state and len(state) == len(prev) and all(
+            prev.get(c) is not None
+            and prev[c].shape == v.shape
+            and float(np.linalg.norm(v - prev[c])) <= epsilon
+            for c, v, _ in state
+        ):
+            break  # converged: K stable and every centroid moved <= epsilon
     if iters > 0:
         vecs.unpersist()
 

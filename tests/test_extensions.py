@@ -1193,6 +1193,38 @@ def test_kmeans_centroids_nonfinite_vectors_assign_nowhere(spark):
     assert cents[5] == ([0.0, 10.0], 5)
 
 
+def test_kmeans_centroids_epsilon_early_exit(spark):
+    """r17: {'epsilon': e} stops Lloyd when K is stable and every
+    centroid moved <= e in L2 — a converged corpus stops paying full
+    corpus scans. With a huge epsilon the loop exits after round 1, so
+    the result must equal iters=1 exactly (same assignments, same
+    counts, same means up to float-order); with epsilon absent the
+    behavior is unchanged (the registry row's contract)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, (np.array([5.0, 0, 0] if i % 2 else [0, 5.0, 0])
+                 + rng.normal(0, 0.1, 3)).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(**kw):
+        out = ksml(["kmeans-centroids", ["stream", df, {"key": "vec_id"}],
+                    {"id": "vec_id", "vec": "embedding", "dim": 3,
+                     "init": "vec_id in (0, 1)", **kw}], spark=spark).df
+        return {r["cluster"]: (r["n"], tuple(round(x, 9) for x in r["centroid"]))
+                for r in out.collect()}
+
+    one = run(iters=1)
+    eager = run(iters=6, epsilon=1e9)
+    assert eager == one  # exited after the first round
+    # epsilon=0 (exact fixpoint) still converges on this separable
+    # corpus within 6 rounds and matches the no-epsilon run
+    assert run(iters=6, epsilon=0.0) == run(iters=6)
+    from ksml_spark.errors import ArityError
+    with pytest.raises(ArityError, match="epsilon must be >= 0"):
+        run(iters=2, epsilon=-0.5)
+
+
 def test_kmeans_refined_ivf_sse_not_worse(spark, tables):
     """Lloyd iterations must not increase within-cluster cosine
     dissimilarity vs the raw sampled centroids (descent property)."""
