@@ -534,6 +534,8 @@ def main() -> None:
     # steady state
     passes = int(os.environ.get("BENCH_PASSES", "3"))
     per_query: dict[str, float] = {}
+    from ksml_spark.operators.util import release_pinned
+
     for _ in range(passes):
         for name, fn in entrymod.queries().items():
             t0 = time.time()
@@ -543,6 +545,19 @@ def main() -> None:
             except Exception as e:
                 print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
                 dt = float("nan")
+            finally:
+                # explicit unpersist schedule (r17, VERDICT r16 #7):
+                # operator pins (DISK_ONLY signature/postings/members
+                # relations) must not leak into the NEXT timed
+                # invocation — Spark's CacheManager substitutes a live
+                # cached subtree into any later plan that embeds the
+                # same logical plan, so without this release pass 2+
+                # would time a cache read instead of the query (the r01
+                # stale-pin artifact class), while the pin-cap eviction
+                # churn under 100-query storage pressure inflated other
+                # rows (the profile_persist class). Outside the timer:
+                # the release is bookkeeping, not query cost.
+                release_pinned()
             prev = per_query.get(name)
             if dt != dt and prev is not None and prev == prev:
                 continue  # a failed later pass must not clobber a real time

@@ -798,14 +798,39 @@ def op_lsh_join(ctx: Ctx, left: Rel, right: Rel, *rest) -> KStreamRel:
                 .select(out_a, "__ta", out_b, *[F.col(c) for c in lkeep])
             )
         else:
-            # spread: the per-shingle md5 token-set build is the heavy
-            # stage and a small parquet source scans as one split (the
-            # stage audit flagged both sides running single-task)
-            lt = spread(left.df).select(
-                F.col(idc).alias(out_a), _tok_ids(colc).alias("__ta")
+            # batch verify, restructured r17 (guide §8: decide with
+            # small rows, attach heavy bytes once): the deduped
+            # candidate set is PINNED once — bounded by candidate
+            # count, never corpus-sized — and drives a SEMI-JOIN
+            # reduction of BOTH token-set builds, so the per-shingle
+            # md5 tokenization runs only on docs that actually appear
+            # in a candidate pair instead of the whole corpus (the
+            # pre-r17 plan tokenized every doc on both sides and then
+            # broadcast the corpus-sized token relation into the tiny
+            # candidate join — backwards at 100 TB). spread: the
+            # token-set build is the heavy stage and a small parquet
+            # source scans as one split (stage-audit class).
+            from pyspark import StorageLevel
+
+            from .util import pin
+
+            pairs = pin(pairs, StorageLevel.MEMORY_AND_DISK)
+            ids_a = pairs.select(
+                F.col(out_a).alias("__lsh_semi_id")).distinct()
+            lt = (
+                spread(left.df)
+                .join(ids_a, F.col(idc) == F.col("__lsh_semi_id"), "semi")
+                .select(F.col(idc).alias(out_a), _tok_ids(colc).alias("__ta"))
             )
             cand = pairs.join(lt, out_a)
-        rt = spread(right.df).select(
+        if left.df.isStreaming:
+            rt_src = spread(right.df)
+        else:
+            ids_b = pairs.select(
+                F.col(out_b).alias("__lsh_semi_id")).distinct()
+            rt_src = spread(right.df).join(
+                ids_b, F.col(ridc) == F.col("__lsh_semi_id"), "semi")
+        rt = rt_src.select(
             F.col(ridc).alias(out_b), _tok_ids(rcolc).alias("__tb")
         )
         if left.df.isStreaming and not right.df.isStreaming:
