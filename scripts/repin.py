@@ -23,7 +23,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 import __spark_entry__ as entrymod  # noqa: E402
-from bench import _calibration_seconds  # noqa: E402
+from bench import _calibration_py_seconds, _calibration_seconds  # noqa: E402
 from ksml_spark import get_spark  # noqa: E402
 from ksml_spark.sources.files import TABLE_NAMES, load_table  # noqa: E402
 
@@ -35,7 +35,7 @@ def main() -> None:
         sys.path.insert(0, os.path.join(HERE, "scripts"))
         from pin_check import load_pins
 
-        _, names, _ = load_pins()
+        _, names, _, _ = load_pins()
         names = sorted(names)
 
     spark = get_spark(app_name="ksml-spark-repin")
@@ -47,6 +47,7 @@ def main() -> None:
     spark.range(256).repartition(32).mapInPandas(
         lambda it: it, "id long").write.mode("overwrite").format("noop").save()
     calib = _calibration_seconds(spark)
+    calib_py = _calibration_py_seconds(spark)
 
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -70,7 +71,8 @@ def main() -> None:
         except Exception as e:
             print(f"repin error in {name}: {type(e).__name__}: {e}",
                   file=sys.stderr)
-    print(json.dumps({"calib": calib, "sf_dir": sf_dir, "queries": out},
+    print(json.dumps({"calib": calib, "calib_py": calib_py,
+                      "sf_dir": sf_dir, "queries": out},
                      indent=1, sort_keys=True))
 
 

@@ -99,6 +99,11 @@ def test_bench_output_lines_stay_driver_parseable():
     big = format_output_lines(321.1, q, streaming, 0.1, calib=1.012)
     mc = js.loads(big[-1])
     assert mc["calib"] == 1.012 and len(big[-1]) <= 1900
+    # the Python-stage calibration twin (r17) survives degradation too
+    big2 = format_output_lines(321.1, q, streaming, 0.1, calib=1.012,
+                               calib_py=1.877)
+    mc2 = js.loads(big2[-1])
+    assert mc2["calib_py"] == 1.877 and len(big2[-1]) <= 1900
     # skew section rides on its own compact line; the metric line stays LAST
     lines3 = format_output_lines(1.0, {"q1": 1.234}, streaming, 0.01,
                                  skew={"jaccard_plain": 10.2, "agg_plain": 0.3})
