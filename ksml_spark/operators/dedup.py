@@ -1183,8 +1183,11 @@ def _index_estimate(
     # below would otherwise each re-run the limit (two scan+tokenize
     # jobs at plan time — measured as jaccard-pairs' auto-mode overhead)
     # over two potentially DIFFERENT non-deterministic samples, making
-    # f_max inconsistent with the count it divides by
-    base = base.localCheckpoint(eager=True)
+    # f_max inconsistent with the count it divides by. Lazy (r17): the
+    # size/avg agg directly below is a full scan, so its job doubles as
+    # the materialization — the consumers are sequential driver
+    # actions, so the single-sample guarantee is unchanged
+    base = base.localCheckpoint(eager=False)
     s = base.agg(
         F.avg("__b").alias("b"), F.avg(F.size("__t")).alias("n"),
         F.count(F.lit(1)).alias("c"),
@@ -1310,10 +1313,22 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     it, unlike plain label propagation whose every round joins all
     edges. Each round ``localCheckpoint``s: iterative self-referencing
     DataFrames otherwise compound their logical plan (persist caches
-    data, not analysis cost) until rounds take minutes. Batch-only by
-    design: streaming connected components needs incremental union-find
-    state, out of scope (run per micro-batch via foreach-batch if
-    needed)."""
+    data, not analysis cost) until rounds take minutes. Checkpoints
+    whose first consumer is a full-scan driver probe are LAZY (r17):
+    the probe's own job materializes them, so one Spark job serves as
+    both materialization and convergence test — an eager checkpoint
+    there pays a second job per pointer-doubling step purely for the
+    probe (measured 87-117 jobs/invocation on the chain/random skew
+    shapes before the fusion, 78-99 after — AQE splits each action into
+    per-stage jobs, so the probe job is the removable fraction; at
+    cluster scale each saved job is a saved driver barrier, ~10-20%
+    wall-clock on the CC-heavy rows locally). Relations read twice WITHIN
+    one job (the pair relation under the symmetric union, the
+    min-neighbor map under its self-join's two sides) stay EAGER:
+    concurrent stage tasks racing a lazy cache would compute them
+    twice. Batch-only by design: streaming connected components needs
+    incremental union-find state, out of scope (run per micro-batch
+    via foreach-batch if needed)."""
     opts = _opts(rest)
     a = opts.get("a", "doc_a")
     b = opts.get("b", "doc_b")
@@ -1328,13 +1343,16 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     pairs = rel.df.select(
         F.col(a).alias("__src"), F.col(b).alias("__dst")
     ).localCheckpoint()
+    # lazy: the labels aggregation below is a full scan, so its eager
+    # checkpoint job doubles as the edges materialization
     edges = (
         pairs.union(pairs.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # initial labels: min(self, direct neighbors) — src is the group key,
-    # so one hash aggregation over the edge list, no join
+    # so one hash aggregation over the edge list, no join; stays eager
+    # (its node->label map feeds BOTH remap branches concurrently)
     labels = (
         edges.groupBy("__src")
         .agg(F.least(F.first("__src"), F.min("__dst")).alias("__label"))
@@ -1365,16 +1383,24 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     node_map = labels.select(
         F.col("__node").alias("__from"), F.col("__label").alias("__to")
     )
-    cedges = remap(edges, node_map).localCheckpoint()
+    # lazy + fused count: the convergence probe below materializes the
+    # contracted edge set in the same job, and its result is carried to
+    # the next round's convergence test instead of a fresh round-start
+    # count job
+    cedges = remap(edges, node_map).localCheckpoint(eager=False)
+    n_cross = cedges.count()
     # superseded checkpoints are explicitly unpersisted as the loop
     # advances — otherwise every round's edge/label snapshot stays
-    # pinned in block-manager storage until Python GC
+    # pinned in block-manager storage until Python GC; always AFTER the
+    # lazy consumer's materializing action (unpersisting an input of an
+    # unmaterialized lazy checkpoint would force a recompute through
+    # truncated lineage)
     pairs.unpersist()
     edges.unpersist()
 
     converged = False
     for _ in range(max_iter):
-        if cedges.count() == 0:  # no cross-cluster edges: converged
+        if n_cross == 0:  # no cross-cluster edges: converged
             converged = True
             break
         # label-space step: l -> min(l, min neighbor), then POINTER
@@ -1394,6 +1420,9 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             .localCheckpoint()
         )
         for _ in range(64):  # 2^64 tree depth is unreachable; breaks on fixpoint
+            # lazy + fused probe: the changed-row count is a full scan,
+            # so ONE job both materializes the composed map and answers
+            # the fixpoint question (eager + limit(1).count() was two)
             nxt = (
                 m.alias("x")
                 .join(
@@ -1409,9 +1438,9 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                     # NULL-safe: __t2 is NULL at roots -> FALSE (no change)
                     (F.col("__t2") < F.col("x.__to")).alias("__chg"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
-            changed = nxt.filter("__chg").limit(1).count() > 0
+            changed = nxt.where(F.col("__chg")).count() > 0
             prev_m, m = m, nxt.drop("__chg")
             prev_m.unpersist()
             if not changed:
@@ -1428,12 +1457,18 @@ def op_dup_clusters(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
             )
             .localCheckpoint()
         )
-        cedges = remap(cedges, m2).localCheckpoint()
+        cedges = remap(cedges, m2).localCheckpoint(eager=False)
+        n_cross = cedges.count()
         prev_labels.unpersist()
         prev_cedges.unpersist()
+        # m2 (the round's final composed map) has served both consumers
+        # (labels eager checkpoint + the cedges count) — release it
+        # instead of leaking every round's map until GC
+        m2.unpersist()
     # the in-loop check runs at round START, so a final round that just
-    # emptied cedges needs one more look before declaring failure
-    if not converged and cedges.count() != 0:
+    # emptied cedges needs one more look before declaring failure —
+    # n_cross already holds the count of the current cedges snapshot
+    if not converged and n_cross != 0:
         raise RuntimeError(
             f"dup-clusters did not converge within max_iter={max_iter} "
             "rounds — raise {'max_iter': N}; returning partial clusters "

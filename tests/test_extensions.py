@@ -202,6 +202,32 @@ def test_dup_clusters_high_diameter_converges_logarithmically(spark):
     assert (agg["n"], agg["k"], agg["m"]) == (5000, 1, 0)
 
 
+def test_dup_clusters_max_iter_exhaustion_raises(spark):
+    """r17 fused-probe regression: the non-convergence check now reads
+    the carried cross-edge count from the round-end materializing job
+    (one Spark job serves as both checkpoint and convergence probe)
+    instead of a fresh post-loop count — it must still refuse loudly
+    when rounds run out, and still pass once given enough rounds. This
+    graph provably needs >= 2 contraction rounds (found by search: the
+    min-pointer forest of round 1 leaves a cross-cluster edge)."""
+    edges = [(0, 3), (0, 6), (0, 9), (1, 3), (1, 9), (2, 8), (4, 6),
+             (4, 8), (9, 11), (10, 11)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        ksml(
+            ["dup-clusters", ["stream", df, {}], {"max_iter": 1}],
+            spark=spark,
+        ).df.collect()
+    out = ksml(
+        ["dup-clusters", ["stream", df, {}], {}], spark=spark
+    ).df.collect()
+    assert {r["doc_id"]: r["cluster"] for r in out} == {
+        i: 0 for i in (0, 1, 2, 3, 4, 6, 8, 9, 10, 11)
+    }
+
+
 def test_simhash_pairs_equals_bruteforce_hamming(spark, tables):
     out = pipe(
         docs_stream(tables),
