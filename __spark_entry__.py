@@ -3163,66 +3163,16 @@ FROM documents"""
 # (head = the r15 window going stale, tail = the r16 window just
 # recorded). Declared empty so scripts/rotation_check.py reads the
 # round's intent.
+# r18: same — second optimization round, no query-surface change; plain
+# flip-flop (head = the r16 window going stale, tail = the r17 window
+# just recorded), exactly as VERDICT r17 item 8 ordered.
 ROTATION_SWAPS: dict = {}
 
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
-    # --- ROTATION HEAD for r17: the 50 r15-green rows whose driver
+    # --- ROTATION HEAD for r18: the 50 r16-green rows whose driver
     # evidence goes stale this round (the zero-slack 50/50 flip-flop —
     # set-verified by scripts/rotation_check.py). Sub-block order kept
-    # from the r15 window. ---
-    "bpe_train_encode": (_q_bpe_train_encode, _BPE_TRAIN_ENCODE_ORACLE),
-    "gopher_filter": (_q_gopher_filter, _GOPHER_FILTER_ORACLE),
-    "transform_with_state_fold": (_q_transform_with_state, _TRANSFORM_WITH_STATE_ORACLE),
-    "semdedup_embeddings": (_q_semdedup, _SEMDEDUP_ORACLE),
-    "semdedup_join": (_q_semdedup_join, _SEMDEDUP_JOIN_ORACLE),
-    "dsir_scores": (_q_dsir, _DSIR_ORACLE),
-    "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
-    "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
-    "unpivot_lineitem": (_q_unpivot_lineitem, _UNPIVOT_LINEITEM_ORACLE),
-    "corr_lineitem": (_q_corr_lineitem, _CORR_LINEITEM_ORACLE),
-    "collect_user_events": (_q_collect_user_events, _COLLECT_USER_EVENTS_ORACLE),
-    "rolling_user_hour": (_q_rolling_user, _ROLLING_USER_ORACLE),
-    "cube_revenue": (_q_cube_revenue, _CUBE_REVENUE_ORACLE),
-    "vec_norm_units": (_q_vec_norm, _VEC_NORM_ORACLE),
-    "vec_pool_label_mean": (_q_vec_pool, _VEC_POOL_ORACLE),
-    "interval_join_click_error": (_q_interval_join, _INTERVAL_JOIN_ORACLE),
-    "rollup_revenue": (_q_rollup, _ROLLUP_ORACLE),
-    "window_rank_orders": (_q_window_rank, _WINDOW_RANK_ORACLE),
-    "exact_distinct_users": (_q_exact_distinct_users, _EXACT_DISTINCT_ORACLE),
-    "approx_distinct_users": (_q_approx_distinct_users, _APPROX_DISTINCT_ORACLE),
-    "dedup_first_event": (_q_dedup_first, _DEDUP_FIRST_ORACLE),
-    "distinct_flags": (_q_distinct, _DISTINCT_ORACLE),
-    "topn_orders": (_q_topn, _TOPN_ORACLE),
-    "sql_revenue_by_nation": (_q_sql, _SQL_ORACLE),
-    "json_props_agg": (_q_json_props, _JSON_PROPS_ORACLE),
-    "token_counts": (_q_token_counts, _TOKEN_COUNTS_ORACLE),
-    "lang_id": (_q_lang_id, _lang_id_oracle()),
-    "quality_scores": (_q_quality, _quality_oracle()),
-    "doc_fingerprint": (_q_fingerprint, _FINGERPRINT_ORACLE),
-    "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
-    "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
-    "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
-    "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
-    "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
-    "expect_contract": (_q_expect, _EXPECT_ORACLE),
-    "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
-    "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
-    "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
-    "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),
-    "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
-    "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
-    "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
-    "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
-    "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
-    "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
-    "top_bigrams": (_q_top_bigrams, _TOP_BIGRAMS_ORACLE),
-    "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
-    "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
-    "kmeans_centroids": (_q_kmeans_centroids, _KMEANS_CENTROIDS_ORACLE),
-    "scrub_text": (_q_scrub, _SCRUB_ORACLE),
-    # --- green in r16 (freshest evidence): behind the rotation head;
-    # these 50 re-enter the window in r18. Sub-block order kept from
-    # the r16 window. ---
+    # from the r16 window. ---
     "ann_lsh_banded": (_q_ann_lsh_banded, _ANN_LSH_BANDED_ORACLE),
     "neardup_banded": (_q_neardup_banded, _NEARDUP_BANDED_ORACLE),
     "freq_items_priority": (_q_freq_items, _FREQ_ITEMS_ORACLE),
@@ -3273,6 +3223,59 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str
     "shuffle_shards": (_q_shuffle, _SHUFFLE_ORACLE),
     "join_global_nation": (_q_join_global, _JOIN_GLOBAL_ORACLE),
     "semi_join_customers": (_q_semi_join, _SEMI_JOIN_ORACLE),
+    # --- green in r17 (freshest evidence): behind the rotation head;
+    # these 50 re-enter the window in r19. Sub-block order kept from
+    # the r17 window. ---
+    "bpe_train_encode": (_q_bpe_train_encode, _BPE_TRAIN_ENCODE_ORACLE),
+    "gopher_filter": (_q_gopher_filter, _GOPHER_FILTER_ORACLE),
+    "transform_with_state_fold": (_q_transform_with_state, _TRANSFORM_WITH_STATE_ORACLE),
+    "semdedup_embeddings": (_q_semdedup, _SEMDEDUP_ORACLE),
+    "semdedup_join": (_q_semdedup_join, _SEMDEDUP_JOIN_ORACLE),
+    "dsir_scores": (_q_dsir, _DSIR_ORACLE),
+    "dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
+    "pivot_status_price": (_q_pivot_status, _PIVOT_STATUS_ORACLE),
+    "unpivot_lineitem": (_q_unpivot_lineitem, _UNPIVOT_LINEITEM_ORACLE),
+    "corr_lineitem": (_q_corr_lineitem, _CORR_LINEITEM_ORACLE),
+    "collect_user_events": (_q_collect_user_events, _COLLECT_USER_EVENTS_ORACLE),
+    "rolling_user_hour": (_q_rolling_user, _ROLLING_USER_ORACLE),
+    "cube_revenue": (_q_cube_revenue, _CUBE_REVENUE_ORACLE),
+    "vec_norm_units": (_q_vec_norm, _VEC_NORM_ORACLE),
+    "vec_pool_label_mean": (_q_vec_pool, _VEC_POOL_ORACLE),
+    "interval_join_click_error": (_q_interval_join, _INTERVAL_JOIN_ORACLE),
+    "rollup_revenue": (_q_rollup, _ROLLUP_ORACLE),
+    "window_rank_orders": (_q_window_rank, _WINDOW_RANK_ORACLE),
+    "exact_distinct_users": (_q_exact_distinct_users, _EXACT_DISTINCT_ORACLE),
+    "approx_distinct_users": (_q_approx_distinct_users, _APPROX_DISTINCT_ORACLE),
+    "dedup_first_event": (_q_dedup_first, _DEDUP_FIRST_ORACLE),
+    "distinct_flags": (_q_distinct, _DISTINCT_ORACLE),
+    "topn_orders": (_q_topn, _TOPN_ORACLE),
+    "sql_revenue_by_nation": (_q_sql, _SQL_ORACLE),
+    "json_props_agg": (_q_json_props, _JSON_PROPS_ORACLE),
+    "token_counts": (_q_token_counts, _TOKEN_COUNTS_ORACLE),
+    "lang_id": (_q_lang_id, _lang_id_oracle()),
+    "quality_scores": (_q_quality, _quality_oracle()),
+    "doc_fingerprint": (_q_fingerprint, _FINGERPRINT_ORACLE),
+    "lsh_candidates": (_q_lsh_candidates, _LSH_CANDIDATES_ORACLE),
+    "jaccard_pairs": (_q_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
+    "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
+    "pack_chunks": (_q_pack_chunks, _PACK_CHUNKS_ORACLE),
+    "dedup_paragraphs": (_q_dedup_paragraphs, _DEDUP_PARAGRAPHS_ORACLE),
+    "expect_contract": (_q_expect, _EXPECT_ORACLE),
+    "simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
+    "ann_topk": (_q_ann_topk, _ANN_TOPK_ORACLE),
+    "ann_lsh_topk": (_q_ann_lsh, _ANN_LSH_ORACLE),
+    "ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_ORACLE),
+    "neardup_embeddings": (_q_neardup_emb, _NEARDUP_EMB_ORACLE),
+    "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
+    "media_meta": (_q_media_meta, _MEDIA_META_ORACLE),
+    "corpus_prep": (_q_corpus_prep, _CORPUS_PREP_ORACLE),
+    "frame_sample": (_q_frame_sample, _FRAME_SAMPLE_ORACLE),
+    "repetition_scores": (_q_repetition, _REPETITION_ORACLE),
+    "top_bigrams": (_q_top_bigrams, _TOP_BIGRAMS_ORACLE),
+    "sample_hash_stratified": (_q_sample_hash, _SAMPLE_HASH_ORACLE),
+    "vec_quantize": (_q_vec_quantize, _VEC_QUANTIZE_ORACLE),
+    "kmeans_centroids": (_q_kmeans_centroids, _KMEANS_CENTROIDS_ORACLE),
+    "scrub_text": (_q_scrub, _SCRUB_ORACLE),
 }
 
 
