@@ -1779,6 +1779,114 @@ def test_dsir_refuses_streaming_and_broadcasts_model(spark, tmp_path):
     assert plan.count("SortMergeJoin") == plan.count("FullOuter")
 
 
+def test_dsir_filter_target_one_scan_matches_reference(spark):
+    """r18 one-scan model build: when the target relation is a FILTER
+    over the raw relation (the standard DSIR call shape), both bucket
+    distributions come out of ONE corpus scan via a conditional
+    aggregate — no model-building full-outer join — and the scores
+    still match the pure-Python reference exactly."""
+    from pyspark.sql import functions as F
+
+    from ksml_spark.functions.corpus import _filter_over
+
+    raw = [(1, "the cat sat on the mat"),
+           (2, "quantum flux capacitor engaged"),
+           (3, "the dog sat on the log"),
+           (4, "a cat sat"), (5, None)]
+    raw_df = _docs(spark, raw)
+    exp = _py_dsir(raw, [r for r in raw if r[0] <= 3], buckets=64, n=2, a=1.0)
+
+    out = pipe(["dsir",
+                ["stream", raw_df, {"key": "doc_id"}],
+                ["where", ["stream", raw_df, {"key": "doc_id"}],
+                 "doc_id <= 3"],
+                {"col": "text", "id": "doc_id", "buckets": 64,
+                 "n": 2, "smoothing": 1.0}], spark=spark).df
+    # fused: the analyzed plan has no model-building full-outer join
+    assert "FullOuter" not in out._jdf.queryExecution().analyzed().toString()
+    got = {r["doc_id"]: (r["n_feats"], r["dsir_score"]) for r in out.collect()}
+    assert set(got) == set(exp)
+    for did, (nf, score) in exp.items():
+        assert got[did][0] == nf
+        if score is None:
+            assert got[did][1] is None
+        else:
+            assert abs(got[did][1] - score) < 1e-9, did
+
+    # a target with the same CONTENT but non-filter lineage falls back
+    # to the two-scan full-outer build — and scores identically
+    out2 = pipe(["dsir",
+                 ["stream", raw_df, {"key": "doc_id"}],
+                 ["stream", _docs(spark, raw[:3]), {"key": "doc_id"}],
+                 {"col": "text", "id": "doc_id", "buckets": 64,
+                  "n": 2, "smoothing": 1.0}], spark=spark).df
+    assert "FullOuter" in out2._jdf.queryExecution().analyzed().toString()
+    got2 = {r["doc_id"]: (r["n_feats"], r["dsir_score"]) for r in out2.collect()}
+    assert got == got2
+
+    # detector unit contract: fires on deterministic filter-over only
+    assert _filter_over(raw_df, raw_df.filter("doc_id <= 3")) is not None
+    assert _filter_over(raw_df, _docs(spark, raw[:3])) is None
+    assert _filter_over(raw_df, raw_df.filter(F.rand() < 2.0)) is None
+
+
+def test_lm_score_kn_single_token_train_doc_counts_in_vocab(spark):
+    """r18 one-scan KN model build: V (training vocabulary size) must
+    still count a word that appears ONLY in a single-token document —
+    such a doc emits a unigram (u, NULL) row but no bigram, the exact
+    seam between the old separate count_distinct corpus scan and the
+    fused type relation."""
+    import math
+    import re
+    from collections import Counter
+
+    train_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "solo"),            # vocab word with NO bigram
+        (3, "the dog sat"),
+    ]
+    score_rows = [(10, "the cat sat"), (11, "zebra solo runs")]
+    D = 0.75
+    got = {r["doc_id"]: (r["n_scored"], r["nll"], r["ppl"]) for r in pipe(
+        ["lm-score", ["stream", _docs(spark, score_rows), {"key": "doc_id"}],
+         ["stream", _docs(spark, train_rows), {"key": "doc_id"}],
+         {"col": "text", "id": "doc_id", "smoothing": "kn",
+          "discount": D}], spark=spark).df.collect()}
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    bigrams, vocab = Counter(), set()
+    for _, t in train_rows:
+        ws = toks(t)
+        vocab.update(ws)           # "solo" lands here, bigram-free
+        for i in range(len(ws) - 1):
+            bigrams[(ws[i], ws[i + 1])] += 1
+    cp, n1f, n1b = Counter(), Counter(), Counter()
+    for (v, w), c in bigrams.items():
+        cp[v] += c
+        n1f[v] += 1
+        n1b[w] += 1
+    B, V = len(bigrams), len(vocab)
+    assert "solo" in vocab
+
+    def pkn(v, w):
+        pcont = (n1b.get(w, 0) + 1) / (B + V + 1)
+        if cp.get(v, 0) == 0:
+            return pcont
+        c = bigrams.get((v, w), 0)
+        return max(c - D, 0) / cp[v] + D * n1f[v] / cp[v] * pcont
+
+    for did, text in score_rows:
+        ws = toks(text)
+        lps = [math.log(pkn(ws[i], ws[i + 1])) for i in range(len(ws) - 1)]
+        nll = -sum(lps) / len(lps)
+        n_scored, got_nll, got_ppl = got[did]
+        assert n_scored == len(lps)
+        assert abs(got_nll - round(nll, 6)) < 2e-6, (did, got_nll, nll)
+        assert abs(got_ppl - round(math.exp(nll), 6)) < 2e-5
+
+
 def _py_classify(rows, wmap, buckets, n, bias, pooling):
     """Pure-Python fastText-style reference: hashed unigram(+...n) grams,
     frozen linear weights, sigmoid."""
@@ -1929,5 +2037,5 @@ def test_classify_relational_weights_validation(spark):
     big = ["stream", spark.createDataFrame(
         [(i, 0.1) for i in range(3)], "bucket long, weight double"),
         {"key": "bucket"}]
-    with pytest.raises(ArityError, match="has 3 rows for buckets=2"):
+    with pytest.raises(ArityError, match="more than 2 rows for buckets=2"):
         pipe(["classify", docs, big, {"buckets": 2}], spark=spark)
