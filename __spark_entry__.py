@@ -46,8 +46,13 @@ def _tune(spark: SparkSession) -> SparkSession:
         # driver benches at MORE THAN ONE core count): a constant tuned
         # for local[32] under-parallelizes nothing but over-splits a
         # smaller session; AQE coalescing absorbs the small-partition
-        # side either way. On a real cluster this resolves to 2-3x
-        # executor cores via defaultParallelism, the documented posture.
+        # side either way. defaultParallelism is 1x total executor
+        # cores (ADVICE r17 corrected the old 2-3x claim here): the 1x
+        # posture is INTENDED for this suite — partitions stay
+        # >= 100 MB-class at bench scale and AQE cannot add parallelism
+        # upward, so a cluster deployment that wants the documented
+        # 2-3x headroom sets spark.sql.shuffle.partitions explicitly
+        # (see ksml_spark/session.py) rather than relying on this hook.
         try:
             width = max(spark.sparkContext.defaultParallelism, 8)
         except Exception:

@@ -39,7 +39,12 @@ def _ms_to_interval(ms) -> str:
         # zero-size guard moves to where sizes are actually taken)
         import re
 
-        if re.fullmatch(r"\s*0+\s*[a-z]+\s*", ms, re.IGNORECASE):
+        # match every numeric component (ADVICE r17: the old single-
+        # component integer regex let '0.0 seconds' and '0 days 0 hours'
+        # through to Spark as a zero-width window size): the interval is
+        # zero iff it has numbers and every one of them is zero
+        nums = re.findall(r"\d+(?:\.\d+)?|\.\d+", ms)
+        if nums and all(float(x) == 0.0 for x in nums):
             raise ArityError(
                 f"window size must be a positive interval, got {ms!r} "
                 "(a zero-width window matches nothing)"

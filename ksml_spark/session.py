@@ -19,6 +19,19 @@ from typing import Optional
 
 from pyspark.sql import SparkSession
 
+
+def _env_cpus(default: int = 32) -> int:
+    """$SPARK_GRAFT_CPUS as an int, tolerating junk values (ADVICE r17:
+    this is read at module import, so a non-numeric value — 'auto',
+    '8 cores' — must degrade to the default, not crash every import of
+    ksml_spark with an uncurated ValueError)."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        return int(raw) if raw else default
+    except (TypeError, ValueError):
+        return default
+
+
 DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -33,8 +46,7 @@ DEFAULT_CONF = {
     # at more than one core count, and on a real cluster this is the
     # knob to set ~2-3x total executor cores (or leave higher and let
     # AQE coalesce). Floor of 8 keeps toy sessions from degenerating.
-    "spark.sql.shuffle.partitions": str(
-        max(int(os.environ.get("SPARK_GRAFT_CPUS") or 32), 8)),
+    "spark.sql.shuffle.partitions": str(max(_env_cpus(), 8)),
     "spark.ui.enabled": "false",
     # local[32] runs driver + all executor threads in ONE heap: broadcasts,
     # shuffle buffers, and codegen classes for a 50-query suite accumulate,
@@ -72,7 +84,10 @@ def get_spark(
     """Build (or reuse) a SparkSession with the engine defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
-        master = f"local[{cpus}]" if cpus else "local[*]"
+        try:
+            master = f"local[{int(cpus)}]" if cpus else "local[*]"
+        except (TypeError, ValueError):
+            master = "local[*]"  # junk $SPARK_GRAFT_CPUS: all cores
     b = SparkSession.builder.appName(app_name).master(master)
     merged = dict(DEFAULT_CONF)
     if conf:

@@ -400,7 +400,11 @@ def test_duration_subsecond_and_zero_refusals(spark):
     assert ksml(["duration", "P0D"], spark=spark) == "0 seconds"
     with pytest.raises(ArityError, match="sub-millisecond"):
         ksml(["duration", "PT0.0005S"], spark=spark)
-    for bad in (0, -1000, 0.5, "0 seconds", "0 milliseconds"):
+    # ADVICE r17: decimal-zero and multi-component-zero interval strings
+    # must refuse too (the old guard pattern-matched one literal-zero
+    # form), while mixed strings with any nonzero component stay legal
+    for bad in (0, -1000, 0.5, "0 seconds", "0 milliseconds",
+                "0.0 seconds", "0 days 0 hours", "0.00 minutes"):
         with pytest.raises(ArityError, match="window size must be"):
             ksml(["time-window", bad], spark=spark)
     with pytest.raises(ArityError, match="window size must be"):
