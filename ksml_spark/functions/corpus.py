@@ -571,12 +571,18 @@ def op_pmi(ctx: Ctx, rel: Rel, *rest) -> Rel:
     _refuse_streaming(rel, "pmi")
 
     w = words(F.col(colc))
-    uni = spread(rel.df).select(F.explode(w).alias("__w"))
-    c1 = pin(
-        uni.groupBy("__w").agg(F.count(F.lit(1)).alias("__c1")),
-        StorageLevel.MEMORY_AND_DISK,
+    # ONE corpus scan builds BOTH count relations (r18, the lm-score KN
+    # fused-vocab pattern / guide §6 one-scan): each doc emits its
+    # unigrams as (w, NULL) structs ALONGSIDE the adjacent (w1, w2)
+    # bigram structs, one explode, one hash agg — instead of two
+    # scan+tokenize+explode+agg passes and two shuffles. w2 IS NULL
+    # separates the kinds (a bigram's right word is never NULL).
+    uni_tagged = F.transform(
+        w,
+        lambda x: F.struct(
+            x.alias("w1"), F.lit(None).cast("string").alias("w2")
+        ),
     )
-    t1 = F.broadcast(c1.agg(F.sum("__c1").cast("double").alias("__t1")))
     pairs = F.when(
         F.coalesce(F.size(w), F.lit(0)) < 2,
         F.array().cast("array<struct<w1:string,w2:string>>"),
@@ -589,13 +595,23 @@ def op_pmi(ctx: Ctx, rel: Rel, *rest) -> Rel:
             ),
         )
     )
-    big = pin(
+    # the combined count relation feeds FIVE plan branches (w1 join, w2
+    # join, t1, t2, the filtered join side) — pinned; it is vocab +
+    # distinct-bigram sized, not corpus-sized
+    counts = pin(
         spread(rel.df)
-        .select(F.explode(pairs).alias("__b"))
+        .select(F.explode(F.concat(uni_tagged, pairs)).alias("__b"))
         .select(F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("pair_count")),
+        .agg(F.count(F.lit(1)).alias("__n")),
         StorageLevel.MEMORY_AND_DISK,
+    )
+    c1 = counts.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("__w"), F.col("__n").alias("__c1")
+    )
+    t1 = F.broadcast(c1.agg(F.sum("__c1").cast("double").alias("__t1")))
+    big = counts.filter(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("__n").alias("pair_count")
     )
     t2 = F.broadcast(big.agg(F.sum("pair_count").cast("double").alias("__t2")))
     filtered = big.filter(F.col("pair_count") >= min_count)

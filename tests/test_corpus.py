@@ -225,6 +225,20 @@ def test_pmi_hand_computed(spark):
     assert r["pmi"] == round(expect, 6)
 
 
+def test_pmi_single_token_doc_counts_in_unigram_total(spark):
+    """r18 one-scan count build: a single-token document contributes its
+    word to the unigram counts and T1 even though it emits no bigram —
+    the exact seam between the old separate unigram scan and the fused
+    (w, NULL) rows."""
+    rows = [(1, "a b"), (2, "solo")]
+    got = _pipe(spark, _docs(spark, rows), ["pmi", {"min_count": 1}]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["w1"], r["w2"], r["pair_count"]) == ("a", "b", 1)
+    # T1 = 3 tokens (a, b, solo), T2 = 1 bigram position
+    assert r["pmi"] == round(math.log((1 / 1.0) / ((1 / 3.0) * (1 / 3.0))), 6)
+
+
 def test_pmi_ordering_and_top(spark):
     rows = [(i, "x y") for i in range(3)] + [(i + 50, "p q") for i in range(5)]
     got = _pipe(spark, _docs(spark, rows),
