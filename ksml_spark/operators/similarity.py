@@ -1306,6 +1306,12 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
         )
     src_desc = f"filter {init!r}" if cents_rel is None else "relation"
     impl, max_k = _assign_impl_opts(opts, "kmeans-assign", dim)
+    # internal (r18, the semdedup scan-share): carry the prepared vector
+    # and norm through the assignment so a caller that needs them (the
+    # semdedup rank window + pair join) does not re-scan the corpus and
+    # join back on the id. Within a group every row shares one (__v,
+    # __n) — first() is exact. Public output is unchanged without it.
+    carry = bool(opts.get("_carry_vec"))
     if rel.df.isStreaming:
         raise ArityError(
             "kmeans-assign is batch-only (the empty-centroid probe and "
@@ -1363,9 +1369,10 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                 "cluster",
                 "left",
             )
-            assigned = picked.select(
-                F.col(idc), F.col("cluster"), _centroid_sim(dim).alias("sim")
-            )
+            sel = [F.col(idc), F.col("cluster"), _centroid_sim(dim).alias("sim")]
+            if carry:
+                sel += [F.col("__v"), F.col("__n")]
+            assigned = picked.select(*sel)
             return KStreamRel(assigned, key_cols=(idc,))
         # no usable centroid: the expr plan's all-NULL sims produce the
         # same all-NULL assignment — fall through
@@ -1373,14 +1380,19 @@ def op_kmeans_assign(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
     # safe); sim = that max. A zero-norm vector gets (NULL, NULL) —
     # documented, instead of an ANSI DIVIDE_BY_ZERO job failure — and a
     # zero-norm centroid simply never wins.
+    aggs = [
+        F.min_by(F.col("__cid"), _nearest_order()).alias("cluster"),
+        F.max("__csim").alias("sim"),
+    ]
+    if carry:
+        aggs = [
+            F.first("__v").alias("__v"), F.first("__n").alias("__n"),
+        ] + aggs
     assigned = (
         _spread(prepared).crossJoin(F.broadcast(cents))
         .withColumn("__csim", _centroid_sim(dim))
         .groupBy(idc)
-        .agg(
-            F.min_by(F.col("__cid"), _nearest_order()).alias("cluster"),
-            F.max("__csim").alias("sim"),
-        )
+        .agg(*aggs)
     )
     return KStreamRel(assigned, key_cols=(idc,))
 
@@ -1512,9 +1524,14 @@ def op_semdedup(ctx: Ctx, rel: Rel, *rest) -> KStreamRel:
                    "assign_impl": opts.get("assign_impl", "expr"),
                    "max_k": opts.get("max_k", 65536),
                    "centroid_id": opts.get("centroid_id", "cluster"),
-                   "centroid_vec": opts.get("centroid_vec", "centroid")}
+                   "centroid_vec": opts.get("centroid_vec", "centroid"),
+                   # r18 scan-share (VERDICT r17 #9): the assignment agg
+                   # carries (__v, __n) through, so the old second
+                   # corpus scan (_prepared) + sort-merge join-back on
+                   # the id is gone — one scan feeds the rank window
+                   "_carry_vec": True}
     ).df
-    members = assigned.join(_prepared(rel, idc, vecc, dim), idc)
+    members = assigned
 
     from pyspark import StorageLevel
     from pyspark.sql import Window

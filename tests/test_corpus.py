@@ -1189,6 +1189,7 @@ _PER_ROW_FORMS = [
 ]
 
 
+@pytest.mark.slow
 def test_per_row_ops_streaming_parity_matrix(spark, tmp_path):
     """One parametrized sweep: each streaming-legal per-row operator,
     applied to the same file stream, returns exactly its batch answer.

@@ -78,6 +78,7 @@ def _probe(spark, df, form) -> str | None:
 
 
 @pytest.mark.parametrize("shape", ["bare", "opts", "scalar"])
+@pytest.mark.slow
 def test_malformed_forms_surface_curated_errors(spark, probe_rel_df, shape):
     operand = {"bare": None, "opts": {}, "scalar": 42}[shape]
     leaks = {}

@@ -36,7 +36,17 @@ def test_every_example_is_covered():
     )
 
 
-@pytest.mark.parametrize("name", sorted(_ARGS))
+# the two multi-stage pipeline examples carry most of the smoke-test
+# cost (~40s/35s of the file's ~95s) — slow tier; the other six stay in
+# the fast default tier so examples keep per-round driver coverage
+_SLOW_EXAMPLES = {"corpus_pipeline.py", "semantic_dedup.py"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_EXAMPLES else n
+     for n in sorted(_ARGS)],
+)
 def test_example_runs_and_prints(spark, name, capsys):
     if not os.path.isdir(SF_DIR):
         pytest.skip("sf0.001 testdata not present")

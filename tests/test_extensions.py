@@ -228,6 +228,7 @@ def test_dup_clusters_max_iter_exhaustion_raises(spark):
     }
 
 
+@pytest.mark.slow
 def test_simhash_pairs_equals_bruteforce_hamming(spark, tables):
     out = pipe(
         docs_stream(tables),
@@ -801,6 +802,7 @@ def test_neardup_bands_exact_reference(spark, tables):
     assert single_pairs <= {(a, bb) for a, bb, _ in got}
 
 
+@pytest.mark.slow
 def test_neardup_bands_recall_on_planted_duplicates(spark):
     """The measurement that motivated banding, as a pinned regression:
     on planted near-duplicates (cosine ~0.94, threshold 0.9) banded
@@ -925,6 +927,7 @@ def test_neardup_lsh_mode_matches_block_on_precomputed_bucket(spark, tables):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow
 def test_degenerate_vectors_never_abort_similarity_ops(spark):
     """r13 regression (VERDICT r12 #1, pinned as a plain test — not only
     Hypothesis): zero-norm vectors (all-zero, or nonzero components like
@@ -1282,6 +1285,7 @@ def test_kmeans_refined_ivf_sse_not_worse(spark, tables):
     assert sse(run(4)) <= sse(run(0)) + 1e-9
 
 
+@pytest.mark.slow
 def test_quantized_ann_recall(spark, tables):
     """ANN over int8-dequantized vectors: top-1 must match exact for every
     query and top-3 overlap stay high (measured 10/10 and 0.97 on this
@@ -1313,6 +1317,7 @@ def test_quantized_ann_recall(spark, tables):
     assert overlap >= 0.85
 
 
+@pytest.mark.slow
 def test_ngrams_values_and_determinism(spark):
     df = spark.createDataFrame(
         [(1, "a b a b c"), (2, "a b x"), (3, "solo")],
@@ -1641,6 +1646,7 @@ def test_ann_ivf_degenerate_centroids_rank_last_not_hijack(spark):
     assert run(dirty, "vec_id % 3 = 1 or vec_id >= 104", "blas") == base
 
 
+@pytest.mark.slow
 def test_centroid_relation_operand_matches_filter_and_composes(spark):
     """r12: kmeans-assign / ann-ivf-topk / semdedup accept a centroid
     RELATION operand. Contracts: (1) a relation holding exactly the
@@ -1800,6 +1806,7 @@ def test_semdedup_threshold_inclusive_zero_norm_and_errors(spark):
                "init": "vec_id = 'c0'"}], spark=spark)
 
 
+@pytest.mark.slow
 def test_semdedup_oversized_cluster_guard(spark):
     """r10 VERDICT #3: a too-sparse centroids sample concentrating the
     corpus in one cluster must REFUSE with a curated error naming the
@@ -1839,6 +1846,7 @@ def test_semdedup_oversized_cluster_guard(spark):
     assert decisions({"max_cluster_pairs": 10**6}) == base  # raised
 
 
+@pytest.mark.slow
 def test_semdedup_hot_split_bounds_work_and_preserves_exact_dups(spark):
     """{'hot_split': m}: over-cap clusters sub-partition by a second
     nearest-centroid assignment. Contracts: (1) it completes where the
@@ -2641,6 +2649,7 @@ def test_mix_deterministic_weighted_proportions(spark, tables):
         ksml(["mix", docs_stream(tables), {"by": "source"}], spark=spark)
 
 
+@pytest.mark.slow
 def test_entropy_streaming_hof_parity(spark, tables, tmp_path):
     """The streaming per-row HOF entropy path must equal the batch
     agg+join-back plan value-for-value."""
@@ -3208,6 +3217,7 @@ def test_over_explicit_frames(spark):
                      4: (7.0, 4, 3.0), 5: (9.0, 5, 4.0)}
 
 
+@pytest.mark.slow
 def test_vec_project_deterministic_parity_and_errors(spark, tables):
     import hashlib as _h
 

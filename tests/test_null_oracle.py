@@ -22,10 +22,13 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "scripts"))
 
 
+@pytest.mark.slow
 def test_registry_null_injection_oracle_gate(spark, tmp_path_factory):
     import null_sweep
     from check_oracle import run_gate
@@ -38,6 +41,7 @@ def test_registry_null_injection_oracle_gate(spark, tmp_path_factory):
     assert not failures, f"oracle gate failures on null-injected data: {failures}"
 
 
+@pytest.mark.slow
 def test_registry_null_fk_oracle_gate(spark, tmp_path_factory):
     """The --keys variant: NULL FOREIGN keys (unknown user, unmatched
     enrichment — the realistic dirty-join class) flow SQL-consistently

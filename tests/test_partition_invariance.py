@@ -20,10 +20,13 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "scripts"))
 
 
+@pytest.mark.slow
 def test_registry_partition_invariance(spark):
     import partition_probe
 

@@ -320,6 +320,7 @@ def test_histogram_prunes_scan_and_pushes_null_filter(spark):
     assert "IsNotNull(o_totalprice)" in p  # pushed to the scan
 
 
+@pytest.mark.slow
 def test_no_query_plans_a_cartesian_or_stray_nested_loop(spark):
     """Bulk scale audit over EVERY registry query's physical plan: no
     CartesianProduct anywhere; BroadcastNestedLoopJoin only where the

@@ -9,6 +9,8 @@ from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from ksml_spark import ksml, pipe, vthread
 
+import pytest
+
 # -- pure algebra: no Spark needed ------------------------------------------
 
 forms = st.recursive(
@@ -294,6 +296,7 @@ mix_weights = st.dictionaries(
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(weights=mix_weights, seed=st.integers(min_value=0, max_value=3))
+@pytest.mark.slow
 def test_mix_binding_group_kept_whole_and_subset(spark, weights, seed):
     """Laws: (1) output is a subset of input rows with unlisted groups
     dropped; (2) at least one group — the binding one — keeps ALL its
@@ -404,6 +407,7 @@ def test_dup_spans_property(spark, texts):
 @given(data=rows,
        thr=st.floats(min_value=-50, max_value=50, allow_nan=False),
        n=st.integers(min_value=0, max_value=50))
+@pytest.mark.slow
 def test_relational_composition_laws(spark, data, thr, n):
     """Relational-algebra laws over random pipelines — the composition
     analog of the per-op references: conjunctive filter splitting,
@@ -455,6 +459,7 @@ _bpe_corpus = st.lists(
 
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=_bpe_corpus, merges=st.integers(min_value=0, max_value=40))
+@pytest.mark.slow
 def test_bpe_train_encode_roundtrip_property(spark, docs, merges):
     """For ANY corpus and ANY merge budget: stripping the '</w>' markers
     from a doc's encoded tokens and re-joining reproduces the doc's
@@ -640,6 +645,7 @@ _SIGNED_ZERO_CORPUS = [
 @example(vecs=_SIGNED_ZERO_CORPUS, bands=2)
 @example(vecs=_R12_DIVISION_CORPUS, bands=3)
 @given(vecs=vec_corpus_uflow, bands=st.integers(min_value=2, max_value=3))
+@pytest.mark.slow
 def test_ann_lsh_bands_matches_reference_property(spark, vecs, bands):
     """late-r13 banded ann-lsh invariant: for ANY corpus — NULL / NaN /
     short / zero-norm / underflow-norm vectors included — the banded

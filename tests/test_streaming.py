@@ -703,6 +703,7 @@ def test_streaming_table_join_after_transform_raises(spark, tmp_path):
         ksml(["join", lt, rt], spark=spark)
 
 
+@pytest.mark.slow
 def test_streaming_stream_live_table_join(spark, tmp_path):
     """Stream ⋈ LIVE KTable (both sides streaming): each stream record is
     enriched with the table state current AT ITS EVENT TIME within the
@@ -793,6 +794,7 @@ def test_global_table_refuses_streaming_source(spark, tmp_path):
               {"key": "key", "time": "event_time"}], spark=spark)
 
 
+@pytest.mark.slow
 def test_streaming_table_join_null_order_loses(spark, tmp_path):
     """A changelog record with a NULL order value must lose to any real
     record (parity with max_by, review finding: NaT comparison stuck)."""
@@ -948,6 +950,7 @@ def test_streaming_session_aggregate_matches_batch(spark, tmp_path):
         h.stop()
 
 
+@pytest.mark.slow
 def test_streaming_session_watermark_eviction(spark, tmp_path):
     """With an upstream watermark, sessions more than gap behind it are
     evicted from state via one final __closed emission; the served view
