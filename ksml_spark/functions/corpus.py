@@ -45,7 +45,9 @@ from pyspark.sql import functions as F
 from ..errors import ArityError, TypeDispatchError
 from ..eval import Ctx, defop
 from ..model import Rel
-from ..operators.util import float_opt, int_opt, md5_long_col, opts_of, spread
+from ..operators.util import (
+    float_opt, int_opt, let1, md5_long_col, opts_of, spread,
+)
 from .text import words
 
 
@@ -82,15 +84,25 @@ def word_ngrams(w: Column, n: int) -> Column:
     has fewer than ``n`` tokens."""
     if n <= 1:
         return w
-    # coalesce: size(NULL) is NULL, which would fall through the `when`
-    # into the otherwise-branch (greatest() skips NULLs) and fabricate a
-    # gram of "" for NULL documents
-    return F.when(F.coalesce(F.size(w), F.lit(0)) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+
+    # let1-bound (r18): the lambda below re-evaluates its captured array
+    # per element (no CSE inside HOF lambdas), so an inlined
+    # tokenization made this quadratic per doc — bind it once
+    def _grams_of(tt: Column) -> Column:
+        # coalesce: size(NULL) is NULL, which would fall through the
+        # `when` into the otherwise-branch (greatest() skips NULLs) and
+        # fabricate a gram of "" for NULL documents
+        return F.when(
+            F.coalesce(F.size(tt), F.lit(0)) < n,
+            F.array().cast("array<string>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tt) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(tt, i, n)),
+            )
         )
-    )
+
+    return let1(w, _grams_of)
 
 
 def _hashed(grams: Column) -> Column:
@@ -165,18 +177,23 @@ def lm_train_stats(df, col: str = "text", n: int = 2, max_entries: int = 100_000
 def _bigram_ps(w: Column) -> Column:
     """Per-position (prefix-hash, suffix-hash) structs for bigrams —
     the split identity Kneser-Ney continuation counts need (the full
-    bigram hash cannot be factored back into its sides)."""
-    return F.when(
-        F.coalesce(F.size(w), F.lit(0)) < 2,
-        F.array().cast("array<struct<p:bigint,s:bigint>>"),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.struct(
-                md5_long_col(F.element_at(w, i)).alias("p"),
-                md5_long_col(F.element_at(w, i + 1)).alias("s"),
-            ),
-        )
+    bigram hash cannot be factored back into its sides). let1-bound
+    (r18): element_at inside the lambda re-evaluated the captured token
+    array per position."""
+    return let1(
+        w,
+        lambda tt: F.when(
+            F.coalesce(F.size(tt), F.lit(0)) < 2,
+            F.array().cast("array<struct<p:bigint,s:bigint>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tt) - 1),
+                lambda i: F.struct(
+                    md5_long_col(F.element_at(tt, i)).alias("p"),
+                    md5_long_col(F.element_at(tt, i + 1)).alias("s"),
+                ),
+            )
+        ),
     )
 
 
@@ -482,18 +499,22 @@ def op_lm_score(ctx: Ctx, rel: Rel, *rest) -> Rel:
         cp = F.broadcast(cp)
         cg = F.broadcast(cg)
 
-    sw = words(F.col(colc))
-    pos = F.when(
-        F.coalesce(F.size(sw), F.lit(0)) < n,
-        F.array().cast("array<struct<g:bigint,p:bigint>>"),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(sw) - (n - 1), F.lit(1))),
-            lambda i: F.struct(
-                md5_long_col(F.concat_ws(" ", F.slice(sw, i, n))).alias("g"),
-                md5_long_col(F.concat_ws(" ", F.slice(sw, i, n - 1))).alias("p"),
-            ),
-        )
+    # let1-bound (r18): the slice lambdas re-evaluated the captured
+    # tokenization per gram position
+    pos = let1(
+        words(F.col(colc)),
+        lambda sw: F.when(
+            F.coalesce(F.size(sw), F.lit(0)) < n,
+            F.array().cast("array<struct<g:bigint,p:bigint>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(sw) - (n - 1), F.lit(1))),
+                lambda i: F.struct(
+                    md5_long_col(F.concat_ws(" ", F.slice(sw, i, n))).alias("g"),
+                    md5_long_col(F.concat_ws(" ", F.slice(sw, i, n - 1))).alias("p"),
+                ),
+            )
+        ),
     )
     occ = (
         spread(rel.df)
@@ -571,36 +592,42 @@ def op_pmi(ctx: Ctx, rel: Rel, *rest) -> Rel:
     _refuse_streaming(rel, "pmi")
 
     w = words(F.col(colc))
+
     # ONE corpus scan builds BOTH count relations (r18, the lm-score KN
     # fused-vocab pattern / guide §6 one-scan): each doc emits its
     # unigrams as (w, NULL) structs ALONGSIDE the adjacent (w1, w2)
     # bigram structs, one explode, one hash agg — instead of two
     # scan+tokenize+explode+agg passes and two shuffles. w2 IS NULL
     # separates the kinds (a bigram's right word is never NULL).
-    uni_tagged = F.transform(
-        w,
-        lambda x: F.struct(
-            x.alias("w1"), F.lit(None).cast("string").alias("w2")
-        ),
-    )
-    pairs = F.when(
-        F.coalesce(F.size(w), F.lit(0)) < 2,
-        F.array().cast("array<struct<w1:string,w2:string>>"),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
-            lambda i: F.struct(
-                F.element_at(w, i).alias("w1"),
-                F.element_at(w, i + 1).alias("w2"),
+    # let1-bound (r18): element_at inside the pair lambda re-evaluated
+    # the captured tokenization per position.
+    def _tagged_of(tt: Column) -> Column:
+        uni_tagged = F.transform(
+            tt,
+            lambda x: F.struct(
+                x.alias("w1"), F.lit(None).cast("string").alias("w2")
             ),
         )
-    )
+        prs = F.when(
+            F.coalesce(F.size(tt), F.lit(0)) < 2,
+            F.array().cast("array<struct<w1:string,w2:string>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tt) - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.element_at(tt, i).alias("w1"),
+                    F.element_at(tt, i + 1).alias("w2"),
+                ),
+            )
+        )
+        return F.concat(uni_tagged, prs)
+
     # the combined count relation feeds FIVE plan branches (w1 join, w2
     # join, t1, t2, the filtered join side) — pinned; it is vocab +
     # distinct-bigram sized, not corpus-sized
     counts = pin(
         spread(rel.df)
-        .select(F.explode(F.concat(uni_tagged, pairs)).alias("__b"))
+        .select(F.explode(let1(w, _tagged_of)).alias("__b"))
         .select(F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("__n")),
@@ -1673,27 +1700,33 @@ def op_cooccurrence(ctx: Ctx, rel: Rel, *rest) -> Rel:
         )
     _refuse_streaming(rel, "cooccurrence")
 
-    w = words(F.col(colc))
-    pairs = F.when(
-        F.coalesce(F.size(w), F.lit(0)) < 2,
-        F.array().cast("array<struct<w1:string,w2:string>>"),
-    ).otherwise(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
-                lambda i: F.transform(
-                    F.sequence(i + 1, F.least(i + win, F.size(w))),
-                    lambda j: F.struct(
-                        F.least(
-                            F.element_at(w, i), F.element_at(w, j)
-                        ).alias("w1"),
-                        F.greatest(
-                            F.element_at(w, i), F.element_at(w, j)
-                        ).alias("w2"),
+    # let1-bound (r18, the round's headline fix): the nested pair
+    # lambdas re-evaluated the captured tokenization on EVERY
+    # element_at — O(tokens) work per pair element, quadratic per doc
+    # (measured 7.0s -> 1.2s at sf0.1 on this binding alone)
+    pairs = let1(
+        words(F.col(colc)),
+        lambda w: F.when(
+            F.coalesce(F.size(w), F.lit(0)) < 2,
+            F.array().cast("array<struct<w1:string,w2:string>>"),
+        ).otherwise(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.least(i + win, F.size(w))),
+                        lambda j: F.struct(
+                            F.least(
+                                F.element_at(w, i), F.element_at(w, j)
+                            ).alias("w1"),
+                            F.greatest(
+                                F.element_at(w, i), F.element_at(w, j)
+                            ).alias("w2"),
+                        ),
                     ),
-                ),
+                )
             )
-        )
+        ),
     )
     out = (
         spread(rel.df)

@@ -413,16 +413,24 @@ def op_entropy(ctx: Ctx, rel: Rel, *rest) -> Rel:
         # stream is refused by Spark): distinct units, count each via
         # size(filter(...)) — O(alphabet x len) per row, shuffle-free.
         # Same result as the batch plan; parity pinned by test.
-        d = F.array_distinct(units)
-        n = F.size(units)
-        csum = F.aggregate(
-            d,
-            F.lit(0.0),
-            lambda acc, x: acc + _count_log(units, x),
+        # let1-bound (r18): the per-distinct-unit count lambda captured
+        # ``units`` — re-tokenizing the row once per distinct unit
+        from ..operators.util import let1
+
+        def _ent_of(uu: Column) -> Column:
+            n = F.size(uu)
+            csum = F.aggregate(
+                F.array_distinct(uu),
+                F.lit(0.0),
+                lambda acc, x: acc + _count_log(uu, x),
+            )
+            return F.when(n == 0, F.lit(0.0)).otherwise(
+                F.log2(n.cast("double")) - csum / n
+            )
+
+        ent = F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+            let1(units, _ent_of)
         )
-        ent = F.when(c.isNull(), F.lit(None).cast("double")).when(
-            n == 0, F.lit(0.0)
-        ).otherwise(F.log2(n.cast("double")) - csum / n)
         return rel.with_df(rel.df.withColumn(out_name, ent))
     from ..operators.util import spread
 
@@ -498,16 +506,23 @@ def op_ngrams(ctx: Ctx, rel: Rel, *rest) -> Rel:
             "is unbounded state with no eviction; run per micro-batch "
             "via foreach-batch for incremental n-gram stats"
         )
-    w = words(F.col(col))
+    from ..operators.util import let1, spread
+
+    # let1-bound (r18): the slice lambda re-evaluated the captured
+    # tokenization per gram position (quadratic per doc).
     # coalesce: size(NULL) is NULL -> the when falls through and the
     # otherwise-branch fabricates a "" gram for NULL documents
-    grams = F.when(F.coalesce(F.size(w), F.lit(0)) < n, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        )
+    grams = let1(
+        words(F.col(col)),
+        lambda w: F.when(
+            F.coalesce(F.size(w), F.lit(0)) < n, F.array()
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
     )
-    from ..operators.util import spread
 
     ex = spread(rel.df).select(F.explode(grams).alias("ngram"))
     counted = ex.groupBy("ngram").agg(F.count(F.lit(1)).alias("count"))
@@ -522,16 +537,22 @@ def _gram_ids(col: Column, n: int) -> Column:
     60 bits matters here: decontaminate's default min_shared=1 means a
     single colliding gram creates a false contamination pair, and a
     32-bit space takes real birthday collisions at 1e9+ distinct grams."""
-    from ..operators.util import md5_long_col
+    from ..operators.util import let1, md5_long_col
 
-    w = words(col)
+    # let1-bound (r18): the slice lambda re-evaluated the captured
+    # tokenization per gram position (quadratic per doc).
     # coalesce: size(NULL) is NULL -> the when falls through and the
     # otherwise-branch fabricates a "" gram for NULL documents
-    grams = F.when(F.coalesce(F.size(w), F.lit(0)) < n, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        )
+    grams = let1(
+        words(col),
+        lambda w: F.when(
+            F.coalesce(F.size(w), F.lit(0)) < n, F.array()
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
     )
     return F.array_distinct(F.transform(grams, lambda g: md5_long_col(g)))
 

@@ -118,13 +118,19 @@ def tokens_col(col: Column) -> Column:
 
 def shingles_col(col: Column, k: int = SHINGLE_K) -> Column:
     """k-word shingles; short docs fall back to the whole text as one
-    shingle."""
-    t = tokens_col(col)
-    gen = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    shingle. let1-bound (r18): the slice lambda re-evaluated the
+    captured split per shingle position (quadratic per doc)."""
+    from .util import let1
+
+    return let1(
+        tokens_col(col),
+        lambda t: F.when(F.size(t) < k, F.array(col)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            )
+        ),
     )
-    return F.when(F.size(t) < k, F.array(col)).otherwise(gen)
 
 
 def _pin_tokens(toks: DataFrame, opts: dict) -> DataFrame:
@@ -1525,8 +1531,13 @@ def simhash_col(textc: str, bits: int = 64) -> Column:
     streaming-legal. Bit-identical values (same md5 halves, same
     tie-exact ``2*s_j > n`` vote; parity pinned by test). NULL text
     yields NULL."""
+    from .util import let1
+
     toks = tokens_col(F.col(textc))
-    # hash each token once; folds below reuse the hashed array
+    # hash each token once: the hashed array is LET1-BOUND (r18) so the
+    # ``bits`` folds below read a lambda variable — each of the 64
+    # F.aggregate calls used to embed (and re-evaluate) the whole
+    # md5-per-token subtree, re-hashing every token 64x per row
     hs = F.transform(
         toks,
         lambda t: F.struct(
@@ -1534,7 +1545,6 @@ def simhash_col(textc: str, bits: int = 64) -> Column:
             F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("lo"),
         ),
     )
-    n = F.size(toks)
 
     def _bit_sum(j: int):
         half = "lo" if j < 32 else "hi"
@@ -1545,13 +1555,19 @@ def simhash_col(textc: str, bits: int = 64) -> Column:
 
         return fn
 
-    sim = F.lit(0).cast("long")
-    for j in range(bits):
-        s_j = F.aggregate(hs, F.lit(0).cast("long"), _bit_sum(j))
-        sim = sim + F.when(
-            s_j * 2 > n, F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
-    return F.when(F.col(textc).isNull(), F.lit(None).cast("long")).otherwise(sim)
+    def _sim_of(hb: Column) -> Column:
+        n = F.size(hb)
+        sim = F.lit(0).cast("long")
+        for j in range(bits):
+            s_j = F.aggregate(hb, F.lit(0).cast("long"), _bit_sum(j))
+            sim = sim + F.when(
+                s_j * 2 > n, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+        return sim
+
+    return F.when(F.col(textc).isNull(), F.lit(None).cast("long")).otherwise(
+        let1(hs, _sim_of)
+    )
 
 
 def simhash_signatures(df: DataFrame, idc: str, textc: str, bits: int = 64) -> DataFrame:

@@ -257,6 +257,28 @@ def release_pinned() -> int:
     return n
 
 
+def let1(bound, body):
+    """Expression-level let-binding: evaluate ``bound`` ONCE per row and
+    pass it to ``body`` as a higher-order-function lambda variable.
+
+    Spark evaluates HOF lambda bodies interpreted with NO common-
+    subexpression elimination, so a captured subtree (a tokenization,
+    an md5 chain) inlined inside ``transform``/``aggregate`` lambdas is
+    re-evaluated on EVERY element — turning a linear per-row fan-out
+    into a quadratic one (measured r18: the cooccurrence pair fan-out
+    dropped 7.0s -> 1.2s at sf0.1 from this binding alone; the winnow
+    ``__h`` projection documents the same hazard). Wrapping the subtree
+    as the single element of an array and transforming it binds the
+    value once; lambda-variable reads are O(1).
+
+    Only ARGUMENT positions of HOFs are evaluated once — anything a
+    lambda body references must be a lambda variable or pay per-element
+    re-evaluation. ``element_at(.., 1)`` unwraps the singleton result."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def md5_long_col(col, hex_chars: int = 15):
     """Engine-portable long hash: the first ``hex_chars`` hex digits of
     md5(col) as a non-negative BIGINT. DuckDB reproduces it exactly as
