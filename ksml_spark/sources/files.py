@@ -41,6 +41,20 @@ def _nano_timestamp_cols(path: str) -> tuple[str, ...]:
         return ()
 
 
+# Inferred RAW read schemas (before the nano->timestamp rebuild) per
+# path, process-lifetime (r18, guide §6 fixed-cost): a bare
+# ``spark.read.parquet(path)`` runs an EAGER 1-task schema-inference job
+# on every call — ~0.1s of per-invocation fixed cost on every table a
+# query loads, paid again on each bench pass. Supplying the schema
+# (``spark.read.schema(s).parquet``) skips that job entirely, exactly as
+# a production deployment declares its table schemas in a catalog. This
+# caches METADATA only — every action still reads the parquet data
+# itself; the testdata contract (deterministic, immutable within a run)
+# is the same one the pyarrow footer cache above already relies on.
+# StructType is session-independent, so a restarted session reuses it.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """spark.read.parquet with transparent TIMESTAMP(NANOS) handling.
 
@@ -62,16 +76,25 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     and its effect on outside code is to read TIMESTAMP(NANOS) columns
     as BIGINT instead of erroring (PARQUET_TYPE_ILLEGAL)."""
     conf = spark.conf
-    ntz_prev = conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
     nanos = _nano_timestamp_cols(path)
     nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
-    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if nanos:
         conf.set(nanos_key, "true")
-    try:
-        df = spark.read.parquet(path)
-    finally:
-        conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", ntz_prev)
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        # schema known: no inference job runs, and with no inference the
+        # NTZ conf is irrelevant (the cached schema was inferred with it
+        # pinned off). nanosAsLong still matters — the SCAN reads it at
+        # action time to map TIMESTAMP(NANOS) onto the LongType field.
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        ntz_prev = conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+        conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", ntz_prev)
+        _SCHEMA_CACHE[path] = df.schema
     for c in nanos:
         # Integer division, not float: at epoch-ns magnitude doubles have
         # 256ns ulp, so `/ 1000` rounds ~1.6% of values off by 1us.

@@ -461,3 +461,32 @@ def test_join_hint_controls_physical_strategy(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     with pytest.raises(ArityError, match="join hint must be one of"):
         pipe(["join", li_rel, ord_rel, {"hint": "nested_loop"}], spark=spark)
+
+
+def test_read_parquet_schema_cache_skips_inference_job(spark):
+    """Fixed-cost posture (r18): a warm read_parquet must launch NO
+    Spark job at construction (the cold path pays one eager 1-task
+    schema-inference job per call — per-invocation overhead on every
+    table every query loads), and the cached-schema read must return
+    the identical schema and rows, including the TIMESTAMP(NANOS)
+    rebuild on events."""
+    from ksml_spark.sources.files import _SCHEMA_CACHE, read_parquet
+
+    st = spark.sparkContext.statusTracker()
+    for table in ("events", "embeddings"):
+        path = f"{SF}/{table}.parquet"
+        cold = read_parquet(spark, path)  # populates the cache
+        assert path in _SCHEMA_CACHE
+        n0 = len(st.getJobIdsForGroup(None) or [])
+        warm = read_parquet(spark, path)
+        assert len(st.getJobIdsForGroup(None) or []) == n0, (
+            f"warm read_parquet({table}) launched a construction job"
+        )
+        assert warm.schema == cold.schema
+        key = warm.columns[0]
+        assert (warm.orderBy(key).limit(20).collect()
+                == cold.orderBy(key).limit(20).collect())
+    # the nano rebuild must survive the cached path: events.ts is
+    # TIMESTAMP(NANOS) on disk and must surface as a usable timestamp
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
