@@ -894,6 +894,7 @@ def test_lsh_join_streaming_left_matches_batch(spark, tmp_path):
     assert got == exp and (1, 100) in got and 2 not in {a for a, _ in got}
 
 
+@pytest.mark.slow
 def test_lsh_join_km_impl_parity(spark, tmp_path):
     """{"impl": "km"} — the single-digest Kirsch-Mitzenmacher streaming
     fast path: (a) an EXACT duplicate recalls under both families
@@ -1326,6 +1327,7 @@ def test_chunk_and_sentence_split_collision_guard(spark):
     assert set(ok3.columns) == {"doc_id", "chunk_idx", "text"}
 
 
+@pytest.mark.slow
 def test_pinned_persist_registry_bounded(spark):
     """Repeated pair-operator invocations must not accumulate unbounded
     cache blocks: the pin registry caps live pins and release_pinned()
@@ -1382,6 +1384,7 @@ def test_sig_struct_udf_matches_expression_paths(spark, tables):
     assert len(got) == 53
 
 
+@pytest.mark.slow
 def test_lsh_join_dedup_within_bounded_state(spark, tmp_path):
     """{"dedup_within": d} bounds the streaming pair-dedup state with an
     event-time watermark (dropDuplicatesWithinWatermark) — output over a

@@ -342,6 +342,7 @@ def test_ann_topk_matches_numpy(spark, tables):
             assert abs(s - es) < 1e-4
 
 
+@pytest.mark.slow
 def test_ann_topk_query_side_guard(spark, tables):
     """max_query_rows (r15, completing the max_bucket_pairs guard
     family): a 'queries' filter matching more rows than the cap refuses
@@ -1149,6 +1150,7 @@ def test_vec_quantize_roundtrip_error_bound(spark, tables):
             assert abs(qi * s - x) <= s / 2 + 1e-12
 
 
+@pytest.mark.slow
 def test_kmeans_centroids_recovers_blobs(spark):
     """Three well-separated blobs: refined centroids land on the blob
     means and each blob maps to one cluster."""
@@ -1586,6 +1588,7 @@ def test_kmeans_assign_blas_impl_bit_matches_expr(spark):
                "centroids": "vec_id like 'c%'", "max_k": 2}], spark=spark)
 
 
+@pytest.mark.slow
 def test_ann_ivf_blas_impl_matches_expr_and_auto_cutover(spark):
     """r12: ann-ivf-topk with {'assign_impl': 'blas'} returns the exact
     expr-plan result (same probes, same candidates, same ranked sims);

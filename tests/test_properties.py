@@ -61,6 +61,7 @@ def test_table_latest_matches_pandas(spark, data):
         assert got[k] == (row["seq"], row["value"])
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(data=rows, thr=st.floats(min_value=-50, max_value=50, allow_nan=False))
 def test_branch_partitions_exactly(spark, data, thr):
@@ -90,6 +91,7 @@ edge_lists = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=edge_lists)
 def test_dup_clusters_matches_union_find(spark, edges):
@@ -258,6 +260,7 @@ ent_texts = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=ent_texts)
 def test_entropy_matches_python_reference(spark, texts):
@@ -537,6 +540,7 @@ vec_corpus = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @example(vecs=_R12_DIVISION_CORPUS, n_cents=3)
 @given(vecs=vec_corpus, n_cents=st.integers(min_value=1, max_value=6))
@@ -570,6 +574,7 @@ def test_kmeans_assign_blas_parity_property(spark, vecs, n_cents):
     assert run("expr") == run("blas")
 
 
+@pytest.mark.slow
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @example(vecs=_R12_DIVISION_CORPUS, nprobe=2)
 @given(vecs=vec_corpus, nprobe=st.integers(min_value=1, max_value=3))

@@ -438,6 +438,7 @@ def test_streaming_global_table_join(spark, events_path, tables):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
 
 
+@pytest.mark.slow
 def test_stream_stream_left_interval_join(spark, events_path, tables):
     def sides(src_form):
         c = ksml(["where", src_form, "event_type = 'click'"], spark=spark)
@@ -1167,6 +1168,7 @@ def test_streaming_state_bounded_by_keys_not_batches(spark, tmp_path):
     assert mx == len(keys), (mx, last)     # NOT keys x batches (15)
 
 
+@pytest.mark.slow
 def test_streaming_lsh_join_dedup_within_bounds_pair_state(spark, tmp_path):
     """The one corpus-unbounded streaming store: lsh-join's cross-batch
     candidate-pair dedup. Without dedup_within it accumulates every
